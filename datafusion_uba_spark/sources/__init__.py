@@ -1,0 +1,140 @@
+"""Data-source plumbing: the rebuild of the reference's source surface.
+
+Reference surface (SURVEY.md §2.2 S1-S8):
+  - in-memory tables        examples/retention.rs:78-82   → memtable()
+  - Parquet file/dir        examples/retention_parquet.rs:14-20 → read_parquet()
+  - partitioned CSV dir     tests/sqllogictests/src/setup.rs:86-118 → read_csv_dir()
+  - Avro (feature-gated)    tests/sqllogictests/src/setup.rs:33-62 → read_avro()
+  - Parquet on S3/MinIO     tests/test_with_minio.rs:72-92 → session.configure_s3a + read_parquet("s3a://…")
+  - result re-registration  examples/retention.rs:37-38   → register()
+
+Plus the driver-testdata loader, which handles one real-world wrinkle:
+the synthetic parquet stores timestamps as INT64 TIMESTAMP(NANOS),
+which Spark's parquet reader rejects by default. We flip the session to
+``spark.sql.legacy.parquet.nanosAsLong`` and rebuild proper timestamp
+columns with integer nanos→micros arithmetic (never via double — 1e18
+nanos overflows a double mantissa).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# INT64 TIMESTAMP(NANOS) columns per testdata table (TESTDATA.md corpus)
+_NANOS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def memtable(
+    spark: SparkSession,
+    rows: Sequence,
+    schema: T.StructType | str,
+    partitions: int | None = None,
+    name: str | None = None,
+) -> DataFrame:
+    """In-memory table — the reference's MemTable (examples/retention.rs:81).
+
+    The reference models partitions as Vec<Vec<RecordBatch>>; here the
+    equivalent knob is ``repartition(n)``.
+    """
+    df = spark.createDataFrame(rows, schema)
+    if partitions:
+        df = df.repartition(partitions)
+    if name:
+        df.createOrReplaceTempView(name)
+    return df
+
+
+def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Parquet scan over a file, directory, or object-store URL.
+
+    Directory + extension filtering (the reference's ListingTable with
+    ``.parquet`` suffix, tests/test_with_minio.rs:89-92) maps to the
+    ``pathGlobFilter`` option. Filter pushdown / row-group pruning are
+    Catalyst defaults.
+    """
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(path)
+
+
+def read_csv_dir(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = False,
+    **options,
+) -> DataFrame:
+    """Partitioned CSV directory with explicit schema (setup.rs:86-118)."""
+    reader = spark.read.schema(schema).option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro multi-file table (setup.rs:33-62). Needs the spark-avro
+    package on the classpath; raises a clear error when absent (the
+    reference feature-gates Avro the same way)."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - depends on classpath
+        raise RuntimeError(
+            "Avro source requires the org.apache.spark:spark-avro package "
+            "on the Spark classpath (reference gates this behind the "
+            "'avro' feature flag too)"
+        ) from exc
+
+
+def register(df: DataFrame, name: str, cache: bool = False) -> DataFrame:
+    """Re-register a (result) DataFrame as a queryable table
+    (examples/retention.rs:37-38). ``cache=True`` materializes it like
+    the reference's collected MemTable."""
+    if cache:
+        df = df.cache()
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-testdata table with proper timestamp types."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer nanos → micros; DIV keeps it in bigint space
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    return df
+
+
+def register_testdata(
+    spark: SparkSession, sf_dir: str, tables: Sequence[str] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view; returns the dict."""
+    out = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

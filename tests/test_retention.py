@@ -1,0 +1,238 @@
+"""Golden tests pinning retention semantics.
+
+Cases come from the reference's unit + slt tests (values recorded in
+FIXTURES.md §7 / SURVEY.md §2.1):
+  tests/retention_count.rs:60-68,121-129,182-190
+  tests/retention_sum.rs:135-143,357-365,478-486
+  tests/sqllogictests/test_files/retention.slt:19-22,31-41,46-56
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_uba_spark.operators.retention import (
+    retention,
+    retention_count,
+    retention_sum,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("distinct_id", T.IntegerType(), False),
+        T.StructField("event", T.StringType(), False),
+        T.StructField("ds", T.IntegerType(), False),
+    ]
+)
+
+
+def make_events(spark, rows, partitions=2):
+    return spark.createDataFrame(rows, EVENT_SCHEMA).repartition(partitions)
+
+
+def run_count(spark, rows, born, target, max_unit, base=20230101):
+    df = make_events(spark, rows)
+    out = retention_count(
+        df,
+        F.col("event") == born,
+        F.col("event") == target,
+        max_unit,
+        F.col("ds") - base,
+    )
+    return {r["distinct_id"]: r["stats"] for r in out.collect()}
+
+
+def to_py(matrix):
+    return [list(row) for row in matrix]
+
+
+# --- retention_count goldens -------------------------------------------------
+
+
+def test_count_one_day(spark):
+    # tests/retention_count.rs:60-68
+    rows = [
+        (1, "add", 20230101),
+        (1, "buy", 20230101),
+        (2, "add", 20230101),
+        (2, "buy", 20230101),
+    ]
+    got = run_count(spark, rows, "add", "buy", 0)
+    assert to_py(got[1]) == [[1], [1]]
+    assert to_py(got[2]) == [[1], [1]]
+
+
+def test_count_two_day(spark):
+    # tests/retention_count.rs:121-129
+    rows = [
+        (1, "add", 20230101),
+        (1, "add", 20230102),
+        (1, "buy", 20230101),
+        (2, "add", 20230101),
+        (2, "buy", 20230102),
+    ]
+    got = run_count(spark, rows, "add", "buy", 1)
+    assert to_py(got[1]) == [[1, 1], [1, 0]]
+    assert to_py(got[2]) == [[1, 0], [0, 1]]
+
+
+def test_count_born_equals_target(spark):
+    # tests/retention_count.rs:182-190 — same-event retention; code 2
+    rows = [
+        (1, "add", 20230101),
+        (1, "add", 20230102),
+        (2, "add", 20230101),
+        (2, "add", 20230102),
+    ]
+    got = run_count(spark, rows, "add", "add", 1)
+    assert to_py(got[1]) == [[1, 1], [2, 2]]
+    assert to_py(got[2]) == [[1, 1], [2, 2]]
+
+
+def test_count_missing_born_event(spark):
+    # retention.slt:24-41 — user 1's born event replaced by 'error'
+    rows = [
+        (1, "error", 20230101),
+        (2, "add", 20230101),
+        (3, "add", 20230101),
+        (1, "buy", 20230101),
+        (2, "buy", 20230101),
+        (3, "buy", 20230101),
+    ]
+    got = run_count(spark, rows, "add", "buy", 0)
+    assert to_py(got[1]) == [[0], [1]]
+    assert to_py(got[2]) == [[1], [1]]
+    assert to_py(got[3]) == [[1], [1]]
+
+
+def test_count_same_day_mixed_rows_deterministic_max(spark):
+    # SURVEY §2.1 divergence rule: born∧target row AND target-only row on
+    # the same day → 2 (max semantics), regardless of row order.
+    rows = [
+        (1, "add", 20230101),  # born-only row
+        (1, "add", 20230101),  # (duplicate)
+        (1, "buy", 20230101),  # target-only row → code 1
+    ]
+    got = run_count(spark, rows, "add", "buy", 0)
+    assert to_py(got[1]) == [[1], [1]]
+    # born==target case: the add row is both born and target → 2 wins
+    got = run_count(spark, rows, "add", "add", 0)
+    assert to_py(got[1]) == [[1], [2]]
+
+
+def test_count_out_of_window_rows_ignored(spark):
+    rows = [
+        (1, "add", 20230101),
+        (1, "buy", 20230115),  # outside [0, max_unit]
+        (1, "buy", 20221230),  # negative offset
+    ]
+    got = run_count(spark, rows, "add", "buy", 1)
+    assert to_py(got[1]) == [[1, 0], [0, 0]]
+
+
+# --- retention_sum goldens ---------------------------------------------------
+
+STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("distinct_id", T.IntegerType(), False),
+        T.StructField(
+            "stats", T.ArrayType(T.ArrayType(T.ByteType()), True), True
+        ),
+    ]
+)
+
+
+def run_sum(spark, stats_rows):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(stats_rows)], STATS_SCHEMA
+    ).repartition(2)
+    row = retention_sum(df, "stats").collect()[0]
+    return to_py(row["retention"])
+
+
+def test_sum_same_event(spark):
+    # tests/retention_sum.rs:135-143
+    assert run_sum(spark, [[[1, 1], [2, 2]], [[1, 1], [2, 2]]]) == [
+        [2, 2],
+        [0, 2],
+        [0],
+    ]
+
+
+def test_sum_two_day(spark):
+    # tests/retention_sum.rs:357-365
+    assert run_sum(spark, [[[1, 1], [1, 0]], [[1, 0], [0, 1]]]) == [
+        [2, 1],
+        [1, 1],
+        [0],
+    ]
+
+
+def test_sum_three_day(spark):
+    # tests/retention_sum.rs:478-486
+    assert run_sum(spark, [[[1, 1, 1], [1, 1, 0]], [[1, 0, 0], [0, 0, 1]]]) == [
+        [2, 1, 1],
+        [1, 1, 1],
+        [1, 0],
+        [0],
+    ]
+
+
+def test_sum_single_day(spark):
+    # retention.slt:46-56 folds three [[1],[1]] users → [[3],[3]]
+    assert run_sum(spark, [[[1], [1]]] * 3) == [[3], [3]]
+
+
+def test_sum_skips_null_stats(spark):
+    assert run_sum(spark, [[[1], [1]], None]) == [[1], [1]]
+
+
+# --- full funnel -------------------------------------------------------------
+
+
+def test_funnel_slt(spark):
+    # retention.slt:46-56
+    rows = [
+        (1, "add", 20230101),
+        (2, "add", 20230101),
+        (3, "add", 20230101),
+        (1, "buy", 20230101),
+        (2, "buy", 20230101),
+        (3, "buy", 20230101),
+    ]
+    df = make_events(spark, rows)
+    res = retention(
+        df,
+        F.col("event") == "add",
+        F.col("event") == "buy",
+        20230101 - 20230101,
+        F.col("ds") - 20230101,
+    ).collect()[0]
+    assert to_py(res["retention"]) == [[3], [3]]
+
+
+@pytest.mark.parametrize("partitions", [1, 2, 7])
+def test_funnel_partition_invariance(spark, partitions):
+    rows = [
+        (1, "add", 20230101),
+        (1, "buy", 20230102),
+        (1, "buy", 20230103),
+        (2, "add", 20230102),
+        (2, "buy", 20230102),
+        (3, "add", 20230101),
+        (3, "add", 20230103),
+        (3, "buy", 20230103),
+    ]
+    df = make_events(spark, rows, partitions=partitions)
+    res = retention(
+        df,
+        F.col("event") == "add",
+        F.col("event") == "buy",
+        2,
+        F.col("ds") - 20230101,
+    ).collect()[0]
+    # row0: born d0=2 (u1,u3), d1=1 (u2), d2=1 (u3)
+    # cohort d0 (u1,u3): offsets: u1 buys d1,d2 → [0,1,1]; u3 buys d2 → [0,0,1] → [0,1,2]
+    # cohort d1 (u2): u2 buys d1 (offset0) → [1,0]
+    # cohort d2 (u3): u3 buys d2 same day, born row is 'add', buy row separate → target[2]=1 → [1]
+    assert to_py(res["retention"]) == [[2, 1, 1], [0, 1, 2], [1, 0], [1]]
