@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship retention funnel (the reference's
+one real query: examples/retention.rs:22-44 / retention.slt:46-56) on
+sf0.001. ``queries()`` / ``oracle_sql()`` expose the SURVEY.md §2
+inventory; implementations live in ``datafusion_uba_spark.queries``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datafusion_uba_spark import queries as _q  # noqa: E402
+from datafusion_uba_spark.operators.retention import retention_sum  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Two-stage retention funnel: per-user cohort bitmaps folded into the
+    triangular retention matrix, exploded to (cohort_day, day_offset,
+    retained) rows for a stable flat schema.
+    """
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    stats = _q._stats_df(spark, sf_dir)
+    matrix = retention_sum(stats, "stats", out="retention")
+    return (
+        matrix.select(F.posexplode("retention").alias("row_idx", "row"))
+        .select("row_idx", F.posexplode("row").alias("day_offset", "retained"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

@@ -1,0 +1,360 @@
+"""The engine's query inventory: SURVEY.md §2 re-expressed Spark-first.
+
+Each entry is ``name -> (spark_fn, duckdb_oracle_sql | None)``. The
+spark_fn takes ``(spark, sf_dir)`` and returns a DataFrame; the oracle
+is ANSI-ish SQL DuckDB runs over the same parquet (driver registers the
+tables as views). Column names/aliases match exactly on both sides.
+
+Determinism rules for oracle-checked queries (hash compare is exact):
+
+- Never hash a float that went through an *aggregate*: parallel
+  summation reorders FP adds. Money/quantity aggregates go through
+  ``round(x*100)`` → BIGINT cents first (exact, order-independent);
+  ratios are derived from those integers with identical scalar
+  arithmetic on both sides.
+- Per-row float *projections* are fine (same IEEE ops both engines).
+- Every LIMIT has a total ORDER BY (unique tiebreak column).
+
+Retention window on the events table: 2024-01-01..2024-01-07 (mu=6),
+born = 'signup', target = 'purchase' — the same query shape as the
+reference's examples/retention_parquet.rs:26-35 (7-day window,
+event-name predicate, group by user).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_uba_spark.operators.retention import retention_count, retention_sum
+from datafusion_uba_spark.sources import load_table
+
+# --- retention -----------------------------------------------------------
+
+_R_START = "2024-01-01"
+_R_END = "2024-01-07"
+_R_MU = 6  # max_unit: window length - 1
+
+
+def _windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    return ev.where(day.between(_R_START, _R_END)).withColumn(
+        "__d", F.datediff(day, F.lit(_R_START).cast("date"))
+    )
+
+
+def _stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _windowed_events(spark, sf_dir)
+    return retention_count(
+        ev,
+        F.col("event_type") == "signup",
+        F.col("event_type") == "purchase",
+        _R_MU,
+        F.col("__d"),
+        group_by="user_id",
+    )
+
+
+def q_retention_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = _stats_df(spark, sf_dir)
+    as_int = F.transform(
+        "stats", lambda row: F.transform(row, lambda v: v.cast("int"))
+    )
+    return stats.select("user_id", as_int.alias("stats"))
+
+
+def q_retention_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_sum(_stats_df(spark, sf_dir), "stats", out="retention")
+
+
+# DuckDB equivalents. The per-(user, day) MAX pre-aggregation mirrors the
+# deterministic max semantics (SURVEY §2.1); scatter into dense arrays via
+# list_position lookups.
+_ORACLE_RETENTION_STATS = f"""
+WITH ev AS (
+  SELECT user_id,
+         datediff('day', DATE '{_R_START}', CAST(ts AS DATE)) AS d,
+         (event_type = 'signup') AS born,
+         (event_type = 'purchase') AS tgt
+  FROM events
+  WHERE CAST(ts AS DATE) BETWEEN DATE '{_R_START}' AND DATE '{_R_END}'
+),
+per_day AS (
+  SELECT user_id, d,
+         max(CASE WHEN born THEN 1 ELSE 0 END) AS b,
+         max(CASE WHEN born AND tgt THEN 2 WHEN tgt THEN 1 ELSE 0 END) AS t
+  FROM ev GROUP BY user_id, d
+),
+per_user AS (
+  SELECT user_id, list(d) AS ds, list(b) AS bs, list(t) AS tts
+  FROM per_day GROUP BY user_id
+)
+SELECT user_id,
+  [list_transform(range(0, {_R_MU + 1}), x -> CAST(coalesce(bs[list_position(ds, x)], 0) AS INT)),
+   list_transform(range(0, {_R_MU + 1}), x -> CAST(coalesce(tts[list_position(ds, x)], 0) AS INT))]
+  AS stats
+FROM per_user
+"""
+
+_ORACLE_RETENTION_SUM = f"""
+WITH stats_t AS ({_ORACLE_RETENTION_STATS}),
+cells AS (
+  SELECT 0 AS i, CAST(g.j AS INT) AS j, CAST(stats[1][CAST(g.j AS INT) + 1] AS BIGINT) AS v
+  FROM stats_t, range(0, {_R_MU + 1}) AS g(j)
+  UNION ALL
+  SELECT CAST(b.b + 1 AS INT) AS i, CAST(t.t - b.b AS INT) AS j,
+         CAST(stats[1][CAST(b.b AS INT) + 1]
+              * (CASE WHEN stats[2][CAST(t.t AS INT) + 1] = 2
+                      THEN (CASE WHEN t.t = b.b THEN 0 ELSE 1 END)
+                      ELSE stats[2][CAST(t.t AS INT) + 1] END) AS BIGINT) AS v
+  FROM stats_t, range(0, {_R_MU + 1}) AS b(b), range(0, {_R_MU + 1}) AS t(t)
+  WHERE t.t >= b.b
+),
+summed AS (SELECT i, j, CAST(sum(v) AS BIGINT) AS s FROM cells GROUP BY i, j),
+rws AS (SELECT i, list(s ORDER BY j) AS r FROM summed GROUP BY i)
+SELECT list(r ORDER BY i) AS retention FROM rws
+"""
+
+
+# --- TPC-H-ish relational surface (SURVEY §2.2) ---------------------------
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100).cast("long")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter → hash agg → order (F1/A1/O1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    g = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(disc_price)).alias("sum_disc_cents"),
+            F.sum(_cents(charge)).alias("sum_charge_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    avg_qty = F.round(F.col("sum_qty_cents") / 100.0 / F.col("count_order"), 4)
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty_cents",
+        "sum_base_cents",
+        "sum_disc_cents",
+        "sum_charge_cents",
+        "count_order",
+        avg_qty.alias("avg_qty"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+_ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+  count(*) AS count_order,
+  round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 4) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: 3-way join → agg → top-k. Customer side broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    revenue = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return (
+        j.groupBy("o_orderkey")
+        .agg(F.sum(revenue).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(F.col("o_orderkey").alias("orderkey"), "revenue_cents")
+    )
+
+
+_ORACLE_TOP_ORDERS = """
+SELECT o_orderkey AS orderkey,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue_cents DESC, orderkey
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: 5-way star join with broadcast dims → agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.groupBy("r_name", "n_name")
+        .agg(F.sum(revenue).alias("revenue_cents"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+_ORACLE_REGION_REVENUE = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_case_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection surface: CASE WHEN / BETWEEN / integer arithmetic
+    (P3/P4/P5/P6 + F1 with parquet pushdown)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value").between(50, 150), "mid")
+        .when(F.col("value") < 50, "low")
+        .otherwise("high")
+    )
+    return ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        bucket.alias("bucket"),
+        (_cents(F.col("value")) - 42).alias("cents_minus"),
+    )
+
+
+_ORACLE_CASE_PROJECTION = """
+SELECT event_id,
+  CASE WHEN value BETWEEN 50 AND 150 THEN 'mid'
+       WHEN value < 50 THEN 'low' ELSE 'high' END AS bucket,
+  CAST(round(value * 100) AS BIGINT) - 42 AS cents_minus
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-key) aggregate + count(1) + DISTINCT (A2/A3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(_cents(F.col("l_quantity"))).alias("qty_cents"),
+    )
+
+
+_ORACLE_GLOBAL_AGG = """
+SELECT count(1) AS n_rows,
+       count(DISTINCT l_orderkey) AS n_orders,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+FROM lineitem
+"""
+
+
+def q_derived_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-table subquery + ORDER BY + LIMIT (Q1/O1/O2)."""
+    ev = load_table(spark, sf_dir, "events")
+    inner = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("purchases"))
+    )
+    return inner.orderBy(F.col("purchases").desc(), F.col("user_id")).limit(5)
+
+
+_ORACLE_DERIVED_TOPK = """
+SELECT user_id, purchases FROM (
+  SELECT user_id, count(*) AS purchases FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+) t ORDER BY purchases DESC, user_id LIMIT 5
+"""
+
+
+def q_nested_array_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-list literals (T1) — reference renders [[1, 1], [1, 0]]."""
+    return spark.sql(
+        "SELECT array(array(1, 1), array(1, 0)) AS m, array(1, 2, 3) AS arr"
+    )
+
+
+_ORACLE_NESTED_ARRAY = "SELECT [[1, 1], [1, 0]] AS m, [1, 2, 3] AS arr"
+
+
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL propagation + NaN detection (N1)."""
+    ev = load_table(spark, sf_dir, "events")
+    maybe = F.when(F.col("value") > 100, F.col("value"))
+    return ev.where(F.col("event_type") == "error").select(
+        "event_id",
+        maybe.alias("maybe_null"),
+        F.coalesce(maybe, F.lit(-1.0)).alias("filled"),
+        F.isnan(F.lit("NaN").cast("double")).cast("int").alias("nan_flag"),
+    )
+
+
+_ORACLE_NULL_SEMANTICS = """
+SELECT event_id,
+  CASE WHEN value > 100 THEN value END AS maybe_null,
+  coalesce(CASE WHEN value > 100 THEN value END, -1.0) AS filled,
+  CAST(isnan(CAST('NaN' AS DOUBLE)) AS INT) AS nan_flag
+FROM events WHERE event_type = 'error'
+"""
+
+
+# --- registry --------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "retention_count": (q_retention_count, _ORACLE_RETENTION_STATS),
+    "retention_sum": (q_retention_sum, _ORACLE_RETENTION_SUM),
+    "pricing_summary": (q_pricing_summary, _ORACLE_PRICING),
+    "top_orders": (q_top_orders, _ORACLE_TOP_ORDERS),
+    "region_revenue": (q_region_revenue, _ORACLE_REGION_REVENUE),
+    "case_projection": (q_case_projection, _ORACLE_CASE_PROJECTION),
+    "global_agg": (q_global_agg, _ORACLE_GLOBAL_AGG),
+    "derived_topk": (q_derived_topk, _ORACLE_DERIVED_TOPK),
+    "nested_array_literal": (q_nested_array_literal, _ORACLE_NESTED_ARRAY),
+    "null_semantics": (q_null_semantics, _ORACLE_NULL_SEMANTICS),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
