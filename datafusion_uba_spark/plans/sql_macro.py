@@ -1,0 +1,218 @@
+"""SQL macro layer: the reference's SQL-string API, verbatim, on Spark.
+
+The reference registers ``retention_count`` / ``retention_sum`` as
+session UDAFs so they are callable from SQL text
+(src/retention/mod.rs:58-64,100-106; examples/retention.rs:19-30).
+PySpark cannot register a native Catalyst UDAF from Python, so this
+module rewrites those calls inside SQL text into equivalent
+built-in-function SQL before ``spark.sql()`` — queries from the
+reference's sqllogictest corpus run unchanged.
+
+Expansion strategies (both produce native, partial-aggregatable plans):
+
+- ``retention_count(born, target, max_unit, time_diff)``: ``max_unit``
+  must be a constant arithmetic expression (the reference makes the
+  same assumption at runtime — it reads max_unit from the first row and
+  never re-checks, retention_count.rs:78-88). We constant-fold it at
+  rewrite time and unroll the window into 2*(max_unit+1) tiny
+  ``MAX(CASE WHEN …)`` aggregates assembled into the
+  ``array(born, target)`` pair. Fixed-size state, map-side combine,
+  whole-stage codegen — the scalable formulation.
+- ``retention_sum(stats)``: if the statement (or its FROM subquery)
+  also contains a retention_count call, the window length is known and
+  we unroll into one ``SUM(...)`` aggregate per matrix cell (m²/2+m
+  tiny sums — scalable). Otherwise we fall back to a
+  ``aggregate(collect_list(...))`` higher-order fold, which is correct
+  but collects all groups' stats into one array — fine for
+  interactive/small use, not the 100 TB path (use
+  ``operators.retention.retention_sum`` for that).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_NAME_RE = re.compile(r"\b(retention_count|retention_sum)\s*\(", re.IGNORECASE)
+
+
+def _split_args(argstr: str) -> list[str]:
+    """Split a call's argument text on top-level commas."""
+    args, depth, start, i = [], 0, 0, 0
+    in_str: str | None = None
+    while i < len(argstr):
+        c = argstr[i]
+        if in_str:
+            if c == in_str:
+                in_str = None
+        elif c in ("'", '"'):
+            in_str = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            args.append(argstr[start:i].strip())
+            start = i + 1
+        i += 1
+    tail = argstr[start:].strip()
+    if tail:
+        args.append(tail)
+    return args
+
+
+def _find_calls(sql_text: str) -> list[tuple[str, int, int, list[str]]]:
+    """All retention_* calls as (name, start, end_exclusive, args)."""
+    out = []
+    for m in _NAME_RE.finditer(sql_text):
+        name = m.group(1).lower()
+        depth, i = 1, m.end()
+        in_str: str | None = None
+        while i < len(sql_text) and depth > 0:
+            c = sql_text[i]
+            if in_str:
+                if c == in_str:
+                    in_str = None
+            elif c in ("'", '"'):
+                in_str = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        if depth != 0:
+            raise ValueError(f"unbalanced parentheses in {name} call")
+        args = _split_args(sql_text[m.end() : i - 1])
+        out.append((name, m.start(), i, args))
+    return out
+
+
+_CONST_RE = re.compile(r"^[\d\s()+\-*/]+$")
+
+
+def _const_int(expr: str) -> int:
+    """Constant-fold an integer arithmetic expression (e.g. 20230107-20230101)."""
+    if not _CONST_RE.match(expr):
+        raise ValueError(
+            f"retention_count max_unit must be a constant integer expression, got {expr!r}"
+        )
+    val = eval(expr, {"__builtins__": {}}, {})  # noqa: S307 - digits/ops only
+    if not isinstance(val, int):
+        val = int(val)
+    return val
+
+
+def _expand_count(args: list[str]) -> str:
+    if len(args) != 4:
+        raise ValueError(f"retention_count takes 4 arguments, got {len(args)}")
+    born, target, mu_expr, td = args
+    m = _const_int(mu_expr) + 1
+    if m <= 0:
+        raise ValueError("retention_count max_unit must be >= 0")
+    b_cells = ", ".join(
+        f"CAST(max(CASE WHEN ({born}) AND ({td}) = {d} THEN 1 ELSE 0 END) AS TINYINT)"
+        for d in range(m)
+    )
+    t_cells = ", ".join(
+        f"CAST(max(CASE WHEN ({born}) AND ({target}) AND ({td}) = {d} THEN 2 "
+        f"WHEN ({target}) AND ({td}) = {d} THEN 1 ELSE 0 END) AS TINYINT)"
+        for d in range(m)
+    )
+    return f"array(array({b_cells}), array({t_cells}))"
+
+
+def _adj_sql(s: str, b, t) -> str:
+    """adjTarget(b, t) over stats expression `s` (0-based indexing)."""
+    tv = f"({s})[1][{t}]"
+    return (
+        f"(CASE WHEN {tv} = 2 THEN (CASE WHEN {t} = {b} THEN 0 ELSE 1 END) "
+        f"ELSE CAST({tv} AS BIGINT) END)"
+    )
+
+
+def _expand_sum_unrolled(s: str, m: int) -> str:
+    rows = []
+    row0 = ", ".join(
+        f"CAST(sum(CAST(({s})[0][{j}] AS BIGINT)) AS BIGINT)" for j in range(m)
+    )
+    rows.append(f"array({row0})")
+    for b in range(m):
+        cells = ", ".join(
+            f"CAST(sum(CAST(({s})[0][{b}] AS BIGINT) * {_adj_sql(s, b, t)}) AS BIGINT)"
+            for t in range(b, m)
+        )
+        rows.append(f"array({cells})")
+    return f"array({', '.join(rows)})"
+
+
+def _expand_sum_hof(s: str) -> str:
+    """Fallback when the window length is unknown at rewrite time."""
+    u = (
+        "concat("
+        "array(transform(__s[0], __v -> CAST(__v AS BIGINT))), "
+        "transform(sequence(0, size(__s[0]) - 1), __b -> "
+        "transform(sequence(__b, size(__s[0]) - 1), __t -> "
+        "CAST(__s[0][__b] AS BIGINT) * "
+        "(CASE WHEN __s[1][__t] = 2 THEN (CASE WHEN __t = __b THEN 0 ELSE 1 END) "
+        "ELSE CAST(__s[1][__t] AS BIGINT) END))))"
+    )
+    return (
+        f"aggregate(collect_list({s}), CAST(array() AS ARRAY<ARRAY<BIGINT>>), "
+        f"(__acc, __s) -> CASE WHEN size(__acc) = 0 THEN {u} "
+        f"ELSE zip_with(__acc, {u}, (__r1, __r2) -> "
+        f"zip_with(__r1, __r2, (__x, __y) -> __x + __y)) END)"
+    )
+
+
+def expand_macros(sql_text: str) -> str:
+    """Rewrite retention_count/retention_sum calls into built-in SQL."""
+    calls = _find_calls(sql_text)
+    if not calls:
+        return sql_text
+    # window lengths from any retention_count in the same statement let
+    # retention_sum unroll (the funnel case: retention.slt:46-56)
+    mus = {
+        _const_int(args[2])
+        for name, _, _, args in calls
+        if name == "retention_count" and len(args) == 4 and _CONST_RE.match(args[2])
+    }
+    known_m = (next(iter(mus)) + 1) if len(mus) == 1 else None
+
+    # drop calls nested inside an earlier call's span (handled by the outer)
+    top_level, prev_end = [], -1
+    for c in sorted(calls, key=lambda c: c[1]):
+        if c[1] < prev_end:
+            continue
+        top_level.append(c)
+        prev_end = c[2]
+
+    out, last = [], 0
+    for name, start, end, args in top_level:
+        out.append(sql_text[last:start])
+        if name == "retention_count":
+            out.append(_expand_count(args))
+        else:
+            if len(args) != 1:
+                raise ValueError(
+                    f"retention_sum takes 1 argument, got {len(args)}"
+                )
+            if _NAME_RE.search(args[0]):
+                raise ValueError(
+                    "retention_sum(retention_count(...)) cannot nest in one "
+                    "aggregate; put retention_count in a derived table "
+                    "(SELECT retention_sum(stats) FROM (SELECT "
+                    "retention_count(...) AS stats ... GROUP BY ...))"
+                )
+            if known_m is not None:
+                out.append(_expand_sum_unrolled(args[0], known_m))
+            else:
+                out.append(_expand_sum_hof(args[0]))
+        last = end
+    out.append(sql_text[last:])
+    return "".join(out)
+
+
+def sql(spark: SparkSession, sql_text: str) -> DataFrame:
+    """``spark.sql`` with the retention macro layer applied."""
+    return spark.sql(expand_macros(sql_text))

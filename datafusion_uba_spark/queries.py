@@ -39,7 +39,11 @@ _R_MU = 6  # max_unit: window length - 1
 
 
 def _windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # half-open [start, end+1d) bound on the raw nanos column so the
+    # window reaches the parquet scan (row-group pruning at scale)
+    ev = load_table(
+        spark, sf_dir, "events", date_bounds={"ts": (_R_START, "2024-01-08")}
+    )
     day = F.to_date("ts")
     return ev.where(day.between(_R_START, _R_END)).withColumn(
         "__d", F.datediff(day, F.lit(_R_START).cast("date"))

@@ -117,10 +117,39 @@ def register(df: DataFrame, name: str, cache: bool = False) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver-testdata table with proper timestamp types."""
+def _utc_nanos(date_str: str) -> int:
+    """Epoch nanos of a UTC midnight date string."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(date_str).replace(tzinfo=timezone.utc)
+    return int(dt.timestamp()) * 1_000_000_000
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    date_bounds: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Load one driver-testdata table with proper timestamp types.
+
+    ``date_bounds={"ts": ("2024-01-01", "2024-01-08")}`` applies a
+    half-open [start, end) date window ON THE RAW INT64 NANOS column,
+    *before* the timestamp rebuild. This matters at scale: a predicate
+    over ``timestamp_micros(ts DIV 1000)`` cannot be pushed into the
+    parquet scan (Catalyst won't invert the expression), but a plain
+    bigint comparison reaches PushedFilters and prunes row groups — the
+    difference between scanning a day and scanning 100 TB. (The
+    reference leans on the same mechanism: row-group pruning enabled in
+    tests/test_with_minio.rs:88.)
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c, (start, end) in (date_bounds or {}).items():
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.where(
+                (F.col(c) >= _utc_nanos(start)) & (F.col(c) < _utc_nanos(end))
+            )
     for c in _NANOS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
             # integer nanos → micros; DIV keeps it in bigint space

@@ -1,0 +1,35 @@
+import os
+
+from datafusion_uba_spark.slt.runner import norm_value, parse_slt, run_file
+
+SLT_DIR = os.path.join(os.path.dirname(__file__), "slt")
+
+
+def test_retention_slt_corpus(spark):
+    failures = run_file(spark, os.path.join(SLT_DIR, "retention.slt"))
+    assert not failures, "\n\n".join(
+        f"line {f.line}: {f.sql}\n{f.message}" for f in failures
+    )
+
+
+def test_norm_values():
+    assert norm_value(None) == "NULL"
+    assert norm_value("") == "(empty)"
+    assert norm_value(True) == "true"
+    assert norm_value(1.0) == "1"
+    assert norm_value(float("nan")) == "NaN"
+    assert norm_value(float("inf")) == "Infinity"
+    assert norm_value(float("-inf")) == "-Infinity"
+    assert norm_value(0.1234567890123456) == "0.123456789012"
+    assert norm_value([[1, 1], [1, 0]]) == "[[1, 1], [1, 0]]"
+
+
+def test_parse_shapes():
+    recs = parse_slt(
+        "statement ok\nCREATE TABLE t (a INT) AS VALUES (1)\n\n"
+        "query I rowsort\nSELECT a FROM t\n----\n1\n"
+    )
+    assert [r.kind for r in recs] == ["statement", "query"]
+    assert recs[1].types == "I"
+    assert recs[1].sort == "rowsort"
+    assert recs[1].expected == ["1"]

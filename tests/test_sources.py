@@ -1,0 +1,70 @@
+"""Source surface tests (SURVEY §2.2 S1-S8)."""
+
+import os
+
+import pytest
+
+from datafusion_uba_spark import sources
+
+
+def test_memtable_partitions_and_registration(spark):
+    df = sources.memtable(
+        spark,
+        [(1, "add", 20230101), (2, "buy", 20230102)],
+        "distinct_id INT, event STRING, ds INT",
+        partitions=2,
+        name="mem_events",
+    )
+    assert df.rdd.getNumPartitions() == 2
+    assert spark.sql("SELECT count(*) AS n FROM mem_events").collect()[0]["n"] == 2
+
+
+def test_read_csv_dir_partitioned(spark, tmp_path):
+    # the reference's partitioned CSV fixture (setup.rs:96-106): one file
+    # per partition, rows "{partition},{i},{i%2==0}" for i in 0..=10
+    d = tmp_path / "csvdir"
+    d.mkdir()
+    for p in range(4):
+        with open(d / f"partition-{p}.csv", "w") as f:
+            for i in range(11):
+                f.write(f"{p},{i},{str(i % 2 == 0).lower()}\n")
+    df = sources.read_csv_dir(
+        spark, str(d), "c1 INT, c2 BIGINT, c3 BOOLEAN"
+    )
+    assert df.count() == 44
+    agg = df.groupBy("c1").count().collect()
+    assert all(r["count"] == 11 for r in agg)
+    assert df.where("c3").count() == 24  # 6 even i per file
+
+
+def test_read_parquet_dir_with_glob(spark, tmp_path):
+    d = str(tmp_path / "pq")
+    df = spark.range(100).withColumnRenamed("id", "x")
+    df.write.parquet(d)
+    got = sources.read_parquet(spark, d, pathGlobFilter="*.parquet")
+    assert got.count() == 100
+
+
+def test_register_result_table(spark):
+    df = spark.range(10)
+    sources.register(df.where("id < 5"), "small_ids", cache=True)
+    assert spark.sql("SELECT count(*) AS n FROM small_ids").collect()[0]["n"] == 5
+    spark.catalog.uncacheTable("small_ids")
+
+
+def test_load_table_timestamp_conversion(spark, sf_dir):
+    ev = sources.load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    row = ev.selectExpr("min(CAST(ts AS DATE)) AS d").collect()[0]
+    assert str(row["d"]) == "2024-01-01"
+
+
+def test_read_avro_gated(spark, tmp_path):
+    # spark-avro is not on the classpath in this container; the helper
+    # must fail with a clear gate message (reference feature-gates avro)
+    try:
+        sources.read_avro(spark, str(tmp_path))
+    except RuntimeError as e:
+        assert "spark-avro" in str(e)
+    else:
+        pytest.skip("spark-avro present; gate not exercised")

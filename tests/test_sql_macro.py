@@ -1,0 +1,138 @@
+"""The macro layer must run the reference's SQL-string queries verbatim
+(modulo table names) — retention.slt:12-22,31-41,46-56 shapes."""
+
+import pytest
+
+from datafusion_uba_spark.plans.sql_macro import expand_macros, sql
+
+
+@pytest.fixture(scope="module")
+def event_view(spark):
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW slt_events AS
+        SELECT * FROM VALUES
+          (1, 'add', 20230101), (2, 'add', 20230101), (3, 'add', 20230101),
+          (1, 'buy', 20230101), (2, 'buy', 20230101), (3, 'buy', 20230101)
+        AS t(distinct_id, event, ds)
+        """
+    )
+    return "slt_events"
+
+
+def to_py(m):
+    return [list(r) for r in m]
+
+
+def test_count_sql(spark, event_view):
+    got = sql(
+        spark,
+        """
+        SELECT distinct_id,
+               retention_count(event = 'add', event = 'buy',
+                               20230101 - 20230101, ds - 20230101) AS stats
+        FROM slt_events GROUP BY distinct_id ORDER BY distinct_id
+        """,
+    ).collect()
+    assert [(r["distinct_id"], to_py(r["stats"])) for r in got] == [
+        (1, [[1], [1]]),
+        (2, [[1], [1]]),
+        (3, [[1], [1]]),
+    ]
+
+
+def test_funnel_sql_unrolled(spark, event_view):
+    # funnel in one statement → unrolled SUM-per-cell expansion
+    got = sql(
+        spark,
+        """
+        SELECT retention_sum(stats) AS retention FROM (
+          SELECT distinct_id,
+                 retention_count(event = 'add', event = 'buy',
+                                 20230101 - 20230101, ds - 20230101) AS stats
+          FROM slt_events GROUP BY distinct_id
+        ) t
+        """,
+    ).collect()
+    assert to_py(got[0]["retention"]) == [[3], [3]]
+
+
+def test_sum_sql_hof_fallback(spark):
+    # standalone retention_sum (window length unknown) → HOF fold
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW slt_stats AS
+        SELECT * FROM VALUES
+          (1, array(array(1Y, 1Y), array(1Y, 0Y))),
+          (2, array(array(1Y, 0Y), array(0Y, 1Y)))
+        AS t(distinct_id, stats)
+        """
+    )
+    got = sql(spark, "SELECT retention_sum(stats) AS r FROM slt_stats").collect()
+    assert to_py(got[0]["r"]) == [[2, 1], [1, 1], [0]]
+
+
+def test_sum_sql_hof_same_event(spark):
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW slt_stats2 AS
+        SELECT * FROM VALUES
+          (1, array(array(1Y, 1Y), array(2Y, 2Y))),
+          (2, array(array(1Y, 1Y), array(2Y, 2Y)))
+        AS t(distinct_id, stats)
+        """
+    )
+    got = sql(spark, "SELECT retention_sum(stats) AS r FROM slt_stats2").collect()
+    assert to_py(got[0]["r"]) == [[2, 2], [0, 2], [0]]
+
+
+def test_missing_born_case(spark):
+    # retention.slt:24-41 analog
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW slt_err AS
+        SELECT * FROM VALUES
+          (1, 'error', 20230101), (2, 'add', 20230101), (3, 'add', 20230101),
+          (1, 'buy', 20230101), (2, 'buy', 20230101), (3, 'buy', 20230101)
+        AS t(distinct_id, event, ds)
+        """
+    )
+    got = sql(
+        spark,
+        """
+        SELECT distinct_id,
+               retention_count(event = 'add', event = 'buy', 0, ds - 20230101) AS stats
+        FROM slt_err GROUP BY distinct_id ORDER BY distinct_id
+        """,
+    ).collect()
+    assert [to_py(r["stats"]) for r in got] == [[[0], [1]], [[1], [1]], [[1], [1]]]
+
+
+def test_passthrough_no_macro():
+    assert expand_macros("SELECT 1 AS x") == "SELECT 1 AS x"
+
+
+def test_non_constant_max_unit_rejected():
+    with pytest.raises(ValueError, match="constant integer"):
+        expand_macros("SELECT retention_count(a, b, some_col, d) FROM t GROUP BY u")
+
+
+def test_direct_nesting_rejected():
+    with pytest.raises(ValueError, match="derived table"):
+        expand_macros(
+            "SELECT retention_sum(retention_count(a, b, 1, d)) FROM t"
+        )
+
+
+def test_string_literal_with_paren_and_comma(spark, event_view):
+    # arg parsing must survive quoted strings containing , and )
+    got = sql(
+        spark,
+        """
+        SELECT distinct_id,
+               retention_count(event = 'add', event in ('buy', 'x,)y'),
+                               0, ds - 20230101) AS stats
+        FROM slt_events GROUP BY distinct_id ORDER BY distinct_id
+        """,
+    ).collect()
+    assert to_py(got[0]["stats"]) == [[1], [1]]
