@@ -63,21 +63,36 @@ def _stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_retention_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user bitmaps, exploded to flat (user_id, vec_idx, day_offset,
+    code) rows — vec_idx 0 = born vector, 1 = target vector. The flat
+    shape is both what the driver harness can hash and what a real
+    consumer joins against."""
     stats = _stats_df(spark, sf_dir)
-    as_int = F.transform(
-        "stats", lambda row: F.transform(row, lambda v: v.cast("int"))
+    return (
+        stats.select("user_id", F.posexplode("stats").alias("vec_idx", "vec"))
+        .select(
+            "user_id",
+            "vec_idx",
+            F.posexplode("vec").alias("day_offset", "code"),
+        )
+        .withColumn("code", F.col("code").cast("int"))
     )
-    return stats.select("user_id", as_int.alias("stats"))
 
 
 def q_retention_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return retention_sum(_stats_df(spark, sf_dir), "stats", out="retention")
+    """Triangular retention matrix, exploded to flat (row_idx,
+    day_offset, retained) rows — row_idx 0 = cohort sizes per day,
+    row_idx b+1 = day-b cohort retained counts by offset."""
+    matrix = retention_sum(_stats_df(spark, sf_dir), "stats", out="retention")
+    return matrix.select(
+        F.posexplode("retention").alias("row_idx", "row")
+    ).select("row_idx", F.posexplode("row").alias("day_offset", "retained"))
 
 
 # DuckDB equivalents. The per-(user, day) MAX pre-aggregation mirrors the
 # deterministic max semantics (SURVEY §2.1); scatter into dense arrays via
 # list_position lookups.
-_ORACLE_RETENTION_STATS = f"""
+_ORACLE_PER_DAY = f"""
 WITH ev AS (
   SELECT user_id,
          datediff('day', DATE '{_R_START}', CAST(ts AS DATE)) AS d,
@@ -91,35 +106,48 @@ per_day AS (
          max(CASE WHEN born THEN 1 ELSE 0 END) AS b,
          max(CASE WHEN born AND tgt THEN 2 WHEN tgt THEN 1 ELSE 0 END) AS t
   FROM ev GROUP BY user_id, d
-),
-per_user AS (
-  SELECT user_id, list(d) AS ds, list(b) AS bs, list(t) AS tts
-  FROM per_day GROUP BY user_id
+)"""
+
+_ORACLE_RETENTION_STATS = f"""
+{_ORACLE_PER_DAY},
+grid AS (
+  SELECT u.user_id, v.vec_idx, CAST(g.day_offset AS INT) AS day_offset
+  FROM (SELECT DISTINCT user_id FROM per_day) u,
+       (VALUES (0), (1)) v(vec_idx),
+       range(0, {_R_MU + 1}) g(day_offset)
 )
-SELECT user_id,
-  [list_transform(range(0, {_R_MU + 1}), x -> CAST(coalesce(bs[list_position(ds, x)], 0) AS INT)),
-   list_transform(range(0, {_R_MU + 1}), x -> CAST(coalesce(tts[list_position(ds, x)], 0) AS INT))]
-  AS stats
-FROM per_user
+SELECT g.user_id, CAST(g.vec_idx AS INT) AS vec_idx, g.day_offset,
+       CAST(coalesce(CASE WHEN g.vec_idx = 0 THEN p.b ELSE p.t END, 0) AS INT) AS code
+FROM grid g LEFT JOIN per_day p ON p.user_id = g.user_id AND p.d = g.day_offset
 """
 
 _ORACLE_RETENTION_SUM = f"""
-WITH stats_t AS ({_ORACLE_RETENTION_STATS}),
+{_ORACLE_PER_DAY},
+per_user AS (
+  SELECT user_id, list(d) AS ds, list(b) AS bs, list(t) AS tts
+  FROM per_day GROUP BY user_id
+),
+stats_t AS (
+  SELECT user_id,
+    list_transform(range(0, {_R_MU + 1}), x -> CAST(coalesce(bs[list_position(ds, x)], 0) AS INT)) AS born,
+    list_transform(range(0, {_R_MU + 1}), x -> CAST(coalesce(tts[list_position(ds, x)], 0) AS INT)) AS tgt
+  FROM per_user
+),
 cells AS (
-  SELECT 0 AS i, CAST(g.j AS INT) AS j, CAST(stats[1][CAST(g.j AS INT) + 1] AS BIGINT) AS v
+  SELECT 0 AS i, CAST(g.j AS INT) AS j, CAST(born[CAST(g.j AS INT) + 1] AS BIGINT) AS v
   FROM stats_t, range(0, {_R_MU + 1}) AS g(j)
   UNION ALL
   SELECT CAST(b.b + 1 AS INT) AS i, CAST(t.t - b.b AS INT) AS j,
-         CAST(stats[1][CAST(b.b AS INT) + 1]
-              * (CASE WHEN stats[2][CAST(t.t AS INT) + 1] = 2
+         CAST(born[CAST(b.b AS INT) + 1]
+              * (CASE WHEN tgt[CAST(t.t AS INT) + 1] = 2
                       THEN (CASE WHEN t.t = b.b THEN 0 ELSE 1 END)
-                      ELSE stats[2][CAST(t.t AS INT) + 1] END) AS BIGINT) AS v
+                      ELSE tgt[CAST(t.t AS INT) + 1] END) AS BIGINT) AS v
   FROM stats_t, range(0, {_R_MU + 1}) AS b(b), range(0, {_R_MU + 1}) AS t(t)
   WHERE t.t >= b.b
-),
-summed AS (SELECT i, j, CAST(sum(v) AS BIGINT) AS s FROM cells GROUP BY i, j),
-rws AS (SELECT i, list(s ORDER BY j) AS r FROM summed GROUP BY i)
-SELECT list(r ORDER BY i) AS retention FROM rws
+)
+SELECT CAST(i AS INT) AS row_idx, CAST(j AS INT) AS day_offset,
+       CAST(sum(v) AS BIGINT) AS retained
+FROM cells GROUP BY i, j
 """
 
 
@@ -175,7 +203,12 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3 shape: 3-way join → agg → top-k. Customer side broadcasts."""
+    """Q3 shape: 3-way join → agg → top-k.
+
+    No forced broadcast on customer: it grows linearly with SF (a
+    multi-billion-row broadcast at the 100 TB design point). AQE +
+    autoBroadcastJoinThreshold promote it to broadcast when it actually
+    fits; otherwise it's a sort-merge/shuffled-hash join on the key."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -183,7 +216,7 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            cust.where(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
     )
@@ -210,7 +243,11 @@ LIMIT 10
 
 
 def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5 shape: 5-way star join with broadcast dims → agg."""
+    """Q5 shape: 5-way star join → agg.
+
+    Broadcast hints only on the fixed-size dims (nation=25, region=5
+    rows — constant at any SF). Customer scales with SF, so its join is
+    left to AQE/autoBroadcastJoinThreshold."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -219,7 +256,7 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
@@ -307,13 +344,36 @@ SELECT user_id, purchases FROM (
 
 
 def q_nested_array_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nested-list literals (T1) — reference renders [[1, 1], [1, 0]]."""
-    return spark.sql(
+    """Nested-list literals (T1) — reference renders [[1, 1], [1, 0]].
+
+    The nested literal is constructed as a real array<array<int>> value
+    and then flattened to hashable (part, i, j, v) rows for the oracle
+    compare (the harness cannot canonicalize list cells)."""
+    t = spark.sql(
         "SELECT array(array(1, 1), array(1, 0)) AS m, array(1, 2, 3) AS arr"
     )
+    m_flat = (
+        t.select(F.lit("m").alias("part"), F.posexplode("m").alias("i", "row"))
+        .select("part", "i", F.posexplode("row").alias("j", "v"))
+    )
+    arr_flat = t.select(
+        F.lit("arr").alias("part"),
+        F.lit(-1).alias("i"),
+        F.posexplode("arr").alias("j", "v"),
+    )
+    return m_flat.unionAll(arr_flat)
 
 
-_ORACLE_NESTED_ARRAY = "SELECT [[1, 1], [1, 0]] AS m, [1, 2, 3] AS arr"
+_ORACLE_NESTED_ARRAY = """
+WITH t AS (SELECT [[1, 1], [1, 0]] AS m, [1, 2, 3] AS arr)
+SELECT 'm' AS part, CAST(ri - 1 AS INT) AS i, CAST(ci - 1 AS INT) AS j,
+       CAST(m[CAST(ri AS INT)][CAST(ci AS INT)] AS INT) AS v
+FROM t, range(1, 3) r1(ri), range(1, 3) r2(ci)
+UNION ALL
+SELECT 'arr' AS part, -1 AS i, CAST(gi - 1 AS INT) AS j,
+       CAST(arr[CAST(gi AS INT)] AS INT) AS v
+FROM t, range(1, 4) g(gi)
+"""
 
 
 def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -144,6 +144,10 @@ def load_table(
     tests/test_with_minio.rs:88.)
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Day-bucketing (to_date on rebuilt timestamps) must agree with the
+    # timezone-naive DuckDB oracle regardless of the host TZ — the
+    # driver's own SparkSession does not go through get_spark().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c, (start, end) in (date_bounds or {}).items():
         if dict(df.dtypes).get(c) == "bigint":
