@@ -1,0 +1,70 @@
+"""Benchmark harness: times every registry query end-to-end.
+
+Prints exactly ONE JSON line on stdout:
+
+    {"metric": "registry_total_wall", "value": <sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <float>}
+
+Config via env:
+    SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+    BENCH_REPEAT        timed repetitions per query, best-of (default 1)
+
+Each query is materialized with a noop-format write: the full plan
+executes on the executors (no column pruning shortcut as with count(),
+no driver collect bottleneck) — the same measurement you would take on
+a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from datafusion_uba_spark.queries import queries
+    from datafusion_uba_spark.session import get_spark
+
+    spark = get_spark(app_name="uba-bench")
+    # JVM/codegen warmup on a trivial plan so q1 isn't charged for it
+    _materialize(spark.range(1_000_000).selectExpr("sum(id) AS s"))
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    per_query: dict[str, float] = {}
+    for name, fn in queries().items():
+        best = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        per_query[name] = round(best, 4)
+
+    out = {
+        "metric": "registry_total_wall",
+        "value": round(sum(per_query.values()), 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
