@@ -19,12 +19,22 @@ from datafusion_uba_spark.operators.retention import (
     retention_count,
     retention_sum,
 )
+from datafusion_uba_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 
 __all__ = [
     "get_spark",
     "retention",
     "retention_count",
     "retention_sum",
+    "dedup",
+    "similarity",
+    "text",
+    "multimodal",
 ]
 
 __version__ = "0.1.0"

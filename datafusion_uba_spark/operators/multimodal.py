@@ -1,0 +1,150 @@
+"""Multimodal column support: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: the raw bytes live in ONE
+``binary`` column (parquet stores it page-compressed; Spark never
+interprets it), and a sibling ``struct`` column carries the typed
+metadata (modality, dims, codec) so filters/partition pruning work on
+metadata without touching bytes. Byte-level stats (size, digest) are
+built-in JVM expressions; actual decode/feature-extraction runs as
+Arrow-batched ``mapInPandas`` so bytes cross the Python boundary once
+per batch, never per row.
+
+The container has no image/audio codec libraries, so ``decode_payload``
+ships a deterministic STUB decoder (documented below) behind the real
+Spark plumbing — schema, batching, partitioning are production-shaped;
+swap ``_decode_bytes`` for a real codec (PIL/ffmpeg) to go live.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def attach_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Build a multimodal table from the documents fixture: the text
+    bytes become the opaque payload; metadata is derived
+    deterministically from the id (a stand-in for real image headers).
+    """
+    did = F.col(id_col)
+    meta = F.struct(
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(did, 3) + 1).cast("int"),
+        ).alias("modality"),
+        ((F.pmod(did, 16) + 1) * 64).cast("int").alias("width"),
+        ((F.pmod(did, 9) + 1) * 64).cast("int").alias("height"),
+        F.lit("stub-v1").alias("codec"),
+    )
+    return df.select(
+        did,
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def payload_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Byte-level stats over the binary column — pure built-ins, no
+    Python: size, md5 digest, metadata projections, pixel budget."""
+    return df.select(
+        F.col(id_col),
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        (F.col("meta.width").cast("long") * F.col("meta.height")).alias(
+            "n_pixels"
+        ),
+    )
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("frame_count", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _decode_bytes(payload: bytes, modality: str) -> dict:
+    """STUB decoder. Deterministic fake: real deployments replace this
+    with PIL/torchaudio/ffmpeg. The Spark-side contract (Arrow batch
+    in, flat decoded rows out) is the production one."""
+    byte_sum = sum(payload)
+    frames = 1 if modality == "image" else 1 + len(payload) % 8
+    feature = [
+        float((byte_sum >> (8 * i)) & 0xFF) / 255.0 for i in range(4)
+    ]
+    return {
+        "n_bytes": len(payload),
+        "byte_sum": byte_sum,
+        "frame_count": frames,
+        "feature": feature,
+    }
+
+
+def decode_payload(df: DataFrame) -> DataFrame:
+    """Decode/feature-extract payloads via Arrow-batched mapInPandas.
+
+    One Python worker call per Arrow batch (not per row); only the
+    needed columns cross the boundary (select before mapInPandas so
+    column pruning drops everything else).
+    """
+    import pandas as pd
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for did, payload, modality in zip(
+                pdf["doc_id"], pdf["payload"], pdf["modality"]
+            ):
+                d = _decode_bytes(bytes(payload), modality)
+                d["doc_id"] = did
+                d["modality"] = modality
+                out.append(d)
+            yield pd.DataFrame(
+                out,
+                columns=[f.name for f in DECODED_SCHEMA.fields],
+            )
+
+    narrow = df.select(
+        "doc_id", "payload", F.col("meta.modality").alias("modality")
+    )
+    return narrow.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame, every_n: int = 2
+) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: explode decoded
+    frame indices and keep every ``every_n``-th — all built-ins on top
+    of the decoded table."""
+    decoded = decode_payload(df)
+    return (
+        decoded.where(F.col("modality") == "video")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("frame_count") - 1)
+            ).alias("frame_idx"),
+        )
+        .where(F.pmod(F.col("frame_idx"), every_n) == 0)
+    )
+
+
+def multimodal_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """End-to-end: attach payloads to a documents table and compute the
+    built-in byte/metadata stats (the oracle-checkable surface)."""
+    return payload_stats(attach_payload(df, text_col, id_col), id_col)

@@ -1,0 +1,257 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Column-level building blocks (normalize / tokenize / shingle) plus
+document-level operators: language ID, quality scoring, token counting,
+and content fingerprinting. Everything is built from Catalyst built-in
+expressions — no Python UDFs — so the whole pipeline stays inside
+whole-stage codegen and scales as a narrow map stage (zero shuffles for
+per-document outputs; the only shuffles in this module's consumers are
+the explicit joins/aggregations in dedup.py).
+
+Design constraint for oracle parity: every expression here has an exact
+DuckDB-SQL equivalent (md5/sha256 hex digests match across engines;
+regexes are restricted to constructs Java regex and RE2 interpret
+identically; float math is per-row scalar IEEE arithmetic, never an
+aggregate over floats).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Lowercase + collapse runs of whitespace + trim."""
+    return F.trim(F.regexp_replace(F.lower(_col(text)), r"\s+", " "))
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>).
+
+    Empty documents produce an empty array, not [''].
+    """
+    norm = normalize_text(text)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>).
+
+    Documents with fewer than ``n`` tokens produce an empty array.
+    """
+    toks = tokens(text)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# --- language identification ---------------------------------------------
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# The point is a deterministic, engine-portable classifier, not SOTA
+# lang-id; accuracy on real sentences is covered by unit tests.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "es"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "du"),
+}
+# Deterministic priority order on score ties (also the CASE order the
+# DuckDB oracle uses).
+LANG_PRIORITY: tuple[str, ...] = ("en", "es", "de", "fr", "zh")
+
+_CJK_RE = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language integer evidence scores.
+
+    Latin languages: number of tokens that are stopwords of that
+    language (with multiplicity). zh: number of tokens containing CJK
+    codepoints.
+    """
+    toks = tokens(text)
+    scores: dict[str, Column] = {}
+    for lang, words in LANG_STOPWORDS.items():
+        wl = F.array(*[F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+    scores["zh"] = F.size(
+        F.filter(toks, lambda t: t.rlike(_CJK_RE))
+    )
+    return scores
+
+
+def language_id(text: Column | str) -> Column:
+    """Predicted language code: argmax of lang_scores, ties broken by
+    LANG_PRIORITY order; 'und' when every score is 0."""
+    scores = lang_scores(text)
+    ordered = [(lang, scores[lang]) for lang in LANG_PRIORITY]
+    pred = None
+    for lang, s in ordered:
+        cond = (s > 0) & reduce(
+            lambda a, b: a & b, [s >= o for _, o in ordered]
+        )
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return pred.otherwise("und")
+
+
+def language_id_oracle_sql(text_expr: str) -> str:
+    """DuckDB expression computing exactly language_id(text_expr)."""
+    toks = (
+        "string_split(trim(regexp_replace(lower(" + text_expr + "), '\\s+', ' ', 'g')), ' ')"
+    )
+    score = {}
+    for lang, words in LANG_STOPWORDS.items():
+        wl = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        score[lang] = (
+            f"len(list_filter({toks}, t -> list_contains({wl}, t)))"
+        )
+    score["zh"] = (
+        f"len(list_filter({toks}, t -> regexp_matches(t, '{_CJK_RE}')))"
+    )
+    branches = []
+    for lang in LANG_PRIORITY:
+        ge = " AND ".join(
+            f"{score[lang]} >= {score[o]}" for o in LANG_PRIORITY if o != lang
+        )
+        branches.append(f"WHEN {score[lang]} > 0 AND {ge} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+# --- token counting --------------------------------------------------------
+
+# BPE-ish pre-tokenizer classes: letter runs, digit runs, single
+# non-alnum-non-space marks. Same interpretation in Java regex and RE2.
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (0 for empty docs)."""
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish pre-tokenizer matches over normalized text."""
+    return F.regexp_count(normalize_text(text), F.lit(BPE_TOKEN_RE))
+
+
+# --- quality scoring -------------------------------------------------------
+
+
+def _bp(num: Column, den: Column) -> Column:
+    """Exact basis-point ratio: floor(num * 10000 / den) as bigint.
+
+    Why integers: ``round(double, n)`` is NOT portable across engines
+    (Spark rounds the shortest decimal repr via BigDecimal HALF_UP,
+    DuckDB multiplies in binary), so hashed ratio outputs use exact
+    integer arithmetic — floor of an IEEE division of exactly-
+    representable ints is bit-identical everywhere.
+    """
+    return F.floor((num * 10000) / F.greatest(den, F.lit(1))).cast("long")
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Deterministic per-document quality features.
+
+    Ratios are integer basis points (0..10000), never floats — see _bp.
+    """
+    t = _col(text)
+    norm = normalize_text(t)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(norm)
+    n_alpha = F.length(F.regexp_replace(norm, "[^a-z]", ""))
+    n_digit = F.length(F.regexp_replace(norm, "[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(norm, "[a-z0-9 ]", ""))
+    en_sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(en_sw, x)))
+    return {
+        "n_tokens": n_tok,
+        "n_chars": n_chars,
+        "alpha_bp": _bp(n_alpha, n_chars),
+        "digit_bp": _bp(n_digit, n_chars),
+        "punct_bp": _bp(n_punct, n_chars),
+        "stopword_bp": _bp(n_stop, n_tok),
+        "avg_token_len_centi": F.floor(
+            (n_alpha * 100) / F.greatest(n_tok, F.lit(1))
+        ).cast("long"),
+        "uniq_token_bp": _bp(F.size(F.array_distinct(toks)), n_tok),
+    }
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality score in integer micro-units (0..1_000_000).
+
+    A linear blend with fixed weights: rewards alphabetic content,
+    some stopword signal, and lexical diversity; penalizes digit/punct
+    noise and degenerate length. Pure integer arithmetic over the
+    basis-point features, so the value is exact in any engine; divide
+    by 1e6 for the [0, 1] reading.
+    """
+    f = quality_features(text)
+    s = (
+        35 * f["alpha_bp"]
+        + 25 * f["uniq_token_bp"]
+        + 20 * F.least(4 * f["stopword_bp"], F.lit(10000))
+        + 20
+        * F.least(
+            F.floor((f["n_tokens"] * 10000) / F.lit(64)).cast("long"),
+            F.lit(10000),
+        )
+        - 30 * f["digit_bp"]
+        - 30 * f["punct_bp"]
+    )
+    return F.greatest(F.least(s, F.lit(1_000_000)), F.lit(0)).cast("long")
+
+
+# --- fingerprinting --------------------------------------------------------
+
+
+def content_fingerprint(text: Column | str) -> Column:
+    """sha256 hex of the normalized text — exact-dedup key."""
+    return F.sha2(normalize_text(text), 256)
+
+
+def minhash_fingerprint(text: Column | str, n: int = 3) -> Column:
+    """Winnowing-style content fingerprint: the minimum md5 hex digest
+    over word n-gram shingles (md5 is identical in DuckDB, keeping this
+    oracle-checkable; the xxhash64 path in dedup.py is the fast one).
+    Empty/short docs fall back to the full-content fingerprint."""
+    sh = word_shingles(text, n)
+    return F.when(
+        F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    ).otherwise(content_fingerprint(text))
+
+
+def text_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document text-analysis summary: one flat row per doc."""
+    feats = quality_features(text_col)
+    return df.select(
+        F.col(id_col),
+        feats["n_tokens"].alias("n_tokens"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
+        feats["n_chars"].alias("n_chars_norm"),
+        feats["alpha_bp"].alias("alpha_bp"),
+        feats["stopword_bp"].alias("stopword_bp"),
+        feats["uniq_token_bp"].alias("uniq_token_bp"),
+        feats["avg_token_len_centi"].alias("avg_token_len_centi"),
+        quality_score(text_col).alias("quality_u"),
+        language_id(text_col).alias("lang_pred"),
+        content_fingerprint(text_col).alias("fingerprint"),
+        minhash_fingerprint(text_col).alias("shingle_fp"),
+    )

@@ -415,6 +415,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "null_semantics": (q_null_semantics, _ORACLE_NULL_SEMANTICS),
 }
 
+# LLM-training-data-pipeline inventory (dedup / similarity / text /
+# multimodal) — defined in queries_llm.py, same (fn, oracle) contract.
+from datafusion_uba_spark.queries_llm import LLM_REGISTRY  # noqa: E402
+
+REGISTRY.update(LLM_REGISTRY)
+
 
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}

@@ -1,0 +1,349 @@
+"""LLM-training-data-pipeline query inventory (driver contract rows).
+
+Extends the SURVEY §2 relational inventory with the data-pipeline
+operators the 100 TB north star asks for: dedup (exact / n-gram
+Jaccard / MinHash-LSH / SimHash), similarity search (brute-force
+cosine top-k + hyperplane-LSH ANN + embedding near-dup), text
+analysis, and multimodal byte/metadata stats.
+
+Oracle strategy: everything built on portable hashes (md5/sha256) or
+exact integer arithmetic ships a DuckDB oracle — including the
+hyperplane-LSH queries, whose bucket codes come from exact integer
+dot products against literal planes, so the oracle replays the *same*
+LSH. Only the xxhash64-based sketches (MinHash, SimHash) have no
+DuckDB twin; those are driver rows-only checks plus pytest recall
+goldens against their exact counterparts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_uba_spark.operators import dedup, multimodal, similarity
+from datafusion_uba_spark.operators import text as text_ops
+from datafusion_uba_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _shingles_from(toks: str) -> str:
+    """Distinct word 3-shingles of a token-list expr, [] when < 3 tokens."""
+    return (
+        f"CASE WHEN len({toks}) >= 3 THEN list_distinct(list_transform("
+        f"range(1, len({toks}) - 1), i -> {toks}[CAST(i AS INT)] || ' ' || "
+        f"{toks}[CAST(i AS INT) + 1] || ' ' || {toks}[CAST(i AS INT) + 2])) "
+        f"ELSE [] END"
+    )
+
+
+_SHINGLES = _shingles_from(_TOKS)
+_QUANT = (
+    "list_transform(embedding, x -> "
+    "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+)
+
+
+def _ddb_dot(a: str, b: str) -> str:
+    """Exact integer dot product of two quantized DuckDB lists."""
+    return f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.text_stats(docs)
+
+
+_ORACLE_TEXT_STATS = f"""
+WITH base AS (
+  SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id, norm, toks,
+    len(toks) AS n_tokens,
+    length(norm) AS n_chars,
+    length(regexp_replace(norm, '[^a-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(norm, '[^0-9]', '', 'g')) AS n_digit,
+    length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS n_punct,
+    len(list_filter(toks, t -> list_contains(
+      ['the','and','of','to','in','is','a','that','it','for'], t))) AS n_stop
+  FROM base
+),
+q AS (
+  SELECT doc_id,
+    CAST(n_tokens AS INT) AS n_tokens,
+    CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+      AS n_bpe_tokens,
+    CAST(n_chars AS INT) AS n_chars_norm,
+    CAST(floor((n_alpha * 10000) / greatest(n_chars, 1)) AS BIGINT) AS alpha_bp,
+    CAST(floor((n_digit * 10000) / greatest(n_chars, 1)) AS BIGINT) AS digit_bp,
+    CAST(floor((n_punct * 10000) / greatest(n_chars, 1)) AS BIGINT) AS punct_bp,
+    CAST(floor((n_stop * 10000) / greatest(n_tokens, 1)) AS BIGINT)
+      AS stopword_bp,
+    CAST(floor((len(list_distinct(toks)) * 10000) / greatest(n_tokens, 1))
+      AS BIGINT) AS uniq_token_bp,
+    CAST(floor((n_alpha * 100) / greatest(n_tokens, 1)) AS BIGINT)
+      AS avg_token_len_centi,
+    norm, toks
+  FROM feat
+)
+SELECT doc_id, n_tokens, n_bpe_tokens, n_chars_norm, alpha_bp,
+  stopword_bp, uniq_token_bp, avg_token_len_centi,
+  CAST(greatest(least(
+    35 * alpha_bp + 25 * uniq_token_bp
+    + 20 * least(4 * stopword_bp, 10000)
+    + 20 * least(CAST(floor((n_tokens * 10000) / 64) AS BIGINT), 10000)
+    - 30 * digit_bp - 30 * punct_bp, 1000000), 0) AS BIGINT) AS quality_u,
+  {text_ops.language_id_oracle_sql("norm")} AS lang_pred,
+  sha256(norm) AS fingerprint,
+  CASE WHEN len({_shingles_from("toks")}) > 0
+       THEN list_sort(list_transform({_shingles_from("toks")}, s -> md5(s)))[1]
+       ELSE sha256(norm) END AS shingle_fp
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+_ORACLE_DEDUP_EXACT = f"""
+WITH fp AS (SELECT doc_id, sha256({_NORM}) AS fingerprint FROM documents)
+SELECT doc_id, fingerprint,
+       min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+       CAST(doc_id != min(doc_id) OVER (PARTITION BY fingerprint) AS INT)
+         AS is_dup
+FROM fp
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+_ORACLE_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS s FROM documents
+  WHERE len({_SHINGLES}) > 0
+),
+inv AS (SELECT id, unnest(s) AS shingle FROM sh),
+common AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS common_shingles
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+sizes AS (SELECT id, len(s) AS n FROM sh)
+SELECT doc_a, doc_b, common_shingles,
+       CAST(floor((common_shingles * 10000)
+             / (sa.n + sb.n - common_shingles)) AS BIGINT) AS jaccard_bp
+FROM common
+JOIN sizes sa ON sa.id = doc_a
+JOIN sizes sb ON sb.id = doc_b
+WHERE CAST(floor((common_shingles * 10000)
+            / (sa.n + sb.n - common_shingles)) AS BIGINT) >= 8000
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # xxhash64-based: no DuckDB twin; driver does the rows-only check,
+    # pytest pins recall == 1.0 vs the exact n-gram query on this corpus.
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.8)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_N_QUERIES = 8
+_TOPK = 10
+
+
+def _query_vectors(emb: DataFrame) -> DataFrame:
+    return emb.where(F.col("vec_id") < _N_QUERIES)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _query_vectors(emb), k=_TOPK)
+
+
+_ORACLE_ANN_TOPK = f"""
+WITH d AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+dn AS (SELECT vec_id, v, {_ddb_dot("v", "v")} AS n2 FROM d),
+q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM dn
+      WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT query_id, vec_id,
+         CAST({_ddb_dot("qv", "v")} AS DOUBLE)
+         / sqrt(CAST(qn2 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS c
+  FROM q, dn
+),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)
+           AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       CAST(floor(c * 1000000) AS BIGINT) AS cosine_u
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+def _plane_literal(plane: list[int]) -> str:
+    return "[" + ", ".join(str(v) for v in plane) + "]"
+
+
+def _lsh_code_sql(vec_expr: str, planes: list[list[int]]) -> str:
+    """DuckDB expression for the sign-bit bucket code of a quantized
+    vector against literal planes — replays similarity.bucket_code."""
+    bits = []
+    for i, p in enumerate(planes):
+        dot = _ddb_dot(vec_expr, _plane_literal(p))
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _oracle_ann_topk_lsh() -> str:
+    tables = [
+        similarity.hyperplanes(64, 3, seed=42 + 1000 * t) for t in range(16)
+    ]
+    code_rows = " UNION ALL ".join(
+        f"SELECT vec_id, v, n2, {t} AS table_id, "
+        f"{_lsh_code_sql('v', planes)} AS code FROM dn"
+        for t, planes in enumerate(tables)
+    )
+    return f"""
+WITH d AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+dn AS (SELECT vec_id, v, {_ddb_dot("v", "v")} AS n2 FROM d),
+codes AS ({code_rows}),
+qc AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2, table_id, code
+       FROM codes WHERE vec_id < {_N_QUERIES}),
+cand AS (
+  SELECT DISTINCT qc.query_id, qc.qv, qc.qn2, c.vec_id, c.v, c.n2
+  FROM qc JOIN codes c ON c.table_id = qc.table_id AND c.code = qc.code
+),
+scored AS (
+  SELECT query_id, vec_id,
+         CAST({_ddb_dot("qv", "v")} AS DOUBLE)
+         / sqrt(CAST(qn2 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS c
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)
+           AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       CAST(floor(c * 1000000) AS BIGINT) AS cosine_u
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_lsh(emb, _query_vectors(emb), k=_TOPK)
+
+
+_NEARDUP_THRESHOLD = 0.4
+
+
+def _oracle_embedding_neardup() -> str:
+    tables = [
+        similarity.hyperplanes(64, 6, seed=7 + 1000 * t) for t in range(8)
+    ]
+    code_rows = " UNION ALL ".join(
+        f"SELECT vec_id, v, n2, {t} AS table_id, "
+        f"{_lsh_code_sql('v', planes)} AS code FROM dn"
+        for t, planes in enumerate(tables)
+    )
+    return f"""
+WITH d AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+dn AS (SELECT vec_id, v, {_ddb_dot("v", "v")} AS n2 FROM d),
+codes AS ({code_rows}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, a.v AS va, a.n2 AS na,
+         b.vec_id AS id_b, b.v AS vb, b.n2 AS nb
+  FROM codes a JOIN codes b
+    ON a.table_id = b.table_id AND a.code = b.code AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       CAST(floor(CAST({_ddb_dot("va", "vb")} AS DOUBLE)
+             / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000)
+         AS BIGINT) AS cosine_u
+FROM cand
+WHERE CAST(floor(CAST({_ddb_dot("va", "vb")} AS DOUBLE)
+            / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000)
+        AS BIGINT) >= {int(round(_NEARDUP_THRESHOLD * 1_000_000))}
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(
+        emb, threshold=_NEARDUP_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.multimodal_stats(docs)
+
+
+_ORACLE_MULTIMODAL = """
+SELECT doc_id,
+  octet_length(CAST(text AS BLOB)) AS n_bytes,
+  md5(text) AS payload_md5,
+  (['image', 'audio', 'video'])[CAST((doc_id % 3) + 1 AS INT)] AS modality,
+  CAST(((doc_id % 16) + 1) * 64 AS INT) AS width,
+  CAST(((doc_id % 9) + 1) * 64 AS INT) AS height,
+  CAST(((doc_id % 16) + 1) * 64 AS BIGINT) * (((doc_id % 9) + 1) * 64)
+    AS n_pixels
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+LLM_REGISTRY: dict = {
+    "text_stats": (q_text_stats, _ORACLE_TEXT_STATS),
+    "dedup_exact": (q_dedup_exact, _ORACLE_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _ORACLE_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "ann_topk": (q_ann_topk, _ORACLE_ANN_TOPK),
+    "ann_topk_lsh": (q_ann_topk_lsh, _oracle_ann_topk_lsh()),
+    "embedding_neardup": (q_embedding_neardup, _oracle_embedding_neardup()),
+    "multimodal_stats": (q_multimodal_stats, _ORACLE_MULTIMODAL),
+}
