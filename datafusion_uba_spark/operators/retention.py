@@ -56,6 +56,12 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+# Above this window length the unrolled 2*(max_unit+1) aggregates fall
+# out of whole-stage codegen (64KB JVM method limit); auto switches to
+# the scatter strategy instead.
+UNROLL_LIMIT = 90
+
+
 def retention_count(
     df: DataFrame,
     born_event: Column | str,
@@ -64,6 +70,7 @@ def retention_count(
     time_diff: Column | str,
     group_by: str | Sequence[str] = "distinct_id",
     out: str = "stats",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Per-user cohort bitmaps: ``[born, target]``, each ``max_unit+1`` wide.
 
@@ -78,6 +85,20 @@ def retention_count(
 
     Output column ``out`` is ``array<array<tinyint>>`` (tinyint for the
     0/1/2 codes — Spark has no unsigned byte; values fit).
+
+    ``strategy``:
+
+    - ``"unrolled"``: ONE hash aggregate with 2*(max_unit+1) tiny
+      ``MAX(CASE WHEN ...)`` states. Best plan for dashboards-size
+      windows, but the generated code grows linearly with the window
+      and exits whole-stage codegen past ~the 64KB JVM method limit.
+    - ``"scatter"``: pre-aggregate the 0/1/2 codes per (group, day) —
+      a native hash aggregate whose state is constant-size — then
+      ``collect_list(struct(day, b, t))`` per group (bounded by active
+      days, not window width) and scatter into dense arrays with
+      ``transform(sequence(...))``. Two shuffles, but codegen-safe at
+      any window length.
+    - ``"auto"``: unrolled up to UNROLL_LIMIT days, scatter beyond.
     """
     born = _col(born_event)
     target = _col(target_event)
@@ -85,6 +106,47 @@ def retention_count(
     m = int(max_unit) + 1
     if m <= 0:
         raise ValueError("max_unit must be >= 0")
+    if strategy not in ("auto", "unrolled", "scatter"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        strategy = "unrolled" if m <= UNROLL_LIMIT else "scatter"
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+
+    if strategy == "scatter":
+        # NB rows with time_diff outside [0, m) are dropped here (the
+        # unrolled plan no-ops them); under the operator contract the
+        # input is already windowed, so the two strategies agree.
+        per_day = (
+            df.where(td.between(0, m - 1))
+            .groupBy(*[F.col(k) for k in keys], td.cast("int").alias("__d"))
+            .agg(
+                F.max(F.when(born, 1).otherwise(0)).alias("__b"),
+                F.max(
+                    F.when(born & target, 2).when(target, 1).otherwise(0)
+                ).alias("__t"),
+            )
+        )
+        per_user = per_day.groupBy(*[F.col(k) for k in keys]).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__d", F.struct("__b", "__t")))
+            ).alias("__m")
+        )
+        day_seq = F.sequence(F.lit(0), F.lit(m - 1))
+        born_arr = F.transform(
+            day_seq,
+            lambda d: F.coalesce(
+                F.element_at("__m", d)["__b"], F.lit(0)
+            ).cast("tinyint"),
+        )
+        target_arr = F.transform(
+            day_seq,
+            lambda d: F.coalesce(
+                F.element_at("__m", d)["__t"], F.lit(0)
+            ).cast("tinyint"),
+        )
+        return per_user.select(
+            *keys, F.array(born_arr, target_arr).alias(out)
+        )
 
     aggs = []
     for d in range(m):
@@ -98,7 +160,6 @@ def retention_count(
             ).alias(f"__t{d}")
         )
 
-    keys = [group_by] if isinstance(group_by, str) else list(group_by)
     g = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
     born_arr = F.array(*[F.col(f"__b{d}").cast("tinyint") for d in range(m)])
     target_arr = F.array(*[F.col(f"__t{d}").cast("tinyint") for d in range(m)])

@@ -30,11 +30,20 @@ Expansion strategies (both produce native, partial-aggregatable plans):
 
 from __future__ import annotations
 
+import ast
 import re
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
 _NAME_RE = re.compile(r"\b(retention_count|retention_sum)\s*\(", re.IGNORECASE)
+
+# Unroll guard: 2*(max_unit+1) aggregate expressions beyond ~a year of
+# daily buckets blows past whole-stage codegen's 64KB method limit and
+# falls back to interpreted mode. The DataFrame operator
+# (operators.retention.retention_count) handles long windows with its
+# scatter strategy; the SQL macro refuses instead of silently slowing.
+MAX_UNROLL_WINDOW = 400
 
 
 def _split_args(argstr: str) -> list[str]:
@@ -88,19 +97,49 @@ def _find_calls(sql_text: str) -> list[tuple[str, int, int, list[str]]]:
     return out
 
 
-_CONST_RE = re.compile(r"^[\d\s()+\-*/]+$")
-
-
 def _const_int(expr: str) -> int:
-    """Constant-fold an integer arithmetic expression (e.g. 20230107-20230101)."""
-    if not _CONST_RE.match(expr):
+    """Constant-fold an integer arithmetic expression (e.g. 20230107-20230101).
+
+    Uses an ast whitelist (+ - * / and unary +/- over int literals), NOT
+    eval: a charset regex admits '**', and ``9**9**9`` would hang the
+    process folding a tower of exponents.
+    """
+
+    def fold(node: ast.AST) -> float:
+        if isinstance(node, ast.Expression):
+            return fold(node.body)
+        if isinstance(node, ast.Constant) and isinstance(node.value, int):
+            return node.value
+        if isinstance(node, ast.UnaryOp) and isinstance(
+            node.op, (ast.UAdd, ast.USub)
+        ):
+            v = fold(node.operand)
+            return v if isinstance(node.op, ast.UAdd) else -v
+        if isinstance(node, ast.BinOp) and isinstance(
+            node.op, (ast.Add, ast.Sub, ast.Mult, ast.Div)
+        ):
+            lhs, rhs = fold(node.left), fold(node.right)
+            if isinstance(node.op, ast.Add):
+                return lhs + rhs
+            if isinstance(node.op, ast.Sub):
+                return lhs - rhs
+            if isinstance(node.op, ast.Mult):
+                return lhs * rhs
+            if rhs == 0:
+                raise ValueError("division by zero in max_unit expression")
+            return lhs / rhs
         raise ValueError(
-            f"retention_count max_unit must be a constant integer expression, got {expr!r}"
+            "retention_count max_unit must be a constant integer "
+            f"expression (+ - * / only), got {expr!r}"
         )
-    val = eval(expr, {"__builtins__": {}}, {})  # noqa: S307 - digits/ops only
-    if not isinstance(val, int):
-        val = int(val)
-    return val
+
+    try:
+        tree = ast.parse(expr.strip(), mode="eval")
+    except SyntaxError as exc:
+        raise ValueError(
+            f"retention_count max_unit is not a valid expression: {expr!r}"
+        ) from exc
+    return int(fold(tree))
 
 
 def _expand_count(args: list[str]) -> str:
@@ -110,6 +149,14 @@ def _expand_count(args: list[str]) -> str:
     m = _const_int(mu_expr) + 1
     if m <= 0:
         raise ValueError("retention_count max_unit must be >= 0")
+    if m > MAX_UNROLL_WINDOW:
+        raise ValueError(
+            f"retention_count window {m} exceeds the SQL-macro unroll limit "
+            f"({MAX_UNROLL_WINDOW}: beyond this the generated aggregate "
+            "falls out of whole-stage codegen); use "
+            "operators.retention.retention_count, whose scatter strategy "
+            "handles long windows"
+        )
     b_cells = ", ".join(
         f"CAST(max(CASE WHEN ({born}) AND ({td}) = {d} THEN 1 ELSE 0 END) AS TINYINT)"
         for d in range(m)
@@ -165,19 +212,47 @@ def _expand_sum_hof(s: str) -> str:
     )
 
 
+_ALIAS_RE = re.compile(r"^\s+(?:AS\s+)?([A-Za-z_]\w*)", re.IGNORECASE)
+_COLREF_RE = re.compile(r"^(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)$")
+_SQL_KEYWORDS = {"from", "where", "group", "order", "having", "limit", "as"}
+
+
+def _count_aliases(
+    sql_text: str, calls: list[tuple[str, int, int, list[str]]]
+) -> dict[str, int]:
+    """Map ``retention_count(...) AS alias`` aliases to their window
+    length m. Only aliases directly following a count call count as
+    provable derivations for retention_sum unrolling."""
+    aliases: dict[str, int] = {}
+    for name, _, end, args in calls:
+        if name != "retention_count" or len(args) != 4:
+            continue
+        try:
+            m = _const_int(args[2]) + 1
+        except ValueError:
+            continue
+        am = _ALIAS_RE.match(sql_text[end:])
+        if am and am.group(1).lower() not in _SQL_KEYWORDS:
+            alias = am.group(1).lower()
+            # conflicting widths for the same alias -> not provable
+            if aliases.get(alias, m) != m:
+                aliases[alias] = -1
+            else:
+                aliases[alias] = m
+    return {a: m for a, m in aliases.items() if m > 0}
+
+
 def expand_macros(sql_text: str) -> str:
     """Rewrite retention_count/retention_sum calls into built-in SQL."""
     calls = _find_calls(sql_text)
     if not calls:
         return sql_text
-    # window lengths from any retention_count in the same statement let
-    # retention_sum unroll (the funnel case: retention.slt:46-56)
-    mus = {
-        _const_int(args[2])
-        for name, _, _, args in calls
-        if name == "retention_count" and len(args) == 4 and _CONST_RE.match(args[2])
-    }
-    known_m = (next(iter(mus)) + 1) if len(mus) == 1 else None
+    # retention_sum may unroll ONLY when its argument is a column ref
+    # whose name is the alias of a retention_count in this statement
+    # (the funnel case, retention.slt:46-56). Matching on "any count
+    # call in the statement" would silently index past the arrays when
+    # the sum's input is an unrelated, differently-sized stats table.
+    aliases = _count_aliases(sql_text, calls)
 
     # drop calls nested inside an earlier call's span (handled by the outer)
     top_level, prev_end = [], -1
@@ -204,9 +279,22 @@ def expand_macros(sql_text: str) -> str:
                     "(SELECT retention_sum(stats) FROM (SELECT "
                     "retention_count(...) AS stats ... GROUP BY ...))"
                 )
+            ref = _COLREF_RE.match(args[0].strip())
+            known_m = aliases.get(ref.group(1).lower()) if ref else None
             if known_m is not None:
                 out.append(_expand_sum_unrolled(args[0], known_m))
             else:
+                warnings.warn(
+                    "retention_sum macro: window length not provable from "
+                    "this statement; falling back to the collect_list "
+                    "higher-order fold, which gathers every group's stats "
+                    "into one array — fine interactively, NOT at scale. "
+                    "Use operators.retention.retention_sum (explode+sum "
+                    "plan) or feed the sum from an aliased "
+                    "retention_count(...) in the same statement.",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
                 out.append(_expand_sum_hof(args[0]))
         last = end
     out.append(sql_text[last:])

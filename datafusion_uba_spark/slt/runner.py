@@ -3,17 +3,28 @@
 Re-creates the reference's conformance loop (SURVEY §3.3): parse
 ``.slt`` files, execute statements/queries against a SparkSession (with
 the retention macro layer applied), normalize results, compare against
-expected blocks — or rewrite the file in ``complete`` mode.
+expected blocks — or splice regenerated result blocks into the original
+text in ``complete`` mode (comments, blank-line structure, and ``halt``
+directives are preserved verbatim).
 
 Normalization follows the reference's rules
 (tests/sqllogictests/src/engines/conversion.rs:23-86,
-normalize.rs:30-56): NULL → "NULL", empty string → "(empty)", booleans
-lowercase, floats rounded to 12 decimal places then trailing-zero
-stripped, NaN/Infinity/-Infinity spelled out, nested arrays rendered
-Arrow-style ``[1, 2]``.
+normalize.rs:30-112): NULL → "NULL", empty string → "(empty)", booleans
+lowercase, floats and decimals rounded to 12 decimal places then
+trailing-zero stripped, NaN/Infinity/-Infinity spelled out, trailing
+newlines trimmed from varchar, nested arrays rendered Arrow-style
+``[1, 2]``, and multi-line final cells expanded to one row per line
+with leading spaces rewritten to ``-`` (normalize.rs:80-112).
+
+Sort modes: ``nosort``, ``rowsort`` (sort result lines), ``valuesort``
+(sort every individual value ignoring row/column grouping — values
+containing spaces are not round-trippable under valuesort, matching the
+upstream format's limitation).
 
 Statement dialect shims: ``CREATE TABLE t (cols) AS VALUES …`` (slt DDL,
-retention.slt:5-9) is rewritten to a Spark temporary view.
+retention.slt:5-9) is rewritten to a Spark temporary view; the column
+list is parsed with balanced parentheses so types like DECIMAL(10,2)
+survive.
 """
 
 from __future__ import annotations
@@ -25,9 +36,14 @@ from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import SparkSession
 
-from datafusion_uba_spark.plans.sql_macro import expand_macros
+from datafusion_uba_spark.plans.sql_macro import _split_args, expand_macros
 
 # --- value normalization ----------------------------------------------------
+
+
+def _round12(d: Decimal) -> str:
+    q = d.quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
+    return format(q.normalize(), "f")
 
 
 def _norm_float(v: float) -> str:
@@ -35,9 +51,7 @@ def _norm_float(v: float) -> str:
         return "NaN"
     if math.isinf(v):
         return "Infinity" if v > 0 else "-Infinity"
-    d = Decimal(repr(v)).quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
-    s = format(d.normalize(), "f")
-    return s
+    return _round12(Decimal(repr(v)))
 
 
 def norm_value(v) -> str:
@@ -47,13 +61,31 @@ def norm_value(v) -> str:
         return "true" if v else "false"
     if isinstance(v, float):
         return _norm_float(v)
+    if isinstance(v, Decimal):
+        # Decimal(p,s) values render at declared scale, then round(12)
+        # + normalize like the reference (conversion.rs:77-86)
+        return _round12(v)
     if isinstance(v, str):
-        return v if v else "(empty)"
+        return v.rstrip("\n") if v else "(empty)"
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(norm_value(x) for x in v) + "]"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+
+def _expand_row(row: list[str]) -> list[list[str]]:
+    """Reference normalize.rs:80-112: a multi-line LAST cell becomes one
+    row per line, leading spaces rewritten to '-' (sqllogictest ignores
+    whitespace differences)."""
+    if not row or "\n" not in row[-1]:
+        return [row]
+    head, cell = list(row[:-1]), row[-1]
+    out = [head]
+    for line in cell.split("\n"):
+        content = line.lstrip(" ")
+        out.append(["-" * (len(line) - len(content)) + content])
+    return out
 
 
 _TYPE_CODES = {
@@ -89,6 +121,8 @@ class Record:
     types: str = ""
     sort: str = "nosort"
     expected: list[str] = field(default_factory=list)
+    # [start, end) line indices of the expected block (complete mode)
+    exp_span: tuple[int, int] | None = None
 
 
 def parse_slt(text: str) -> list[Record]:
@@ -120,6 +154,7 @@ def parse_slt(text: str) -> list[Record]:
                 sql_lines.append(lines[i])
                 i += 1
             i += 1  # skip ----
+            exp_start = i
             expected = []
             while i < len(lines) and lines[i].strip():
                 expected.append(lines[i].rstrip())
@@ -132,6 +167,7 @@ def parse_slt(text: str) -> list[Record]:
                     types=types,
                     sort=sort,
                     expected=expected,
+                    exp_span=(exp_start, i),
                 )
             )
         elif line in ("halt",):
@@ -143,22 +179,41 @@ def parse_slt(text: str) -> list[Record]:
 
 # --- statement dialect shims --------------------------------------------------
 
-_CREATE_AS_VALUES = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(\w+)\s*\(([^)]*)\)\s*AS\s*(VALUES.*)$",
-    re.IGNORECASE | re.DOTALL,
-)
+_CREATE_HEAD = re.compile(r"^\s*CREATE\s+TABLE\s+(\w+)\s*\(", re.IGNORECASE)
+_AS_VALUES = re.compile(r"^\s*AS\s*(VALUES.*)$", re.IGNORECASE | re.DOTALL)
 
 
 def rewrite_statement(sql_text: str) -> str:
-    m = _CREATE_AS_VALUES.match(sql_text)
-    if m:
-        name, cols, values = m.group(1), m.group(2), m.group(3)
-        col_names = ", ".join(c.strip().split()[0] for c in cols.split(","))
-        return (
-            f"CREATE OR REPLACE TEMPORARY VIEW {name} AS "
-            f"SELECT * FROM ({values}) AS __t({col_names})"
-        )
-    return sql_text
+    m = _CREATE_HEAD.match(sql_text)
+    if not m:
+        return sql_text
+    # balanced-paren scan so DECIMAL(10,2)-style column types survive
+    depth, i = 1, m.end()
+    in_str: str | None = None
+    while i < len(sql_text) and depth > 0:
+        c = sql_text[i]
+        if in_str:
+            if c == in_str:
+                in_str = None
+        elif c in ("'", '"'):
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    if depth != 0:
+        return sql_text
+    m2 = _AS_VALUES.match(sql_text[i:])
+    if not m2:
+        return sql_text
+    name, values = m.group(1), m2.group(1)
+    cols = _split_args(sql_text[m.end() : i - 1])
+    col_names = ", ".join(c.strip().split()[0] for c in cols if c.strip())
+    return (
+        f"CREATE OR REPLACE TEMPORARY VIEW {name} AS "
+        f"SELECT * FROM ({values}) AS __t({col_names})"
+    )
 
 
 # --- execution ----------------------------------------------------------------
@@ -174,21 +229,37 @@ class SltFailure:
 def _run_query(spark: SparkSession, rec: Record) -> tuple[list[str], str]:
     df = spark.sql(expand_macros(rec.sql))
     actual_types = "".join(type_code(t) for _, t in df.dtypes)
-    rows = [
-        " ".join(norm_value(v) for v in row) for row in (tuple(r) for r in df.collect())
+    cell_rows = [
+        [norm_value(v) for v in row] for row in (tuple(r) for r in df.collect())
     ]
+    expanded = [r for row in cell_rows for r in _expand_row(row)]
+    rows = [" ".join(r) for r in expanded]
     if rec.sort == "rowsort":
         rows = sorted(rows)
+    elif rec.sort == "valuesort":
+        rows = sorted(v for r in expanded for v in r)
     return rows, actual_types
+
+
+def _expected_for_compare(rec: Record) -> list[str]:
+    if rec.sort == "valuesort":
+        return sorted(v for line in rec.expected for v in line.split(" ") if v)
+    return rec.expected
 
 
 def run_text(
     spark: SparkSession, text: str, complete: bool = False
 ) -> tuple[list[SltFailure], str | None]:
-    """Run slt text. Returns (failures, completed_text if complete)."""
+    """Run slt text. Returns (failures, completed_text if complete).
+
+    Complete mode splices regenerated result blocks into the ORIGINAL
+    text — comments, blank-line structure, statements, and anything
+    after a ``halt`` stay byte-identical.
+    """
     records = parse_slt(text)
     failures: list[SltFailure] = []
-    completed: list[str] = []
+    # (exp_span, new_rows) replacements for complete mode
+    patches: list[tuple[tuple[int, int], list[str]]] = []
     for rec in records:
         if rec.kind == "statement":
             try:
@@ -197,44 +268,50 @@ def run_text(
                     failures.append(
                         SltFailure(rec.line, rec.sql, "expected error, got success")
                     )
-                completed.append(
-                    ("statement error\n" if rec.expect_error else "statement ok\n")
-                    + rec.sql
-                )
             except Exception as exc:
                 if not rec.expect_error:
                     failures.append(SltFailure(rec.line, rec.sql, str(exc)[:500]))
-                completed.append("statement error\n" + rec.sql)
         else:
             try:
                 rows, actual_types = _run_query(spark, rec)
             except Exception as exc:
                 failures.append(SltFailure(rec.line, rec.sql, str(exc)[:500]))
                 continue
-            if not complete:
-                if rec.types and rec.types != actual_types:
-                    failures.append(
-                        SltFailure(
-                            rec.line,
-                            rec.sql,
-                            f"type codes: expected {rec.types}, got {actual_types}",
-                        )
+            if complete:
+                if rec.exp_span is not None:
+                    patches.append((rec.exp_span, rows))
+                continue
+            if rec.types and rec.types != actual_types:
+                failures.append(
+                    SltFailure(
+                        rec.line,
+                        rec.sql,
+                        f"type codes: expected {rec.types}, got {actual_types}",
                     )
-                if rows != rec.expected:
-                    failures.append(
-                        SltFailure(
-                            rec.line,
-                            rec.sql,
-                            "result mismatch:\nexpected:\n  "
-                            + "\n  ".join(rec.expected)
-                            + "\nactual:\n  "
-                            + "\n  ".join(rows),
-                        )
+                )
+            expected = _expected_for_compare(rec)
+            if rows != expected:
+                failures.append(
+                    SltFailure(
+                        rec.line,
+                        rec.sql,
+                        "result mismatch:\nexpected:\n  "
+                        + "\n  ".join(expected)
+                        + "\nactual:\n  "
+                        + "\n  ".join(rows),
                     )
-            completed.append(
-                f"query {actual_types} {rec.sort}\n{rec.sql}\n----\n" + "\n".join(rows)
-            )
-    return failures, ("\n\n".join(completed) + "\n") if complete else None
+                )
+    if not complete:
+        return failures, None
+    lines = text.splitlines()
+    out: list[str] = []
+    pos = 0
+    for (start, end), rows in sorted(patches, key=lambda p: p[0][0]):
+        out.extend(lines[pos:start])
+        out.extend(rows)
+        pos = end
+    out.extend(lines[pos:])
+    return failures, "\n".join(out) + ("\n" if text.endswith("\n") else "")
 
 
 def run_file(
