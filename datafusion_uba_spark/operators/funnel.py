@@ -1,0 +1,96 @@
+"""Ordered funnel analysis over an event stream.
+
+The reference's one composite query is a two-stage retention funnel
+(examples/retention.rs:22-44); this operator generalizes the UBA-side
+idea to N ordered steps: a user converts step k when they fire step k's
+event AT OR AFTER their step-(k-1) conversion time, within a conversion
+window anchored at their step-1 time. Output is the per-step converted
+user count — the classic funnel chart input.
+
+Scale design: each step is filter → hash-aggregate(min) → equi-join on
+the user key. Every shuffle is on the same key, so after the first
+exchange the join inputs are co-partitioned and AQE keeps the small
+(later-step) sides broadcast-able as the funnel narrows. Per-user state
+is O(1) timestamps — no event-list collection, no window-function sort
+over whole partitions.
+
+All timestamps are compared as epoch-micros int64, so semantics are
+timezone-free and the DuckDB oracle (queries_uba.py) is exact.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_steps", "funnel_user_times"]
+
+
+def funnel_user_times(
+    events: DataFrame,
+    steps: list[tuple[str, Column]],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    conversion_window_days: int = 7,
+) -> list[DataFrame]:
+    """Per-step (user, first-conversion-micros) tables.
+
+    Returns one DataFrame per step: ``[u, t<k>, t1]`` where ``t<k>`` is
+    the user's earliest valid step-k time and ``t1`` anchors the
+    conversion window.
+    """
+    window_us = conversion_window_days * 86_400 * 1_000_000
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col)).alias("tus"),
+        *[pred.alias(f"__p{i}") for i, (_, pred) in enumerate(steps)],
+    )
+    out: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i in range(len(steps)):
+        cur = base.where(F.col(f"__p{i}")).select("u", "tus")
+        if prev is None:
+            step_df = cur.groupBy("u").agg(
+                F.min("tus").alias("t1")
+            ).withColumn("t_step", F.col("t1"))
+        else:
+            step_df = (
+                cur.join(prev.select("u", "t_step", "t1").withColumnRenamed(
+                    "t_step", "t_prev"
+                ), "u")
+                .where(
+                    (F.col("tus") >= F.col("t_prev"))
+                    & (F.col("tus") <= F.col("t1") + F.lit(window_us))
+                )
+                .groupBy("u")
+                .agg(F.min("tus").alias("t_step"), F.min("t1").alias("t1"))
+            )
+        out.append(step_df)
+        prev = step_df
+    return out
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[tuple[str, Column]],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    conversion_window_days: int = 7,
+) -> DataFrame:
+    """Funnel conversion counts: one row per step ``(step, step_name,
+    users)`` where ``users`` is the number of users who reached that
+    step in order within the conversion window."""
+    per_step = funnel_user_times(
+        events, steps, user_col, ts_col, conversion_window_days
+    )
+    rows = [
+        df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(i + 1).alias("step"),
+            F.lit(name).alias("step_name"),
+            "users",
+        )
+        for i, ((name, _), df) in enumerate(zip(steps, per_step))
+    ]
+    return reduce(lambda a, b: a.unionAll(b), rows)

@@ -421,6 +421,12 @@ from datafusion_uba_spark.queries_llm import LLM_REGISTRY  # noqa: E402
 
 REGISTRY.update(LLM_REGISTRY)
 
+# UBA event-analytics inventory (sessionize / windowed counts / funnel)
+# — defined in queries_uba.py, shared with the streaming module.
+from datafusion_uba_spark.queries_uba import UBA_REGISTRY  # noqa: E402
+
+REGISTRY.update(UBA_REGISTRY)
+
 
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}

@@ -1,0 +1,118 @@
+"""UBA event-analytics inventory: sessionization, windowed counts,
+ordered funnels.
+
+These extend the reference's retention surface with the other standard
+user-behavior-analytics operators a production deployment runs next to
+it. Each operator's Spark implementation is shared verbatim with the
+Structured Streaming module (streaming/__init__.py binds the same
+expression trees to unbounded sources); here they run as batch registry
+rows with exact DuckDB oracles.
+
+All outputs are flat int64/string (epoch-micros timestamps, integer
+counts) so the driver's hash compare is byte-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_uba_spark.operators.funnel import funnel_steps
+from datafusion_uba_spark.sources import load_table
+from datafusion_uba_spark.streaming import hourly_event_counts, sessionize
+
+_GAP_US = 30 * 60 * 1_000_000  # sessionize gap: 30 minutes
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap="30 minutes")
+
+
+# Gaps-and-islands twin of Spark's session_window: a new session starts
+# when the gap since the previous event is >= 30min (Spark merges
+# session windows only on strict overlap; boundary pinned by
+# tests/test_streaming.py::test_session_gap_boundary).
+_ORACLE_SESSIONIZE = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+flagged AS (
+  SELECT user_id, tus,
+    CASE WHEN lag(tus) OVER w IS NULL
+              OR tus - lag(tus) OVER w >= {_GAP_US}
+         THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+),
+numbered AS (
+  SELECT user_id, tus,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY tus
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+  min(tus) AS session_start_us,
+  max(tus) - min(tus) AS duration_us,
+  count(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return hourly_event_counts(ev)
+
+
+# Spark's window('1 hour') tumbles aligned to the epoch == date_trunc.
+_ORACLE_HOURLY = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type, count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_WINDOW_DAYS = 7
+_FUNNEL_WINDOW_US = _FUNNEL_WINDOW_DAYS * 86_400 * 1_000_000
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(
+        ev,
+        [(s, F.col("event_type") == s) for s in _FUNNEL_STEPS],
+        conversion_window_days=_FUNNEL_WINDOW_DAYS,
+    )
+
+
+_ORACLE_FUNNEL = f"""
+WITH e AS (SELECT user_id AS u, epoch_us(ts) AS tus, event_type FROM events),
+s1 AS (
+  SELECT u, min(tus) AS t1 FROM e
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY u
+),
+s2 AS (
+  SELECT e.u, min(tus) AS t2, min(t1) AS t1
+  FROM e JOIN s1 ON e.u = s1.u
+  WHERE event_type = '{_FUNNEL_STEPS[1]}'
+    AND tus >= t1 AND tus <= t1 + {_FUNNEL_WINDOW_US}
+  GROUP BY e.u
+),
+s3 AS (
+  SELECT e.u, min(tus) AS t3
+  FROM e JOIN s2 ON e.u = s2.u
+  WHERE event_type = '{_FUNNEL_STEPS[2]}'
+    AND tus >= t2 AND tus <= t1 + {_FUNNEL_WINDOW_US}
+  GROUP BY e.u
+)
+SELECT 1 AS step, '{_FUNNEL_STEPS[0]}' AS step_name,
+       (SELECT count(*) FROM s1) AS users
+UNION ALL
+SELECT 2, '{_FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3, '{_FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
+"""
+
+UBA_REGISTRY: dict = {
+    "sessionize": (q_sessionize, _ORACLE_SESSIONIZE),
+    "hourly_event_counts": (q_hourly_event_counts, _ORACLE_HOURLY),
+    "funnel_steps": (q_funnel_steps, _ORACLE_FUNNEL),
+}

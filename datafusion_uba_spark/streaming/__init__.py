@@ -1,0 +1,227 @@
+"""Structured Streaming surface: the engine's operators on unbounded data.
+
+The reference is batch-only (SURVEY.md §1.1: "No streams ... exist in
+the reference"), but a UBA engine at 100 TB ingests events continuously,
+so the driver north star treats streaming as first-class. The design
+rule mirrors the batch side: every streaming operator is the SAME
+Catalyst expression tree as its batch twin, just bound to a streaming
+source — Spark's incrementalizer (stateful aggregation, watermarked
+state eviction) supplies the streaming semantics. Nothing here is a
+re-implementation; batch/stream parity is pinned by tests
+(tests/test_streaming.py) that run both plans over the same files.
+
+Scale notes (1000-executor deployment):
+
+- State stores are partitioned by the grouping key; the per-key state of
+  every operator here is O(1) (counts / min / max / flag codes), never a
+  collected list, so state size is bounded by |keys|, not |events|.
+- Watermarks bound state lifetime: a key's state is dropped once the
+  watermark passes its window — without this, day-level retention state
+  would grow forever.
+- ``maxFilesPerTrigger`` / ``availableNow`` give backfill-sized batches;
+  the same code serves replay (availableNow over history) and tailing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+__all__ = [
+    "stream_events",
+    "hourly_event_counts",
+    "sessionize",
+    "streaming_user_day_flags",
+    "streaming_exact_dedup",
+    "run_to_memory",
+]
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    ts_col: str = "ts",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream over a parquet events directory.
+
+    Schema is taken from the existing files (streaming sources require
+    an explicit schema; inferring from the footer of what's already
+    there is the standard bootstrap). A raw INT64-nanos timestamp column
+    (the driver-testdata layout, TESTDATA.md) is rebuilt into a proper
+    timestamp exactly like the batch loader (sources.load_table) so the
+    streaming and batch plans see identical types.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(path)
+    if isinstance(schema[ts_col].dataType, T.LongType):
+        df = df.withColumn(ts_col, F.expr(f"timestamp_micros({ts_col} DIV 1000)"))
+    return df
+
+
+# --- operators (each works on BOTH batch and streaming DataFrames) --------
+
+
+def hourly_event_counts(
+    events: DataFrame,
+    watermark: str | None = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window event counts per type.
+
+    Streaming: watermarked windowed aggregation — append mode emits each
+    window once it can no longer receive late data; state per
+    (window, type) is one counter. Batch: the identical plan is a plain
+    hash aggregate. Output is flat (epoch-micros window start) so it
+    hashes stably in any harness.
+    """
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(
+            F.window("ts", window).alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    watermark: str | None = "1 day",
+) -> DataFrame:
+    """Per-user sessions with an inactivity gap (session_window).
+
+    A new session starts when the gap since the previous event is >= the
+    gap duration (Spark merges session windows only on strict overlap —
+    pinned by tests/test_streaming.py::test_session_gap_boundary).
+    Streaming: state per open session, merged incrementally, closed and
+    emitted (append mode) when the watermark passes session end.
+    Batch: same expression, ordinary aggregation.
+
+    Output is flat micros/int64 — the exact shape the DuckDB
+    gaps-and-islands oracle reproduces (queries.py q_sessionize).
+    """
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(
+            F.col(user_col), F.session_window("ts", gap).alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            F.col(user_col),
+            F.unix_micros("first_ts").alias("session_start_us"),
+            (F.unix_micros("last_ts") - F.unix_micros("first_ts")).alias(
+                "duration_us"
+            ),
+            "n_events",
+        )
+    )
+
+
+def streaming_user_day_flags(
+    events: DataFrame,
+    born_pred: Column,
+    target_pred: Column,
+    watermark: str | None = "2 days",
+) -> DataFrame:
+    """Incremental stage-1 of the retention funnel: per (user, day)
+    born/target codes, maintained as a streaming aggregation.
+
+    This is the retention_count scatter strategy's pre-aggregate
+    (operators/retention.py) bound to a stream: per-key state is two
+    tiny MAX codes, so a year of events for a billion users is
+    |users|·|days| bounded state with watermark eviction — the heavy,
+    shuffled part of retention runs incrementally, and the final
+    triangular matrix (retention_sum) is a cheap batch query over this
+    table's sink, refreshed on whatever cadence the dashboard needs.
+
+    The 0/1/2 target code keeps the reference's same-event encoding
+    (SURVEY.md §2.1): 2 = target fired on a row that is also a born
+    event; merge by MAX matches the batch operator's determinism rule.
+    """
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    born_i = F.when(born_pred, F.lit(1)).otherwise(F.lit(0))
+    target_i = (
+        F.when(born_pred & target_pred, F.lit(2))
+        .when(target_pred, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        events.groupBy(
+            F.col("user_id"), F.window("ts", "1 day").alias("w")
+        )
+        .agg(
+            F.max(born_i).cast("tinyint").alias("born"),
+            F.max(target_i).cast("tinyint").alias("target"),
+        )
+        .select(
+            "user_id",
+            F.to_date(F.col("w.start")).alias("day"),
+            "born",
+            "target",
+        )
+    )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    time_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Exact streaming dedup: first document per content fingerprint.
+
+    State is one entry per distinct fingerprint. Unbounded streams MUST
+    pass (time_col, watermark) to use dropDuplicatesWithinWatermark —
+    state for a fingerprint is dropped once the watermark passes it,
+    trading "dedup forever" for bounded state (the standard production
+    compromise; exact global dedup over all history is the batch job).
+    """
+    from datafusion_uba_spark.operators.text import content_fingerprint
+
+    with_fp = docs.withColumn("fingerprint", content_fingerprint(text_col))
+    if watermark is not None and time_col is not None:
+        return with_fp.withWatermark(
+            time_col, watermark
+        ).dropDuplicatesWithinWatermark(["fingerprint"])
+    return with_fp.dropDuplicates(["fingerprint"])
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> StreamingQuery:
+    """Run a streaming DataFrame to completion into an in-memory table
+    (availableNow trigger): processes everything currently in the
+    source, then stops. The harness pattern for tests and backfills."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q
