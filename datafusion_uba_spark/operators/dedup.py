@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 
 from datafusion_uba_spark.operators.text import (
     content_fingerprint,
-    word_shingles,
+    normalize_text,
+    shingles_from_tokens,
+    tokens_from_norm,
 )
 
 
@@ -71,10 +73,17 @@ def exact_dedup(
 def _shingle_df(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    sh = word_shingles(text_col, n)
-    return df.select(F.col(id_col).alias("__id"), sh.alias("__sh")).where(
-        F.size("__sh") > 0
+    """(id, shingle-array) in STAGED projections (norm → toks →
+    shingles) so each layer codegens and the regexp/split chain runs
+    once per row — same staging rationale as text.text_stats."""
+    s0 = df.select(
+        F.col(id_col).alias("__id"), normalize_text(text_col).alias("__norm")
     )
+    s1 = s0.select("__id", tokens_from_norm(F.col("__norm")).alias("__toks"))
+    s2 = s1.select(
+        "__id", shingles_from_tokens(F.col("__toks"), n).alias("__sh")
+    )
+    return s2.where(F.size("__sh") > 0)
 
 
 def ngram_jaccard_pairs(

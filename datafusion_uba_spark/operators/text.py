@@ -32,30 +32,49 @@ def normalize_text(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(_col(text)), r"\s+", " "))
 
 
+def tokens_from_norm(norm: Column | str) -> Column:
+    """Whitespace tokens of an ALREADY-normalized text column.
+
+    The staged building block: callers materialize ``normalize_text``
+    as its own projection first, so the (expensive) regexp chain is
+    computed exactly once per row instead of being re-inlined into
+    every consumer expression. Empty documents produce an empty array,
+    not [''].
+    """
+    n = _col(norm)
+    return F.when(n == "", F.array().cast("array<string>")).otherwise(
+        F.split(n, " ")
+    )
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokens of the normalized text (array<string>).
 
-    Empty documents produce an empty array, not [''].
+    Single-expression convenience form (inlines the normalize chain);
+    for per-document pipelines over many features use the staged
+    ``tokens_from_norm`` so the chain is shared — see text_stats.
     """
-    norm = normalize_text(text)
-    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
-        F.split(norm, " ")
+    return tokens_from_norm(normalize_text(text))
+
+
+def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token-array column.
+
+    Documents with fewer than ``n`` tokens produce an empty array.
+    """
+    t = _col(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
     )
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (array<string>).
-
-    Documents with fewer than ``n`` tokens produce an empty array.
-    """
-    toks = tokens(text)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct word n-gram shingles (array<string>), from raw text."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 # --- language identification ---------------------------------------------
@@ -76,28 +95,36 @@ LANG_PRIORITY: tuple[str, ...] = ("en", "es", "de", "fr", "zh")
 _CJK_RE = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
 
 
-def lang_scores(text: Column | str) -> dict[str, Column]:
-    """Per-language integer evidence scores.
+def lang_scores_from_tokens(toks: Column | str) -> dict[str, Column]:
+    """Per-language integer evidence scores from a token-array column.
 
     Latin languages: number of tokens that are stopwords of that
     language (with multiplicity). zh: number of tokens containing CJK
     codepoints.
     """
-    toks = tokens(text)
+    t = _col(toks)
     scores: dict[str, Column] = {}
     for lang, words in LANG_STOPWORDS.items():
         wl = F.array(*[F.lit(w) for w in words])
-        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
-    scores["zh"] = F.size(
-        F.filter(toks, lambda t: t.rlike(_CJK_RE))
-    )
+        scores[lang] = F.size(F.filter(t, lambda x: F.array_contains(wl, x)))
+    scores["zh"] = F.size(F.filter(t, lambda x: x.rlike(_CJK_RE)))
     return scores
 
 
-def language_id(text: Column | str) -> Column:
-    """Predicted language code: argmax of lang_scores, ties broken by
-    LANG_PRIORITY order; 'und' when every score is 0."""
-    scores = lang_scores(text)
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language scores from raw text (inlines the tokenize chain)."""
+    return lang_scores_from_tokens(tokens(text))
+
+
+def lang_argmax(scores: dict[str, Column]) -> Column:
+    """argmax of per-language score columns, ties broken by
+    LANG_PRIORITY order; 'und' when every score is 0.
+
+    Feed this COLUMNS (one projection layer below), not raw score
+    expressions: the argmax references every score ~|langs| times, so
+    inlining the tokenize chain here is what blew the round-2 plan out
+    of whole-stage codegen (~30 copies of split/filter per row,
+    interpreted-mode eval — VERDICT.md r2 'What's wrong #1')."""
     ordered = [(lang, scores[lang]) for lang in LANG_PRIORITY]
     pred = None
     for lang, s in ordered:
@@ -106,6 +133,12 @@ def language_id(text: Column | str) -> Column:
         )
         pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
     return pred.otherwise("und")
+
+
+def language_id(text: Column | str) -> Column:
+    """Predicted language code as ONE expression (for ad-hoc use on
+    small data; text_stats uses the staged form)."""
+    return lang_argmax(lang_scores(text))
 
 
 def language_id_oracle_sql(text_expr: str) -> str:
@@ -239,19 +272,102 @@ def minhash_fingerprint(text: Column | str, n: int = 3) -> Column:
 def text_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document text-analysis summary: one flat row per doc."""
-    feats = quality_features(text_col)
-    return df.select(
-        F.col(id_col),
-        feats["n_tokens"].alias("n_tokens"),
-        bpe_token_count(text_col).alias("n_bpe_tokens"),
-        feats["n_chars"].alias("n_chars_norm"),
-        feats["alpha_bp"].alias("alpha_bp"),
-        feats["stopword_bp"].alias("stopword_bp"),
-        feats["uniq_token_bp"].alias("uniq_token_bp"),
-        feats["avg_token_len_centi"].alias("avg_token_len_centi"),
-        quality_score(text_col).alias("quality_u"),
-        language_id(text_col).alias("lang_pred"),
-        content_fingerprint(text_col).alias("fingerprint"),
-        minhash_fingerprint(text_col).alias("shingle_fp"),
+    """Per-document text-analysis summary: one flat row per doc.
+
+    STAGED plan (the round-2 fix): each dependency level is its own
+    projection — norm → toks → token/char counts → ratios/argmax — so
+    every expensive expression (regexp chain, split, array filters) is
+    computed once per row and each Project stays small enough for
+    whole-stage codegen. Catalyst's CollapseProject deliberately does
+    NOT re-inline these: every intermediate column is non-cheap and
+    referenced more than once downstream. The round-2 single-expression
+    form re-derived norm/toks ~30x per row and fell out of codegen into
+    interpreted row-at-a-time eval (261 s / 5k docs); the staged form
+    is the same math with shared subexpressions.
+
+    Zero shuffles: still a pure narrow map stage. Values are identical
+    to the round-2 expressions, so the DuckDB oracle is unchanged.
+    """
+    # L0: normalize once (the one regexp_replace chain)
+    s0 = df.select(F.col(id_col), normalize_text(text_col).alias("__norm"))
+    # L1: tokens + char-class counts, all from __norm
+    s1 = s0.select(
+        id_col,
+        "__norm",
+        tokens_from_norm(F.col("__norm")).alias("__toks"),
+        F.length("__norm").alias("__n_chars"),
+        F.length(F.regexp_replace("__norm", "[^a-z]", "")).alias("__n_alpha"),
+        F.length(F.regexp_replace("__norm", "[^0-9]", "")).alias("__n_digit"),
+        F.length(F.regexp_replace("__norm", "[a-z0-9 ]", "")).alias("__n_punct"),
+        F.regexp_count(F.col("__norm"), F.lit(BPE_TOKEN_RE)).alias("__n_bpe"),
+    )
+    # L2: token-derived counts, per-language scores, shingles
+    scores = lang_scores_from_tokens(F.col("__toks"))
+    s2 = s1.select(
+        id_col,
+        "__norm",
+        "__n_chars",
+        "__n_alpha",
+        "__n_digit",
+        "__n_punct",
+        "__n_bpe",
+        F.size("__toks").alias("__n_tok"),
+        F.size(F.array_distinct("__toks")).alias("__n_uniq"),
+        shingles_from_tokens(F.col("__toks")).alias("__sh"),
+        *[scores[lang].alias(f"__sc_{lang}") for lang in LANG_PRIORITY],
+    )
+    # L3: basis-point ratios + fingerprints (cheap arithmetic on counts;
+    # __sc_en doubles as the en-stopword count of quality_features)
+    s3 = s2.select(
+        id_col,
+        F.col("__n_tok").alias("n_tokens"),
+        F.col("__n_bpe").alias("n_bpe_tokens"),
+        F.col("__n_chars").alias("n_chars_norm"),
+        _bp(F.col("__n_alpha"), F.col("__n_chars")).alias("alpha_bp"),
+        _bp(F.col("__n_digit"), F.col("__n_chars")).alias("__digit_bp"),
+        _bp(F.col("__n_punct"), F.col("__n_chars")).alias("__punct_bp"),
+        _bp(F.col("__sc_en"), F.col("__n_tok")).alias("stopword_bp"),
+        _bp(F.col("__n_uniq"), F.col("__n_tok")).alias("uniq_token_bp"),
+        F.floor((F.col("__n_alpha") * 100) / F.greatest(F.col("__n_tok"), F.lit(1)))
+        .cast("long")
+        .alias("avg_token_len_centi"),
+        lang_argmax(
+            {lang: F.col(f"__sc_{lang}") for lang in LANG_PRIORITY}
+        ).alias("lang_pred"),
+        F.sha2(F.col("__norm"), 256).alias("fingerprint"),
+        F.when(
+            F.size("__sh") > 0,
+            F.array_min(F.transform(F.col("__sh"), lambda s: F.md5(s))),
+        )
+        .otherwise(F.sha2(F.col("__norm"), 256))
+        .alias("shingle_fp"),
+    )
+    # L4: composite score from the bp columns (same blend as quality_score)
+    score = (
+        35 * F.col("alpha_bp")
+        + 25 * F.col("uniq_token_bp")
+        + 20 * F.least(4 * F.col("stopword_bp"), F.lit(10000))
+        + 20
+        * F.least(
+            F.floor((F.col("n_tokens") * 10000) / F.lit(64)).cast("long"),
+            F.lit(10000),
+        )
+        - 30 * F.col("__digit_bp")
+        - 30 * F.col("__punct_bp")
+    )
+    return s3.select(
+        id_col,
+        "n_tokens",
+        "n_bpe_tokens",
+        "n_chars_norm",
+        "alpha_bp",
+        "stopword_bp",
+        "uniq_token_bp",
+        "avg_token_len_centi",
+        F.greatest(F.least(score, F.lit(1_000_000)), F.lit(0))
+        .cast("long")
+        .alias("quality_u"),
+        "lang_pred",
+        "fingerprint",
+        "shingle_fp",
     )

@@ -25,6 +25,33 @@ from datafusion_uba_spark.operators import text as text_ops
 from datafusion_uba_spark.sources import load_table
 
 # ---------------------------------------------------------------------------
+# input loading
+# ---------------------------------------------------------------------------
+
+
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition of a tiny single-row-group parquet input.
+
+    The synthetic documents/embeddings files are ONE row group, so
+    without this every narrow per-document pipeline runs as one task on
+    one core of local[32] (round-2 bench pathology). On a real cluster
+    the input would arrive in many splits and this is a no-op-sized
+    shuffle; locally it is the difference between 1 and 32 working
+    cores. The shuffled payload is the raw input itself (small), never
+    derived columns.
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(load_table(spark, sf_dir, "documents"), spark)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(load_table(spark, sf_dir, "embeddings"), spark)
+
+
+# ---------------------------------------------------------------------------
 # shared DuckDB SQL fragments
 # ---------------------------------------------------------------------------
 
@@ -60,7 +87,7 @@ def _ddb_dot(a: str, b: str) -> str:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return text_ops.text_stats(docs)
 
 
@@ -119,7 +146,7 @@ FROM q
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.exact_dedup(docs)
 
 
@@ -134,7 +161,7 @@ FROM fp
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.ngram_jaccard_pairs(docs, threshold=0.8)
 
 
@@ -164,12 +191,12 @@ WHERE CAST(floor((common_shingles * 10000)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # xxhash64-based: no DuckDB twin; driver does the rows-only check,
     # pytest pins recall == 1.0 vs the exact n-gram query on this corpus.
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.minhash_lsh_pairs(docs, threshold=0.8)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.simhash_pairs(docs, max_hamming=3)
 
 
@@ -186,7 +213,7 @@ def _query_vectors(emb: DataFrame) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return similarity.cosine_topk(emb, _query_vectors(emb), k=_TOPK)
 
 
@@ -265,7 +292,7 @@ FROM ranked WHERE rank <= {_TOPK}
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return similarity.ann_topk_lsh(emb, _query_vectors(emb), k=_TOPK)
 
 
@@ -303,7 +330,7 @@ WHERE CAST(floor(CAST({_ddb_dot("va", "vb")} AS DOUBLE)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return similarity.embedding_neardup_pairs(
         emb, threshold=_NEARDUP_THRESHOLD
     )
@@ -315,7 +342,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return multimodal.multimodal_stats(docs)
 
 
