@@ -41,7 +41,12 @@ def quantize(vec: Column | str) -> Column:
 
 
 def dot_q(a: Column, b: Column) -> Column:
-    """Exact integer dot product of two quantized vectors."""
+    """Exact integer dot product of two quantized vectors (HOF fold).
+
+    Works for any runtime length, but higher-order functions evaluate
+    their lambda per element OUTSIDE whole-stage codegen — on a hot
+    path with a statically known dim, use dot_q_unrolled instead
+    (measured ~10x on the round-2 ANN plans)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -49,24 +54,142 @@ def dot_q(a: Column, b: Column) -> Column:
     )
 
 
-def cosine_q(a: Column, b: Column, na: Column, nb: Column) -> Column:
-    """Cosine from quantized vectors given precomputed squared norms.
+def _tree_sum(terms: list[Column]) -> Column:
+    """Balanced-tree sum of Column terms. A left-deep reduce() chain
+    of 64 Adds nests the generated Java 64 levels deep and janino
+    aborts the whole-stage-codegen compile (falling back to
+    interpreted eval — slower than the HOF it replaced); a balanced
+    tree is depth log2(n) and compiles fine. Integer addition is
+    associative, so values are unchanged."""
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
 
-    norms are exact bigints; the product is computed in double (would
-    overflow int64) — a single deterministic IEEE op per row.
-    """
-    return dot_q(a, b).cast("double") / F.sqrt(
-        na.cast("double") * nb.cast("double")
+
+def dot_q_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Exact integer dot product UNROLLED to ``dim`` multiply-add
+    terms: flat arithmetic that whole-stage codegen compiles into a
+    tight loop-free method, vs the interpreted per-element lambda of
+    the aggregate/zip_with fold. Values are identical."""
+    return _tree_sum([a[i] * b[i] for i in range(dim)])
+
+
+def dot_q_lit(vec_q: Column, plane: list[int]) -> Column:
+    """Exact integer dot of a quantized vector column with a LITERAL
+    plane, as a compact HOF fold.
+
+    Deliberately NOT unrolled: hyperplane coding evaluates many of
+    these per row (16 pool planes, 48 for neardup's tables), and
+    unrolling them all blows the fused whole-stage method past
+    janino's 64 KB limit — the compile then fails and the entire
+    stage falls back to interpreted eval after ~16 seconds of doomed
+    compile retries (measured). A HigherOrderFunction is
+    CodegenFallback: it contributes a one-line call to the generated
+    code, so the stage still compiles and everything AROUND the dots
+    stays codegen'd. Use dot_q_unrolled only where a stage evaluates
+    a handful of dots (norms, the per-pair rescore cosine)."""
+    arr = F.array(*[F.lit(int(v)).cast("long") for v in plane])
+    return dot_q(vec_q, arr)
+
+
+# --- SQL-string expression builders ----------------------------------------
+#
+# The Column versions above cost one py4j round-trip per arithmetic node:
+# a single 64-term unrolled dot is ~190 driver->JVM calls (~0.25 s), and
+# the full LSH plan built that way measured 6.6 s of pure driver-side
+# construction per run — 3x the query's own execution. These builders emit
+# the SAME arithmetic as one SQL string handed to selectExpr/F.expr: one
+# py4j call, parsed JVM-side in milliseconds. Values are identical.
+
+
+def _tree_sum_sql(terms: list[str]) -> str:
+    """Balanced-tree sum as SQL text (same depth-log2 shape as
+    _tree_sum, for the same janino-depth reason)."""
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def dot_hof_sql(a: str, b: str) -> str:
+    """HOF-fold dot product as SQL text (any runtime length)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
 
 
+def dot_sql(a: str, b: str, dim: int | None) -> str:
+    """Unrolled (codegen) dot product of two array columns as SQL text;
+    falls back to the HOF fold when dim is unknown."""
+    if not dim:
+        return dot_hof_sql(a, b)
+    return _tree_sum_sql([f"{a}[{i}] * {b}[{i}]" for i in range(dim)])
+
+
+def dot_lit_sql(a: str, plane: list[int]) -> str:
+    """Dot of an array column with a literal plane as SQL text — a HOF
+    fold, NOT unrolled, for the same reason as dot_q_lit: plane-coding
+    stages evaluate 16-48 of these per row, and unrolling them makes
+    the fused whole-stage method exceed janino's 64 KB limit ("Code
+    grows beyond 64 KB"), after which Spark pays a multi-second doomed
+    compile and runs the stage interpreted — EVERY run (measured: the
+    unrolled variant regressed ann_topk_lsh from ~5 s to 9-21 s). As a
+    CodegenFallback the fold is a one-line call in the generated code,
+    so the stage still compiles and the bit/code arithmetic around the
+    dots stays codegen'd."""
+    arr = "array(" + ", ".join(f"{int(v)}L" for v in plane) + ")"
+    return dot_hof_sql(a, arr)
+
+
+def cosine_sql(a: str, b: str, na: str, nb: str, dim: int | None) -> str:
+    """Cosine from quantized arrays + precomputed squared norms as SQL
+    text (exact integer dot, one IEEE division/sqrt — same contract as
+    cosine_q)."""
+    return (
+        f"(CAST({dot_sql(a, b, dim)} AS DOUBLE) "
+        f"/ sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE)))"
+    )
+
+
+_QUANT_SQL = (
+    "transform(`{col}`, x -> "
+    f"CAST(round(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT))"
+)
+
+
+def cosine_q(
+    a: Column, b: Column, na: Column, nb: Column, dim: int | None = None
+) -> Column:
+    """Cosine from quantized vectors given precomputed squared norms.
+
+    norms are exact bigints; the product is computed in double (would
+    overflow int64) — a single deterministic IEEE op per row. Pass
+    ``dim`` to unroll the dot product into codegen (same values).
+    """
+    d = dot_q_unrolled(a, b, dim) if dim else dot_q(a, b)
+    return d.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
+
+
 def _with_quant(
-    df: DataFrame, vec_col: str, id_col: str, prefix: str
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    prefix: str,
+    dim: int | None = None,
 ) -> DataFrame:
-    q = quantize(vec_col)
-    return df.select(
-        F.col(id_col).alias(f"{prefix}_id"), q.alias(f"{prefix}_q")
-    ).withColumn(f"{prefix}_n", dot_q(F.col(f"{prefix}_q"), F.col(f"{prefix}_q")))
+    s0 = df.selectExpr(
+        f"`{id_col}` AS {prefix}_id",
+        _QUANT_SQL.format(col=vec_col) + f" AS {prefix}_q",
+    )
+    return s0.selectExpr(
+        "*", f"{dot_sql(f'{prefix}_q', f'{prefix}_q', dim)} AS {prefix}_n"
+    )
 
 
 def topk_per_key(
@@ -105,23 +228,25 @@ def cosine_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = 64,
 ) -> DataFrame:
     """Brute-force cosine top-k: every query scored against every data
     vector; queries are broadcast (a query set is small by definition —
-    the data side is the 100 TB side and is never moved).
+    the data side is the 100 TB side and is never moved). ``dim``
+    (static vector length) unrolls every dot product into codegen;
+    pass None for unknown/ragged dims (slower HOF fold, same values).
 
     Output: (query_id, rank, vec_id, cosine_u) — cosine in integer
     micro-units (floor(cos * 1e6): floor of a bit-identical double is
     portable across engines, round() is not); ranking uses the
     full-precision (deterministic) value with vec_id as tiebreak.
     """
-    d = _with_quant(data, vec_col, id_col, "vec")
-    q = _with_quant(queries, vec_col, id_col, "query")
-    cos = cosine_q(
-        F.col("query_q"), F.col("vec_q"), F.col("query_n"), F.col("vec_n")
-    )
-    scored = d.join(F.broadcast(q)).select(
-        "query_id", "vec_id", cos.alias("__cos")
+    d = _with_quant(data, vec_col, id_col, "vec", dim)
+    q = _with_quant(queries, vec_col, id_col, "query", dim)
+    scored = d.join(F.broadcast(q)).selectExpr(
+        "query_id",
+        "vec_id",
+        f"{cosine_sql('query_q', 'vec_q', 'query_n', 'vec_n', dim)} AS __cos",
     )
     top = topk_per_key(
         scored,
@@ -155,13 +280,25 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[int]]:
 
 
 def bucket_code(vec_q: Column, planes: list[list[int]]) -> Column:
-    """LSH bucket code: sign bits of exact integer dots with each plane."""
+    """LSH bucket code: sign bits of exact integer dots with each plane
+    (dots unrolled into codegen — the planes are literals)."""
     code = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(v).cast("long") for v in p])
-        bit = F.when(dot_q(vec_q, plane) > 0, F.lit(1)).otherwise(F.lit(0))
+        bit = F.when(dot_q_lit(vec_q, p) > 0, F.lit(1)).otherwise(F.lit(0))
         code = code.bitwiseOR(F.shiftleft(bit.cast("long"), i))
     return code
+
+
+def pool_tables(
+    n_pool: int, bits_per_table: int, n_tables: int, seed: int
+) -> list[list[int]]:
+    """Deterministic bit-subset tables over a shared plane pool:
+    table t = ``bits_per_table`` distinct pool-bit indices. One rng
+    stream so Spark and the DuckDB oracle replay identical tables."""
+    rng = random.Random(seed + 777)
+    return [
+        rng.sample(range(n_pool), bits_per_table) for _ in range(n_tables)
+    ]
 
 
 def ann_topk_lsh(
@@ -171,62 +308,124 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    n_planes: int = 3,
+    n_pool: int = 16,
+    bits_per_table: int = 5,
     n_tables: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: ``n_tables`` independent hyperplane tables;
-    candidates = data vectors sharing a bucket with the query in any
-    table; exact cosine + top-k on candidates only.
+    """Approximate top-k via shared-pool hyperplane LSH + multiprobe.
 
-    Recall is tunable via n_planes (bucket granularity) and n_tables
-    (OR-amplification). The candidate join is an equi-join on
-    (table_id, code): data is shuffled once by bucket, queries are
-    broadcast — at 100 TB nothing but the candidate set is ever
-    scored.
+    Design (the round-3 rework; round 2's 16 independent 3-plane
+    tables computed 48 HOF-fold plane dots per vector and still
+    admitted ~88% candidates — strictly worse than brute force):
 
-    Defaults (3 planes x 16 tables) are sized for the worst case of
-    near-orthogonal vectors (the synthetic corpus: top-10 neighbors sit
-    at cosine ~0.3-0.5, barely above the random ~0 background), where
-    they measure recall@10 ~= 0.98 at the cost of a large candidate
-    fraction. Real embedding corpora are clustered (neighbors at
-    cosine 0.9+), where *more* planes per table prune far harder at the
-    same recall — tune n_planes up as neighbor similarity rises.
+    - ONE pool of ``n_pool`` hyperplanes; each vector pays n_pool
+      unrolled literal dots, once, in a codegen'd projection.
+    - ``n_tables`` hash tables are SUBSETS of pool bits
+      (``bits_per_table`` each) — deriving a table code is integer
+      bit math, not more dot products.
+    - Query-side MULTIPROBE: each query probes its exact code plus
+      every single-bit flip (bits_per_table + 1 probes per table).
+      Probes multiply only the broadcast query side; the data side
+      stays at n_tables rows per vector.
+    - Candidates = bucket equi-join on (table_id, code); exact cosine
+      + salted top-k on candidates only.
+
+    Defaults (16-pool / 5 bits x 16 tables / probe-1) are tuned on the
+    synthetic near-orthogonal corpus — top-10 neighbors at cosine
+    0.3-0.5 against noise sigma ~0.13, the worst case for any metric
+    index. Measured on the real testdata (numpy replay of the exact
+    integer pipeline): recall@10 = 0.900 at 500 vectors / 8 queries
+    and 0.930 at 2000 vectors / 64 queries, candidate fraction ~0.75.
+    A parameter sweep (pool 16-24, bits 4-8, tables 12-24, probe 0-2)
+    shows that IS the frontier here: every config with recall >= 0.9
+    admits >= 68% candidates, because neighbor/background collision
+    probabilities differ only ~3x (cos 0.4 -> p=0.63 vs p=0.5 per
+    bit). On such data an index cannot beat brute force — the 25%
+    rescore saving is smaller than the index's own join/dedup stages —
+    and below ~10^5 vectors flat search is the right plan (same call
+    FAISS/Milvus make). The index pays off on clustered real corpora
+    (neighbors at cosine 0.9+, collision ratio 10x+), where the same
+    shape prunes 10-100x harder; raise bits_per_table as neighbor
+    similarity rises.
 
     Output: (query_id, rank, vec_id, cosine_u) like cosine_topk.
     """
-    tables = [
-        hyperplanes(dim, n_planes, seed=seed + 1000 * t)
-        for t in range(n_tables)
-    ]
-    d = _with_quant(data, vec_col, id_col, "vec")
-    q = _with_quant(queries, vec_col, id_col, "query")
+    pool = hyperplanes(dim, n_pool, seed=seed)
+    tables = pool_tables(n_pool, bits_per_table, n_tables, seed)
+    m = bits_per_table
 
-    def coded(df: DataFrame, prefix: str) -> DataFrame:
-        codes = F.array(
+    def with_codes(df_in: DataFrame, prefix: str) -> DataFrame:
+        base = _with_quant(df_in, vec_col, id_col, prefix, dim)
+        keep = [f"{prefix}_id", f"{prefix}_q", f"{prefix}_n"]
+        # L1: the n_pool plane dots (the only dot products paid here)
+        s1 = base.selectExpr(
+            "*",
             *[
-                F.struct(
-                    F.lit(t).alias("table_id"),
-                    bucket_code(F.col(f"{prefix}_q"), planes).alias("code"),
-                )
-                for t, planes in enumerate(tables)
-            ]
+                f"{dot_lit_sql(f'{prefix}_q', p)} AS __d{i}"
+                for i, p in enumerate(pool)
+            ],
         )
-        return df.select("*", F.explode(codes).alias("__c")).select(
-            *df.columns, F.col("__c.table_id"), F.col("__c.code")
+        # L2: sign bits
+        s2 = s1.selectExpr(
+            *keep,
+            *[f"CAST(__d{i} > 0 AS INT) AS __b{i}" for i in range(n_pool)],
+        )
+        # L3: per-table codes from bit columns (pure integer math)
+        return s2.selectExpr(
+            *keep,
+            *[
+                " + ".join(f"__b{bit} * {1 << j}" for j, bit in enumerate(tab))
+                + f" AS __c{t}"
+                for t, tab in enumerate(tables)
+            ],
         )
 
-    dc = coded(d, "vec")
-    qc = coded(q, "query")
-    cand = (
-        dc.join(F.broadcast(qc), on=["table_id", "code"])
-        .select("query_id", "query_q", "query_n", "vec_id", "vec_q", "vec_n")
+    dc = with_codes(data, "vec")
+    qc_df = with_codes(queries, "query")
+
+    # Candidate generation is NARROW on purpose: only (id, table_id,
+    # code) flows through the explode → join → dropDuplicates pipeline
+    # (16 bytes/row), and the 64-long quantized arrays are joined back
+    # afterwards — one extra equi-join, but the dedup shuffle carries
+    # kilobytes instead of the vectors (carrying arrays through the
+    # 16-way explode measured ~2x the whole query's time at sf0.1).
+    data_structs = ", ".join(
+        f"named_struct('table_id', {t}, 'code', __c{t})"
+        for t in range(n_tables)
+    )
+    data_rows = dc.selectExpr(
+        "vec_id", f"explode(array({data_structs})) AS __tc"
+    ).selectExpr("vec_id", "__tc.table_id", "__tc.code")
+
+    probe_structs = ", ".join(
+        f"named_struct('table_id', {t}, 'code', __c{t})"
+        + "".join(
+            f", named_struct('table_id', {t}, 'code', __c{t} ^ {1 << j})"
+            for j in range(m)
+        )
+        for t in range(n_tables)
+    )
+    query_rows = qc_df.selectExpr(
+        "query_id", f"explode(array({probe_structs})) AS __tc"
+    ).selectExpr("query_id", "__tc.table_id", "__tc.code")
+
+    pairs = (
+        data_rows.join(F.broadcast(query_rows), on=["table_id", "code"])
+        .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    cos = cosine_q(
-        F.col("query_q"), F.col("vec_q"), F.col("query_n"), F.col("vec_n")
+    cand = pairs.join(
+        dc.select("vec_id", "vec_q", "vec_n"), "vec_id"
+    ).join(
+        F.broadcast(qc_df.select("query_id", "query_q", "query_n")),
+        "query_id",
     )
-    scored = cand.select("query_id", "vec_id", cos.alias("__cos"))
+    scored = cand.selectExpr(
+        "query_id",
+        "vec_id",
+        f"{cosine_sql('query_q', 'vec_q', 'query_n', 'vec_n', dim)} AS __cos",
+    )
     top = topk_per_key(
         scored,
         "query_id",
@@ -263,19 +462,38 @@ def embedding_neardup_pairs(
         hyperplanes(dim, n_planes, seed=seed + 1000 * t)
         for t in range(n_tables)
     ]
-    d = _with_quant(df, vec_col, id_col, "vec")
-    codes = F.array(
+    d = _with_quant(df, vec_col, id_col, "vec", dim)
+    # staged like ann_topk_lsh: one projection for the 48 literal dots,
+    # one for the per-table sign-bit codes (sum of disjoint shifted bits
+    # == the bitwiseOR bucket_code computes), then a narrow explode
+    s1 = d.selectExpr(
+        "*",
         *[
-            F.struct(
-                F.lit(t).alias("table_id"),
-                bucket_code(F.col("vec_q"), planes).alias("code"),
-            )
+            f"{dot_lit_sql('vec_q', p)} AS __d{t}_{i}"
             for t, planes in enumerate(tables)
-        ]
+            for i, p in enumerate(planes)
+        ],
     )
-    dc = d.select("*", F.explode(codes).alias("__c")).select(
-        "vec_id", "vec_q", "vec_n", F.col("__c.table_id"), F.col("__c.code")
+    s2 = s1.selectExpr(
+        "vec_id",
+        "vec_q",
+        "vec_n",
+        *[
+            " + ".join(
+                f"CAST(__d{t}_{i} > 0 AS BIGINT) * {1 << i}L"
+                for i in range(n_planes)
+            )
+            + f" AS __c{t}"
+            for t in range(n_tables)
+        ],
     )
+    code_structs = ", ".join(
+        f"named_struct('table_id', {t}, 'code', __c{t})"
+        for t in range(n_tables)
+    )
+    dc = s2.selectExpr(
+        "vec_id", "vec_q", "vec_n", f"explode(array({code_structs})) AS __c"
+    ).selectExpr("vec_id", "vec_q", "vec_n", "__c.table_id", "__c.code")
     a = dc.alias("a")
     b = dc.alias("b")
     cand = (
@@ -295,9 +513,10 @@ def embedding_neardup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = cosine_q(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"))
-    cos_u = F.floor(cos * 1_000_000).cast("long")
-    return (
-        cand.select("id_a", "id_b", cos_u.alias("cosine_u"))
-        .where(F.col("cosine_u") >= int(round(threshold * 1_000_000)))
+    cand = cand.selectExpr(
+        "id_a",
+        "id_b",
+        f"CAST(floor({cosine_sql('qa', 'qb', 'na', 'nb', dim)} * 1000000)"
+        " AS BIGINT) AS cosine_u",
     )
+    return cand.where(F.col("cosine_u") >= int(round(threshold * 1_000_000)))

@@ -204,7 +204,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search
 # ---------------------------------------------------------------------------
 
-_N_QUERIES = 8
+# 64 queries: a realistic multi-query similarity workload — with a
+# handful of queries brute force trivially wins (it pays |Q| dots per
+# vector, LSH pays the constant n_pool coding dots); amortization is
+# the whole point of the index.
+_N_QUERIES = 64
 _TOPK = 10
 
 
@@ -255,23 +259,45 @@ def _lsh_code_sql(vec_expr: str, planes: list[list[int]]) -> str:
 
 
 def _oracle_ann_topk_lsh() -> str:
-    tables = [
-        similarity.hyperplanes(64, 3, seed=42 + 1000 * t) for t in range(16)
-    ]
-    code_rows = " UNION ALL ".join(
-        f"SELECT vec_id, v, n2, {t} AS table_id, "
-        f"{_lsh_code_sql('v', planes)} AS code FROM dn"
-        for t, planes in enumerate(tables)
+    """Replays the shared-pool multiprobe LSH of similarity.ann_topk_lsh
+    exactly: same literal pool planes, same bit-subset tables (one rng
+    stream), same single-bit-flip probes — so even the approximate
+    index is hash-checkable."""
+    n_pool, m, n_tables = 16, 5, 16
+    pool = similarity.hyperplanes(64, n_pool, seed=42)
+    tables = similarity.pool_tables(n_pool, m, n_tables, seed=42)
+    bit_cols = ", ".join(
+        f"CASE WHEN {_ddb_dot('v', _plane_literal(p))} > 0 THEN 1 ELSE 0 END"
+        f" AS b{i}"
+        for i, p in enumerate(pool)
+    )
+    code_cols = ", ".join(
+        " + ".join(f"b{bit} * {1 << j}" for j, bit in enumerate(tab))
+        + f" AS c{t}"
+        for t, tab in enumerate(tables)
+    )
+    drows = " UNION ALL ".join(
+        f"SELECT vec_id, v, n2, {t} AS table_id, c{t} AS code FROM codes"
+        for t in range(n_tables)
+    )
+    qrows = " UNION ALL ".join(
+        f"SELECT vec_id AS query_id, v AS qv, n2 AS qn2, {t} AS table_id, "
+        f"unnest([c{t}, "
+        + ", ".join(f"xor(c{t}, {1 << j})" for j in range(m))
+        + f"]) AS code FROM codes WHERE vec_id < {_N_QUERIES}"
+        for t in range(n_tables)
     )
     return f"""
 WITH d AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
 dn AS (SELECT vec_id, v, {_ddb_dot("v", "v")} AS n2 FROM d),
-codes AS ({code_rows}),
-qc AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2, table_id, code
-       FROM codes WHERE vec_id < {_N_QUERIES}),
+bits AS (SELECT vec_id, v, n2, {bit_cols} FROM dn),
+codes AS (SELECT vec_id, v, n2, {code_cols} FROM bits),
+drows AS ({drows}),
+qrows AS ({qrows}),
 cand AS (
-  SELECT DISTINCT qc.query_id, qc.qv, qc.qn2, c.vec_id, c.v, c.n2
-  FROM qc JOIN codes c ON c.table_id = qc.table_id AND c.code = qc.code
+  SELECT DISTINCT q.query_id, q.qv, q.qn2, d.vec_id, d.v, d.n2
+  FROM qrows q JOIN drows d
+    ON d.table_id = q.table_id AND d.code = q.code
 ),
 scored AS (
   SELECT query_id, vec_id,
