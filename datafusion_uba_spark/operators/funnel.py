@@ -81,7 +81,17 @@ def funnel_steps(
 ) -> DataFrame:
     """Funnel conversion counts: one row per step ``(step, step_name,
     users)`` where ``users`` is the number of users who reached that
-    step in order within the conversion window."""
+    step in order within the conversion window.
+
+    SINGLE-ANCHOR semantics, deliberately: the conversion window is
+    anchored at each user's globally EARLIEST step-1 event (t1 =
+    min over all step-1 events), not re-tried per qualifying anchor. A
+    user whose first view is stale but who completes view->click->
+    purchase inside the window of a LATER view does not count. This is
+    stricter than the any-qualifying-anchor definition some UBA tools
+    use; the DuckDB oracle (queries_uba.py) encodes the same rule, and
+    it keeps the operator one min-agg + k co-partitioned joins instead
+    of a per-anchor backtracking search."""
     per_step = funnel_user_times(
         events, steps, user_col, ts_col, conversion_window_days
     )

@@ -30,15 +30,18 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Gaps-and-islands twin of Spark's session_window: a new session starts
-# when the gap since the previous event is >= 30min (Spark merges
-# session windows only on strict overlap; boundary pinned by
-# tests/test_streaming.py::test_session_gap_boundary).
+# only when the gap since the previous event EXCEEDS 30min — an event
+# exactly gap after the previous one still merges (session windows are
+# closed at the merge boundary: measured on Spark 4.1 and pinned by
+# tests/test_streaming.py::test_session_gap_boundary, which covers
+# gap-1us / gap / gap+1us; an earlier >= rule here was wrong at the
+# exact boundary and only passed because random micros never hit it).
 _ORACLE_SESSIONIZE = f"""
 WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
 flagged AS (
   SELECT user_id, tus,
     CASE WHEN lag(tus) OVER w IS NULL
-              OR tus - lag(tus) OVER w >= {_GAP_US}
+              OR tus - lag(tus) OVER w > {_GAP_US}
          THEN 1 ELSE 0 END AS new_session
   FROM e
   WINDOW w AS (PARTITION BY user_id ORDER BY tus)

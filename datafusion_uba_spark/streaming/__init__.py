@@ -44,6 +44,7 @@ def stream_events(
     path: str,
     ts_col: str = "ts",
     max_files_per_trigger: int | None = None,
+    path_glob_filter: str | None = None,
 ) -> DataFrame:
     """File-stream over a parquet events directory.
 
@@ -53,11 +54,21 @@ def stream_events(
     (the driver-testdata layout, TESTDATA.md) is rebuilt into a proper
     timestamp exactly like the batch loader (sources.load_table) so the
     streaming and batch plans see identical types.
+
+    ``path`` must be a DIRECTORY (the streaming file source rejects a
+    bare file: new files are discovered by listing). To stream one
+    table out of a directory holding several (the testdata layout),
+    pass ``path_glob_filter`` (e.g. ``"events.parquet"``).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(path).schema
+    batch = spark.read
+    if path_glob_filter is not None:
+        batch = batch.option("pathGlobFilter", path_glob_filter)
+    schema = batch.parquet(path).schema
     reader = spark.readStream.schema(schema)
+    if path_glob_filter is not None:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(path)
@@ -105,9 +116,11 @@ def sessionize(
 ) -> DataFrame:
     """Per-user sessions with an inactivity gap (session_window).
 
-    A new session starts when the gap since the previous event is >= the
-    gap duration (Spark merges session windows only on strict overlap —
-    pinned by tests/test_streaming.py::test_session_gap_boundary).
+    A new session starts only when the gap since the previous event
+    EXCEEDS the gap duration: an event exactly ``gap`` after the
+    previous one still merges into its session (boundary measured on
+    Spark 4.1 at microsecond precision and pinned by
+    tests/test_streaming.py::test_session_gap_boundary).
     Streaming: state per open session, merged incrementally, closed and
     emitted (append mode) when the watermark passes session end.
     Batch: same expression, ordinary aggregation.
@@ -199,6 +212,17 @@ def streaming_exact_dedup(
     """
     from datafusion_uba_spark.operators.text import content_fingerprint
 
+    if (time_col is None) != (watermark is None):
+        raise ValueError(
+            "streaming_exact_dedup: pass BOTH time_col and watermark "
+            "(bounded state) or NEITHER (batch / explicitly unbounded)"
+        )
+    if docs.isStreaming and time_col is None:
+        raise ValueError(
+            "streaming_exact_dedup on a stream requires (time_col, "
+            "watermark): dropDuplicates would keep one state entry per "
+            "distinct fingerprint forever"
+        )
     with_fp = docs.withColumn("fingerprint", content_fingerprint(text_col))
     if watermark is not None and time_col is not None:
         return with_fp.withWatermark(
@@ -215,7 +239,12 @@ def run_to_memory(
 ) -> StreamingQuery:
     """Run a streaming DataFrame to completion into an in-memory table
     (availableNow trigger): processes everything currently in the
-    source, then stops. The harness pattern for tests and backfills."""
+    source, then stops. The harness pattern for tests and backfills.
+
+    Raises TimeoutError if the query has not terminated within
+    ``timeout_sec`` (the query is stopped first) — otherwise callers
+    would read a partial memory table with no signal anything is wrong.
+    """
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -223,5 +252,10 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} still running after {timeout_sec}s"
+        )
     return q

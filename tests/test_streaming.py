@@ -1,0 +1,204 @@
+"""Streaming-surface tests: the claims the streaming module makes.
+
+Two kinds of pins:
+
+- **Boundary goldens** on crafted micro-data (the session_window
+  gap-boundary rule the sessionize oracle encodes).
+- **Batch/stream parity**: each operator bound to a file stream
+  (availableNow trigger -> memory sink) must produce exactly the rows
+  of the same expression over the same files as a batch DataFrame —
+  Spark's incrementalizer is the only thing that differs.
+
+Parity runs use complete output mode with no watermark: append mode
+withholds windows newer than the final watermark (correct streaming
+semantics, but a strict subset of the batch answer on a finite file
+set); complete mode emits the full state, which is the batch answer.
+Watermark/append semantics get their own prefix-subset test.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_uba_spark.sources import load_table
+from datafusion_uba_spark.streaming import (
+    hourly_event_counts,
+    run_to_memory,
+    sessionize,
+    stream_events,
+    streaming_exact_dedup,
+    streaming_user_day_flags,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df, *order_cols):
+    if order_cols:
+        df = df.orderBy(*order_cols)
+    return [tuple(r) for r in df.collect()]
+
+
+# --- session_window gap boundary ------------------------------------------
+
+
+def test_session_gap_boundary(spark):
+    """Pins Spark's session_window boundary at microsecond precision:
+    an event EXACTLY gap after the previous one still MERGES into its
+    session; one microsecond beyond the gap starts a new session. The
+    DuckDB sessionize oracle encodes the same closed-boundary rule
+    (new session iff delta > gap) — writing this test caught the
+    oracle's earlier >= rule being wrong at the exact boundary (random
+    testdata micros never hit it)."""
+    gap_us = 30 * 60 * 1_000_000
+    t0 = 1_700_000_000_000_000  # epoch micros, arbitrary
+    rows = [
+        # user 1: exactly gap apart -> ONE session of both events
+        (1, t0), (1, t0 + gap_us),
+        # user 2: gap + 1us apart -> TWO sessions
+        (2, t0), (2, t0 + gap_us + 1),
+        # user 3: 1us inside the gap -> one session
+        (3, t0), (3, t0 + gap_us - 1),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, us long").select(
+        "user_id", F.timestamp_micros("us").alias("ts")
+    )
+    got = {
+        (r.user_id, r.session_start_us, r.duration_us, r.n_events)
+        for r in sessionize(ev, gap="30 minutes").collect()
+    }
+    assert got == {
+        (1, t0, gap_us, 2),
+        (2, t0, 0, 1),
+        (2, t0 + gap_us + 1, 0, 1),
+        (3, t0, gap_us - 1, 2),
+    }
+
+
+# --- batch/stream parity ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+def _stream(spark):
+    return stream_events(spark, SF_DIR, path_glob_filter="events.parquet")
+
+
+def test_stream_events_schema_matches_batch(spark, batch_events):
+    sdf = _stream(spark)
+    assert sdf.isStreaming
+    assert sdf.schema == batch_events.schema
+
+
+def test_hourly_counts_parity(spark, batch_events):
+    sdf = hourly_event_counts(_stream(spark), watermark=None)
+    run_to_memory(sdf, "hourly_parity", output_mode="complete")
+    got = _rows(
+        spark.table("hourly_parity"), "window_start_us", "event_type"
+    )
+    want = _rows(
+        hourly_event_counts(batch_events, watermark=None),
+        "window_start_us",
+        "event_type",
+    )
+    assert got == want and len(got) > 0
+
+
+def test_sessionize_parity(spark, batch_events):
+    sdf = sessionize(_stream(spark), gap="30 minutes", watermark=None)
+    run_to_memory(sdf, "sessionize_parity", output_mode="complete")
+    got = _rows(
+        spark.table("sessionize_parity"), "user_id", "session_start_us"
+    )
+    want = _rows(
+        sessionize(batch_events, gap="30 minutes", watermark=None),
+        "user_id",
+        "session_start_us",
+    )
+    assert got == want and len(got) > 0
+
+
+def test_user_day_flags_parity(spark, batch_events):
+    born = F.col("event_type") == "signup"
+    target = F.col("event_type") == "purchase"
+    sdf = streaming_user_day_flags(
+        _stream(spark), born, target, watermark=None
+    )
+    run_to_memory(sdf, "flags_parity", output_mode="complete")
+    got = _rows(spark.table("flags_parity"), "user_id", "day")
+    want = _rows(
+        streaming_user_day_flags(batch_events, born, target, watermark=None),
+        "user_id",
+        "day",
+    )
+    assert got == want and len(got) > 0
+
+
+def test_append_watermark_emits_prefix(spark, batch_events):
+    """Append mode + watermark: the finite file set ends with the
+    watermark short of the newest windows, so the emitted rows are a
+    strict, non-empty PREFIX subset of the batch answer — late-data
+    safety traded against completeness, which is the documented
+    append-mode contract."""
+    sdf = hourly_event_counts(_stream(spark), watermark="2 hours")
+    run_to_memory(sdf, "hourly_append", output_mode="append")
+    got = set(_rows(spark.table("hourly_append")))
+    want = set(
+        _rows(hourly_event_counts(batch_events, watermark=None))
+    )
+    assert got and got < want
+    # everything withheld is within the final watermark of max ts
+    max_us = batch_events.agg(
+        F.max(F.unix_micros("ts")).alias("m")
+    ).collect()[0].m
+    horizon = max_us - 2 * 3600 * 1_000_000
+    withheld_starts = {r[0] for r in (want - got)}
+    assert all(s >= horizon - 3600 * 1_000_000 for s in withheld_starts)
+
+
+# --- streaming dedup -------------------------------------------------------
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """dropDuplicatesWithinWatermark over a one-shot file stream keeps
+    exactly one row per fingerprint (all data lands in one micro-batch,
+    well inside the watermark): the surviving fingerprint set equals the
+    batch dedup's."""
+    docs = load_table(spark, SF_DIR, "documents")
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.col("event_id").alias("doc_id"),
+        F.col("props").alias("text"),
+        "ts",
+    )
+    # batch path through the same helper (no watermark)
+    batch_fps = {
+        r.fingerprint
+        for r in streaming_exact_dedup(ev).select("fingerprint").collect()
+    }
+    sev = _stream(spark).select(
+        F.col("event_id").alias("doc_id"),
+        F.col("props").alias("text"),
+        "ts",
+    )
+    sdd = streaming_exact_dedup(sev, time_col="ts", watermark="1 day")
+    run_to_memory(sdd, "dedup_stream", output_mode="append")
+    got = spark.table("dedup_stream")
+    fps = [r.fingerprint for r in got.select("fingerprint").collect()]
+    assert len(fps) == len(set(fps))  # one row per fingerprint
+    assert set(fps) == batch_fps
+    assert docs is not None  # documents loads cleanly alongside streams
+
+
+def test_streaming_dedup_guards(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="BOTH"):
+        streaming_exact_dedup(docs, time_col="ts")
+    with pytest.raises(ValueError, match="BOTH"):
+        streaming_exact_dedup(docs, watermark="1 hour")
+    sev = _stream(spark).select(F.col("props").alias("text"), "ts")
+    with pytest.raises(ValueError, match="requires"):
+        streaming_exact_dedup(sev)
