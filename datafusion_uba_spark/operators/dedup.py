@@ -136,7 +136,17 @@ def ngram_jaccard_pairs(
     """
     tau_bp = int(round(threshold * 10000))
     sh = _shingle_df(df, text_col, id_col, n)
-    inv = sh.select("__id", F.explode("__sh").alias("__s"))
+    # explode_OUTER on purpose: inner explode makes the optimizer infer
+    # a `size(__sh) > 0 AND isnotnull(__sh)` filter and push it to the
+    # scan, substituting the whole norm→toks→shingle chain into an
+    # interpreted, pre-repartition (single-task) Filter — measured +6 s
+    # at sf0.1. _shingle_df already guarantees non-empty arrays (token
+    # filter), so outer + a post-Generate null guard is row-identical,
+    # and a guard on the generator OUTPUT cannot be pushed below it.
+    inv = (
+        sh.select("__id", F.explode_outer("__sh").alias("__s"))
+        .where(F.col("__s").isNotNull())
+    )
     if max_df is not None:
         freq = inv.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
         inv = inv.join(freq.where(F.col("__df") <= max_df), "__s").select(
@@ -349,11 +359,20 @@ def simhash(shingles: Column, bits: int = 64) -> Column:
         masks,
         lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
     )
-    return F.aggregate(
+    folded = F.aggregate(
         signed,
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
     )
+    # coalesce makes the signature STATICALLY non-nullable, which is a
+    # plan property, not a value change (the fold is only null on a
+    # null shingle array, which callers exclude): without it, the
+    # chunk equi-join's inferred isnotnull(chunk_val) constraint
+    # substitutes this entire fold into a scan-level interpreted
+    # Filter on BOTH join sides (pre-repartition, single-task —
+    # measured several seconds at sf0.1); with a non-nullable child
+    # the constraint folds to true and vanishes.
+    return F.coalesce(folded, F.lit(0).cast("long"))
 
 
 def simhash_pairs(
