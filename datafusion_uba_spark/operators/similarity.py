@@ -441,6 +441,105 @@ def ann_topk_lsh(
     )
 
 
+def ivf_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer —
+    the second scale-path ANN variant next to ann_topk_lsh.
+
+    - ``n_cells`` literal, seed-derived centroid directions (same
+      deterministic generator as the LSH planes, so the DuckDB oracle
+      replays them); every data vector is assigned to the cell whose
+      centroid gives the LARGEST exact integer dot — ONE narrow map,
+      one `cell` int per vector, which at 100 TB is the partitioning/
+      clustering key (write the corpus bucketed by cell and a probe
+      touches only matching file groups).
+    - each query probes its ``n_probe`` best cells; candidates come
+      from a broadcast equi-join on cell; exact cosine + salted top-k
+      on candidates only (same rescore as cosine_topk).
+
+    Unlike a trained k-means IVF, the centroids here are data-
+    independent random directions: recall on THIS near-orthogonal
+    synthetic corpus measures 0.775/0.758 (sf0.001/sf0.1, numpy replay
+    of the exact integer pipeline) at a ~0.5 candidate fraction — the
+    same index-hostility documented in ann_topk_lsh. On clustered real
+    corpora cell occupancy follows the clusters and n_probe/n_cells
+    prunes 10-100x harder; swap the literal centroids for trained ones
+    without touching the plan shape.
+
+    Determinism contract: cell = FIRST index of the max dot
+    (array_position; ties at smallest index), probe order =
+    (dot desc, index asc) — both exact integer comparisons, replayed
+    verbatim by the oracle's window ranking.
+
+    Output: (query_id, rank, vec_id, cosine_u) like cosine_topk.
+    """
+    cents = hyperplanes(dim, n_cells, seed=seed)
+
+    def with_dots(df_in: DataFrame, prefix: str) -> DataFrame:
+        base = _with_quant(df_in, vec_col, id_col, prefix, dim)
+        return base.selectExpr(
+            "*",
+            *[
+                f"{dot_lit_sql(f'{prefix}_q', c)} AS __d{i}"
+                for i, c in enumerate(cents)
+            ],
+        )
+
+    darr = "array(" + ", ".join(f"__d{i}" for i in range(n_cells)) + ")"
+    # coalesce: array_position of a non-null array never returns NULL
+    # here, but its static nullability would make the cell equi-join
+    # infer isnotnull(__cell) and push the whole dot chain into an
+    # interpreted scan filter (same disease as dedup.simhash); the
+    # non-nullable coalesce folds that constraint away.
+    dc = with_dots(data, "vec").selectExpr(
+        "vec_id",
+        "vec_q",
+        "vec_n",
+        f"CAST(coalesce(array_position({darr}, array_max({darr})), 0) AS INT)"
+        " AS __cell",
+    )
+    qd = with_dots(queries, "query")
+    pr = qd.selectExpr("query_id", f"posexplode({darr}) AS (__i, __dot)")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__dot").desc(), F.col("__i").asc()
+    )
+    probes = (
+        pr.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_probe)
+        .selectExpr("query_id", "CAST(__i + 1 AS INT) AS __cell")
+    )
+    cand = dc.join(F.broadcast(probes), "__cell").join(
+        F.broadcast(qd.select("query_id", "query_q", "query_n")), "query_id"
+    )
+    scored = cand.selectExpr(
+        "query_id",
+        "vec_id",
+        f"{cosine_sql('query_q', 'vec_q', 'query_n', 'vec_n', dim)} AS __cos",
+    )
+    top = topk_per_key(
+        scored,
+        "query_id",
+        [F.col("__cos").desc(), F.col("vec_id").asc()],
+        k,
+        salt_col="vec_id",
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        "vec_id",
+        F.floor(F.col("__cos") * 1_000_000).cast("long").alias("cosine_u"),
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.4,

@@ -322,6 +322,65 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_lsh(emb, _query_vectors(emb), k=_TOPK)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return similarity.ivf_topk(emb, _query_vectors(emb), k=_TOPK)
+
+
+def _oracle_ann_topk_ivf() -> str:
+    """Replays similarity.ivf_topk exactly: same literal centroids,
+    cell = first index of the max dot, probes = the n_probe best
+    (dot desc, index asc) cells per query — all exact integer
+    comparisons, so even the approximate index hash-matches."""
+    n_cells, n_probe = 16, 8
+    cents = similarity.hyperplanes(64, n_cells, seed=42)
+    dot_cols = ", ".join(
+        f"{_ddb_dot('v', _plane_literal(c))} AS d{i}"
+        for i, c in enumerate(cents)
+    )
+    dlist = "[" + ", ".join(f"d{i}" for i in range(n_cells)) + "]"
+    qrows = " UNION ALL ".join(
+        f"SELECT query_id, qv, qn2, {i + 1} AS cell, d{i} AS dot FROM qdots"
+        for i in range(n_cells)
+    )
+    return f"""
+WITH d AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+dn AS (SELECT vec_id, v, {_ddb_dot("v", "v")} AS n2 FROM d),
+dots AS (SELECT vec_id, v, n2, {dot_cols} FROM dn),
+cells AS (
+  SELECT vec_id, v, n2,
+         CAST(list_position({dlist}, list_max({dlist})) AS INT) AS cell
+  FROM dots
+),
+qdots AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2,
+                 {", ".join(f"d{i}" for i in range(n_cells))}
+          FROM dots WHERE vec_id < {_N_QUERIES}),
+qcellrows AS ({qrows}),
+probes AS (
+  SELECT query_id, qv, qn2, cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dot DESC, cell) AS rn
+        FROM qcellrows)
+  WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, c.vec_id,
+         CAST({_ddb_dot("p.qv", "c.v")} AS DOUBLE)
+         / sqrt(CAST(p.qn2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS c
+  FROM probes p JOIN cells c ON c.cell = p.cell
+),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)
+           AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       CAST(floor(c * 1000000) AS BIGINT) AS cosine_u
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
 _NEARDUP_THRESHOLD = 0.4
 
 
@@ -397,6 +456,7 @@ LLM_REGISTRY: dict = {
     "dedup_simhash": (q_dedup_simhash, None),
     "ann_topk": (q_ann_topk, _ORACLE_ANN_TOPK),
     "ann_topk_lsh": (q_ann_topk_lsh, _oracle_ann_topk_lsh()),
+    "ann_topk_ivf": (q_ann_topk_ivf, _oracle_ann_topk_ivf()),
     "embedding_neardup": (q_embedding_neardup, _oracle_embedding_neardup()),
     "multimodal_stats": (q_multimodal_stats, _ORACLE_MULTIMODAL),
 }

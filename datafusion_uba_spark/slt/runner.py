@@ -54,6 +54,27 @@ def _norm_float(v: float) -> str:
     return _round12(Decimal(repr(v)))
 
 
+# Workspace-path normalization (normalize.rs:125-133): result cells
+# containing the engine's checkout/data root (EXPLAIN output file
+# paths, mostly) are rewritten to the literal WORKSPACE_ROOT so slt
+# files are machine-independent. Ours is the repo root; override via
+# set_workspace_root for corpora recorded elsewhere.
+import os as _os
+
+WORKSPACE_ROOT = _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+
+def set_workspace_root(path: str) -> None:
+    global WORKSPACE_ROOT
+    WORKSPACE_ROOT = path.rstrip("/")
+
+
+def _norm_paths(s: str) -> str:
+    return s.replace(WORKSPACE_ROOT, "WORKSPACE_ROOT") if WORKSPACE_ROOT else s
+
+
 def norm_value(v) -> str:
     if v is None:
         return "NULL"
@@ -66,7 +87,7 @@ def norm_value(v) -> str:
         # + normalize like the reference (conversion.rs:77-86)
         return _round12(v)
     if isinstance(v, str):
-        return v.rstrip("\n") if v else "(empty)"
+        return _norm_paths(v.rstrip("\n")) if v else "(empty)"
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(norm_value(x) for x in v) + "]"
     if isinstance(v, bytes):

@@ -180,6 +180,25 @@ def test_ann_recall_at_10(spark, emb):
     assert recall >= 0.9, f"ANN recall@10 {recall} < 0.9"
 
 
+def test_ivf_recall_at_10(spark, emb):
+    q = emb.where("vec_id < 8")
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in similarity.cosine_topk(emb, q, k=10).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk(emb, q, k=10).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    # deterministic (seeded centroids, fixed data): 0.775 on the
+    # sf0.001 corpus with C=16/nprobe=8 at a ~0.5 candidate fraction —
+    # random-direction centroids on a near-orthogonal corpus are the
+    # documented worst case (see the ivf_topk docstring); gate below
+    # the measured value with a little slack
+    assert recall >= 0.7, f"IVF recall@10 {recall} < 0.7"
+
+
 def test_topk_per_key_matches_naive(spark):
     df = spark.createDataFrame(
         [(k, i, float((i * 37 + k * 11) % 100)) for k in range(3) for i in range(50)],

@@ -33,3 +33,20 @@ def test_parse_shapes():
     assert recs[1].types == "I"
     assert recs[1].sort == "rowsort"
     assert recs[1].expected == ["1"]
+
+
+def test_norm_workspace_paths():
+    # normalize.rs:125-133: cells containing the workspace root become
+    # machine-independent WORKSPACE_ROOT references (EXPLAIN outputs)
+    from datafusion_uba_spark.slt import runner as R
+
+    old = R.WORKSPACE_ROOT
+    try:
+        R.set_workspace_root("/data/checkout")
+        assert (
+            norm_value("Scan parquet /data/checkout/t/x.parquet")
+            == "Scan parquet WORKSPACE_ROOT/t/x.parquet"
+        )
+        assert norm_value("no paths here") == "no paths here"
+    finally:
+        R.set_workspace_root(old)

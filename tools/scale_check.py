@@ -1,0 +1,147 @@
+"""Scale-stress harness: how does each heavy operator's wall time grow
+when the input grows k-fold?
+
+Replicates the driver's sf0.1 tables k times (ids shifted so replicas
+are distinct rows, text/embeddings perturbed per replica so dedup and
+ANN don't degenerate into k-fold exact duplicates) into /tmp, then
+times the registry's heavy queries at 1x and kx and reports the
+scaling exponent log_k(t_k / t_1). A linear operator shows ~1.0 (plus
+fixed overhead pulling it below 1 at these sizes); anything >> 1 is a
+quadratic-at-scale red flag.
+
+This is MEASUREMENT data derived from the driver's testdata, written
+only under /tmp — correctness claims still come exclusively from the
+driver parquet + DuckDB oracles.
+
+Usage: python tools/scale_check.py [k] (default 8)
+Prints one JSON line: {"k": k, "queries": {name: {"t1": s, "tk": s,
+"exponent": e}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+HEAVY = [
+    "text_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk",
+    "ann_topk_lsh",
+    "embedding_neardup",
+    "retention_count",
+    "sessionize",
+]
+
+
+def _replicate(spark, k: int, out_dir: str) -> None:
+    """k shifted/perturbed copies of every table the heavy queries read."""
+    from pyspark.sql import functions as F
+
+    from datafusion_uba_spark.sources import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = load_table(spark, BASE, "documents")
+    n_docs = docs.count()
+    copies = []
+    for i in range(k):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+        if i > 0:
+            # distinct suffix so replicas are near-dups at most, not
+            # exact dups — keeps dedup candidate structure realistic
+            c = c.withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
+            )
+        copies.append(c)
+    rep = copies[0]
+    for c in copies[1:]:
+        rep = rep.unionAll(c)
+    rep.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = load_table(spark, BASE, "embeddings")
+    n_emb = emb.count()
+    copies = []
+    for i in range(k):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_emb))
+        if i > 0:
+            # deterministic per-replica rotation of the vector (shift
+            # by i positions) — same norm, different direction
+            c = c.withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {64 - 0} - {i} + 1, {i}), "
+                    f"slice(embedding, 1, 64 - {i}))"
+                ),
+            )
+        copies.append(c)
+    rep = copies[0]
+    for c in copies[1:]:
+        rep = rep.unionAll(c)
+    rep.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+    ev = load_table(spark, BASE, "events")
+    n_users = 1_000_000_000
+    copies = []
+    for i in range(k):
+        copies.append(
+            ev.withColumn("user_id", F.col("user_id") + F.lit(i * n_users))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * n_users))
+        )
+    rep = copies[0]
+    for c in copies[1:]:
+        rep = rep.unionAll(c)
+    rep.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    out_dir = f"/tmp/uba_scale_{k}x"
+
+    from datafusion_uba_spark import queries_llm, queries_uba
+    from datafusion_uba_spark.queries import queries
+    from datafusion_uba_spark.session import get_spark
+
+    spark = get_spark(app_name="uba-scale-check")
+    _replicate(spark, k, out_dir)
+
+    reg = queries()
+    import math
+
+    def timed(fn, sf_dir: str) -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    out = {}
+    for name in HEAVY:
+        fn = reg[name]
+        t1 = timed(fn, BASE)
+        tk = timed(fn, out_dir)
+        out[name] = {
+            "t1": round(t1, 3),
+            "tk": round(tk, 3),
+            "exponent": round(math.log(max(tk, 1e-9) / max(t1, 1e-9))
+                              / math.log(k), 3),
+        }
+        print(f"# {name}: {t1:.2f}s -> {tk:.2f}s at {k}x "
+              f"(exponent {out[name]['exponent']})", file=sys.stderr)
+
+    print(json.dumps({"k": k, "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
