@@ -556,6 +556,17 @@ def embedding_neardup_pairs(
     sharing a bucket in any table, verified with exact quantized
     cosine >= threshold. Output: (id_a, id_b, cosine_u) in integer
     micro-units.
+
+    SIZE THE INDEX WITH THE CORPUS: expected bucket occupancy is
+    n / 2**n_planes per table, and the self-join does occupancy^2 work
+    per bucket — with n_planes FIXED the operator is quadratic in n
+    (measured by tools/scale_check.py: 8x rows -> 64x pair work,
+    exponent 2.1). Hold occupancy constant by growing n_planes with
+    log2(n): n_planes ~= log2(n / target_occupancy). The defaults
+    (6 planes -> 64 buckets/table) are sized for the sf0.1 corpus;
+    at 8x, 9 planes restores the 1x occupancy. On clustered real
+    corpora the true near-dup groups dominate buckets and the exact
+    verify step is the irreducible cost.
     """
     tables = [
         hyperplanes(dim, n_planes, seed=seed + 1000 * t)

