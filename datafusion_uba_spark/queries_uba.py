@@ -114,8 +114,76 @@ UNION ALL
 SELECT 3, '{_FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
 """
 
+_ASOF_TOL_US = 86_400_000_000  # 1 day
+
+
+def q_asof_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the latest prior view's value for the same
+    user within 1 day — the canonical as-of join ("attribute each
+    conversion to the state at that moment"). Oracle: DuckDB's native
+    ASOF LEFT JOIN, which pins the same greatest-right_ts-<=-left_ts
+    semantics our union/window composition implements."""
+    from datafusion_uba_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_type",
+        "value",
+    )
+    purchases = base.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("tus").alias("purchase_us")
+    )
+    # one row per (user, instant): max(value) — exact selection, no
+    # float arithmetic, so both engines pick identical bits
+    views = (
+        base.where(F.col("event_type") == "view")
+        .groupBy("user_id", "tus")
+        .agg(F.max("value").alias("view_value"))
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="purchase_us",
+        right_ts="tus",
+        right_cols=["view_value"],
+        direction="backward",
+        tolerance=_ASOF_TOL_US,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "purchase_us",
+        F.col("tus_asof").alias("view_us"),
+        F.col("view_value_asof").alias("view_value"),
+    )
+
+
+_ORACLE_ASOF = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type, value
+  FROM events
+),
+p AS (SELECT event_id, user_id, tus AS purchase_us FROM e
+      WHERE event_type = 'purchase'),
+v AS (SELECT user_id, tus, max(value) AS view_value FROM e
+      WHERE event_type = 'view' GROUP BY user_id, tus)
+SELECT p.event_id, p.user_id, p.purchase_us,
+       CASE WHEN p.purchase_us - v.tus <= {_ASOF_TOL_US}
+            THEN v.tus END AS view_us,
+       CASE WHEN p.purchase_us - v.tus <= {_ASOF_TOL_US}
+            THEN v.view_value END AS view_value
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.purchase_us >= v.tus
+"""
+
+
 UBA_REGISTRY: dict = {
     "sessionize": (q_sessionize, _ORACLE_SESSIONIZE),
     "hourly_event_counts": (q_hourly_event_counts, _ORACLE_HOURLY),
     "funnel_steps": (q_funnel_steps, _ORACLE_FUNNEL),
+    "asof_view_value": (q_asof_view_value, _ORACLE_ASOF),
 }
