@@ -1,0 +1,75 @@
+"""Range (interval-containment) join — points to enclosing intervals —
+composed from built-ins as a bucketized equi-join.
+
+Spark accepts ``l.ts BETWEEN r.start AND r.end`` as a join condition,
+but with no equi-key component it plans a BroadcastNestedLoopJoin —
+O(|L|·|R|) and a driver OOM once the right side outgrows the
+broadcast limit. The scale-safe composition:
+
+1. Pick a bucket width W. Each interval explodes to one row per
+   covered bucket (``sequence(start div W, end div W)``); each point
+   maps to exactly ONE bucket (``ts div W``).
+2. Equi-join on (key..., bucket) — a plain hash shuffle join that
+   AQE can size and skew-split like any other.
+3. Re-check the exact BETWEEN predicate on the survivors.
+
+Because a point owns exactly one bucket, every qualifying (point,
+interval) pair meets in exactly one bucket — no dedup step. Join work
+is |L| + |R|·(avg_span/W + 1) rows; choose W near the typical interval
+span so intervals explode to O(1) buckets. This is the same binning
+strategy DuckDB's IEJoin-less engines and Spark's own
+`spark.sql.join.rangeJoin` hints (Databricks) use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str],
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Inner-join each point row to every interval row (same key) whose
+    ``[start_col, end_col]`` contains ``point_ts`` — inclusive both
+    ends; timestamps must be NON-NEGATIVE integers (epoch micros by
+    convention: integer division is truncation, which only equals
+    floor-bucketing for non-negative values).
+
+    Output: all point columns + the interval's non-key columns.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    ivl_payload = [c for c in intervals.columns if c not in keys]
+    ivl = intervals.select(
+        *keys,
+        F.struct(*ivl_payload).alias("__ivl"),
+        F.explode(
+            F.sequence(
+                F.expr(f"`{start_col}` DIV {bucket_width}"),
+                F.expr(f"`{end_col}` DIV {bucket_width}"),
+            )
+        ).alias("__bucket"),
+    )
+    pts = points.withColumn(
+        "__bucket", F.expr(f"`{point_ts}` DIV {bucket_width}")
+    )
+    contained = (F.col(point_ts) >= F.col(f"__ivl.{start_col}")) & (
+        F.col(point_ts) <= F.col(f"__ivl.{end_col}")
+    )
+    return (
+        pts.join(ivl, [*keys, "__bucket"])
+        .where(contained)
+        .select(
+            *points.columns,
+            *[F.col(f"__ivl.{c}").alias(c) for c in ivl_payload],
+        )
+    )

@@ -181,9 +181,59 @@ FROM p ASOF LEFT JOIN v
 """
 
 
+_RJ_BUCKET_US = 30 * 60 * 1_000_000  # range-join bucket = the gap width
+
+
+def q_session_of_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event joined to its enclosing session via the bucketized
+    range join — sessions come from sessionize(), so this also pins
+    that sessions exactly tile each user's events (one match per
+    event). Output: (event_id, user_id, session_start_us,
+    session_n_events)."""
+    from datafusion_uba_spark.operators.interval import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tus")
+    )
+    sessions = sessionize(ev, gap="30 minutes").select(
+        "user_id",
+        "session_start_us",
+        (F.col("session_start_us") + F.col("duration_us")).alias(
+            "session_end_us"
+        ),
+        F.col("n_events").alias("session_n_events"),
+    )
+    joined = range_join(
+        points,
+        sessions,
+        on="user_id",
+        point_ts="tus",
+        start_col="session_start_us",
+        end_col="session_end_us",
+        bucket_width=_RJ_BUCKET_US,
+    )
+    return joined.select(
+        "event_id", "user_id", "session_start_us", "session_n_events"
+    )
+
+
+_ORACLE_SESSION_OF_EVENT = f"""
+WITH sess AS ({_ORACLE_SESSIONIZE}),
+e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events)
+SELECT e.event_id, e.user_id, s.session_start_us,
+       s.n_events AS session_n_events
+FROM e JOIN sess s
+  ON e.user_id = s.user_id
+ AND e.tus BETWEEN s.session_start_us
+               AND s.session_start_us + s.duration_us
+"""
+
+
 UBA_REGISTRY: dict = {
     "sessionize": (q_sessionize, _ORACLE_SESSIONIZE),
     "hourly_event_counts": (q_hourly_event_counts, _ORACLE_HOURLY),
     "funnel_steps": (q_funnel_steps, _ORACLE_FUNNEL),
     "asof_view_value": (q_asof_view_value, _ORACLE_ASOF),
+    "session_of_event": (q_session_of_event, _ORACLE_SESSION_OF_EVENT),
 }

@@ -1,0 +1,85 @@
+"""range_join: boundary goldens + property pin vs a naive model (the
+DuckDB BETWEEN-join parity runs in test_oracle_parity via the
+session_of_event registry row)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datafusion_uba_spark.operators.interval import range_join
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def test_range_join_golden(spark):
+    pts = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 15), (2, 5)], "k long, t long"
+    )
+    ivl = spark.createDataFrame(
+        # intervals spanning multiple buckets, nested, and boundary hits
+        [(1, 0, 10, "a"), (1, 10, 20, "b"), (2, 6, 9, "c")],
+        "k long, s long, e long, name string",
+    )
+    got = {
+        (r.k, r.t, r.name)
+        for r in range_join(
+            pts, ivl, on="k", point_ts="t", start_col="s", end_col="e",
+            bucket_width=4,
+        ).collect()
+    }
+    assert got == {
+        (1, 5, "a"),
+        (1, 10, "a"),  # end boundary inclusive
+        (1, 10, "b"),  # start boundary inclusive -> both intervals
+        (1, 15, "b"),
+        # (2, 5): interval c starts later -> no match
+    }
+
+
+def _model(pts, ivls):
+    return {
+        (k, t, s, e, i)
+        for (k, t) in pts
+        for i, (ik, s, e) in enumerate(ivls)
+        if ik == k and s <= t <= e
+    }
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 30)),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    ivls=st.lists(
+        st.tuples(
+            st.integers(1, 2), st.integers(0, 30), st.integers(0, 12)
+        ).map(lambda x: (x[0], x[1], x[1] + x[2])),
+        min_size=0,
+        max_size=6,
+    ),
+    width=st.sampled_from([1, 3, 7, 64]),
+)
+@settings(**_SETTINGS)
+def test_range_join_matches_model(spark, pts, ivls, width):
+    pdf = spark.createDataFrame(list(pts), "k long, t long")
+    idf = spark.createDataFrame(
+        [(k, s, e, i) for i, (k, s, e) in enumerate(ivls)] or
+        [(0, 0, 0, -1)],
+        "k long, s long, e long, ivl_id long",
+    )
+    got = {
+        (r.k, r.t, r.s, r.e, r.ivl_id)
+        for r in range_join(
+            pdf, idf, on="k", point_ts="t", start_col="s", end_col="e",
+            bucket_width=width,
+        ).collect()
+    }
+    want = _model(pts, ivls) if ivls else set()
+    assert got == want
