@@ -117,6 +117,37 @@ def register(df: DataFrame, name: str, cache: bool = False) -> DataFrame:
     return df
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: str | list[str],
+    n_buckets: int,
+    sort_cols: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a BUCKETED (and optionally sort-within-bucket)
+    parquet table in the session catalog — the shuffle-amortization
+    primitive for 100 TB fact tables.
+
+    A join or aggregation keyed on ``bucket_cols`` between tables
+    bucketed the same way needs NO exchange: Spark matches the
+    bucketing to the required hash partitioning and plans a zero-
+    shuffle SortMergeJoin (asserted by
+    tests/test_sources.py::test_bucketed_join_has_no_shuffle). Write
+    once, join/aggregate shuffle-free forever after — at 100 TB the
+    single biggest cost you can delete from a recurring pipeline.
+    ``sort_cols`` additionally pre-sorts within buckets so the merge
+    phase skips its sort (events by (user_id) bucketed + ts-sorted is
+    the retention/sessionize sweet spot).
+    """
+    bc = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bc)
+    if sort_cols is not None:
+        sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sc)
+    w.saveAsTable(table)
+
+
 def _utc_nanos(date_str: str) -> int:
     """Epoch nanos of a UTC midnight date string."""
     from datetime import datetime, timezone

@@ -89,3 +89,34 @@ def test_read_avro_round_trip(spark, tmp_path):
     back = sources.read_avro(spark, path)
     assert back.count() == 100
     assert {r.twice for r in back.collect()} == {2 * i for i in range(100)}
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """write_bucketed's contract: two tables bucketed on the join key
+    join with ZERO Exchange operators in the physical plan — the
+    100 TB shuffle-amortization primitive. (Warehouse location is
+    session-global; the tables are dropped after.)"""
+    ev = sources.load_table(spark, sf_dir, "events")
+    left = ev.selectExpr("user_id", "event_id", "value")
+    right = ev.groupBy("user_id").count()
+    sources.write_bucketed(left, "ev_bucketed", "user_id", 8)
+    sources.write_bucketed(right, "cnt_bucketed", "user_id", 8)
+    # at sf0.001 both sides fit the broadcast threshold and the planner
+    # (correctly) prefers a broadcast join, ignoring bucketing; disable
+    # broadcast to plan the join these tables would get at 100 TB
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("ev_bucketed").join(
+            spark.table("cnt_bucketed"), "user_id"
+        )
+        n = joined.count()  # run first so AQE finalizes the plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # inner join on a key present on both sides keeps every row
+        assert n == left.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+        spark.sql("DROP TABLE IF EXISTS cnt_bucketed")
