@@ -1,0 +1,76 @@
+"""Physical-plan audit over the ENTIRE query registry — the structural
+anti-patterns that sank round-2 performance, pinned as assertions so
+they can't regress silently:
+
+- no CartesianProduct anywhere;
+- BroadcastNestedLoopJoin only where it is the DESIGN (brute-force
+  scoring joins whose one side is a broadcast query set);
+- no optimizer-substituted expression chains in scan-level Filters
+  (the InferFiltersFromGenerate / isnotnull-constraint disease: a
+  regexp/HOF chain evaluated per input row, interpreted, before the
+  repartition — operators/dedup.py documents the two fixes).
+
+Plans are inspected at sf0.001 — plan SHAPE is data-independent here
+(the same operators/joins appear at every SF; only AQE sizing
+decisions differ, and none of the asserted patterns is one AQE
+introduces).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from datafusion_uba_spark.queries import queries
+
+# brute-force scorers: the no-condition join against a broadcast query
+# set IS the plan (data side never moves); everything else must be an
+# equi-join
+_NLJ_ALLOWED = {"ann_topk"}
+
+_REGISTRY = queries()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    return {
+        name: fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        for name, fn in _REGISTRY.items()
+    }
+
+
+def test_no_cartesian_product(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, f"cartesian products in: {bad}"
+
+
+def test_nested_loop_joins_only_where_designed(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in _NLJ_ALLOWED
+    ]
+    assert not bad, f"unexpected nested-loop joins in: {bad}"
+
+
+def test_no_expression_chains_in_scan_filters(plans):
+    """A Filter node directly over a scan must not contain the heavy
+    text chain (regexp_replace = the normalize/tokenize pipeline's
+    fingerprint): its presence means the optimizer substituted a
+    derived column's whole definition into a pre-shuffle, interpreted,
+    single-task filter. Cheap pushed predicates (isnotnull, size of
+    the split chain for the token-count filter) are fine — the pin is
+    on the SHINGLE/SIGNATURE chains, whose fingerprint is
+    array_distinct/aggregate inside a Filter condition."""
+    offenders = {}
+    for name, plan in plans.items():
+        for m in re.finditer(r"\+- Filter (.+)", plan):
+            cond = m.group(1)
+            if "array_distinct(" in cond or "aggregate(zip_with" in cond:
+                offenders.setdefault(name, 0)
+                offenders[name] += 1
+    assert not offenders, f"substituted chains in scan filters: {offenders}"
