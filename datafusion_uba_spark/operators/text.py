@@ -247,7 +247,15 @@ def quality_score(text: Column | str) -> Column:
         - 30 * f["digit_bp"]
         - 30 * f["punct_bp"]
     )
-    return F.greatest(F.least(s, F.lit(1_000_000)), F.lit(0)).cast("long")
+    # explicit null guard: Spark's least/greatest SKIP nulls, so a null
+    # text would otherwise clamp to a PERFECT 1_000_000 score
+    return (
+        F.when(
+            s.isNotNull(),
+            F.greatest(F.least(s, F.lit(1_000_000)), F.lit(0)),
+        )
+        .cast("long")
+    )
 
 
 # --- fingerprinting --------------------------------------------------------
@@ -364,7 +372,12 @@ def text_stats(
         "stopword_bp",
         "uniq_token_bp",
         "avg_token_len_centi",
-        F.greatest(F.least(score, F.lit(1_000_000)), F.lit(0))
+        # null guard: least/greatest skip nulls — without it a null
+        # text scores a perfect 1_000_000 (n_tokens is null iff text is)
+        F.when(
+            F.col("n_tokens").isNotNull(),
+            F.greatest(F.least(score, F.lit(1_000_000)), F.lit(0)),
+        )
         .cast("long")
         .alias("quality_u"),
         "lang_pred",

@@ -126,11 +126,12 @@ q AS (
 )
 SELECT doc_id, n_tokens, n_bpe_tokens, n_chars_norm, alpha_bp,
   stopword_bp, uniq_token_bp, avg_token_len_centi,
-  CAST(greatest(least(
+  CAST(CASE WHEN n_tokens IS NOT NULL THEN greatest(least(
     35 * alpha_bp + 25 * uniq_token_bp
     + 20 * least(4 * stopword_bp, 10000)
     + 20 * least(CAST(floor((n_tokens * 10000) / 64) AS BIGINT), 10000)
-    - 30 * digit_bp - 30 * punct_bp, 1000000), 0) AS BIGINT) AS quality_u,
+    - 30 * digit_bp - 30 * punct_bp, 1000000), 0) END AS BIGINT)
+    AS quality_u,
   {text_ops.language_id_oracle_sql("norm")} AS lang_pred,
   sha256(norm) AS fingerprint,
   CASE WHEN len({_shingles_from("toks")}) > 0

@@ -135,3 +135,33 @@ def test_prefix_filter_is_exact(spark, sf_dir):
         ).collect()
     }
     assert on == off and len(on) > 0
+
+
+# --- degenerate-text robustness --------------------------------------------
+
+
+def test_text_ops_degenerate_inputs(spark):
+    """null / empty / whitespace-only / unicode text flow through every
+    text+dedup operator without errors, and a NULL text gets NULL
+    features and a NULL quality score (least/greatest skip nulls, so an
+    unguarded clamp scored null text a perfect 1.0 — regression pin)."""
+    from datafusion_uba_spark.operators import text as text_ops
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "héllo wörld héllo wörld héllo"),
+        (5, "a b c a b c a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r.doc_id: r for r in text_ops.text_stats(df).collect()}
+    assert stats[1].quality_u is None and stats[1].n_tokens is None
+    assert stats[2].quality_u == 0 and stats[3].quality_u == 0
+    assert stats[4].n_tokens == 5
+    # dedup families: no rows from degenerate docs, no exceptions
+    assert dedup.ngram_jaccard_pairs(df, n=2, threshold=0.3).count() == 0
+    assert dedup.simhash_pairs(df, n=2).count() == 0
+    assert dedup.minhash_lsh_pairs(df, n=2, threshold=0.3).count() == 0
+    exact = {r.doc_id: r.is_dup for r in dedup.exact_dedup(df).collect()}
+    assert exact[3] == 1  # "   " normalizes to "" == doc 2's content
