@@ -142,6 +142,64 @@ def frame_sample(
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame, max_side: int = 256
+) -> DataFrame:
+    """Resize plumbing for image payloads: scale (width, height) so the
+    longer side is <= ``max_side`` (aspect preserved, never upscale)
+    and re-emit the payload through the same Arrow-batched mapInPandas
+    boundary a real resampler would use.
+
+    The pixel transform is the deterministic STUB (payload truncated
+    proportionally to the area ratio — a real deployment swaps the
+    body for PIL's resize); the production-shaped parts are real:
+    metadata-only filter BEFORE bytes cross to Python (only image rows
+    and only 3 columns are shipped), per-Arrow-batch processing, and a
+    typed schema out.
+    """
+    import pandas as pd
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for did, payload, w, h in zip(
+                pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                scale = min(1.0, max_side / max(int(w), int(h)))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                raw = bytes(payload)
+                keep = max(1, int(len(raw) * (nw * nh) / (int(w) * int(h))))
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": nw,
+                        "height": nh,
+                        "payload": raw[:keep],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    narrow = df.where(F.col("meta.modality") == "image").select(
+        "doc_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return narrow.mapInPandas(resize, RESIZED_SCHEMA)
+
+
 def multimodal_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

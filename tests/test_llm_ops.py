@@ -264,3 +264,30 @@ def test_frame_sample(spark):
         assert r.frame_idx % 2 == 0
     video_ids = {r.doc_id for r in frames}
     assert video_ids <= {i for i in range(12) if i % 3 == 2}
+
+
+def test_resize_image_stub(spark):
+    df = spark.createDataFrame(
+        [(i, "x" * (50 + i)) for i in range(12)], "doc_id long, text string"
+    )
+    mm = multimodal.attach_payload(df)
+    # image modality is doc_id % 3 == 0; original dims are multiples
+    # of 64 up to 1024x576
+    orig = {
+        r.doc_id: (r.width, r.height)
+        for r in multimodal.payload_stats(mm).collect()
+    }
+    out = {r.doc_id: r for r in multimodal.resize_image(mm, max_side=128).collect()}
+    assert set(out) == {i for i in range(12) if i % 3 == 0}
+    for did, r in out.items():
+        w0, h0 = orig[did]
+        assert max(r.width, r.height) <= 128
+        assert r.width <= w0 and r.height <= h0
+        # aspect preserved within integer rounding
+        if max(w0, h0) > 128:
+            scale = 128 / max(w0, h0)
+            assert abs(r.width - int(w0 * scale)) <= 1
+            assert abs(r.height - int(h0 * scale)) <= 1
+        else:
+            assert (r.width, r.height) == (w0, h0)
+        assert 1 <= len(r.payload)
