@@ -202,3 +202,25 @@ def test_streaming_dedup_guards(spark):
     sev = _stream(spark).select(F.col("props").alias("text"), "ts")
     with pytest.raises(ValueError, match="requires"):
         streaming_exact_dedup(sev)
+
+
+def test_incremental_multi_batch_parity(spark, batch_events, tmp_path):
+    """REAL incrementality: the events table split into 4 files,
+    streamed one file per micro-batch (maxFilesPerTrigger=1), must
+    produce the same final aggregate as the one-shot batch plan —
+    pinning cross-batch state merging, not just single-batch replay."""
+    src = str(tmp_path / "ev_split")
+    batch_events.repartition(4).write.mode("overwrite").parquet(src)
+    sdf = stream_events(spark, src, max_files_per_trigger=1,
+                        path_glob_filter="*.parquet")
+    agg = hourly_event_counts(sdf, watermark=None)
+    q = run_to_memory(agg, "hourly_incr", output_mode="complete")
+    n_batches = len(q.recentProgress)
+    got = _rows(spark.table("hourly_incr"), "window_start_us", "event_type")
+    want = _rows(
+        hourly_event_counts(batch_events, watermark=None),
+        "window_start_us",
+        "event_type",
+    )
+    assert got == want and len(got) > 0
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
