@@ -50,3 +50,10 @@ def test_norm_workspace_paths():
         assert norm_value("no paths here") == "no paths here"
     finally:
         R.set_workspace_root(old)
+
+
+def test_engine_slt_corpus(spark):
+    failures = run_file(spark, os.path.join(SLT_DIR, "engine.slt"))
+    assert not failures, "\n\n".join(
+        f"line {f.line}: {f.sql}\n{f.message}" for f in failures
+    )
