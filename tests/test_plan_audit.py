@@ -74,3 +74,32 @@ def test_no_expression_chains_in_scan_filters(plans):
                 offenders.setdefault(name, 0)
                 offenders[name] += 1
     assert not offenders, f"substituted chains in scan filters: {offenders}"
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The engine's answer to hot keys is AQE skew-join splitting (plus
+    salting where keys are known-hot); pin that the session config
+    actually has it on and that a pathologically skewed join still
+    completes with correct results."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    import pyspark.sql.functions as F
+
+    # one key owns 95% of the left side
+    left = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 20 != 0, F.lit(0))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = left.join(right, "k")
+        # hot key 0 matches right row k=0 once: all 19000 hot rows
+        # survive; each cold row k=20i matches once
+        assert joined.count() == 20_000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

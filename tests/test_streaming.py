@@ -224,3 +224,37 @@ def test_incremental_multi_batch_parity(spark, batch_events, tmp_path):
     )
     assert got == want and len(got) > 0
     assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+
+
+def test_stream_to_parquet_backfill(spark, batch_events, tmp_path):
+    """The backfill pattern: stream -> transformation -> PARQUET sink
+    with a checkpoint (availableNow). The sink directory must read
+    back as exactly the batch answer, and a second availableNow run
+    against the same checkpoint must be a no-op (exactly-once: no
+    duplicate appends)."""
+    out = str(tmp_path / "hourly_parquet")
+    ckpt = str(tmp_path / "ckpt")
+    want = _rows(
+        hourly_event_counts(batch_events, watermark=None),
+        "window_start_us",
+        "event_type",
+    )
+
+    def run_once():
+        q = (
+            hourly_event_counts(_stream(spark), watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    run_once()
+    first = _rows(spark.read.parquet(out), "window_start_us", "event_type")
+    assert first and set(first) < set(want)  # append+watermark prefix
+    run_once()  # same source, same checkpoint: nothing new to emit
+    second = _rows(spark.read.parquet(out), "window_start_us", "event_type")
+    assert second == first
