@@ -146,6 +146,45 @@ FROM q
 # ---------------------------------------------------------------------------
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return text_ops.winnow_fingerprints(docs)
+
+
+# replays winnow_fingerprints exactly: same md5-hex k-gram hashes, same
+# lexicographic window minima, same sorted-set digest — md5 and string
+# ordering are engine-identical, which is why the operator hashes with
+# md5 hex instead of xxhash64 (see its docstring)
+_ORACLE_WINNOW = f"""
+WITH p AS (
+  SELECT doc_id, substr({_NORM}, 1, 256) AS p FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN length(p) >= 8 THEN
+           list_transform(range(1, length(p) - 8 + 2),
+                          i -> md5(substr(p, i, 8)))
+         ELSE [] END AS grams
+  FROM p
+),
+f AS (
+  SELECT doc_id, len(grams) AS n_kgrams,
+         CASE WHEN len(grams) >= 4 THEN
+           list_sort(list_distinct(list_transform(
+             range(1, len(grams) - 4 + 2),
+             j -> list_min(grams[j:j+3]))))
+         WHEN len(grams) > 0 THEN list_sort(list_distinct(grams))
+         ELSE NULL END AS fps
+  FROM g
+)
+SELECT doc_id, CAST(n_kgrams AS INT) AS n_kgrams,
+       CAST(coalesce(len(fps), 0) AS INT) AS n_fingerprints,
+       CASE WHEN fps IS NOT NULL THEN md5(array_to_string(fps, '')) END
+         AS winnow_digest
+FROM f
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return dedup.exact_dedup(docs)
@@ -451,6 +490,7 @@ FROM documents
 
 LLM_REGISTRY: dict = {
     "text_stats": (q_text_stats, _ORACLE_TEXT_STATS),
+    "winnow_fingerprints": (q_winnow_fingerprints, _ORACLE_WINNOW),
     "dedup_exact": (q_dedup_exact, _ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _ORACLE_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),

@@ -291,3 +291,43 @@ def test_resize_image_stub(spark):
         else:
             assert (r.width, r.height) == (w0, h0)
         assert 1 <= len(r.payload)
+
+
+def test_winnow_guarantee_and_edges(spark):
+    """The winnowing guarantee: documents sharing a substring of
+    length >= w + k - 1 (= 11 chars with defaults k=8, w=4) share at
+    least one fingerprint; disjoint-alphabet documents share none.
+    Plus short-text edges (len < k -> NULL digest; k <= len < k+w-1
+    -> all-grams fallback)."""
+    shared = "the same exact sentence appears in both documents"
+    rows = [
+        (1, f"unique prefix one {shared} unique suffix alpha"),
+        (2, f"completely other beginning {shared} different tail"),
+        (3, "zzz qqq vvv www uuu mmm nnn ooo ppp rrr sss ttt"),
+        (4, "tiny"),         # < k chars -> no grams
+        (5, "ninechars"),    # k <= len < k + w - 1 -> all-grams branch
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text_ops.winnow_fingerprints(df).collect()}
+    assert out[4].n_kgrams == 0 and out[4].winnow_digest is None
+    assert out[5].n_kgrams == 2 and out[5].n_fingerprints >= 1
+
+    # fingerprint SETS via the operator's internals: rerun keeping fps
+    from datafusion_uba_spark.operators.text import (
+        WINNOW_K as K, WINNOW_W as W, normalize_text,
+    )
+    s0 = df.selectExpr("doc_id", "text").select(
+        "doc_id", F.substring(normalize_text("text"), 1, 256).alias("p")
+    )
+    fps = {
+        r.doc_id: set(r.fps or [])
+        for r in s0.selectExpr(
+            "doc_id",
+            f"CASE WHEN length(p) >= {K} THEN "
+            f"array_distinct(transform(sequence(1, length(p) - {K} - {W} + 2), "
+            f"j -> array_min(transform(sequence(j, j + {W} - 1), "
+            f"i -> md5(substring(p, i, {K})))))) END AS fps",
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared 11+ char substring must share a print"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
