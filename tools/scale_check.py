@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEAVY = [
     "text_stats",
+    "winnow_fingerprints",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
