@@ -346,6 +346,77 @@ def winnow_fingerprints(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_chars: int = WINNOW_MAX_CHARS,
+    min_shared: int = 5,
+    max_df: int | None = 20,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by shared winnowing fingerprints
+    (how MOSS actually uses the sketch): explode each doc's fingerprint
+    set, equi-join on the fingerprint, count shared prints per pair.
+
+    ``min_shared`` filters incidental overlap; ``max_df`` drops
+    fingerprints appearing in more than that many docs before the join
+    (boilerplate/template substrings are the hot keys here — same df^2
+    hazard as the n-gram inverted index, same guard; None disables).
+    Defaults are tuned on the template-heavy synthetic corpus, where
+    loose settings (max_df=100, min_shared=2) flag 70% of ALL pairs as
+    related through shared boilerplate 8-grams; (20, 5) keeps the 185
+    substantial-overlap pairs at sf0.1. Output: (doc_a, doc_b,
+    shared_fps) with doc_a < doc_b.
+    """
+    s0 = df.select(
+        F.col(id_col).alias("__id"),
+        F.substring(normalize_text(text_col), 1, max_chars).alias("__p"),
+    )
+    s1 = s0.selectExpr(
+        "__id",
+        f"CASE WHEN length(__p) >= {k} THEN "
+        f"transform(sequence(1, length(__p) - {k} + 1), "
+        f"i -> md5(substring(__p, i, {k}))) "
+        f"ELSE CAST(array() AS array<string>) END AS __grams",
+    )
+    s2 = s1.selectExpr(
+        "__id",
+        f"CASE WHEN size(__grams) >= {w} THEN "
+        f"array_distinct(transform(sequence(1, size(__grams) - {w} + 1), "
+        f"j -> array_min(slice(__grams, j, {w})))) "
+        f"WHEN size(__grams) > 0 THEN array_distinct(__grams) "
+        f"ELSE CAST(array() AS array<string>) END AS __fps",
+    )
+    # explode_outer + null guard: same InferFiltersFromGenerate dodge
+    # as dedup.ngram_jaccard_pairs (the inferred size>0 filter would
+    # drag the md5 chain into a pre-shuffle interpreted scan Filter)
+    posting = (
+        s2.select("__id", F.explode_outer("__fps").alias("__fp"))
+        .where(F.col("__fp").isNotNull())
+    )
+    if max_df is not None:
+        dfreq = posting.groupBy("__fp").agg(F.count(F.lit(1)).alias("__df"))
+        posting = posting.join(
+            dfreq.where(F.col("__df") <= max_df), "__fp"
+        ).select("__id", "__fp")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__fp") == F.col("b.__fp"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(
+            F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
 def text_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

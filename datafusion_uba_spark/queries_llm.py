@@ -185,6 +185,52 @@ FROM f
 """
 
 
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return text_ops.winnow_pairs(docs)
+
+
+# replays winnow_pairs: same fps CTE shape as _ORACLE_WINNOW (unsorted
+# distinct — order never matters once exploded), df-capped postings,
+# pair counts
+_ORACLE_DEDUP_WINNOW = f"""
+WITH p AS (
+  SELECT doc_id, substr({_NORM}, 1, 256) AS p FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN length(p) >= 8 THEN
+           list_transform(range(1, length(p) - 8 + 2),
+                          i -> md5(substr(p, i, 8)))
+         ELSE [] END AS grams
+  FROM p
+),
+f AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) >= 4 THEN
+           list_distinct(list_transform(
+             range(1, len(grams) - 4 + 2),
+             j -> list_min(grams[j:j+3])))
+         WHEN len(grams) > 0 THEN list_distinct(grams)
+         ELSE [] END AS fps
+  FROM g
+),
+posting AS (
+  SELECT doc_id, unnest(fps) AS fp FROM f
+),
+capped AS (
+  SELECT doc_id, fp FROM posting
+  WHERE fp IN (SELECT fp FROM posting GROUP BY fp HAVING count(*) <= 20)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS shared_fps
+FROM capped a JOIN capped b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 5
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return dedup.exact_dedup(docs)
@@ -491,6 +537,7 @@ FROM documents
 LLM_REGISTRY: dict = {
     "text_stats": (q_text_stats, _ORACLE_TEXT_STATS),
     "winnow_fingerprints": (q_winnow_fingerprints, _ORACLE_WINNOW),
+    "dedup_winnow": (q_dedup_winnow, _ORACLE_DEDUP_WINNOW),
     "dedup_exact": (q_dedup_exact, _ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _ORACLE_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
