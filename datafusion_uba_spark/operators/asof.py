@@ -97,12 +97,17 @@ def asof_join(
         r_aligned
     )
 
+    # carried ASC in BOTH directions: the window's last() takes the
+    # final right row at each (key, ts), so ascending carried makes
+    # the LARGEST payload struct win ties symmetrically (a carried
+    # DESC here would silently flip forward ties to smallest-wins —
+    # caught by test_asof_forward_tie_determinism)
     if direction == "backward":
         order = [F.col("__t").asc(), F.col("__src").asc(),
                  F.col("__carried").asc()]
     else:
         order = [F.col("__t").desc(), F.col("__src").asc(),
-                 F.col("__carried").desc()]
+                 F.col("__carried").asc()]
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)

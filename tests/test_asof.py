@@ -72,6 +72,20 @@ def test_asof_tolerance(spark):
     }
 
 
+def test_asof_forward_tie_determinism(spark):
+    # forward ties must ALSO pick the largest payload (an ordering bug
+    # made forward ties pick the smallest while backward picked the
+    # largest; hypothesis missed the case, this golden pins it)
+    left = _mk(spark, [(1, 5)], "k long, t long")
+    right = _mk(
+        spark, [(1, 9, "b"), (1, 9, "z")], "k long, t long, v string"
+    )
+    rows = asof_join(
+        left, right, on="k", left_ts="t", direction="forward"
+    ).collect()
+    assert [(r.t_asof, r.v_asof) for r in rows] == [(9, "z")]
+
+
 def test_asof_tie_determinism(spark):
     # two right rows on the same (key, ts): the largest payload struct
     # wins, every run
@@ -84,15 +98,35 @@ def test_asof_tie_determinism(spark):
         assert [(r.t_asof, r.v_asof) for r in rows] == [(10, "z")]
 
 
-def _model(left, right, tol=None):
+def _model(left, right, direction="backward", tol=None):
     out = set()
     for (k, t) in left:
-        cands = [(rt, v) for (rk, rt, v) in right if rk == k and rt <= t]
-        if tol is not None:
-            cands = [(rt, v) for (rt, v) in cands if t - rt <= tol]
-        if cands:
-            rt, v = max(cands)  # latest ts, largest payload on ties
-            out.add((k, t, rt, v))
+        if direction == "backward":
+            cands = [
+                (rt, v) for (rk, rt, v) in right if rk == k and rt <= t
+            ]
+            if tol is not None:
+                cands = [(rt, v) for (rt, v) in cands if t - rt <= tol]
+            # latest ts wins; largest payload on ts ties
+            best = max(cands) if cands else None
+        else:
+            cands = [
+                (rt, v) for (rk, rt, v) in right if rk == k and rt >= t
+            ]
+            if tol is not None:
+                cands = [(rt, v) for (rt, v) in cands if rt - t <= tol]
+            # earliest ts wins; largest payload on ts ties
+            best = (
+                max(
+                    (rt, v)
+                    for (rt, v) in cands
+                    if rt == min(c[0] for c in cands)
+                )
+                if cands
+                else None
+            )
+        if best:
+            out.add((k, t, best[0], best[1]))
         else:
             out.add((k, t, None, None))
     return out
@@ -108,15 +142,18 @@ _ts = st.integers(min_value=0, max_value=20)
         min_size=0,
         max_size=8,
     ),
+    direction=st.sampled_from(["backward", "forward"]),
 )
 @settings(**_SETTINGS)
-def test_asof_matches_model(spark, left, right):
+def test_asof_matches_model(spark, left, right, direction):
     ldf = _mk(spark, list(set(left)), "k long, t long")
     rdf = _mk(
         spark, list(set(right)) or [(0, 0, 0)], "k long, t long, v long"
     )
     got = {
         (r.k, r.t, r.t_asof, r.v_asof)
-        for r in asof_join(ldf, rdf, on="k", left_ts="t").collect()
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="t", direction=direction
+        ).collect()
     }
-    assert got == _model(set(left), set(right) or {(0, 0, 0)})
+    assert got == _model(set(left), set(right) or {(0, 0, 0)}, direction)
