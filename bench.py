@@ -50,20 +50,25 @@ def main() -> None:
         sf = -1.0
 
     per_query: dict[str, float] = {}
+    per_runs: dict[str, list[float]] = {}
     for name, fn in queries().items():
-        best = None
+        runs = []
         for _ in range(repeat):
             t0 = time.perf_counter()
             _materialize(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        per_query[name] = round(best, 4)
+            runs.append(round(time.perf_counter() - t0, 4))
+        per_query[name] = min(runs)
+        per_runs[name] = runs
 
     out = {
         "metric": "registry_total_wall",
         "value": round(sum(per_query.values()), 4),
         "unit": "sec",
         "queries": per_query,
+        # every individual repetition, in execution order: makes
+        # run-to-run variance (and warm-vs-cold behavior) auditable
+        # from the artifact alone instead of only the best-of number
+        "runs": per_runs,
         "sf": sf,
     }
     print(json.dumps(out), flush=True)

@@ -37,6 +37,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_reserved(df: DataFrame, names: tuple[str, ...]) -> None:
+    """Raise if an input frame already uses one of the operator's
+    internal working-column names — letting it through would produce
+    ambiguous-reference errors or silently wrong output downstream."""
+    clash = sorted(set(df.columns) & set(names))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with reserved internal "
+            f"names; rename them before calling this operator"
+        )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -62,9 +74,21 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
+    _check_reserved(left, ("__t", "__src", "__carried", "__m"))
+    _check_reserved(right, ("__t", "__src", "__carried", "__m"))
     payload = right_cols or [
         c for c in right.columns if c not in (*keys, rts)
     ]
+
+    # JOIN NULL semantics (matching DuckDB's ASOF JOIN, the oracle
+    # twin): a NULL join key or NULL right_ts never matches anything.
+    # Without this, Window.partitionBy would group NULL keys into ONE
+    # partition (SQL joins never match NULL = NULL), and a NULL-ts
+    # right row would sort first under asc ordering and be carried as
+    # a bogus match.
+    right = right.where(F.col(rts).isNotNull())
+    for k in keys:
+        right = right.where(F.col(k).isNotNull())
 
     carried = F.struct(
         F.col(rts).alias("__rts"), *[F.col(c).alias(c) for c in payload]
@@ -116,6 +140,13 @@ def asof_join(
     matched = unioned.withColumn(
         "__m", F.last("__carried", ignorenulls=True).over(w)
     ).where(F.col("__src") == 1)
+    # A NULL left timestamp never matches (NULL comparisons are false
+    # in a join): under the forward direction's DESC ordering Spark
+    # sorts NULLs LAST, so without this a NULL-ts left row would sit
+    # after every right row and carry one.
+    matched = matched.withColumn(
+        "__m", F.when(F.col("__t").isNotNull(), F.col("__m"))
+    )
 
     if tolerance is not None:
         tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)

@@ -47,8 +47,19 @@ def range_join(
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     keys = [on] if isinstance(on, str) else list(on)
+    from datafusion_uba_spark.operators.asof import _check_reserved
+
+    _check_reserved(points, ("__bucket", "__ivl"))
+    _check_reserved(intervals, ("__bucket", "__ivl"))
 
     ivl_payload = [c for c in intervals.columns if c not in keys]
+    # drop malformed intervals (end < start) BEFORE the bucket
+    # sequence: Spark's sequence(a, b) with b < a counts DOWN with a
+    # default step of -1, so one bad row would silently explode into
+    # (start-end)/W bucket rows that only the exact recheck removes —
+    # and a far-negative end could blow up row counts instead of
+    # erroring. An empty match set is the correct output for them.
+    intervals = intervals.where(F.col(end_col) >= F.col(start_col))
     ivl = intervals.select(
         *keys,
         F.struct(*ivl_payload).alias("__ivl"),

@@ -24,12 +24,49 @@ never pass through an aggregate.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 QUANT_SCALE = 1_000_000
+
+# auto-sizing targets (see auto_n_planes / auto_n_cells): chosen so the
+# sf0.01 driver corpus (500 vectors) resolves to the historical defaults
+# (6 planes, 16 cells) — the DuckDB oracles replay the same derivation.
+NEARDUP_OCCUPANCY = 8
+IVF_CELL_SIZE = 32
+
+
+def auto_n_planes(
+    n_rows: int, floor: int = 6, occupancy: int = NEARDUP_OCCUPANCY
+) -> int:
+    """Hyperplane count that holds expected LSH bucket occupancy
+    (n / 2**planes) at ``occupancy`` as the corpus grows.
+
+    The bucket self-join in embedding_neardup_pairs does occupancy**2
+    work per bucket, so a FIXED plane count is quadratic in n (measured:
+    exponent 2.11 at 8x data, tools/SCALE_RESULTS.md); growing planes
+    with log2(n) holds it linear (exponent 0.78). Both Spark and the
+    DuckDB oracle derive geometry through this one function.
+    """
+    if n_rows <= occupancy:
+        return floor
+    return max(floor, math.ceil(math.log2(n_rows / occupancy)))
+
+
+def auto_n_cells(n_rows: int, floor: int = 16) -> int:
+    """IVF cell count ~ sqrt(n), rounded down to a power of two — the
+    classic IVF balance: total assignment work is n * n_cells dots and
+    per-query rescore work is n_probe * n / n_cells, so sqrt(n) cells
+    grows both as n^1.5 total / n^0.5 per query instead of letting
+    either go quadratic; the candidate FRACTION (n_probe / n_cells)
+    shrinks as the corpus grows. 500 rows (the driver's correctness
+    corpus) resolves to the floor of 16, matching the pinned oracle."""
+    if n_rows <= 1:
+        return floor
+    return max(floor, 2 ** math.floor(math.log2(math.sqrt(n_rows))))
 
 
 def quantize(vec: Column | str) -> Column:
@@ -448,12 +485,19 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 8,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer —
     the second scale-path ANN variant next to ann_topk_lsh.
+
+    ``n_cells`` defaults to auto_n_cells(n) (n from ``n_rows`` or one
+    count()): cell count grows with the corpus so expected occupancy —
+    and per-probe rescore work — stays ~IVF_CELL_SIZE while the
+    candidate FRACTION (n_probe / n_cells) shrinks; pass an explicit
+    ``n_cells`` to pin geometry (e.g. for a stable oracle replay).
 
     - ``n_cells`` literal, seed-derived centroid directions (same
       deterministic generator as the LSH planes, so the DuckDB oracle
@@ -482,6 +526,9 @@ def ivf_topk(
 
     Output: (query_id, rank, vec_id, cosine_u) like cosine_topk.
     """
+    if n_cells is None:
+        n = n_rows if n_rows is not None else data.count()
+        n_cells = auto_n_cells(n)
     cents = hyperplanes(dim, n_cells, seed=seed)
 
     def with_dots(df_in: DataFrame, prefix: str) -> DataFrame:
@@ -546,9 +593,10 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     n_tables: int = 8,
     seed: int = 7,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via hyperplane LSH.
 
@@ -557,44 +605,59 @@ def embedding_neardup_pairs(
     cosine >= threshold. Output: (id_a, id_b, cosine_u) in integer
     micro-units.
 
-    SIZE THE INDEX WITH THE CORPUS: expected bucket occupancy is
-    n / 2**n_planes per table, and the self-join does occupancy^2 work
-    per bucket — with n_planes FIXED the operator is quadratic in n
-    (measured by tools/scale_check.py: 8x rows -> 64x pair work,
-    exponent 2.1). Hold occupancy constant by growing n_planes with
-    log2(n): n_planes ~= log2(n / target_occupancy). The defaults
-    (6 planes -> 64 buckets/table) are sized for the sf0.1 corpus;
-    at 8x, 9 planes restores the 1x occupancy. On clustered real
-    corpora the true near-dup groups dominate buckets and the exact
-    verify step is the irreducible cost.
+    THE INDEX SIZES ITSELF WITH THE CORPUS: expected bucket occupancy
+    is n / 2**n_planes per table, and the self-join does occupancy^2
+    work per bucket — with n_planes FIXED the operator is quadratic in
+    n (measured by tools/scale_check.py: 8x rows -> 64x pair work,
+    exponent 2.1). When ``n_planes`` is None (the default) it is
+    derived as auto_n_planes(n) ~= log2(n / occupancy), holding
+    occupancy — and the per-bucket join cost — constant as n grows
+    (measured exponent 0.78). ``n_rows`` skips the sizing count()
+    when the caller already knows the corpus size; pass an explicit
+    ``n_planes`` to pin geometry (e.g. for a stable oracle replay).
+    On clustered real corpora the true near-dup groups dominate
+    buckets and the exact verify step is the irreducible cost.
+
+    Candidate generation is NARROW (the ann_topk_lsh pattern): only
+    (vec_id, table_id, code) flows through the explode -> self-join ->
+    dropDuplicates pipeline, and the 64-long quantized arrays are
+    joined back onto the surviving (id_a, id_b) pairs afterwards — two
+    extra equi-joins, but the bucket-join and dedup shuffles carry
+    16-byte rows instead of vector payloads (carrying arrays through
+    the 8-way explode measured ~2x the whole query's time at sf0.1).
     """
-    tables = [
-        hyperplanes(dim, n_planes, seed=seed + 1000 * t)
-        for t in range(n_tables)
-    ]
+    if n_planes is None:
+        n = n_rows if n_rows is not None else df.count()
+        n_planes = auto_n_planes(n)
+    # shared-pool coding (the ann_topk_lsh shape): each vector pays
+    # n_pool literal plane dots ONCE, and the n_tables bucket codes are
+    # bit-subset integer math over those sign bits — vs n_tables *
+    # n_planes dots for independent per-table planes (the round-3
+    # design: 64 HOF-fold dots per vector at 8 auto-sized planes, the
+    # dominant cost of the whole query at sf0.1)
+    n_pool = max(16, 2 * n_planes)
+    pool = hyperplanes(dim, n_pool, seed=seed)
+    tables = pool_tables(n_pool, n_planes, n_tables, seed)
     d = _with_quant(df, vec_col, id_col, "vec", dim)
-    # staged like ann_topk_lsh: one projection for the 48 literal dots,
-    # one for the per-table sign-bit codes (sum of disjoint shifted bits
-    # == the bitwiseOR bucket_code computes), then a narrow explode
     s1 = d.selectExpr(
-        "*",
+        "vec_id",
         *[
-            f"{dot_lit_sql('vec_q', p)} AS __d{t}_{i}"
-            for t, planes in enumerate(tables)
-            for i, p in enumerate(planes)
+            f"{dot_lit_sql('vec_q', p)} AS __d{i}"
+            for i, p in enumerate(pool)
         ],
     )
-    s2 = s1.selectExpr(
+    s1b = s1.selectExpr(
         "vec_id",
-        "vec_q",
-        "vec_n",
+        *[f"CAST(__d{i} > 0 AS BIGINT) AS __b{i}" for i in range(n_pool)],
+    )
+    s2 = s1b.selectExpr(
+        "vec_id",
         *[
             " + ".join(
-                f"CAST(__d{t}_{i} > 0 AS BIGINT) * {1 << i}L"
-                for i in range(n_planes)
+                f"__b{bit} * {1 << j}L" for j, bit in enumerate(tab)
             )
             + f" AS __c{t}"
-            for t in range(n_tables)
+            for t, tab in enumerate(tables)
         ],
     )
     code_structs = ", ".join(
@@ -602,11 +665,11 @@ def embedding_neardup_pairs(
         for t in range(n_tables)
     )
     dc = s2.selectExpr(
-        "vec_id", "vec_q", "vec_n", f"explode(array({code_structs})) AS __c"
-    ).selectExpr("vec_id", "vec_q", "vec_n", "__c.table_id", "__c.code")
+        "vec_id", f"explode(array({code_structs})) AS __c"
+    ).selectExpr("vec_id", "__c.table_id", "__c.code")
     a = dc.alias("a")
     b = dc.alias("b")
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("a.table_id") == F.col("b.table_id"))
@@ -615,13 +678,14 @@ def embedding_neardup_pairs(
         )
         .select(
             F.col("a.vec_id").alias("id_a"),
-            F.col("a.vec_q").alias("qa"),
-            F.col("a.vec_n").alias("na"),
             F.col("b.vec_id").alias("id_b"),
-            F.col("b.vec_q").alias("qb"),
-            F.col("b.vec_n").alias("nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = pairs.join(
+        d.selectExpr("vec_id AS id_a", "vec_q AS qa", "vec_n AS na"), "id_a"
+    ).join(
+        d.selectExpr("vec_id AS id_b", "vec_q AS qb", "vec_n AS nb"), "id_b"
     )
     cand = cand.selectExpr(
         "id_a",

@@ -280,6 +280,11 @@ def minhash_fingerprint(text: Column | str, n: int = 3) -> Column:
 WINNOW_K = 8  # character k-gram length
 WINNOW_W = 4  # winnowing window (in k-grams)
 WINNOW_MAX_CHARS = 256  # fingerprint the normalized prefix only
+# winnow_pairs defaults — module constants so the DuckDB oracles in
+# queries_llm interpolate the SAME values the operator uses (a changed
+# default here silently desynchronizing the oracle was an ADVICE item)
+WINNOW_MIN_SHARED = 5  # min shared fingerprints to emit a pair
+WINNOW_MAX_DF = 20  # drop fingerprints appearing in more docs (boilerplate)
 
 
 def winnow_fingerprints(

@@ -297,6 +297,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_QUERIES = 64
 _TOPK = 10
 
+# The driver's correctness gate always runs at sf0.01, whose embeddings
+# table is 500 rows. The auto-sized operators (embedding_neardup_pairs,
+# ivf_topk) derive their geometry from a corpus count; the oracles must
+# replay the SAME geometry, so they derive it from this pinned count
+# through the same auto_n_planes/auto_n_cells helpers. (500 resolves to
+# the historical 6 planes / 16 cells by construction.)
+_N_EMB_CORRECTNESS = 500
+
 
 def _query_vectors(emb: DataFrame) -> DataFrame:
     return emb.where(F.col("vec_id") < _N_QUERIES)
@@ -332,16 +340,6 @@ FROM ranked WHERE rank <= {_TOPK}
 
 def _plane_literal(plane: list[int]) -> str:
     return "[" + ", ".join(str(v) for v in plane) + "]"
-
-
-def _lsh_code_sql(vec_expr: str, planes: list[list[int]]) -> str:
-    """DuckDB expression for the sign-bit bucket code of a quantized
-    vector against literal planes — replays similarity.bucket_code."""
-    bits = []
-    for i, p in enumerate(planes):
-        dot = _ddb_dot(vec_expr, _plane_literal(p))
-        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
-    return "(" + " + ".join(bits) + ")"
 
 
 def _oracle_ann_topk_lsh() -> str:
@@ -418,7 +416,8 @@ def _oracle_ann_topk_ivf() -> str:
     cell = first index of the max dot, probes = the n_probe best
     (dot desc, index asc) cells per query — all exact integer
     comparisons, so even the approximate index hash-matches."""
-    n_cells, n_probe = 16, 8
+    n_cells = similarity.auto_n_cells(_N_EMB_CORRECTNESS)
+    n_probe = 8
     cents = similarity.hyperplanes(64, n_cells, seed=42)
     dot_cols = ", ".join(
         f"{_ddb_dot('v', _plane_literal(c))} AS d{i}"
@@ -471,17 +470,34 @@ _NEARDUP_THRESHOLD = 0.4
 
 
 def _oracle_embedding_neardup() -> str:
-    tables = [
-        similarity.hyperplanes(64, 6, seed=7 + 1000 * t) for t in range(8)
-    ]
+    """Replays embedding_neardup_pairs exactly: geometry derived from
+    the pinned correctness-corpus size through the same auto_n_planes
+    helper, same shared plane pool, same bit-subset tables (one rng
+    stream), same exact-integer verify."""
+    n_planes = similarity.auto_n_planes(_N_EMB_CORRECTNESS)
+    n_tables = 8
+    n_pool = max(16, 2 * n_planes)
+    pool = similarity.hyperplanes(64, n_pool, seed=7)
+    tables = similarity.pool_tables(n_pool, n_planes, n_tables, seed=7)
+    bit_cols = ", ".join(
+        f"CASE WHEN {_ddb_dot('v', _plane_literal(p))} > 0 THEN 1 ELSE 0 END"
+        f" AS b{i}"
+        for i, p in enumerate(pool)
+    )
+    code_cols = ", ".join(
+        " + ".join(f"b{bit} * {1 << j}" for j, bit in enumerate(tab))
+        + f" AS c{t}"
+        for t, tab in enumerate(tables)
+    )
     code_rows = " UNION ALL ".join(
-        f"SELECT vec_id, v, n2, {t} AS table_id, "
-        f"{_lsh_code_sql('v', planes)} AS code FROM dn"
-        for t, planes in enumerate(tables)
+        f"SELECT vec_id, v, n2, {t} AS table_id, c{t} AS code FROM tcodes"
+        for t in range(n_tables)
     )
     return f"""
 WITH d AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
 dn AS (SELECT vec_id, v, {_ddb_dot("v", "v")} AS n2 FROM d),
+bits AS (SELECT vec_id, v, n2, {bit_cols} FROM dn),
+tcodes AS (SELECT vec_id, v, n2, {code_cols} FROM bits),
 codes AS ({code_rows}),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, a.v AS va, a.n2 AS na,

@@ -68,7 +68,10 @@ def test_no_expression_chains_in_scan_filters(plans):
     array_distinct/aggregate inside a Filter condition."""
     offenders = {}
     for name, plan in plans.items():
-        for m in re.finditer(r"\+- Filter (.+)", plan):
+        # Filter nodes print as '+- Filter' when they are the sole /
+        # last child but ':- Filter' as the left child of a binary
+        # operator (join, union) — audit both renderings
+        for m in re.finditer(r"[+:]- Filter (.+)", plan):
             cond = m.group(1)
             if (
                 "array_distinct(" in cond

@@ -107,7 +107,6 @@ def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     out_dir = f"/tmp/uba_scale_{k}x"
 
-    from datafusion_uba_spark import queries_llm, queries_uba
     from datafusion_uba_spark.queries import queries
     from datafusion_uba_spark.session import get_spark
 
@@ -126,26 +125,13 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return best
 
-    # embedding_neardup must be SIZED for the corpus (see its
-    # docstring): bucket occupancy is n/2^planes, so at kx we grow
-    # n_planes by log2(k) to hold occupancy — the harness demonstrates
-    # the documented scaling contract, not a silently quadratic default
-    import math as _math
-
-    from datafusion_uba_spark.operators import similarity as _sim
-
-    extra_planes = max(0, round(_math.log2(k)))
-
-    def _neardup_sized(spark_, sf_dir_):
-        return _sim.embedding_neardup_pairs(
-            queries_llm._emb(spark_, sf_dir_),
-            threshold=0.4,
-            n_planes=6 + (extra_planes if sf_dir_ == out_dir else 0),
-        )
-
+    # embedding_neardup/ann_topk_ivf size their own geometry from a
+    # corpus count() (auto_n_planes/auto_n_cells) — the harness runs
+    # the registry defaults and the exponent verifies the auto-sizing
+    # holds occupancy (no manual plane override, round-4 contract)
     out = {}
     for name in HEAVY:
-        fn = _neardup_sized if name == "embedding_neardup" else reg[name]
+        fn = reg[name]
         t1 = timed(fn, BASE)
         tk = timed(fn, out_dir)
         out[name] = {
