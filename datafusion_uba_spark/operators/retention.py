@@ -126,27 +126,7 @@ def retention_count(
                 ).alias("__t"),
             )
         )
-        per_user = per_day.groupBy(*[F.col(k) for k in keys]).agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("__d", F.struct("__b", "__t")))
-            ).alias("__m")
-        )
-        day_seq = F.sequence(F.lit(0), F.lit(m - 1))
-        born_arr = F.transform(
-            day_seq,
-            lambda d: F.coalesce(
-                F.element_at("__m", d)["__b"], F.lit(0)
-            ).cast("tinyint"),
-        )
-        target_arr = F.transform(
-            day_seq,
-            lambda d: F.coalesce(
-                F.element_at("__m", d)["__t"], F.lit(0)
-            ).cast("tinyint"),
-        )
-        return per_user.select(
-            *keys, F.array(born_arr, target_arr).alias(out)
-        )
+        return _scatter_stats(per_day, keys, m, out)
 
     aggs = []
     for d in range(m):
@@ -164,6 +144,73 @@ def retention_count(
     born_arr = F.array(*[F.col(f"__b{d}").cast("tinyint") for d in range(m)])
     target_arr = F.array(*[F.col(f"__t{d}").cast("tinyint") for d in range(m)])
     return g.select(*keys, F.array(born_arr, target_arr).alias(out))
+
+
+def _scatter_stats(
+    per_day: DataFrame, keys: list[str], m: int, out: str
+) -> DataFrame:
+    """Scatter a per-(group, day) 0/1/2 code table (columns ``__d``,
+    ``__b``, ``__t``) into dense per-group ``[born, target]`` arrays.
+
+    collect_list state is bounded by a group's ACTIVE days (<= m), not
+    by its event count — the per-day pre-aggregate has already merged
+    events — so this is codegen-safe and O(window) per group at any
+    window length."""
+    per_user = per_day.groupBy(*[F.col(k) for k in keys]).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__d", F.struct("__b", "__t")))
+        ).alias("__m")
+    )
+    day_seq = F.sequence(F.lit(0), F.lit(m - 1))
+    born_arr = F.transform(
+        day_seq,
+        lambda d: F.coalesce(
+            F.element_at("__m", d)["__b"], F.lit(0)
+        ).cast("tinyint"),
+    )
+    target_arr = F.transform(
+        day_seq,
+        lambda d: F.coalesce(
+            F.element_at("__m", d)["__t"], F.lit(0)
+        ).cast("tinyint"),
+    )
+    return per_user.select(*keys, F.array(born_arr, target_arr).alias(out))
+
+
+def flags_to_stats(
+    flags: DataFrame,
+    start_date: str,
+    max_unit: int,
+    user_col: str = "user_id",
+    day_col: str = "day",
+    born_col: str = "born",
+    target_col: str = "target",
+    out: str = "stats",
+) -> DataFrame:
+    """Rebuild per-user ``[born, target]`` stats arrays from a
+    (user, day, born, target) code table — the batch half of the
+    streaming retention pipeline.
+
+    ``streaming/__init__.py::streaming_user_day_flags`` maintains the
+    per-(user, day) 0/1/2 codes incrementally and lands them in a sink;
+    this function is the promised "cheap batch query over the sink":
+    re-aggregate by MAX (the sink may hold several appends of the same
+    key at different watermarks — MAX is the operator's merge rule, so
+    replays are idempotent), scatter into dense arrays, and feed
+    ``retention_sum``. Parity with the one-shot batch ``retention()``
+    is pinned by tests/test_streaming.py.
+    """
+    m = int(max_unit) + 1
+    d = F.datediff(F.col(day_col), F.lit(start_date).cast("date"))
+    per_day = (
+        flags.where(d.between(0, m - 1))
+        .groupBy(F.col(user_col), d.cast("int").alias("__d"))
+        .agg(
+            F.max(born_col).alias("__b"),
+            F.max(target_col).alias("__t"),
+        )
+    )
+    return _scatter_stats(per_day, [user_col], m, out)
 
 
 def _user_matrix(stats: Column) -> Column:
