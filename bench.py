@@ -51,14 +51,22 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     per_runs: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
     for name, fn in queries().items():
-        runs = []
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            _materialize(fn(spark, sf_dir))
-            runs.append(round(time.perf_counter() - t0, 4))
-        per_query[name] = min(runs)
-        per_runs[name] = runs
+        # Per-query isolation: one failing query must not blank the
+        # whole artifact — record its error and keep timing the rest.
+        try:
+            runs = []
+            for _ in range(repeat):
+                t0 = time.perf_counter()
+                _materialize(fn(spark, sf_dir))
+                runs.append(round(time.perf_counter() - t0, 4))
+            per_query[name] = min(runs)
+            per_runs[name] = runs
+        except Exception as exc:
+            msg = f"{type(exc).__name__}: {exc}"
+            errors[name] = msg[:500]
+            print(f"bench: query {name!r} failed: {msg}", file=sys.stderr)
 
     out = {
         "metric": "registry_total_wall",
@@ -71,6 +79,8 @@ def main() -> None:
         "runs": per_runs,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out), flush=True)
     spark.stop()
 

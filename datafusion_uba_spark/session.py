@@ -40,6 +40,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Un-zoned parquet TIMESTAMP(isAdjustedToUTC=false) columns would
+        # otherwise read as TIMESTAMP_NTZ on Spark 4, which breaks every
+        # unix_micros() call site. With this off (the pre-3.4 behavior),
+        # they read as TIMESTAMP interpreted in the session TZ (UTC here)
+        # — the same instant semantics the reference's reader and the
+        # DuckDB oracle use on these files.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # saveAsTable's default warehouse is ./spark-warehouse — keep

@@ -8,12 +8,25 @@ Reference surface (SURVEY.md §2.2 S1-S8):
   - Parquet on S3/MinIO     tests/test_with_minio.rs:72-92 → session.configure_s3a + read_parquet("s3a://…")
   - result re-registration  examples/retention.rs:37-38   → register()
 
-Plus the driver-testdata loader, which handles one real-world wrinkle:
-the synthetic parquet stores timestamps as INT64 TIMESTAMP(NANOS),
-which Spark's parquet reader rejects by default. We flip the session to
-``spark.sql.legacy.parquet.nanosAsLong`` and rebuild proper timestamp
-columns with integer nanos→micros arithmetic (never via double — 1e18
-nanos overflows a double mantissa).
+Plus the driver-testdata loader, which normalizes timestamp layout
+drift — the real-world condition at 100 TB, where a producer fleet
+never writes one uniform physical type. Layouts seen so far from the
+driver generator, all handled:
+
+  - INT64 TIMESTAMP(NANOS): Spark's reader rejects it by default; we
+    flip ``spark.sql.legacy.parquet.nanosAsLong`` and rebuild proper
+    timestamps with integer nanos→micros arithmetic (never via double —
+    1e18 nanos overflows a double mantissa).
+  - un-zoned ``timestamp[us]`` (isAdjustedToUTC=false): Spark 4 would
+    infer TIMESTAMP_NTZ, which ``unix_micros`` rejects at analysis
+    time. We disable ``spark.sql.parquet.inferTimestampNTZ.enabled``
+    so it reads as TIMESTAMP under the UTC session TZ, and
+    belt-and-braces cast any residual ``timestamp_ntz`` column (a
+    session that didn't come through get_spark()) to ``timestamp``.
+
+The reference reads parquet self-describing and "just works"
+(examples/retention_parquet.rs:14-20); this loader is the Spark-side
+equivalent contract.
 """
 
 from __future__ import annotations
@@ -37,8 +50,11 @@ TESTDATA_TABLES = (
     "embeddings",
 )
 
-# INT64 TIMESTAMP(NANOS) columns per testdata table (TESTDATA.md corpus)
-_NANOS_COLS: dict[str, tuple[str, ...]] = {
+# Event-time columns per testdata table (TESTDATA.md corpus). Their
+# physical parquet type has drifted across driver generations (INT64
+# nanos, then un-zoned timestamp[us]); load_table normalizes every
+# layout to Spark TIMESTAMP.
+_TIME_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -156,39 +172,73 @@ def _utc_nanos(date_str: str) -> int:
     return int(dt.timestamp()) * 1_000_000_000
 
 
+def _naive_dt(date_str: str):
+    """Naive datetime of a date string (interpreted in the UTC session
+    TZ when bound as a Spark timestamp literal)."""
+    from datetime import datetime
+
+    return datetime.fromisoformat(date_str)
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
     name: str,
     date_bounds: dict[str, tuple[str, str]] | None = None,
 ) -> DataFrame:
-    """Load one driver-testdata table with proper timestamp types.
+    """Load one driver-testdata table with proper timestamp types,
+    normalizing whatever physical time layout the producer wrote.
 
     ``date_bounds={"ts": ("2024-01-01", "2024-01-08")}`` applies a
-    half-open [start, end) date window ON THE RAW INT64 NANOS column,
-    *before* the timestamp rebuild. This matters at scale: a predicate
-    over ``timestamp_micros(ts DIV 1000)`` cannot be pushed into the
+    half-open [start, end) date window ON THE RAW SCAN COLUMN, *before*
+    any rebuild, in whichever representation the file uses. This
+    matters at scale: a predicate over a rebuilt expression (e.g.
+    ``timestamp_micros(ts DIV 1000)``) cannot be pushed into the
     parquet scan (Catalyst won't invert the expression), but a plain
-    bigint comparison reaches PushedFilters and prunes row groups — the
-    difference between scanning a day and scanning 100 TB. (The
-    reference leans on the same mechanism: row-group pruning enabled in
-    tests/test_with_minio.rs:88.)
+    comparison against the scan column — bigint vs bigint literal, or
+    timestamp vs timestamp literal — reaches PushedFilters and prunes
+    row groups: the difference between scanning a day and scanning
+    100 TB. (The reference leans on the same mechanism: row-group
+    pruning enabled in tests/test_with_minio.rs:88.)
+    Pinned by tests/test_plan_audit.py::test_date_bounds_pushed_to_scan.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Read un-zoned parquet timestamps as TIMESTAMP (session TZ), not
+    # TIMESTAMP_NTZ — unix_micros() et al. reject NTZ at analysis time.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # Day-bucketing (to_date on rebuilt timestamps) must agree with the
     # timezone-naive DuckDB oracle regardless of the host TZ — the
     # driver's own SparkSession does not go through get_spark().
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
     for c, (start, end) in (date_bounds or {}).items():
-        if dict(df.dtypes).get(c) == "bigint":
+        if dtypes.get(c) == "bigint":
             df = df.where(
                 (F.col(c) >= _utc_nanos(start)) & (F.col(c) < _utc_nanos(end))
             )
-    for c in _NANOS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+        elif dtypes.get(c) in ("timestamp", "timestamp_ntz"):
+            # Naive-datetime literals: under the UTC session TZ these
+            # are the same instants as _utc_nanos, and a plain
+            # col-vs-literal comparison pushes into the parquet scan.
+            lo, hi = (F.lit(_naive_dt(start)), F.lit(_naive_dt(end)))
+            if dtypes[c] == "timestamp_ntz":
+                lo, hi = (
+                    lo.cast("timestamp_ntz"),
+                    hi.cast("timestamp_ntz"),
+                )
+            df = df.where((F.col(c) >= lo) & (F.col(c) < hi))
+    for c in _TIME_COLS.get(name, ()):
+        if dtypes.get(c) == "bigint":
             # integer nanos → micros; DIV keeps it in bigint space
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    # Belt-and-braces: a session that didn't set inferTimestampNTZ=false
+    # before its first read can still surface NTZ columns — cast every
+    # one to TIMESTAMP (NTZ→LTZ cast interprets the naive value in the
+    # UTC session TZ, the same instants as the config path).
+    for c, dt in dtypes.items():
+        if dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -50,10 +50,15 @@ def stream_events(
 
     Schema is taken from the existing files (streaming sources require
     an explicit schema; inferring from the footer of what's already
-    there is the standard bootstrap). A raw INT64-nanos timestamp column
-    (the driver-testdata layout, TESTDATA.md) is rebuilt into a proper
-    timestamp exactly like the batch loader (sources.load_table) so the
-    streaming and batch plans see identical types.
+    there is the standard bootstrap). The timestamp column is
+    normalized exactly like the batch loader (sources.load_table) so
+    the streaming and batch plans see identical types, whatever the
+    producer's physical layout: INT64 nanos are rebuilt via integer
+    arithmetic, and un-zoned timestamp[us] (which Spark 4 would infer
+    as TIMESTAMP_NTZ — rejected by unix_micros and by append-mode
+    watermarks downstream) reads as TIMESTAMP under the UTC session TZ
+    via inferTimestampNTZ=false, with a residual NTZ→LTZ cast as the
+    fallback.
 
     ``path`` must be a DIRECTORY (the streaming file source rejects a
     bare file: new files are discovered by listing). To stream one
@@ -61,6 +66,7 @@ def stream_events(
     pass ``path_glob_filter`` (e.g. ``"events.parquet"``).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch = spark.read
     if path_glob_filter is not None:
@@ -74,6 +80,10 @@ def stream_events(
     df = reader.parquet(path)
     if isinstance(schema[ts_col].dataType, T.LongType):
         df = df.withColumn(ts_col, F.expr(f"timestamp_micros({ts_col} DIV 1000)"))
+    elif isinstance(schema[ts_col].dataType, T.TimestampNTZType):
+        # schema captured before the conf took effect: normalize like
+        # the batch loader (UTC session TZ ⇒ same instants)
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 

@@ -83,6 +83,25 @@ def test_no_expression_chains_in_scan_filters(plans):
     assert not offenders, f"substituted chains in scan filters: {offenders}"
 
 
+def test_date_bounds_pushed_to_scan(spark, sf_dir):
+    """load_table's date_bounds must reach the parquet scan's
+    PushedFilters — row-group pruning is the 'scan a day, not 100 TB'
+    mechanism. Round 5 regressed this silently (bounds applied only to
+    the historical bigint-nanos layout and no-oped on timestamp[us]);
+    this assertion makes the next layout drift a loud failure instead."""
+    from datafusion_uba_spark.sources import load_table
+
+    ev = load_table(
+        spark, sf_dir, "events", date_bounds={"ts": ("2024-01-01", "2024-01-03")}
+    )
+    plan = ev._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PushedFilters in scan:\n{plan}"
+    pushed = m.group(1)
+    assert re.search(r"(GreaterThanOrEqual|GreaterThan)\(ts", pushed), pushed
+    assert re.search(r"(LessThan|LessThanOrEqual)\(ts", pushed), pushed
+
+
 def test_aqe_splits_skewed_join(spark):
     """The engine's answer to hot keys is AQE skew-join splitting (plus
     salting where keys are known-hot); pin that the session config

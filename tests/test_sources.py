@@ -59,6 +59,27 @@ def test_load_table_timestamp_conversion(spark, sf_dir):
     assert str(row["d"]) == "2024-01-01"
 
 
+def test_load_table_schema_drift_smoke(spark, sf_dir):
+    """Schema-drift canary: load EVERY testdata table and pin the loader's
+    output contract — event-time columns come back as Spark TIMESTAMP and
+    no TIMESTAMP_NTZ survives anywhere, regardless of the physical layout
+    the driver generator wrote this round (INT64 nanos in r1-r4, un-zoned
+    timestamp[us] in r5 — the r5 drift silently killed 5 registry rows;
+    this test turns the next drift into a one-line failure)."""
+    expected_ts = {
+        "events": ("ts",),
+        "orders": ("o_orderdate",),
+        "lineitem": ("l_shipdate",),
+    }
+    for name in sources.TESTDATA_TABLES:
+        df = sources.load_table(spark, sf_dir, name)
+        dtypes = dict(df.dtypes)
+        for c in expected_ts.get(name, ()):
+            assert dtypes[c] == "timestamp", (name, c, dtypes[c])
+        ntz = [c for c, dt in dtypes.items() if "ntz" in dt]
+        assert not ntz, f"{name}: TIMESTAMP_NTZ leaked through loader: {ntz}"
+
+
 def test_read_avro_gated(spark, tmp_path):
     # spark-avro is not on the classpath in this container; the helper
     # must fail with a clear gate message (reference feature-gates avro)
