@@ -198,9 +198,16 @@ def flags_to_stats(
     key at different watermarks — MAX is the operator's merge rule, so
     replays are idempotent), scatter into dense arrays, and feed
     ``retention_sum``. Parity with the one-shot batch ``retention()``
-    is pinned by tests/test_streaming.py.
+    is pinned by tests/test_streaming.py::test_flags_to_stats_matches_batch_retention.
     """
+    import datetime
+
     m = int(max_unit) + 1
+    if m <= 0:
+        raise ValueError("max_unit must be >= 0")
+    # an unparseable start_date would make datediff null and silently
+    # filter every row — fail eagerly instead
+    datetime.date.fromisoformat(start_date)
     d = F.datediff(F.col(day_col), F.lit(start_date).cast("date"))
     per_day = (
         flags.where(d.between(0, m - 1))

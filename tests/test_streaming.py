@@ -226,6 +226,60 @@ def test_incremental_multi_batch_parity(spark, batch_events, tmp_path):
     assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
 
 
+def test_flags_to_stats_matches_batch_retention(spark, batch_events, tmp_path):
+    """The full streaming retention pipeline end-to-end:
+    streaming_user_day_flags -> parquet sink (append + watermark,
+    availableNow) -> flags_to_stats -> retention_sum must equal the
+    one-shot batch retention() over the same events and window.
+
+    The window (days 0-6 of a 30-day corpus) sits far inside the final
+    watermark (max_ts - 2 days), so append mode has emitted every day
+    the batch side sees — making exact equality the correct expectation
+    rather than a prefix subset."""
+    from datafusion_uba_spark.operators import flags_to_stats, retention, retention_sum
+
+    born = F.col("event_type") == "signup"
+    target = F.col("event_type") == "purchase"
+    out = str(tmp_path / "flags_sink")
+    ckpt = str(tmp_path / "flags_ckpt")
+    q = (
+        streaming_user_day_flags(_stream(spark), born, target, watermark="2 days")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    stats = flags_to_stats(
+        spark.read.parquet(out), start_date="2024-01-01", max_unit=6
+    )
+    got = retention_sum(stats).collect()[0]["retention"]
+    want = retention(
+        batch_events,
+        born,
+        target,
+        6,
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")),
+        group_by="user_id",
+    ).collect()[0]["retention"]
+    assert got == want and want[0] and sum(want[0]) > 0
+
+
+def test_flags_to_stats_validation(spark):
+    from datafusion_uba_spark.operators import flags_to_stats
+
+    flags = spark.createDataFrame(
+        [(1, "2024-01-01", 1, 0)], "user_id long, day string, born int, target int"
+    ).withColumn("day", F.col("day").cast("date"))
+    with pytest.raises(ValueError, match="max_unit"):
+        flags_to_stats(flags, "2024-01-01", -1)
+    with pytest.raises(ValueError):
+        flags_to_stats(flags, "not-a-date", 6)
+
+
 def test_stream_to_parquet_backfill(spark, batch_events, tmp_path):
     """The backfill pattern: stream -> transformation -> PARQUET sink
     with a checkpoint (availableNow). The sink directory must read
