@@ -349,6 +349,7 @@ def ann_topk_lsh(
     bits_per_table: int = 5,
     n_tables: int = 16,
     seed: int = 42,
+    diagnostics: dict | None = None,
 ) -> DataFrame:
     """Approximate top-k via shared-pool hyperplane LSH + multiprobe.
 
@@ -382,9 +383,11 @@ def ann_topk_lsh(
     rescore saving is smaller than the index's own join/dedup stages —
     and below ~10^5 vectors flat search is the right plan (same call
     FAISS/Milvus make). The index pays off on clustered real corpora
-    (neighbors at cosine 0.9+, collision ratio 10x+), where the same
-    shape prunes 10-100x harder; raise bits_per_table as neighbor
-    similarity rises.
+    (neighbors at cosine 0.85+), where the same shape prunes 10-100x
+    harder; raise bits_per_table as neighbor similarity rises. MEASURED
+    (tests/test_ann_clustered.py, 50-center sigma=0.05 fixture, 20k x
+    64): n_pool=32/bits=12/tables=16 admits 6.4% candidates at
+    recall@10 = 0.97 and beats brute force ~2.5x wall-clock.
 
     Output: (query_id, rank, vec_id, cosine_u) like cosine_topk.
     """
@@ -452,6 +455,11 @@ def ann_topk_lsh(
         .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
+    if diagnostics is not None:
+        # pruning audit (tests/test_ann_clustered.py): how much of the
+        # n_data x n_queries score matrix the index admits to rescore.
+        # Costs an extra action — only on request, never on the hot path.
+        diagnostics["n_candidate_pairs"] = pairs.count()
     cand = pairs.join(
         dc.select("vec_id", "vec_q", "vec_n"), "vec_id"
     ).join(
@@ -489,6 +497,7 @@ def ivf_topk(
     n_probe: int = 8,
     seed: int = 42,
     n_rows: int | None = None,
+    diagnostics: dict | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer —
     the second scale-path ANN variant next to ann_topk_lsh.
@@ -564,6 +573,14 @@ def ivf_topk(
         .where(F.col("__rn") <= n_probe)
         .selectExpr("query_id", "CAST(__i + 1 AS INT) AS __cell")
     )
+    if diagnostics is not None:
+        # same pruning audit as ann_topk_lsh: admitted (query, vector)
+        # rescore pairs out of n_data x n_queries
+        diagnostics["n_candidate_pairs"] = (
+            dc.select("vec_id", "__cell")
+            .join(F.broadcast(probes), "__cell")
+            .count()
+        )
     cand = dc.join(F.broadcast(probes), "__cell").join(
         F.broadcast(qd.select("query_id", "query_q", "query_n")), "query_id"
     )

@@ -1,0 +1,121 @@
+"""ANN pruning proof on a CLUSTERED corpus (r3 verdict item #3).
+
+The driver's synthetic embeddings are near-orthogonal noise — the
+documented worst case for any metric index, where ann_topk_lsh admits
+>= 68% candidates and brute force is the right plan. Real corpora are
+clustered (neighbors at cosine 0.85+), and that is where the index's
+scale claim lives. This suite builds the canonical clustered fixture
+(50 unit centers, per-dim gaussian noise sigma = 0.05 => within-cluster
+cosine ~0.86) and pins, with measured numbers instead of docstring
+argument:
+
+- LSH candidate fraction <= 20% of the n_data x n_queries score matrix
+  at recall@10 >= 0.9 (measured at calibration: 6.4% / 0.97);
+- IVF the same (measured: 8.3% / 0.94);
+- LSH strictly beating brute force wall-clock on the same session
+  (measured: ~2.8 s vs ~7.2 s at 20k x 64 on local[16]) — the pruning
+  pays for the index's own join/dedup stages once data dominates.
+
+Geometry note: clustered neighbors collide per hyperplane bit with
+p ~ 0.84 vs 0.5 background, so deeper codes (bits_per_table=12 from a
+32-plane pool) separate signal from noise exponentially — exactly the
+"raise bits_per_table as neighbor similarity rises" guidance in
+ann_topk_lsh's docstring, now exercised.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datafusion_uba_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    ivf_topk,
+)
+
+N, Q, DIM, CENTERS, SIGMA = 20_000, 64, 64, 50, 0.05
+K = 10
+LSH_PARAMS = dict(n_pool=32, bits_per_table=12, n_tables=16)
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    rng = np.random.default_rng(123)
+    centers = rng.normal(size=(CENTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    data = centers[rng.integers(0, CENTERS, N)] + rng.normal(
+        scale=SIGMA, size=(N, DIM)
+    )
+    qvecs = centers[rng.integers(0, CENTERS, Q)] + rng.normal(
+        scale=SIGMA, size=(Q, DIM)
+    )
+    dn = data / np.linalg.norm(data, axis=1, keepdims=True)
+    qn = qvecs / np.linalg.norm(qvecs, axis=1, keepdims=True)
+    sims = qn @ dn.T
+    truth = {qi: set(np.argsort(-sims[qi])[:K].tolist()) for qi in range(Q)}
+
+    def to_df(mat):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": range(len(mat)),
+                    "embedding": [r.astype("float32").tolist() for r in mat],
+                }
+            )
+        ).cache()
+
+    ddf, qdf = to_df(data), to_df(qvecs)
+    ddf.count(), qdf.count()  # materialize the cache before timing
+    yield ddf, qdf, truth
+    ddf.unpersist(), qdf.unpersist()
+
+
+def _recall(df, truth) -> float:
+    got: dict[int, set[int]] = {}
+    for r in df.collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    return sum(len(got.get(qi, set()) & truth[qi]) for qi in truth) / (
+        K * len(truth)
+    )
+
+
+def _wall(df) -> float:
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def test_lsh_prunes_clustered_corpus(fixture):
+    ddf, qdf, truth = fixture
+    diag: dict = {}
+    res = ann_topk_lsh(ddf, qdf, k=K, **LSH_PARAMS, diagnostics=diag)
+    recall = _recall(res, truth)
+    frac = diag["n_candidate_pairs"] / (N * Q)
+    assert recall >= 0.9, f"recall@{K} = {recall}"
+    assert frac <= 0.20, f"candidate fraction = {frac}"
+
+
+def test_ivf_prunes_clustered_corpus(fixture):
+    ddf, qdf, truth = fixture
+    diag: dict = {}
+    res = ivf_topk(ddf, qdf, k=K, n_probe=8, n_rows=N, diagnostics=diag)
+    recall = _recall(res, truth)
+    frac = diag["n_candidate_pairs"] / (N * Q)
+    assert recall >= 0.9, f"recall@{K} = {recall}"
+    assert frac <= 0.20, f"candidate fraction = {frac}"
+
+
+def test_lsh_beats_brute_force_wall_clock(fixture):
+    """On the clustered corpus the index's 6% rescore beats scoring all
+    20k x 64 pairs, including the index's own stage overhead — best-of-2
+    each to keep codegen warmup out of the comparison."""
+    ddf, qdf, _ = fixture
+    brute = min(_wall(cosine_topk(ddf, qdf, k=K)) for _ in range(2))
+    lsh = min(
+        _wall(ann_topk_lsh(ddf, qdf, k=K, **LSH_PARAMS)) for _ in range(2)
+    )
+    assert lsh < brute, f"lsh {lsh:.2f}s vs brute {brute:.2f}s"
