@@ -539,31 +539,76 @@ def ivf_topk(
         n = n_rows if n_rows is not None else data.count()
         n_cells = auto_n_cells(n)
     cents = hyperplanes(dim, n_cells, seed=seed)
+    dc = _ivf_assign(data, vec_col, id_col, dim, cents)
+    return _ivf_probe_rescore(
+        dc, queries, k, vec_col, id_col, dim, cents, n_probe, diagnostics
+    )
 
-    def with_dots(df_in: DataFrame, prefix: str) -> DataFrame:
-        base = _with_quant(df_in, vec_col, id_col, prefix, dim)
-        return base.selectExpr(
-            "*",
-            *[
-                f"{dot_lit_sql(f'{prefix}_q', c)} AS __d{i}"
-                for i, c in enumerate(cents)
-            ],
-        )
 
-    darr = "array(" + ", ".join(f"__d{i}" for i in range(n_cells)) + ")"
+def _ivf_dots(
+    df_in: DataFrame,
+    vec_col: str,
+    id_col: str,
+    prefix: str,
+    dim: int,
+    cents: list[list[int]],
+) -> DataFrame:
+    base = _with_quant(df_in, vec_col, id_col, prefix, dim)
+    return base.selectExpr(
+        "*",
+        *[
+            f"{dot_lit_sql(f'{prefix}_q', c)} AS __d{i}"
+            for i, c in enumerate(cents)
+        ],
+    )
+
+
+def _darr(n_cells: int) -> str:
+    return "array(" + ", ".join(f"__d{i}" for i in range(n_cells)) + ")"
+
+
+def _ivf_assign(
+    data: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    cents: list[list[int]],
+) -> DataFrame:
+    """(vec_id, vec_q, vec_n, __cell): each vector assigned to its
+    best-dot centroid cell — the IVF index layout."""
+    darr = _darr(len(cents))
     # coalesce: array_position of a non-null array never returns NULL
     # here, but its static nullability would make the cell equi-join
     # infer isnotnull(__cell) and push the whole dot chain into an
     # interpreted scan filter (same disease as dedup.simhash); the
     # non-nullable coalesce folds that constraint away.
-    dc = with_dots(data, "vec").selectExpr(
+    return _ivf_dots(data, vec_col, id_col, "vec", dim, cents).selectExpr(
         "vec_id",
         "vec_q",
         "vec_n",
         f"CAST(coalesce(array_position({darr}, array_max({darr})), 0) AS INT)"
         " AS __cell",
     )
-    qd = with_dots(queries, "query")
+
+
+def _ivf_probe_rescore(
+    dc: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    cents: list[list[int]],
+    n_probe: int,
+    diagnostics: dict | None = None,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Probe an assigned corpus (``_ivf_assign`` output, live or read
+    back from a bucketed index table) with each query's best n_probe
+    cells; exact cosine + salted top-k on candidates only."""
+    n_cells = len(cents)
+    darr = _darr(n_cells)
+    qd = _ivf_dots(queries, vec_col, id_col, "query", dim, cents)
     pr = qd.selectExpr("query_id", f"posexplode({darr}) AS (__i, __dot)")
     w = Window.partitionBy("query_id").orderBy(
         F.col("__dot").desc(), F.col("__i").asc()
@@ -573,15 +618,15 @@ def ivf_topk(
         .where(F.col("__rn") <= n_probe)
         .selectExpr("query_id", "CAST(__i + 1 AS INT) AS __cell")
     )
+    if broadcast_probes:
+        probes = F.broadcast(probes)
     if diagnostics is not None:
         # same pruning audit as ann_topk_lsh: admitted (query, vector)
         # rescore pairs out of n_data x n_queries
         diagnostics["n_candidate_pairs"] = (
-            dc.select("vec_id", "__cell")
-            .join(F.broadcast(probes), "__cell")
-            .count()
+            dc.select("vec_id", "__cell").join(probes, "__cell").count()
         )
-    cand = dc.join(F.broadcast(probes), "__cell").join(
+    cand = dc.join(probes, "__cell").join(
         F.broadcast(qd.select("query_id", "query_q", "query_n")), "query_id"
     )
     scored = cand.selectExpr(
@@ -601,6 +646,76 @@ def ivf_topk(
         "rank",
         "vec_id",
         F.floor(F.col("__cos") * 1_000_000).cast("long").alias("cosine_u"),
+    )
+
+
+def ivf_build_index(
+    data: DataFrame,
+    table: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_cells: int | None = None,
+    seed: int = 42,
+    n_rows: int | None = None,
+    n_buckets: int | None = None,
+) -> int:
+    """Persist the IVF layout: assign every vector to its cell ONCE and
+    write the corpus BUCKETED by ``__cell`` (sources.write_bucketed)
+    into catalog table ``table``. Returns the n_cells used (pass it to
+    ivf_topk_from_index with the same dim/seed).
+
+    The 100 TB shape this buys (pinned by
+    tests/test_llm_ops.py::test_ivf_bucketed_index_no_data_exchange):
+    cell assignment — n_cells dots per vector, the dominant map cost —
+    is paid at WRITE time instead of per query, and the probe join
+    against the bucketed table needs no data-side Exchange even when
+    the probe set is too large to broadcast: bucketing already
+    satisfies the join's hash-partitioning requirement, so only the
+    (tiny) probe side shuffles. Default n_buckets = n_cells: one
+    bucket file group per cell, making a probe a file-group-local read.
+    """
+    from datafusion_uba_spark.sources import write_bucketed
+
+    if n_cells is None:
+        n = n_rows if n_rows is not None else data.count()
+        n_cells = auto_n_cells(n)
+    cents = hyperplanes(dim, n_cells, seed=seed)
+    dc = _ivf_assign(data, vec_col, id_col, dim, cents)
+    write_bucketed(dc, table, "__cell", n_buckets or n_cells)
+    return n_cells
+
+
+def ivf_topk_from_index(
+    spark,
+    table: str,
+    queries: DataFrame,
+    n_cells: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_probe: int = 8,
+    seed: int = 42,
+    broadcast_probes: bool = True,
+    diagnostics: dict | None = None,
+) -> DataFrame:
+    """ivf_topk against a PERSISTED index (ivf_build_index output):
+    identical results, no per-query assignment pass. ``dim``/``seed``/
+    ``n_cells`` must match the build call — they derive the same
+    literal centroids the stored cells came from."""
+    cents = hyperplanes(dim, n_cells, seed=seed)
+    return _ivf_probe_rescore(
+        spark.table(table),
+        queries,
+        k,
+        vec_col,
+        id_col,
+        dim,
+        cents,
+        n_probe,
+        diagnostics,
+        broadcast_probes,
     )
 
 

@@ -199,6 +199,50 @@ def test_ivf_recall_at_10(spark, emb):
     assert recall >= 0.7, f"IVF recall@10 {recall} < 0.7"
 
 
+def test_ivf_bucketed_index_no_data_exchange(spark, emb):
+    """ivf_build_index persists the cell assignment bucketed by __cell;
+    probing the stored index must (a) reproduce the live ivf_topk
+    results exactly and (b) plan the probe equi-join with NO data-side
+    Exchange when probes aren't broadcast — bucketing already satisfies
+    the join's hash-partitioning requirement, so the only
+    __cell-keyed Exchange in the plan is the tiny probe side. This is
+    the write-once/probe-shuffle-free layout a 100 TB corpus would use
+    (r3 verdict item #4)."""
+    q = emb.where("vec_id < 8")
+    n_cells = similarity.ivf_build_index(emb, "ivf_idx", n_cells=16)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from_idx = similarity.ivf_topk_from_index(
+            spark, "ivf_idx", q, n_cells=n_cells, k=10, broadcast_probes=False
+        )
+        got = {(r.query_id, r.rank, r.vec_id, r.cosine_u) for r in from_idx.collect()}
+        # AdaptiveSparkPlan.toString renders the final plan followed by
+        # the initial plan — audit only the final one
+        plan = (
+            from_idx._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        import re
+
+        assert "Bucketed: true" in plan, plan
+        cell_exchanges = re.findall(r"Exchange hashpartitioning\(__cell", plan)
+        assert len(cell_exchanges) == 1, (
+            f"expected only the probe-side __cell exchange, got "
+            f"{len(cell_exchanges)}:\n{plan}"
+        )
+        want = {
+            (r.query_id, r.rank, r.vec_id, r.cosine_u)
+            for r in similarity.ivf_topk(emb, q, k=10, n_cells=16).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS ivf_idx")
+
+
 def test_topk_per_key_matches_naive(spark):
     df = spark.createDataFrame(
         [(k, i, float((i * 37 + k * 11) % 100)) for k in range(3) for i in range(50)],
