@@ -22,10 +22,10 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "funnel_user_times"]
+__all__ = ["funnel_steps", "funnel_steps_any_anchor", "funnel_user_times"]
 
 
 def funnel_user_times(
@@ -104,3 +104,81 @@ def funnel_steps(
         for i, ((name, _), df) in enumerate(zip(steps, per_step))
     ]
     return reduce(lambda a, b: a.unionAll(b), rows)
+
+
+def funnel_steps_any_anchor(
+    events: DataFrame,
+    steps: list[tuple[str, Column]],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    conversion_window_days: int = 7,
+) -> DataFrame:
+    """``funnel_steps`` with ANY-QUALIFYING-ANCHOR semantics (the
+    ClickHouse-windowFunnel-style definition funnel_steps's docstring
+    contrasts itself against): a user converts step k if ANY chain
+    e1 <= e2 <= ... <= ek of step events exists with ek within the
+    conversion window of e1 — every step-1 event is a candidate anchor,
+    not just the globally earliest.
+
+    Not a per-anchor backtracking search: the maximal-anchor chain is
+    computed in ONE pass over each user's time-ordered events. Let
+    m_i(e) = the best (latest) achievable anchor over all chains ending
+    at some step-(i+1) event at-or-before e; then m_0 is a running max
+    of step-1 times and m_i is a running max of m_{i-1} sampled at
+    step-(i+1) events. A user converts step k iff some step-k event e
+    has m_{k-2}(e) >= t(e) - window (choosing the latest anchor is
+    optimal because the window constraint only involves the anchor and
+    the chain's LAST event — times in between are monotone). Running
+    maxes use RANGE windows so same-instant events chain non-strictly,
+    matching funnel_steps's ``tus >= t_prev`` rule; DuckDB replays the
+    identical RANGE windows in the oracle (queries_uba.py).
+
+    Scale: one shuffle on the user key + one per-partition sort feeds
+    all k running maxes and the final per-user flag aggregate — O(1)
+    state per row, no event-list collection, vs the k co-partitioned
+    joins of funnel_steps. Output: (step, step_name, users) like
+    funnel_steps; step-k counts are >= the single-anchor counts by
+    construction.
+    """
+    window_us = conversion_window_days * 86_400 * 1_000_000
+    n = len(steps)
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col)).alias("tus"),
+        *[pred.alias(f"__p{i}") for i, (_, pred) in enumerate(steps)],
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("tus")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = base
+    for i in range(n):
+        anchor = F.col("tus") if i == 0 else F.col(f"__m{i - 1}")
+        df = df.withColumn(f"__b{i}", F.when(F.col(f"__p{i}"), anchor))
+        if i < n - 1:  # the last step's running max is never consumed
+            df = df.withColumn(f"__m{i}", F.max(f"__b{i}").over(w))
+    per_user = df.groupBy("u").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col(f"__b{i}") >= F.col("tus") - F.lit(window_us), 1
+                ).otherwise(0)
+            ).alias(f"__c{i}")
+            for i in range(n)
+        ]
+    )
+    counts = per_user.agg(
+        *[F.sum(f"__c{i}").alias(f"__n{i}") for i in range(n)]
+    )
+    out_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(name).alias("step_name"),
+                F.col(f"__n{i}").cast("long").alias("users"),
+            )
+            for i, (name, _) in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(out_rows).alias("r")).select("r.*")

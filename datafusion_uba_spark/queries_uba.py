@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_uba_spark.operators.funnel import funnel_steps
+from datafusion_uba_spark.operators.funnel import (
+    funnel_steps,
+    funnel_steps_any_anchor,
+)
 from datafusion_uba_spark.sources import load_table
 from datafusion_uba_spark.streaming import hourly_event_counts, sessionize
 
@@ -113,6 +116,55 @@ SELECT 2, '{_FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
 UNION ALL
 SELECT 3, '{_FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
 """
+
+def q_funnel_steps_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps_any_anchor(
+        ev,
+        [(s, F.col("event_type") == s) for s in _FUNNEL_STEPS],
+        conversion_window_days=_FUNNEL_WINDOW_DAYS,
+    )
+
+
+# Any-qualifying-anchor funnel: identical maximal-anchor running-max
+# recurrence as the operator (see funnel_steps_any_anchor's docstring),
+# replayed with DuckDB's RANGE windows so same-instant chains match
+# non-strictly in both engines.
+_ORACLE_FUNNEL_ANY = f"""
+WITH e AS (SELECT user_id AS u, epoch_us(ts) AS tus, event_type FROM events),
+w0 AS (
+  SELECT u, tus, event_type,
+    max(CASE WHEN event_type = '{_FUNNEL_STEPS[0]}' THEN tus END)
+      OVER anch AS m0
+  FROM e
+  WINDOW anch AS (PARTITION BY u ORDER BY tus
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+w1 AS (
+  SELECT u, tus, event_type, m0,
+    max(CASE WHEN event_type = '{_FUNNEL_STEPS[1]}' THEN m0 END)
+      OVER anch AS m1
+  FROM w0
+  WINDOW anch AS (PARTITION BY u ORDER BY tus
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+per_user AS (
+  SELECT u,
+    max(CASE WHEN event_type = '{_FUNNEL_STEPS[0]}' THEN 1 ELSE 0 END) AS c0,
+    max(CASE WHEN event_type = '{_FUNNEL_STEPS[1]}'
+              AND m0 >= tus - {_FUNNEL_WINDOW_US} THEN 1 ELSE 0 END) AS c1,
+    max(CASE WHEN event_type = '{_FUNNEL_STEPS[2]}'
+              AND m1 >= tus - {_FUNNEL_WINDOW_US} THEN 1 ELSE 0 END) AS c2
+  FROM w1 GROUP BY u
+)
+SELECT 1 AS step, '{_FUNNEL_STEPS[0]}' AS step_name,
+       CAST(sum(c0) AS BIGINT) AS users FROM per_user
+UNION ALL
+SELECT 2, '{_FUNNEL_STEPS[1]}', CAST(sum(c1) AS BIGINT) FROM per_user
+UNION ALL
+SELECT 3, '{_FUNNEL_STEPS[2]}', CAST(sum(c2) AS BIGINT) FROM per_user
+"""
+
 
 _ASOF_TOL_US = 86_400_000_000  # 1 day
 
@@ -234,6 +286,7 @@ UBA_REGISTRY: dict = {
     "sessionize": (q_sessionize, _ORACLE_SESSIONIZE),
     "hourly_event_counts": (q_hourly_event_counts, _ORACLE_HOURLY),
     "funnel_steps": (q_funnel_steps, _ORACLE_FUNNEL),
+    "funnel_steps_any": (q_funnel_steps_any, _ORACLE_FUNNEL_ANY),
     "asof_view_value": (q_asof_view_value, _ORACLE_ASOF),
     "session_of_event": (q_session_of_event, _ORACLE_SESSION_OF_EVENT),
 }

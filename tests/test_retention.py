@@ -211,6 +211,47 @@ def test_funnel_slt(spark):
     assert to_py(res["retention"]) == [[3], [3]]
 
 
+def test_funnel_any_anchor_vs_single(spark):
+    """Pins the semantic split between the two ordered-funnel variants
+    on the canonical stale-first-anchor case: user 1's first view is a
+    month old, but a later view starts a complete in-window
+    view->click->purchase chain. Single-anchor (window fixed at the
+    globally earliest view) rejects it; any-anchor accepts. User 4's
+    all-same-instant chain pins non-strict (<=) chaining in both."""
+    from datafusion_uba_spark.operators.funnel import (
+        funnel_steps,
+        funnel_steps_any_anchor,
+    )
+
+    us_day = 86_400 * 1_000_000
+    rows = [
+        (1, 0, "view"), (1, 30, "view"), (1, 31, "click"), (1, 32, "purchase"),
+        (2, 0, "view"), (2, 3, "click"), (2, 20, "purchase"),
+        (3, 1, "click"),
+        (4, 5, "view"), (4, 5, "click"), (4, 5, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, day int, event_type string"
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("day").cast("long") * us_day).alias("ts"),
+        "event_type",
+    )
+    steps = [(s, F.col("event_type") == s) for s in ("view", "click", "purchase")]
+    single = {
+        r.step: r.users
+        for r in funnel_steps(ev, steps, conversion_window_days=7).collect()
+    }
+    any_ = {
+        r.step: r.users
+        for r in funnel_steps_any_anchor(
+            ev, steps, conversion_window_days=7
+        ).collect()
+    }
+    assert single == {1: 3, 2: 2, 3: 1}  # step2: u2,u4; step3: u4
+    assert any_ == {1: 3, 2: 3, 3: 2}  # + u1 via the day-30 anchor
+
+
 @pytest.mark.parametrize("partitions", [1, 2, 7])
 def test_funnel_partition_invariance(spark, partitions):
     rows = [
