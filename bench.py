@@ -8,11 +8,14 @@ Prints exactly ONE JSON line on stdout:
 Config via env:
     SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS    local[] parallelism (default 32)
-    BENCH_REPEAT        timed repetitions per query, best-of (default 2:
+    BENCH_REPEAT        timed repetitions per query, best-of (default 3:
                         one-time costs — parser/analyzer warmup, janino
                         codegen compiles, broadcast builds — otherwise
-                        land on whichever query pays them first and make
-                        run-to-run numbers irreproducible)
+                        land on whichever query pays them first; and the
+                        shared host shows multi-second contention spikes
+                        (measured: a 7.5 s query's first rep at 51 s),
+                        so two reps can BOTH be outliers — three keeps
+                        the min representative)
 
 Each query is materialized with a noop-format write: the full plan
 executes on the executors (no column pruning shortcut as with count(),
@@ -34,7 +37,7 @@ def _materialize(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from datafusion_uba_spark.queries import queries
