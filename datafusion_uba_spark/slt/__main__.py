@@ -30,30 +30,45 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--cpus", type=int, default=4, help="local[] parallelism (default 4)"
     )
+    ap.add_argument(
+        "--engine",
+        choices=("spark", "duckdb"),
+        default="spark",
+        help="engine to run against: the Spark engine (default) or the "
+        "alternate DuckDB conformance engine — the reference's "
+        "PG_COMPAT=true switch for pg_compat_*.slt scripts "
+        "(tests/sqllogictests/README.md:112-140)",
+    )
     args = ap.parse_args(argv)
 
-    from datafusion_uba_spark.session import get_spark
-    from datafusion_uba_spark.slt.runner import run_file
+    from datafusion_uba_spark.slt.runner import DuckDBEngine, run_file
 
-    spark = get_spark(
-        app_name="uba-slt", cpus=args.cpus, shuffle_partitions=args.cpus
-    )
+    spark = None
+    engine = None
+    if args.engine == "duckdb":
+        engine = DuckDBEngine()
+    else:
+        from datafusion_uba_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="uba-slt", cpus=args.cpus, shuffle_partitions=args.cpus
+        )
     rc = 0
     for path in args.files:
         if args.complete:
-            failures, completed = run_file(spark, path, complete=True)
-            with open(path, "w") as fh:
-                fh.write(completed)
+            # run_file rewrites the file in place in complete mode
+            run_file(spark, path, complete=True, engine=engine)
             print(f"completed: {path}")
         else:
-            failures = run_file(spark, path)
+            failures = run_file(spark, path, engine=engine)
             for f in failures:
                 print(f"{path}:{f.line}: {f.sql}\n{f.message}\n")
             status = "ok" if not failures else f"{len(failures)} FAILED"
             print(f"{path}: {status}")
             if failures:
                 rc = 1
-    spark.stop()
+    if spark is not None:
+        spark.stop()
     return rc
 
 

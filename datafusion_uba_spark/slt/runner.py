@@ -237,6 +237,78 @@ def rewrite_statement(sql_text: str) -> str:
     )
 
 
+# --- engines ------------------------------------------------------------------
+#
+# The reference's pg-compat mode (tests/sqllogictests/README.md:112-140)
+# runs the SAME slt scripts against a second engine (Postgres via
+# PG_COMPAT=true) to verify cross-engine conformance of files prefixed
+# ``pg_compat_``. This container has no Postgres, so the alternate
+# engine here is DuckDB — same idea, same file convention: a
+# ``pg_compat_*.slt`` file must pass verbatim on BOTH engines
+# (pinned by tests/test_slt.py::test_pg_compat_corpus_both_engines).
+
+
+class SparkEngine:
+    """Default engine: Spark SQL with the retention macro layer."""
+
+    name = "spark"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def statement(self, sql: str) -> None:
+        self.spark.sql(expand_macros(rewrite_statement(sql)))
+
+    def query(self, sql: str) -> tuple[list[tuple], str]:
+        df = self.spark.sql(expand_macros(sql))
+        types = "".join(type_code(t) for _, t in df.dtypes)
+        return [tuple(r) for r in df.collect()], types
+
+
+class DuckDBEngine:
+    """Alternate conformance engine (the reference's Postgres role).
+
+    No macro layer: pg_compat scripts are portable ANSI SQL by
+    definition. Type codes come from DuckDB's logical types so the slt
+    ``query IRT...`` headers check out identically on both engines.
+    """
+
+    name = "duckdb"
+
+    _INT = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+            "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
+
+    def __init__(self, con=None):
+        import duckdb
+
+        self.con = con if con is not None else duckdb.connect()
+
+    @classmethod
+    def _code(cls, t: str) -> str:
+        t = str(t).upper()
+        if t in cls._INT:
+            return "I"
+        if t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
+            return "R"
+        if t == "VARCHAR":
+            return "T"
+        if t == "BOOLEAN":
+            return "B"
+        if t == "DATE":
+            return "D"
+        if t.startswith("TIMESTAMP"):
+            return "P"
+        return "?"
+
+    def statement(self, sql: str) -> None:
+        self.con.execute(rewrite_statement(sql))
+
+    def query(self, sql: str) -> tuple[list[tuple], str]:
+        rel = self.con.sql(sql)
+        types = "".join(self._code(t) for t in rel.types)
+        return [tuple(r) for r in rel.fetchall()], types
+
+
 # --- execution ----------------------------------------------------------------
 
 
@@ -247,12 +319,9 @@ class SltFailure:
     message: str
 
 
-def _run_query(spark: SparkSession, rec: Record) -> tuple[list[str], str]:
-    df = spark.sql(expand_macros(rec.sql))
-    actual_types = "".join(type_code(t) for _, t in df.dtypes)
-    cell_rows = [
-        [norm_value(v) for v in row] for row in (tuple(r) for r in df.collect())
-    ]
+def _run_query(engine, rec: Record) -> tuple[list[str], str]:
+    raw_rows, actual_types = engine.query(rec.sql)
+    cell_rows = [[norm_value(v) for v in row] for row in raw_rows]
     expanded = [r for row in cell_rows for r in _expand_row(row)]
     rows = [" ".join(r) for r in expanded]
     if rec.sort == "rowsort":
@@ -269,14 +338,23 @@ def _expected_for_compare(rec: Record) -> list[str]:
 
 
 def run_text(
-    spark: SparkSession, text: str, complete: bool = False
+    spark: SparkSession | None,
+    text: str,
+    complete: bool = False,
+    engine=None,
 ) -> tuple[list[SltFailure], str | None]:
     """Run slt text. Returns (failures, completed_text if complete).
+
+    ``engine`` defaults to SparkEngine(spark); pass DuckDBEngine() (and
+    spark=None) to run the same script on the alternate conformance
+    engine — the reference's PG_COMPAT switch.
 
     Complete mode splices regenerated result blocks into the ORIGINAL
     text — comments, blank-line structure, statements, and anything
     after a ``halt`` stay byte-identical.
     """
+    if engine is None:
+        engine = SparkEngine(spark)
     records = parse_slt(text)
     failures: list[SltFailure] = []
     # (exp_span, new_rows) replacements for complete mode
@@ -284,7 +362,7 @@ def run_text(
     for rec in records:
         if rec.kind == "statement":
             try:
-                spark.sql(expand_macros(rewrite_statement(rec.sql)))
+                engine.statement(rec.sql)
                 if rec.expect_error:
                     failures.append(
                         SltFailure(rec.line, rec.sql, "expected error, got success")
@@ -294,7 +372,7 @@ def run_text(
                     failures.append(SltFailure(rec.line, rec.sql, str(exc)[:500]))
         else:
             try:
-                rows, actual_types = _run_query(spark, rec)
+                rows, actual_types = _run_query(engine, rec)
             except Exception as exc:
                 failures.append(SltFailure(rec.line, rec.sql, str(exc)[:500]))
                 continue
@@ -336,11 +414,14 @@ def run_text(
 
 
 def run_file(
-    spark: SparkSession, path: str, complete: bool = False
+    spark: SparkSession | None,
+    path: str,
+    complete: bool = False,
+    engine=None,
 ) -> list[SltFailure]:
     with open(path) as f:
         text = f.read()
-    failures, completed = run_text(spark, text, complete=complete)
+    failures, completed = run_text(spark, text, complete=complete, engine=engine)
     if complete and completed is not None:
         with open(path, "w") as f:
             f.write(completed)

@@ -57,3 +57,22 @@ def test_engine_slt_corpus(spark):
     assert not failures, "\n\n".join(
         f"line {f.line}: {f.sql}\n{f.message}" for f in failures
     )
+
+
+def test_pg_compat_corpus_both_engines(spark):
+    """The reference's pg-compat conformance mode
+    (tests/sqllogictests/README.md:112-140): pg_compat_*.slt scripts
+    must pass VERBATIM — same expected blocks, same type codes — on the
+    primary engine and on the alternate engine (DuckDB here, Postgres
+    there)."""
+    from datafusion_uba_spark.slt.runner import DuckDBEngine
+
+    path = os.path.join(SLT_DIR, "pg_compat_engine.slt")
+    fs = run_file(spark, path)
+    assert not fs, "\n\n".join(
+        f"spark line {f.line}: {f.sql}\n{f.message}" for f in fs
+    )
+    fd = run_file(None, path, engine=DuckDBEngine())
+    assert not fd, "\n\n".join(
+        f"duckdb line {f.line}: {f.sql}\n{f.message}" for f in fd
+    )
