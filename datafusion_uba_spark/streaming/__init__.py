@@ -34,6 +34,7 @@ __all__ = [
     "hourly_event_counts",
     "sessionize",
     "streaming_user_day_flags",
+    "streaming_funnel_flags",
     "streaming_exact_dedup",
     "run_to_memory",
 ]
@@ -203,6 +204,112 @@ def streaming_user_day_flags(
             "born",
             "target",
         )
+    )
+
+
+def streaming_funnel_flags(
+    events: DataFrame,
+    steps: list,
+    conversion_window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming ANY-ANCHOR ordered funnel — the one operator in this
+    module whose semantics Spark's built-in incrementalizer CANNOT
+    express (no window/session aggregate computes a cross-event chain
+    recurrence), so it is the designated ``applyInPandasWithState``
+    custom stateful operator.
+
+    Semantics match operators.funnel.funnel_steps_any_anchor exactly:
+    a user converts step k when some chain e1 <= ... <= ek of step
+    events ends within ``conversion_window_days`` of its own anchor e1.
+    The batch operator's maximal-anchor recurrence (m_i = running max
+    of the best chain-anchor per step) is exactly what gets persisted
+    here: per-user state is the (k-1)-vector of m values plus k
+    conversion flags — O(k) longs per user, NOT an event list, so state
+    size is |users|-bounded like every other operator in this module.
+    Each micro-batch's events are sorted per user and folded through a
+    numpy cummax ladder (vectorized, no per-row Python), seeded with
+    the carried m-vector.
+
+    Ordering contract: the recurrence is order-sensitive, so
+    cross-batch correctness holds when each user's events arrive
+    batch-monotonically (a later batch holds no event older than an
+    earlier batch's for that user) — the standard replay/tailing case;
+    within a batch any order is fine. Pinned by
+    tests/test_streaming.py::test_streaming_funnel_flags_multi_batch
+    (time-split files, one per micro-batch).
+
+    Output (update semantics): one row per user per micro-batch that
+    touched it — (user, conv array<int> of length k). Downstream takes
+    max per user (flags are monotone) and sums for the funnel chart;
+    the finite-corpus test compares exactly that against the batch
+    funnel_steps_any_anchor counts.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n = len(steps)
+    if n < 1:
+        raise ValueError("streaming_funnel_flags: need at least one step")
+    window_us = conversion_window_days * 86_400 * 1_000_000
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col)).alias("tus"),
+        *[pred.cast("boolean").alias(f"p{i}") for i, (_, pred) in enumerate(steps)],
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("u", T.LongType()),
+            T.StructField("conv", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("m", T.ArrayType(T.LongType())),
+            T.StructField("conv", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    NEG = -(1 << 62)  # "no anchor yet" sentinel (valid anchors are >= 0)
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            m_prev, conv = list(state.get[0]), list(state.get[1])
+        else:
+            m_prev, conv = [NEG] * n, [0] * n
+        pdf = pd.concat(list(pdf_iter)).sort_values("tus", kind="stable")
+        tus = pdf["tus"].to_numpy(dtype="int64")
+        # batch parity uses RANGE windows (same-instant events see each
+        # other regardless of sort order); a plain cummax is ROWS — so
+        # each row reads the accumulated value at the LAST index of its
+        # tus tie group
+        idx_last = np.searchsorted(tus, tus, side="right") - 1
+        lower = tus - window_us
+        run = None  # range-ified m_{i-1} per row
+        for i in range(n):
+            p = pdf[f"p{i}"].fillna(False).to_numpy(dtype=bool)
+            # b_i per row: best candidate anchor of a chain ending here
+            b = np.where(p, tus if i == 0 else run, NEG)
+            if b.size and int((b >= lower).max()):
+                conv[i] = 1
+            # running max INCLUDING the current row, seeded with the
+            # carried state (prepend, accumulate, drop the seed slot)
+            acc = np.maximum.accumulate(
+                np.concatenate(([m_prev[i]], b))
+            )[1:]
+            run = acc[idx_last] if acc.size else acc
+            m_prev[i] = int(acc[-1]) if acc.size else m_prev[i]
+        state.update((m_prev, conv))
+        yield pd.DataFrame({"u": [key[0]], "conv": [list(conv)]})
+
+    return base.groupBy("u").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -18,6 +18,8 @@ Watermark/append semantics get their own prefix-subset test.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -28,6 +30,7 @@ from datafusion_uba_spark.streaming import (
     sessionize,
     stream_events,
     streaming_exact_dedup,
+    streaming_funnel_flags,
     streaming_user_day_flags,
 )
 
@@ -224,6 +227,86 @@ def test_incremental_multi_batch_parity(spark, batch_events, tmp_path):
     )
     assert got == want and len(got) > 0
     assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+
+
+def _funnel_steps():
+    # built lazily: F.col needs an active SparkContext
+    return [(s, F.col("event_type") == s) for s in ("view", "click", "purchase")]
+
+
+def _funnel_step_counts_from_updates(spark, table: str) -> dict[int, int]:
+    """Update-mode sink rows -> per-step converted-user counts: flags
+    are monotone, so take max per user per step, then sum."""
+    agg = (
+        spark.table(table)
+        .select("u", F.posexplode("conv").alias("step_idx", "flag"))
+        .groupBy("u", "step_idx")
+        .agg(F.max("flag").alias("flag"))
+        .groupBy("step_idx")
+        .agg(F.sum("flag").alias("users"))
+    )
+    return {r.step_idx + 1: r.users for r in agg.collect()}
+
+
+def _batch_any_anchor_counts(batch_events) -> dict[int, int]:
+    from datafusion_uba_spark.operators.funnel import funnel_steps_any_anchor
+
+    return {
+        r.step: r.users
+        for r in funnel_steps_any_anchor(
+            batch_events, _funnel_steps(), conversion_window_days=7
+        ).collect()
+    }
+
+
+def test_streaming_funnel_flags_parity(spark, batch_events):
+    """The applyInPandasWithState any-anchor funnel over a one-shot
+    file stream must reproduce the batch funnel_steps_any_anchor
+    counts exactly."""
+    sdf = streaming_funnel_flags(
+        _stream(spark), _funnel_steps(), conversion_window_days=7
+    )
+    run_to_memory(sdf, "funnel_state_parity", output_mode="update")
+    got = _funnel_step_counts_from_updates(spark, "funnel_state_parity")
+    want = _batch_any_anchor_counts(batch_events)
+    assert got == want and want[1] > 0
+
+
+def test_streaming_funnel_flags_multi_batch(spark, batch_events, tmp_path):
+    """REAL cross-batch state: events split into 3 time-ordered files
+    streamed one per micro-batch (the operator's batch-monotone
+    ordering contract) must carry the m-vector state across batches and
+    land on the same final counts as batch — a chain whose steps span
+    different micro-batches only converts if the carried state works."""
+    import shutil
+
+    src = str(tmp_path / "ev_by_time")
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate(
+        [("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"),
+         ("2024-01-21", "2024-02-01")]
+    ):
+        stage = str(tmp_path / f"stage{i}")
+        (
+            batch_events.where(F.to_date("ts") >= lo)
+            .where(F.to_date("ts") < hi)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, part), os.path.join(src, f"{i:02d}.parquet"))
+    sdf = streaming_funnel_flags(
+        stream_events(spark, src, max_files_per_trigger=1,
+                      path_glob_filter="*.parquet"),
+        _funnel_steps(),
+        conversion_window_days=7,
+    )
+    q = run_to_memory(sdf, "funnel_state_incr", output_mode="update")
+    assert len(q.recentProgress) >= 3
+    got = _funnel_step_counts_from_updates(spark, "funnel_state_incr")
+    want = _batch_any_anchor_counts(batch_events)
+    assert got == want and want[1] > 0
 
 
 def test_flags_to_stats_matches_batch_retention(spark, batch_events, tmp_path):
