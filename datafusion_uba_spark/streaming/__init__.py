@@ -6,9 +6,12 @@ so the driver north star treats streaming as first-class. The design
 rule mirrors the batch side: every streaming operator is the SAME
 Catalyst expression tree as its batch twin, just bound to a streaming
 source — Spark's incrementalizer (stateful aggregation, watermarked
-state eviction) supplies the streaming semantics. Nothing here is a
-re-implementation; batch/stream parity is pinned by tests
-(tests/test_streaming.py) that run both plans over the same files.
+state eviction) supplies the streaming semantics. The ONE designed
+exception is streaming_funnel_flags: the any-anchor funnel's chain
+recurrence is not expressible as a windowed aggregate, so it is the
+module's applyInPandasWithState custom stateful operator — still
+pinned to its batch twin by parity tests, like everything else here
+(tests/test_streaming.py runs both plans over the same files).
 
 Scale notes (1000-executor deployment):
 
