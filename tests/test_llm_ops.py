@@ -199,6 +199,26 @@ def test_ivf_recall_at_10(spark, emb):
     assert recall >= 0.7, f"IVF recall@10 {recall} < 0.7"
 
 
+def test_ann_topk_auto_dispatch(spark, emb):
+    """ann_topk_auto below the flat threshold must BE the brute-force
+    result (exact equality); above it, the LSH result — the dispatch is
+    a plan choice, never a third semantics."""
+    q = emb.where("vec_id < 3")
+    flat = {tuple(r) for r in similarity.cosine_topk(emb, q, k=5).collect()}
+    lsh = {tuple(r) for r in similarity.ann_topk_lsh(emb, q, k=5).collect()}
+    auto_small = {
+        tuple(r) for r in similarity.ann_topk_auto(emb, q, k=5).collect()
+    }
+    auto_forced = {
+        tuple(r)
+        for r in similarity.ann_topk_auto(
+            emb, q, k=5, flat_threshold=0
+        ).collect()
+    }
+    assert auto_small == flat and len(flat) > 0
+    assert auto_forced == lsh
+
+
 def test_ivf_bucketed_index_no_data_exchange(spark, emb):
     """ivf_build_index persists the cell assignment bucketed by __cell;
     probing the stored index must (a) reproduce the live ivf_topk

@@ -165,3 +165,75 @@ def test_text_ops_degenerate_inputs(spark):
     assert dedup.minhash_lsh_pairs(df, n=2, threshold=0.3).count() == 0
     exact = {r.doc_id: r.is_dup for r in dedup.exact_dedup(df).collect()}
     assert exact[3] == 1  # "   " normalizes to "" == doc 2's content
+
+
+# --- any-anchor funnel vs per-anchor backtracking model ---------------------
+
+_DAY_US = 86_400 * 1_000_000
+
+
+def _funnel_any_model(evs: list[tuple[int, int]], n_steps: int, window: int):
+    """Naive any-anchor funnel: try EVERY step-1 event as an anchor and
+    chain greedily (earliest valid event per step — optimal for a fixed
+    anchor since earlier choices only widen later options). Exponential
+    in spirit, a dozen lines, shares nothing with the running-max
+    recurrence the operator and its oracle use."""
+    S = [sorted(t for t, s in evs if s == i) for i in range(n_steps)]
+    conv = [False] * n_steps
+    if S[0]:
+        conv[0] = True
+    for a in S[0]:
+        t_prev = a
+        for i in range(1, n_steps):
+            nxt = min((t for t in S[i] if t >= t_prev), default=None)
+            if nxt is None or nxt > a + window:
+                break
+            conv[i] = True
+            t_prev = nxt
+    return conv
+
+
+# times biased to land ON day-window boundaries and collide exactly
+_fun_ev = st.lists(
+    st.tuples(
+        st.one_of(
+            st.integers(min_value=0, max_value=3 * _DAY_US),
+            st.builds(
+                lambda k, d: k * _DAY_US + d,
+                st.integers(min_value=0, max_value=3),
+                st.sampled_from([-1, 0, 1]),
+            ),
+        ),
+        st.integers(min_value=0, max_value=2),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(evs=_fun_ev)
+@settings(**_SETTINGS)
+def test_funnel_any_anchor_matches_model(spark, evs):
+    """The maximal-anchor running-max recurrence
+    (funnel_steps_any_anchor) vs the definitionally-obvious per-anchor
+    backtracking model. The DuckDB oracle replays the SAME recurrence,
+    so this independent model is what actually proves the recurrence
+    correct — including same-instant chains and exact window-boundary
+    anchors the generator is biased to produce."""
+    from pyspark.sql import functions as F
+
+    from datafusion_uba_spark.operators.funnel import funnel_steps_any_anchor
+
+    rows = [(1, t, f"s{i}") for t, i in evs]
+    ev = spark.createDataFrame(
+        rows, "user_id long, us long, etype string"
+    ).selectExpr("user_id", "timestamp_micros(us) AS ts", "etype")
+    steps = [(f"s{i}", F.col("etype") == f"s{i}") for i in range(3)]
+    got = {
+        r.step: r.users
+        for r in funnel_steps_any_anchor(
+            ev, steps, conversion_window_days=1
+        ).collect()
+    }
+    want = _funnel_any_model(evs, 3, _DAY_US)
+    assert got == {i + 1: int(want[i]) for i in range(3)}
