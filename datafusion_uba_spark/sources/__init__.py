@@ -123,6 +123,49 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         ) from exc
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """Newline-delimited JSON (the training-data interchange default).
+
+    Pass an explicit ``schema`` in production: schema inference reads
+    the data TWICE (a full extra pass at 100 TB) and types drift with
+    whatever the sampled lines happen to contain. Malformed lines land
+    in ``_corrupt_record`` (Spark's default PERMISSIVE mode) instead of
+    failing the job; pass mode='FAILFAST' to make them fatal.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: str | list[str],
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Hive-style partitioned directory layout (``.../day=2024-01-01/``)
+    — the other half of the 100 TB storage story next to
+    ``write_bucketed``: bucketing amortizes SHUFFLES, partitioning
+    amortizes SCANS. A query filtering on a partition column prunes
+    whole directories at planning time (PartitionFilters in the scan
+    node — pinned by tests/test_sources.py::
+    test_write_partitioned_prunes_directories), so a day-bounded
+    query over years of events lists one directory, not the table.
+    Choose partition columns with bounded cardinality (day, region —
+    never user_id: millions of tiny directories kill the listing)."""
+    pc = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    df.write.mode(mode).format(fmt).partitionBy(*pc).save(path)
+
+
 def register(df: DataFrame, name: str, cache: bool = False) -> DataFrame:
     """Re-register a (result) DataFrame as a queryable table
     (examples/retention.rs:37-38). ``cache=True`` materializes it like

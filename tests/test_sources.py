@@ -3,6 +3,7 @@
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from datafusion_uba_spark import sources
 
@@ -110,6 +111,50 @@ def test_read_avro_round_trip(spark, tmp_path):
     back = sources.read_avro(spark, path)
     assert back.count() == 100
     assert {r.twice for r in back.collect()} == {2 * i for i in range(100)}
+
+
+def test_read_jsonl(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "unicode h\\u00e9llo"}\n'
+        '{"doc_id": 3, "text": null}\n'
+        "this line is not json\n"
+    )
+    df = sources.read_jsonl(
+        spark,
+        str(p),
+        schema="doc_id long, text string, _corrupt_record string",
+    )
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[1].text == "hello world"
+    assert rows[2].text == "unicode héllo"
+    assert rows[3].text is None
+    # malformed line is quarantined, not fatal
+    assert sum(1 for r in rows.values() if r.doc_id is None) == 1
+
+
+def test_write_partitioned_prunes_directories(spark, sf_dir, tmp_path):
+    """write_partitioned's contract: a filter on the partition column
+    appears as PartitionFilters in the scan (directory pruning at
+    planning time) and the pruned read returns exactly the partition's
+    rows."""
+    import os as _os
+    import re
+
+    ev = sources.load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = str(tmp_path / "ev_by_day")
+    sources.write_partitioned(ev, out, "day")
+    assert any(d.startswith("day=") for d in _os.listdir(out))
+
+    back = spark.read.parquet(out).where(F.col("day") == "2024-01-02")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), plan
+    want = ev.where(F.col("day") == "2024-01-02").count()
+    assert back.count() == want and want > 0
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
