@@ -547,11 +547,55 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical 'clean the crawl' first pass, composed as ONE
+    query: keep documents that are (a) the canonical copy of their
+    content (not an exact duplicate), (b) confidently English, (c)
+    above the quality bar, (d) long enough to train on. text_stats
+    already carries the content fingerprint, so dedup is a window over
+    it — one scan of documents, one narrow shuffle on fingerprint,
+    instead of a second scan + join through exact_dedup. Thresholds
+    sit mid-distribution on the synthetic corpus so the row both
+    filters and keeps substantively at every SF."""
+    from pyspark.sql import Window
+
+    stats = text_ops.text_stats(_docs(spark, sf_dir))
+    w = Window.partitionBy("fingerprint")
+    return (
+        stats.withColumn(
+            "is_dup",
+            (F.col("doc_id") != F.min("doc_id").over(w)).cast("int"),
+        )
+        .where(
+            (F.col("is_dup") == 0)
+            & (F.col("lang_pred") == "en")
+            & (F.col("quality_u") >= 600_000)
+            & (F.col("n_tokens") >= 20)
+        )
+        .select("doc_id", "n_tokens", "quality_u", "lang_pred")
+    )
+
+
+_ORACLE_CORPUS_FILTER = f"""
+WITH ts AS ({_ORACLE_TEXT_STATS})
+SELECT doc_id, n_tokens, quality_u, lang_pred
+FROM (
+  SELECT ts.*,
+    CAST(doc_id != min(doc_id) OVER (PARTITION BY fingerprint) AS INT)
+      AS is_dup
+  FROM ts
+)
+WHERE is_dup = 0 AND lang_pred = 'en'
+  AND quality_u >= 600000 AND n_tokens >= 20
+"""
+
+
 # registry
 # ---------------------------------------------------------------------------
 
 LLM_REGISTRY: dict = {
     "text_stats": (q_text_stats, _ORACLE_TEXT_STATS),
+    "corpus_filter": (q_corpus_filter, _ORACLE_CORPUS_FILTER),
     "winnow_fingerprints": (q_winnow_fingerprints, _ORACLE_WINNOW),
     "dedup_winnow": (q_dedup_winnow, _ORACLE_DEDUP_WINNOW),
     "dedup_exact": (q_dedup_exact, _ORACLE_DEDUP_EXACT),
