@@ -216,6 +216,7 @@ def streaming_funnel_flags(
     conversion_window_days: int = 7,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming ANY-ANCHOR ordered funnel — the one operator in this
     module whose semantics Spark's built-in incrementalizer CANNOT
@@ -248,6 +249,17 @@ def streaming_funnel_flags(
     max per user (flags are monotone) and sums for the funnel chart;
     the finite-corpus test compares exactly that against the batch
     funnel_steps_any_anchor counts.
+
+    State eviction: pass ``watermark`` (e.g. "1 day") to bound state
+    lifetime with an event-time timeout. An anchor older than
+    (watermark - window) is DEAD — every future event arrives at
+    t >= watermark, and a conversion needs anchor >= t - window — so a
+    user idle past their last anchor + window can be evicted without
+    changing any future result (their flags were already emitted and
+    flags are monotone downstream). Without a watermark, state is
+    |users|-bounded but permanent — fine for replay/backfill, not for
+    an unbounded tail. Eviction-active parity is pinned by
+    tests/test_streaming.py::test_streaming_funnel_flags_evicts_state.
     """
     import numpy as np
     import pandas as pd
@@ -257,8 +269,12 @@ def streaming_funnel_flags(
     if n < 1:
         raise ValueError("streaming_funnel_flags: need at least one step")
     window_us = conversion_window_days * 86_400 * 1_000_000
+    evict = watermark is not None and events.isStreaming
+    if evict:
+        events = events.withWatermark(ts_col, watermark)
     base = events.select(
         F.col(user_col).alias("u"),
+        F.col(ts_col),  # event-time column must survive for the timeout
         F.unix_micros(F.col(ts_col)).alias("tus"),
         *[pred.cast("boolean").alias(f"p{i}") for i, (_, pred) in enumerate(steps)],
     )
@@ -278,6 +294,11 @@ def streaming_funnel_flags(
     NEG = -(1 << 62)  # "no anchor yet" sentinel (valid anchors are >= 0)
 
     def fold(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed last-anchor + window: no future event can
+            # chain off this state (flags already emitted; monotone)
+            state.remove()
+            return
         if state.exists:
             m_prev, conv = list(state.get[0]), list(state.get[1])
         else:
@@ -305,6 +326,10 @@ def streaming_funnel_flags(
             run = acc[idx_last] if acc.size else acc
             m_prev[i] = int(acc[-1]) if acc.size else m_prev[i]
         state.update((m_prev, conv))
+        if evict and tus.size:
+            # evict once the watermark passes the newest possible
+            # anchor's window (ms epoch, per the GroupState API)
+            state.setTimeoutTimestamp((int(tus.max()) + window_us) // 1000 + 1)
         yield pd.DataFrame({"u": [key[0]], "conv": [list(conv)]})
 
     return base.groupBy("u").applyInPandasWithState(
@@ -312,7 +337,11 @@ def streaming_funnel_flags(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evict
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -309,6 +309,70 @@ def test_streaming_funnel_flags_multi_batch(spark, batch_events, tmp_path):
     assert got == want and want[1] > 0
 
 
+def test_streaming_funnel_flags_evicts_state(spark, tmp_path):
+    """Eviction-active parity: with a watermark, a user idle past
+    (last anchor + window) is dropped from the state store via
+    event-time timeout — and the final counts STILL equal batch,
+    because every evicted anchor is dead (no future event can be
+    within window of it). Crafted 3-batch corpus: user 1 completes the
+    funnel in batch 0 and never returns (the eviction target), user 2's
+    day-20 purchase chains off a long-dead day-0 anchor (must NOT
+    convert, evicted or not), users 3 completes inside batch 2."""
+    import shutil
+
+    from datafusion_uba_spark.operators.funnel import funnel_steps_any_anchor
+
+    def ts(day, hour):
+        return 1_704_067_200_000_000 + (day * 24 + hour) * 3_600 * 1_000_000
+
+    rows = {
+        0: [(1, ts(0, 9), "view"), (1, ts(0, 10), "click"),
+            (1, ts(0, 11), "purchase"), (2, ts(0, 9), "view")],
+        1: [(4, ts(10, 9), "view")],
+        2: [(2, ts(20, 9), "purchase"), (3, ts(20, 9), "view"),
+            (3, ts(20, 10), "click"), (3, ts(21, 8), "purchase")],
+    }
+    src = str(tmp_path / "ev_evict")
+    os.makedirs(src)
+    all_rows = []
+    for i in sorted(rows):
+        all_rows += rows[i]
+        stage = str(tmp_path / f"es{i}")
+        spark.createDataFrame(
+            rows[i], "user_id long, us long, event_type string"
+        ).selectExpr(
+            "user_id", "timestamp_micros(us) AS ts", "event_type"
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, part), os.path.join(src, f"{i:02d}.parquet"))
+
+    sdf = streaming_funnel_flags(
+        stream_events(spark, src, max_files_per_trigger=1,
+                      path_glob_filter="*.parquet"),
+        _funnel_steps(),
+        conversion_window_days=1,
+        watermark="0 seconds",
+    )
+    q = run_to_memory(sdf, "funnel_evict", output_mode="update")
+    evicted = sum(
+        so["numRowsRemoved"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert evicted > 0, "expected at least one state eviction"
+    got = _funnel_step_counts_from_updates(spark, "funnel_evict")
+    batch = spark.createDataFrame(
+        all_rows, "user_id long, us long, event_type string"
+    ).selectExpr("user_id", "timestamp_micros(us) AS ts", "event_type")
+    want = {
+        r.step: r.users
+        for r in funnel_steps_any_anchor(
+            batch, _funnel_steps(), conversion_window_days=1
+        ).collect()
+    }
+    assert got == want == {1: 4, 2: 2, 3: 2}
+
+
 def test_flags_to_stats_matches_batch_retention(spark, batch_events, tmp_path):
     """The full streaming retention pipeline end-to-end:
     streaming_user_day_flags -> parquet sink (append + watermark,
