@@ -227,21 +227,42 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(
-    shingles: Column, num_perm: int = 64
+    shingles: Column, num_perm: int = 64, hash_family: str = "xxhash64"
 ) -> Column:
     """MinHash signature: array<bigint> of per-permutation minima.
 
-    Permutation i is the xxhash64 family seeded by a literal i column —
-    one narrow pass over the shingle array per permutation, all inside
+    Permutation i is a seeded hash family applied per shingle — one
+    narrow pass over the shingle array per permutation, all inside
     codegen; no shuffle, no UDF.
+
+    ``hash_family``:
+
+    - ``"xxhash64"`` (default): fastest (one JVM intrinsic per
+      element), but exists only in Spark — the registry row using it
+      is a rows-only driver check.
+    - ``"md5"``: the first 15 hex chars of md5(f"{i}:{shingle}") parsed
+      as a 60-bit integer — slower (md5 + string slicing per element)
+      but PORTABLE: DuckDB computes the identical value
+      (('0x' || substr(md5(...),1,15))::BIGINT), so the md5 registry
+      row is hash-verified end-to-end by the driver's oracle gate.
+      Same S-curve: any uniform 60-bit family gives the same
+      collision statistics.
 
     NB the seed must be bound via a closure factory, NOT a two-arg
     lambda default (``lambda s, i=i``): PySpark inspects lambda arity
     and passes the array index as the second argument, which would
     silently turn every permutation into the same position-seeded hash.
     """
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
 
     def perm_hash(i: int):
+        if hash_family == "md5":
+            return lambda s: F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15),
+                16,
+                10,
+            ).cast("long")
         return lambda s: F.xxhash64(F.lit(i), s)
 
     return F.array(
@@ -260,6 +281,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Approximate near-dup pairs: MinHash signatures → banded LSH
     buckets → exact-Jaccard verification of candidates only.
@@ -278,7 +300,9 @@ def minhash_lsh_pairs(
     rows = num_perm // bands
     sh = _shingle_df(df, text_col, id_col, n)
     sig = sh.select(
-        "__id", "__sh", minhash_signature(F.col("__sh"), num_perm).alias("__sig")
+        "__id",
+        "__sh",
+        minhash_signature(F.col("__sh"), num_perm, hash_family).alias("__sig"),
     )
     band_structs = F.array(
         *[

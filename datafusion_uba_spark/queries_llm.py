@@ -281,6 +281,55 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, threshold=0.8)
 
 
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the portable-hash twin of dedup_minhash_lsh: md5-family
+    # signatures replay bit-identically in DuckDB, upgrading this row
+    # from rows-only to full hash verification of the ENTIRE
+    # signature -> banding -> bucket-join -> exact-verify pipeline
+    docs = _docs(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(docs, threshold=0.8, hash_family="md5")
+
+
+# Identical MinHash pipeline in DuckDB: same 60-bit md5-prefix family,
+# same 16 bands x 4 rows, same exact-Jaccard verify as the ngram oracle.
+_ORACLE_MINHASH_MD5 = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS s FROM documents
+  WHERE len({_SHINGLES}) > 0
+),
+sig AS (
+  SELECT id,
+    list_transform(range(0, 64), i ->
+      list_min(list_transform(s, x ->
+        CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || x), 1, 15))
+             AS BIGINT)))) AS g
+  FROM sh
+),
+banded AS (
+  SELECT id, b.band_id,
+         list_slice(g, b.band_id * 4 + 1, b.band_id * 4 + 4) AS band_sig
+  FROM sig, (SELECT unnest(range(0, 16)) AS band_id) b
+),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.id < b.id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+    len(list_intersect(sa.s, sb.s)) AS common,
+    len(sa.s) AS na, len(sb.s) AS nb
+  FROM cand
+  JOIN sh sa ON sa.id = doc_a
+  JOIN sh sb ON sb.id = doc_b
+)
+SELECT doc_a, doc_b,
+  CAST(floor((common * 10000) / (na + nb - common)) AS BIGINT) AS jaccard_bp
+FROM verified
+WHERE CAST(floor((common * 10000) / (na + nb - common)) AS BIGINT) >= 8000
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return dedup.simhash_pairs(docs, max_hamming=3)
@@ -601,6 +650,7 @@ LLM_REGISTRY: dict = {
     "dedup_exact": (q_dedup_exact, _ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _ORACLE_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
+    "dedup_minhash_md5": (q_dedup_minhash_md5, _ORACLE_MINHASH_MD5),
     "dedup_simhash": (q_dedup_simhash, None),
     "ann_topk": (q_ann_topk, _ORACLE_ANN_TOPK),
     "ann_topk_lsh": (q_ann_topk_lsh, _oracle_ann_topk_lsh()),
