@@ -346,11 +346,16 @@ def minhash_lsh_pairs(
 # --- SimHash ---------------------------------------------------------------
 
 
-def simhash(shingles: Column, bits: int = 64) -> Column:
+def simhash(
+    shingles: Column, bits: int = 64, hash_family: str = "xxhash64"
+) -> Column:
     """SimHash signature (bigint) over a token/shingle array.
 
     bit k of the signature = sign of sum over elements of
-    (bit k of xxhash64(elem) ? +1 : -1). Computed as ONE aggregate()
+    (bit k of hash(elem) ? +1 : -1). ``hash_family="md5"`` swaps
+    xxhash64 for the portable 60-bit md5-prefix family (see
+    minhash_signature) so DuckDB can replay the signature exactly;
+    callers must then pass ``bits <= 60``. Computed as ONE aggregate()
     fold whose accumulator is a ``bits``-long counter array updated
     with zip_with — a single traversal of the hash array and an O(1)-
     sized expression tree, vs the round-2 form of ``bits`` separate
@@ -361,7 +366,19 @@ def simhash(shingles: Column, bits: int = 64) -> Column:
     no shift-by-column is needed — Spark's shiftleft/shiftright builtin
     wrappers only take literal shift amounts.
     """
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    if hash_family == "md5":
+        if bits > 60:
+            raise ValueError("md5 family yields 60 bits; pass bits <= 60")
+        hashes = F.transform(
+            shingles,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
+    else:
+        hashes = F.transform(shingles, lambda s: F.xxhash64(s))
     masks = F.array(
         *[
             F.lit((1 << k) if k < 63 else -(1 << 63)).cast("long")
@@ -405,24 +422,30 @@ def simhash_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_hamming: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Pigeonhole candidate generation: split the 64-bit signature into
+    Pigeonhole candidate generation: split the signature into
     ``max_hamming + 1`` chunks; any pair within the distance budget
     must match exactly on >= 1 chunk, so candidates come from an
     equi-join on (chunk_id, chunk_value) — never all-pairs. Verified
-    with bit_count(xor) on the full signature.
+    with bit_count(xor) on the full signature. ``hash_family="md5"``
+    uses the portable 60-bit family (signature width 60 instead of
+    64) so the whole pipeline hash-verifies against DuckDB.
 
     Output: (doc_a, doc_b, hamming).
     """
     n_chunks = max_hamming + 1
-    chunk_bits = 64 // n_chunks
+    bits = 60 if hash_family == "md5" else 64
+    chunk_bits = bits // n_chunks
     sh = _shingle_df(df, text_col, id_col, n)
-    sig = sh.select("__id", simhash(F.col("__sh")).alias("__sim"))
+    sig = sh.select(
+        "__id", simhash(F.col("__sh"), bits, hash_family).alias("__sim")
+    )
 
     def chunk(i: int) -> Column:
-        width = 64 - chunk_bits * (n_chunks - 1) if i == n_chunks - 1 else chunk_bits
+        width = bits - chunk_bits * (n_chunks - 1) if i == n_chunks - 1 else chunk_bits
         mask = (1 << width) - 1
         return F.shiftrightunsigned("__sim", chunk_bits * i).bitwiseAND(
             F.lit(mask)

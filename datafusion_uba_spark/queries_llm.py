@@ -335,6 +335,44 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, max_hamming=3)
 
 
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # portable-hash twin of dedup_simhash (same role as
+    # dedup_minhash_md5): 60-bit md5-prefix signature DuckDB replays
+    # exactly — sign-sum bits, 4x15-bit pigeonhole chunks, bit_count
+    # verify, all hash-gated
+    docs = _docs(spark, sf_dir)
+    return dedup.simhash_pairs(docs, max_hamming=3, hash_family="md5")
+
+
+_ORACLE_SIMHASH_MD5 = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS s FROM documents
+  WHERE len({_SHINGLES}) > 0
+),
+hs AS (
+  SELECT id, list_transform(s, x ->
+    CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS h
+  FROM sh
+),
+sig AS (
+  SELECT id, CAST(list_sum(list_transform(range(0, 60), k ->
+    CASE WHEN list_sum(list_transform(h, v ->
+      CASE WHEN (v >> k) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+    THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS g
+  FROM hs
+),
+chunked AS (
+  SELECT id, g, c.chunk_id, (g >> CAST(15 * c.chunk_id AS INT)) & 32767 AS chunk_val
+  FROM sig, (SELECT unnest(range(0, 4)) AS chunk_id) c
+)
+SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+  CAST(bit_count(xor(a.g, b.g)) AS INTEGER) AS hamming
+FROM chunked a JOIN chunked b
+  ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val AND a.id < b.id
+WHERE bit_count(xor(a.g, b.g)) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -652,6 +690,7 @@ LLM_REGISTRY: dict = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
     "dedup_minhash_md5": (q_dedup_minhash_md5, _ORACLE_MINHASH_MD5),
     "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_simhash_md5": (q_dedup_simhash_md5, _ORACLE_SIMHASH_MD5),
     "ann_topk": (q_ann_topk, _ORACLE_ANN_TOPK),
     "ann_topk_lsh": (q_ann_topk_lsh, _oracle_ann_topk_lsh()),
     "ann_topk_ivf": (q_ann_topk_ivf, _oracle_ann_topk_ivf()),
