@@ -285,13 +285,20 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the portable-hash twin of dedup_minhash_lsh: md5-family
     # signatures replay bit-identically in DuckDB, upgrading this row
     # from rows-only to full hash verification of the ENTIRE
-    # signature -> banding -> bucket-join -> exact-verify pipeline
+    # signature -> banding -> bucket-join -> exact-verify pipeline.
+    # 32 perms x 8 bands (not the xxhash row's 64 x 16): the md5 path
+    # pays per-element string hashing, and halving perms halves that
+    # cost while the S-curve stays sharp (cand prob at j=0.8:
+    # 1-(1-0.8^4)^8 = 0.985 vs 0.9997 — a verification row, not the
+    # production fast path, which remains dedup_minhash_lsh)
     docs = _docs(spark, sf_dir)
-    return dedup.minhash_lsh_pairs(docs, threshold=0.8, hash_family="md5")
+    return dedup.minhash_lsh_pairs(
+        docs, threshold=0.8, num_perm=32, bands=8, hash_family="md5"
+    )
 
 
 # Identical MinHash pipeline in DuckDB: same 60-bit md5-prefix family,
-# same 16 bands x 4 rows, same exact-Jaccard verify as the ngram oracle.
+# same 8 bands x 4 rows, same exact-Jaccard verify as the ngram oracle.
 _ORACLE_MINHASH_MD5 = f"""
 WITH sh AS (
   SELECT doc_id AS id, {_SHINGLES} AS s FROM documents
@@ -299,7 +306,7 @@ WITH sh AS (
 ),
 sig AS (
   SELECT id,
-    list_transform(range(0, 64), i ->
+    list_transform(range(0, 32), i ->
       list_min(list_transform(s, x ->
         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || x), 1, 15))
              AS BIGINT)))) AS g
@@ -308,7 +315,7 @@ sig AS (
 banded AS (
   SELECT id, b.band_id,
          list_slice(g, b.band_id * 4 + 1, b.band_id * 4 + 4) AS band_sig
-  FROM sig, (SELECT unnest(range(0, 16)) AS band_id) b
+  FROM sig, (SELECT unnest(range(0, 8)) AS band_id) b
 ),
 cand AS (
   SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
