@@ -1,9 +1,17 @@
 """Benchmark harness: times every registry query end-to-end.
 
-Prints exactly ONE JSON line on stdout:
+Prints exactly ONE compact JSON line on stdout:
 
     {"metric": "registry_total_wall", "value": <sec>, "unit": "sec",
      "queries": {"<name>": <sec>, ...}, "sf": <float>}
+
+The stdout line is kept deliberately small (~1 KB at 31 queries): the
+driver captures only a short tail of stdout, and round 6's line —
+which also carried the per-rep ``runs`` arrays — outgrew that capture
+and left the bench gate with no machine-readable number despite a
+clean run. The full per-repetition detail (``runs`` per query, plus
+any per-query ``errors``) now goes to a sidecar file,
+``BENCH_RUNS.json`` next to this script, and is echoed to stderr.
 
 Config via env:
     SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
@@ -33,6 +41,35 @@ import time
 
 def _materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def build_artifacts(
+    per_query: dict[str, float],
+    per_runs: dict[str, list[float]],
+    errors: dict[str, str],
+    repeat: int,
+    sf: float,
+) -> tuple[dict, dict]:
+    """Split results into (headline, sidecar).
+
+    The headline is the single stdout JSON line the driver parses; it
+    must stay well under the driver's ~2 KB stdout tail capture, so it
+    carries only the best-of seconds per query. Everything bulky (all
+    repetitions, error messages) goes to the sidecar.
+    """
+    headline = {
+        "metric": "registry_total_wall",
+        "value": round(sum(per_query.values()), 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    if errors:
+        # keep the headline parseable even on failures: names only here,
+        # full messages in the sidecar
+        headline["failed"] = sorted(errors)
+    sidecar = {"runs": per_runs, "errors": errors, "repeat": repeat, "sf": sf}
+    return headline, sidecar
 
 
 def main() -> None:
@@ -71,19 +108,14 @@ def main() -> None:
             errors[name] = msg[:500]
             print(f"bench: query {name!r} failed: {msg}", file=sys.stderr)
 
-    out = {
-        "metric": "registry_total_wall",
-        "value": round(sum(per_query.values()), 4),
-        "unit": "sec",
-        "queries": per_query,
-        # every individual repetition, in execution order: makes
-        # run-to-run variance (and warm-vs-cold behavior) auditable
-        # from the artifact alone instead of only the best-of number
-        "runs": per_runs,
-        "sf": sf,
-    }
-    if errors:
-        out["errors"] = errors
+    out, sidecar = build_artifacts(per_query, per_runs, errors, repeat, sf)
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"
+    )
+    with open(sidecar_path, "w") as f:
+        json.dump(sidecar, f, indent=1)
+    print(f"bench: per-rep detail written to {sidecar_path}", file=sys.stderr)
+    print(json.dumps(sidecar), file=sys.stderr, flush=True)
     print(json.dumps(out), flush=True)
     spark.stop()
 

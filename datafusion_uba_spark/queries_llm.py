@@ -29,18 +29,27 @@ from datafusion_uba_spark.sources import load_table
 # ---------------------------------------------------------------------------
 
 
-def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Round-robin repartition of a tiny single-row-group parquet input.
+def _spread(
+    df: DataFrame, spark: SparkSession, n_partitions: int | None = None
+) -> DataFrame:
+    """Round-robin repartition of an UNDER-SPLIT input — gated, not blind.
 
-    The synthetic documents/embeddings files are ONE row group, so
-    without this every narrow per-document pipeline runs as one task on
-    one core of local[32] (round-2 bench pathology). On a real cluster
-    the input would arrive in many splits and this is a no-op-sized
-    shuffle; locally it is the difference between 1 and 32 working
-    cores. The shuffled payload is the raw input itself (small), never
-    derived columns.
+    The synthetic documents/embeddings fixtures are ONE parquet row
+    group, so without this every narrow per-document pipeline runs as
+    one task on one core of local[32] (round-2 bench pathology). But a
+    real 100 TB input arrives in thousands of splits, and a full
+    shuffle of the raw corpus there is pure waste — so this is a
+    local-fixture compensation, applied only when the scan actually is
+    under-split: we repartition only when the input has fewer than half
+    the session's parallelism in partitions. A well-split input passes
+    through with NO added Exchange (pinned by
+    ``tests/test_llm_ops.py::test_spread_skips_well_split_input``).
+    ``n_partitions`` is the explicit escape hatch (0/None = auto).
     """
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    target = n_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, target // 2):
+        return df
+    return df.repartition(target)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

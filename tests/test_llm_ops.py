@@ -14,6 +14,38 @@ from datafusion_uba_spark.operators import text as text_ops
 from datafusion_uba_spark.sources import load_table
 
 
+# --- input spreading -------------------------------------------------------
+
+
+def test_spread_skips_well_split_input(spark, tmp_path):
+    """_spread is a local-fixture compensation for one-row-group parquet:
+    it must add NO Exchange when the scan is already well-split (the
+    100 TB case), and must still fan out a single-split input."""
+    from datafusion_uba_spark.queries_llm import _spread
+
+    n = spark.sparkContext.defaultParallelism
+    many = str(tmp_path / "wellsplit")
+    spark.range(20_000).repartition(n).write.parquet(many)
+    well_split = spark.read.parquet(many)
+    assert well_split.rdd.getNumPartitions() >= n // 2  # fixture sanity
+    out = _spread(well_split, spark)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" not in plan and "RoundRobin" not in plan, plan
+
+    one = str(tmp_path / "onesplit")
+    spark.range(20_000).coalesce(1).write.parquet(one)
+    under_split = spark.read.parquet(one)
+    assert under_split.rdd.getNumPartitions() < n // 2  # fixture sanity
+    out1 = _spread(under_split, spark)
+    plan1 = out1._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" in plan1, plan1
+    assert out1.rdd.getNumPartitions() == n
+
+    # explicit escape hatch wins over auto
+    out2 = _spread(under_split, spark, n_partitions=4)
+    assert out2.rdd.getNumPartitions() == 4
+
+
 # --- text analysis ---------------------------------------------------------
 
 
