@@ -147,16 +147,21 @@ def ngram_jaccard_pairs(
         sh.select("__id", F.explode_outer("__sh").alias("__s"))
         .where(F.col("__s").isNotNull())
     )
-    if max_df is not None:
+    freq = None
+    if max_df is not None or (prefix_filter and tau_bp > 0):
+        # document frequency is computed ONCE and reused for both the
+        # max_df cutoff and the prefix ordering. Filtering freq itself
+        # is exact: dropping a hot shingle removes its entire group, so
+        # every surviving shingle keeps the df it had before the cut.
         freq = inv.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-        inv = inv.join(freq.where(F.col("__df") <= max_df), "__s").select(
-            "__id", "__s"
-        )
+        if max_df is not None:
+            freq = freq.where(F.col("__df") <= max_df)
     if prefix_filter and tau_bp > 0:
-        freq = inv.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
         # regroup per doc, order (df asc, shingle asc) via sort_array on
         # (df, s) structs, keep the first p = n - ceil(tau*n) + 1 —
-        # one groupBy shuffle; prefix length in pure integer arithmetic
+        # one groupBy shuffle; prefix length in pure integer arithmetic.
+        # The inner join with freq applies the max_df cutoff in the same
+        # pass that attaches __df.
         per_doc = (
             inv.join(freq, "__s")
             .groupBy("__id")
@@ -183,6 +188,8 @@ def ngram_jaccard_pairs(
             ).alias("__s"),
         )
     else:
+        if max_df is not None:
+            inv = inv.join(freq.select("__s"), "__s").select("__id", "__s")
         index = inv
     a = index.alias("a")
     b = index.alias("b")

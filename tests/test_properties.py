@@ -136,6 +136,28 @@ def test_prefix_filter_is_exact(spark, sf_dir):
     }
     assert on == off and len(on) > 0
 
+    # with max_df set the cutoff + prefix ordering share ONE document-
+    # frequency aggregate (round-6 verdict: the old plan ran the
+    # groupBy('__s') twice), and prefix on/off must still agree: a high
+    # max_df drops no posting on this corpus, so output is unchanged
+    on_cut = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.8, max_df=10_000, prefix_filter=True
+    )
+    plan = on_cut._jdf.queryExecution().optimizedPlan().toString()
+    # the candidate self-join prints the index subtree once per side, so
+    # ONE logical df-aggregate shows up exactly twice; the old
+    # double-aggregate formulation rendered six
+    n_freq_aggs = plan.count("Aggregate [__s")
+    assert n_freq_aggs == 2, f"expected 2 (1 per join side), got {n_freq_aggs}"
+    assert {tuple(r) for r in on_cut.collect()} == on
+    off_cut = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.8, max_df=10_000, prefix_filter=False
+        ).collect()
+    }
+    assert off_cut == on
+
 
 # --- degenerate-text robustness --------------------------------------------
 
