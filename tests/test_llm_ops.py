@@ -238,15 +238,14 @@ def test_ann_topk_auto_dispatch(spark, emb):
     q = emb.where("vec_id < 3")
     flat = {tuple(r) for r in similarity.cosine_topk(emb, q, k=5).collect()}
     lsh = {tuple(r) for r in similarity.ann_topk_lsh(emb, q, k=5).collect()}
-    auto_small = {
-        tuple(r) for r in similarity.ann_topk_auto(emb, q, k=5).collect()
-    }
-    auto_forced = {
-        tuple(r)
-        for r in similarity.ann_topk_auto(
-            emb, q, k=5, flat_threshold=0
-        ).collect()
-    }
+    auto_small_df = similarity.ann_topk_auto(emb, q, k=5)
+    auto_forced_df = similarity.ann_topk_auto(emb, q, k=5, flat_threshold=0)
+    # the dispatch is visible in the plan: only the LSH pipeline carries
+    # the bucket-probe structs
+    assert "__tc" not in auto_small_df._jdf.queryExecution().analyzed().toString()
+    assert "__tc" in auto_forced_df._jdf.queryExecution().analyzed().toString()
+    auto_small = {tuple(r) for r in auto_small_df.collect()}
+    auto_forced = {tuple(r) for r in auto_forced_df.collect()}
     assert auto_small == flat and len(flat) > 0
     assert auto_forced == lsh
 
