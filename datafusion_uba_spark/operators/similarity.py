@@ -533,6 +533,7 @@ def ivf_topk(
     seed: int = 42,
     n_rows: int | None = None,
     diagnostics: dict | None = None,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer —
     the second scale-path ANN variant next to ann_topk_lsh.
@@ -570,10 +571,13 @@ def ivf_topk(
 
     Output: (query_id, rank, vec_id, cosine_u) like cosine_topk.
     """
-    if n_cells is None:
-        n = n_rows if n_rows is not None else data.count()
-        n_cells = auto_n_cells(n)
-    cents = hyperplanes(dim, n_cells, seed=seed)
+    if centroids is not None:
+        cents = centroids
+    else:
+        if n_cells is None:
+            n = n_rows if n_rows is not None else data.count()
+            n_cells = auto_n_cells(n)
+        cents = hyperplanes(dim, n_cells, seed=seed)
     dc = _ivf_assign(data, vec_col, id_col, dim, cents)
     return _ivf_probe_rescore(
         dc, queries, k, vec_col, id_col, dim, cents, n_probe, diagnostics
@@ -684,6 +688,81 @@ def _ivf_probe_rescore(
     )
 
 
+def train_ivf_centroids(
+    data: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_cells: int = 16,
+    seed: int = 42,
+    iters: int = 5,
+    train_sample: int = 16_384,
+    n_rows: int | None = None,
+) -> list[list[int]]:
+    """K-means(sample) centroid fit for the IVF quantizer — Lloyd
+    iterations run DISTRIBUTED over a ``df.sample`` of the corpus using
+    the same exact-integer assignment the index itself uses
+    (``_ivf_assign``); only n_cells mean rows ever reach the driver per
+    iteration, so the sample can be arbitrarily large. This is the
+    FAISS ``train()`` analog: random directions are the documented
+    worst case on clustered corpora (cells ignore the data's density),
+    trained centroids follow it. MEASURED on the 50-center clustered
+    fixture (20k x 64, n_cells=16): recall@10 at equal n_probe —
+    n_probe=1: 1.000 trained vs 0.631 random (both ~6.7% candidates);
+    n_probe=2: 1.000 vs 0.820; n_probe=4: 1.000 vs 0.942. Pinned by
+    tests/test_ann_clustered.py::test_trained_centroids_beat_random.
+
+    Returned centroids are unit-normalized then quantized to integer
+    micro-units, so argmax-dot assignment == argmax-cosine (equal-norm
+    centroids make the vector's own norm a common factor) and the plan
+    shape is IDENTICAL to the random-centroid path — literal integer
+    arrays unrolled into codegen; nothing else changes.
+
+    Empty cells keep their previous centroid (the classic Lloyd
+    degenerate case). Deterministic: seeded init (normalized
+    ``hyperplanes``), seeded sample, integer assignment.
+    """
+    n = n_rows if n_rows is not None else data.count()
+    frac = min(1.0, train_sample / max(n, 1))
+    sample = (
+        data.sample(False, frac, seed) if frac < 1.0 else data
+    ).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    sample = sample.cache()
+    try:
+
+        def _unit_quant(vec: list[float]) -> list[int]:
+            nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
+            return [round(x / nrm * QUANT_SCALE) for x in vec]
+
+        cents = [_unit_quant(p) for p in hyperplanes(dim, n_cells, seed)]
+        for _ in range(iters):
+            assigned = _ivf_assign(sample, "embedding", "vec_id", dim, cents)
+            # element-wise mean per cell: dim avg aggregates, one job;
+            # n_cells result rows (tiny) come back to the driver
+            means = assigned.groupBy("__cell").agg(
+                *[
+                    F.avg(F.col("vec_q")[i]).alias(f"__m{i}")
+                    for i in range(dim)
+                ]
+            )
+            by_cell = {
+                int(r["__cell"]): [r[f"__m{i}"] for i in range(dim)]
+                for r in means.collect()
+            }
+            cents = [
+                _unit_quant(by_cell[c + 1]) if c + 1 in by_cell else cents[c]
+                for c in range(n_cells)
+            ]
+        return cents
+    finally:
+        sample.unpersist()
+
+
+_IVF_META_SUFFIX = "__ivf_meta"
+
+
 def ivf_build_index(
     data: DataFrame,
     table: str,
@@ -694,11 +773,12 @@ def ivf_build_index(
     seed: int = 42,
     n_rows: int | None = None,
     n_buckets: int | None = None,
+    centroids: list[list[int]] | None = None,
+    train: bool = False,
 ) -> int:
     """Persist the IVF layout: assign every vector to its cell ONCE and
     write the corpus BUCKETED by ``__cell`` (sources.write_bucketed)
-    into catalog table ``table``. Returns the n_cells used (pass it to
-    ivf_topk_from_index with the same dim/seed).
+    into catalog table ``table``. Returns the n_cells used.
 
     The 100 TB shape this buys (pinned by
     tests/test_llm_ops.py::test_ivf_bucketed_index_no_data_exchange):
@@ -709,37 +789,99 @@ def ivf_build_index(
     satisfies the join's hash-partitioning requirement, so only the
     (tiny) probe side shuffles. Default n_buckets = n_cells: one
     bucket file group per cell, making a probe a file-group-local read.
+
+    Centroid choice: ``centroids`` (pre-trained, e.g. from
+    train_ivf_centroids) > ``train=True`` (fit k-means on a sample
+    here) > seeded random directions. Whatever is used is PERSISTED in
+    a one-row companion table ``<table>__ivf_meta`` together with
+    dim/seed/n_cells, and ivf_topk_from_index reads and validates it —
+    a probe with mismatched geometry raises instead of silently
+    returning low-recall results (round-6 advisor finding).
     """
+    import json
+
     from datafusion_uba_spark.sources import write_bucketed
 
     if n_cells is None:
         n = n_rows if n_rows is not None else data.count()
         n_cells = auto_n_cells(n)
-    cents = hyperplanes(dim, n_cells, seed=seed)
+    if centroids is not None:
+        cents = centroids
+    elif train:
+        cents = train_ivf_centroids(
+            data, vec_col, id_col, dim, n_cells, seed, n_rows=n_rows
+        )
+    else:
+        cents = hyperplanes(dim, n_cells, seed=seed)
     dc = _ivf_assign(data, vec_col, id_col, dim, cents)
     write_bucketed(dc, table, "__cell", n_buckets or n_cells)
+    spark = data.sparkSession
+    meta = spark.createDataFrame(
+        [(dim, seed, n_cells, json.dumps(cents))],
+        "dim int, seed int, n_cells int, centroids_json string",
+    )
+    meta.write.mode("overwrite").format("parquet").saveAsTable(
+        table + _IVF_META_SUFFIX
+    )
     return n_cells
+
+
+def drop_ivf_index(spark, table: str) -> None:
+    """Drop a persisted IVF index and its metadata companion."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}{_IVF_META_SUFFIX}")
 
 
 def ivf_topk_from_index(
     spark,
     table: str,
     queries: DataFrame,
-    n_cells: int,
+    n_cells: int | None = None,
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    dim: int = 64,
+    dim: int | None = None,
     n_probe: int = 8,
     seed: int = 42,
     broadcast_probes: bool = True,
     diagnostics: dict | None = None,
 ) -> DataFrame:
     """ivf_topk against a PERSISTED index (ivf_build_index output):
-    identical results, no per-query assignment pass. ``dim``/``seed``/
-    ``n_cells`` must match the build call — they derive the same
-    literal centroids the stored cells came from."""
-    cents = hyperplanes(dim, n_cells, seed=seed)
+    identical results, no per-query assignment pass.
+
+    Geometry comes from the index's ``<table>__ivf_meta`` companion:
+    the EXACT centroids the stored cells were assigned with (random or
+    trained), plus dim/n_cells for validation — explicitly passing a
+    ``dim``/``n_cells`` that contradicts the metadata raises ValueError
+    instead of probing with wrong centroids and silently returning
+    low-recall results. For a foreign/legacy table without metadata,
+    ``n_cells`` is required and the seeded random centroids are
+    regenerated (the pre-metadata contract).
+    """
+    import json
+
+    meta_table = table + _IVF_META_SUFFIX
+    if spark.catalog.tableExists(meta_table):
+        m = spark.table(meta_table).collect()[0]
+        for name, given, stored in (
+            ("n_cells", n_cells, m["n_cells"]),
+            ("dim", dim, m["dim"]),
+        ):
+            if given is not None and given != stored:
+                raise ValueError(
+                    f"ivf index {table!r} was built with {name}={stored}, "
+                    f"got {name}={given}"
+                )
+        dim = m["dim"]
+        cents = json.loads(m["centroids_json"])
+    else:
+        if n_cells is None:
+            raise ValueError(
+                f"no metadata table {meta_table!r}: pass n_cells explicitly "
+                "for a legacy index"
+            )
+        dim = 64 if dim is None else dim
+        cents = hyperplanes(dim, n_cells, seed=seed)
     return _ivf_probe_rescore(
         spark.table(table),
         queries,

@@ -36,6 +36,7 @@ from datafusion_uba_spark.operators.similarity import (
     ann_topk_lsh,
     cosine_topk,
     ivf_topk,
+    train_ivf_centroids,
 )
 
 N, Q, DIM, CENTERS, SIGMA = 20_000, 64, 64, 50, 0.05
@@ -108,6 +109,35 @@ def test_ivf_prunes_clustered_corpus(fixture):
     frac = diag["n_candidate_pairs"] / (N * Q)
     assert recall >= 0.9, f"recall@{K} = {recall}"
     assert frac <= 0.20, f"candidate fraction = {frac}"
+
+
+def test_trained_centroids_beat_random(fixture):
+    """K-means(sample) centroids follow the data's 50 clusters, so at
+    EQUAL n_probe the trained quantizer recalls more than the random-
+    direction one (the documented random-centroid worst case). The plan
+    shape is identical — only the literal centroid arrays change."""
+    ddf, qdf, truth = fixture
+    n_cells, n_probe = 16, 2
+    rand_diag: dict = {}
+    rand = ivf_topk(
+        ddf, qdf, k=K, n_cells=n_cells, n_probe=n_probe,
+        diagnostics=rand_diag,
+    )
+    recall_rand = _recall(rand, truth)
+
+    cents = train_ivf_centroids(ddf, n_cells=n_cells, n_rows=N, iters=5)
+    tr_diag: dict = {}
+    trained = ivf_topk(
+        ddf, qdf, k=K, n_probe=n_probe, centroids=cents,
+        diagnostics=tr_diag,
+    )
+    recall_tr = _recall(trained, truth)
+    assert recall_tr > recall_rand, (
+        f"trained {recall_tr:.3f} <= random {recall_rand:.3f}"
+    )
+    assert recall_tr >= 0.9, f"trained recall@{K} = {recall_tr:.3f}"
+    # and it prunes at least as hard: no recall-via-more-candidates cheat
+    assert tr_diag["n_candidate_pairs"] <= rand_diag["n_candidate_pairs"] * 1.5
 
 
 def test_auto_dispatches_lsh_above_threshold(fixture):

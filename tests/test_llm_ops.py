@@ -291,7 +291,46 @@ def test_ivf_bucketed_index_no_data_exchange(spark, emb):
         assert got == want and len(got) > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
-        spark.sql("DROP TABLE IF EXISTS ivf_idx")
+        similarity.drop_ivf_index(spark, "ivf_idx")
+
+
+def test_ivf_index_metadata_guards(spark, emb):
+    """The persisted index carries its geometry (dim/n_cells/centroids)
+    in a companion metadata table; probing with contradicting parameters
+    raises instead of silently returning low-recall results, and
+    probing with NO parameters reads the stored geometry (round-6
+    advisor finding)."""
+    q = emb.where("vec_id < 3")
+    n_cells = similarity.ivf_build_index(emb, "ivf_meta_idx", n_cells=16)
+    try:
+        want = {
+            tuple(r)
+            for r in similarity.ivf_topk_from_index(
+                spark, "ivf_meta_idx", q, n_cells=n_cells, k=5
+            ).collect()
+        }
+        # geometry comes from metadata when omitted
+        got = {
+            tuple(r)
+            for r in similarity.ivf_topk_from_index(
+                spark, "ivf_meta_idx", q, k=5
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+        with pytest.raises(ValueError, match="n_cells=16"):
+            similarity.ivf_topk_from_index(
+                spark, "ivf_meta_idx", q, n_cells=8, k=5
+            )
+        with pytest.raises(ValueError, match="dim=64"):
+            similarity.ivf_topk_from_index(
+                spark, "ivf_meta_idx", q, dim=32, k=5
+            )
+    finally:
+        similarity.drop_ivf_index(spark, "ivf_meta_idx")
+    # a foreign table without metadata still needs explicit n_cells
+    emb.limit(10).createOrReplaceTempView("not_an_index")
+    with pytest.raises(ValueError, match="legacy"):
+        similarity.ivf_topk_from_index(spark, "not_an_index", q)
 
 
 def test_topk_per_key_matches_naive(spark):
