@@ -236,19 +236,29 @@ def streaming_funnel_flags(
     numpy cummax ladder (vectorized, no per-row Python), seeded with
     the carried m-vector.
 
-    Ordering contract: the recurrence is order-sensitive, so
-    cross-batch correctness holds when each user's events arrive
-    batch-monotonically (a later batch holds no event older than an
-    earlier batch's for that user) — the standard replay/tailing case;
-    within a batch any order is fine. Pinned by
+    Ordering contract — ENFORCED, not assumed: the recurrence is
+    order-sensitive, so cross-batch correctness requires each user's
+    events to arrive STRICTLY newer than every earlier batch's for
+    that user (within a batch any order is fine). The state carries a
+    per-user event-time high-water mark; an arriving event at-or-below
+    it is DROPPED and counted in the ``late_dropped`` output column —
+    folding it would silently compute the recurrence in the wrong
+    order (a late step-1 event can even manufacture a false conversion
+    by chaining a future anchor onto a past target). Consequence of
+    the strict bound: same-instant events split ACROSS micro-batches
+    are dropped too — the batch operator's RANGE windows let ties see
+    each other, which is only reproducible when a tie group lands in
+    one micro-batch; dropping-and-counting beats a silent parity
+    break. Pinned by
     tests/test_streaming.py::test_streaming_funnel_flags_multi_batch
-    (time-split files, one per micro-batch).
+    (contract-respecting split) and
+    test_streaming_funnel_flags_drops_late_events (violating split).
 
     Output (update semantics): one row per user per micro-batch that
-    touched it — (user, conv array<int> of length k). Downstream takes
-    max per user (flags are monotone) and sums for the funnel chart;
-    the finite-corpus test compares exactly that against the batch
-    funnel_steps_any_anchor counts.
+    touched it — (user, conv array<int> of length k, late_dropped
+    int). Downstream takes max per user of conv (flags are monotone)
+    and sums for the funnel chart; summing late_dropped gives the
+    contract-violation count, the metric an operator would alert on.
 
     State eviction: pass ``watermark`` (e.g. "1 day") to bound state
     lifetime with an event-time timeout. An anchor older than
@@ -283,12 +293,14 @@ def streaming_funnel_flags(
         [
             T.StructField("u", T.LongType()),
             T.StructField("conv", T.ArrayType(T.IntegerType())),
+            T.StructField("late_dropped", T.IntegerType()),
         ]
     )
     state_schema = T.StructType(
         [
             T.StructField("m", T.ArrayType(T.LongType())),
             T.StructField("conv", T.ArrayType(T.IntegerType())),
+            T.StructField("hwm", T.LongType()),
         ]
     )
     NEG = -(1 << 62)  # "no anchor yet" sentinel (valid anchors are >= 0)
@@ -301,10 +313,19 @@ def streaming_funnel_flags(
             return
         if state.exists:
             m_prev, conv = list(state.get[0]), list(state.get[1])
+            hwm = int(state.get[2])
         else:
-            m_prev, conv = [NEG] * n, [0] * n
+            m_prev, conv, hwm = [NEG] * n, [0] * n, NEG
         pdf = pd.concat(list(pdf_iter)).sort_values("tus", kind="stable")
+        # enforce the strictly-newer cross-batch contract: an event at
+        # or below the user's high-water mark folds nowhere (see
+        # docstring) — it is counted, never silently reordered
+        n_in = len(pdf)
+        pdf = pdf[pdf["tus"] > hwm]
+        late = n_in - len(pdf)
         tus = pdf["tus"].to_numpy(dtype="int64")
+        if tus.size:
+            hwm = int(tus.max())
         # batch parity uses RANGE windows (same-instant events see each
         # other regardless of sort order); a plain cummax is ROWS — so
         # each row reads the accumulated value at the LAST index of its
@@ -325,12 +346,14 @@ def streaming_funnel_flags(
             )[1:]
             run = acc[idx_last] if acc.size else acc
             m_prev[i] = int(acc[-1]) if acc.size else m_prev[i]
-        state.update((m_prev, conv))
+        state.update((m_prev, conv, hwm))
         if evict and tus.size:
             # evict once the watermark passes the newest possible
             # anchor's window (ms epoch, per the GroupState API)
             state.setTimeoutTimestamp((int(tus.max()) + window_us) // 1000 + 1)
-        yield pd.DataFrame({"u": [key[0]], "conv": [list(conv)]})
+        yield pd.DataFrame(
+            {"u": [key[0]], "conv": [list(conv)], "late_dropped": [late]}
+        )
 
     return base.groupBy("u").applyInPandasWithState(
         fold,

@@ -373,6 +373,65 @@ def test_streaming_funnel_flags_evicts_state(spark, tmp_path):
     assert got == want == {1: 4, 2: 2, 3: 2}
 
 
+def test_streaming_funnel_flags_drops_late_events(spark, tmp_path):
+    """The strictly-newer cross-batch contract is ENFORCED: an event at
+    or below the user's high-water mark is dropped and counted in
+    late_dropped, never folded out of order. The crafted late event is
+    a difference-maker: user 1's purchase at day-0 05:00 arrives AFTER
+    their day-2 view was processed; if it were folded, the recurrence
+    would see anchor m0 = day 2 >= (purchase - 1 day) and manufacture a
+    FALSE step-2 conversion from a future anchor — so asserting step 2
+    == 0 distinguishes enforcement from wrong-order folding, and the
+    final flags equal the batch operator over the kept events."""
+    import shutil
+
+    from datafusion_uba_spark.operators.funnel import funnel_steps_any_anchor
+
+    def ts(day, hour):
+        return 1_704_067_200_000_000 + (day * 24 + hour) * 3_600 * 1_000_000
+
+    steps = [(s, F.col("event_type") == s) for s in ("view", "purchase")]
+    batches = {
+        0: [(1, ts(0, 0), "view"), (1, ts(2, 0), "view")],
+        1: [(1, ts(0, 5), "purchase")],  # LATE: below user 1's hwm (day 2)
+    }
+    src = str(tmp_path / "ev_late")
+    os.makedirs(src)
+    for i in sorted(batches):
+        stage = str(tmp_path / f"ls{i}")
+        spark.createDataFrame(
+            batches[i], "user_id long, us long, event_type string"
+        ).selectExpr(
+            "user_id", "timestamp_micros(us) AS ts", "event_type"
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, part), os.path.join(src, f"{i:02d}.parquet"))
+
+    sdf = streaming_funnel_flags(
+        stream_events(spark, src, max_files_per_trigger=1,
+                      path_glob_filter="*.parquet"),
+        steps,
+        conversion_window_days=1,
+    )
+    run_to_memory(sdf, "funnel_late", output_mode="update")
+    got = _funnel_step_counts_from_updates(spark, "funnel_late")
+    dropped = spark.table("funnel_late").agg(
+        F.sum("late_dropped").alias("d")
+    ).collect()[0]["d"]
+    assert dropped == 1, f"expected exactly the late purchase dropped, got {dropped}"
+    kept = spark.createDataFrame(
+        batches[0], "user_id long, us long, event_type string"
+    ).selectExpr("user_id", "timestamp_micros(us) AS ts", "event_type")
+    want = {
+        r.step: r.users
+        for r in funnel_steps_any_anchor(
+            kept, steps, conversion_window_days=1
+        ).collect()
+    }
+    # step 2 == 0 is the enforcement proof (wrong-order folding says 1)
+    assert got == want == {1: 1, 2: 0}
+
+
 def test_flags_to_stats_matches_batch_retention(spark, batch_events, tmp_path):
     """The full streaming retention pipeline end-to-end:
     streaming_user_day_flags -> parquet sink (append + watermark,
