@@ -68,7 +68,19 @@ def build_artifacts(
         # keep the headline parseable even on failures: names only here,
         # full messages in the sidecar
         headline["failed"] = sorted(errors)
-    sidecar = {"runs": per_runs, "errors": errors, "repeat": repeat, "sf": sf}
+    # median alongside min: on a shared host with multi-second
+    # contention spikes, min is the truest plan cost but median shows
+    # whether a spike landed (r6 verdict item #2)
+    medians = {
+        name: sorted(runs)[len(runs) // 2] for name, runs in per_runs.items()
+    }
+    sidecar = {
+        "runs": per_runs,
+        "median": medians,
+        "errors": errors,
+        "repeat": repeat,
+        "sf": sf,
+    }
     return headline, sidecar
 
 

@@ -487,3 +487,96 @@ def simhash_pairs(
         )
         .distinct()
     )
+
+
+# --- duplicate-cluster canonicalization ------------------------------------
+
+
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list — the
+    canonicalization step that turns ANY pair generator's output
+    (ngram_jaccard_pairs, minhash_lsh_pairs, simhash_pairs,
+    winnow_pairs, embedding_neardup_pairs) into duplicate clusters:
+    one row (doc_id, canonical_id) per document appearing in at least
+    one pair, where canonical_id is the smallest doc id of its
+    component — "keep canonical_id, drop the rest" is then a single
+    filter. Near-dup relations are not transitive, so pairs alone
+    over-keep (A~B, B~C with A!~C leaves A and C both "unique");
+    grouping by component is the standard crawl-dedup resolution
+    (reference analog: the canonical-id window in exact_dedup,
+    dedup.py:47, lifted from equality groups to similarity graphs).
+
+    Algorithm: min-label propagation to fixpoint. Labels start as
+    self; each round every node takes the min of its own and its
+    neighbors' labels — one equi-join + one groupBy(min) shuffle per
+    round, all built-ins, no driver-side graph. Rounds needed = graph
+    diameter; duplicate components in practice are dense template
+    families (diameter 2-4), so 2-3 rounds typical. Each round
+    localCheckpoints the (id, comp) frame — two longs per node — so
+    round N's plan does not replay rounds 1..N-1; at cluster scale use
+    spark.sparkContext.setCheckpointDir + .checkpoint() for fault
+    tolerance instead. Convergence is detected by the per-round label
+    sum: min-propagation only ever lowers labels, so an unchanged sum
+    (exact DECIMAL(38,0) aggregate, no long overflow at any scale)
+    means fixpoint; worst-case chain graphs exceeding ``max_iter``
+    diameter raise rather than return wrong labels (the O(log n)
+    large-star/small-star variant is the known fix if that case ever
+    matters; near-dup corpora don't produce million-hop chains).
+
+    Deterministic: min over an undirected edge set — no seed, no
+    partition sensitivity. The DuckDB oracle replays it as a recursive
+    transitive closure + min-over-reachable.
+    """
+    e = (
+        pairs.select(
+            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+        )
+        .union(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    lab = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nmin = (
+            e.join(lab, e.src == lab.id)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("__nmin"))
+        )
+        lab = (
+            lab.join(nmin, lab.id == nmin.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("__nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = lab.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        # sum of an empty frame is NULL: an empty pair list is already
+        # at fixpoint (no components to label)
+        if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
+            return lab.select(
+                F.col("id").alias("doc_id"),
+                F.col("comp").alias("canonical_id"),
+            )
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"neardup_components: no fixpoint after {max_iter} rounds — "
+        "component diameter exceeds max_iter; raise it or switch to a "
+        "large-star/small-star formulation"
+    )

@@ -283,6 +283,36 @@ WHERE CAST(floor((common_shingles * 10000)
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pair generation (the verified exact ngram-Jaccard query) composed
+    # with min-label connected components: the canonicalization step a
+    # crawl dedup actually ships — near-dup is not transitive, so pairs
+    # alone over-keep; one (doc_id, canonical_id) row per paired doc.
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    return dedup.neardup_components(pairs)
+
+
+# replays neardup_components as a recursive transitive closure over the
+# undirected pair graph + min-over-reachable: both engines compute the
+# same fixpoint (min label per component) by different but exact means.
+_ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({_ORACLE_NGRAM_JACCARD}),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+FROM reach GROUP BY src
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # xxhash64-based: no DuckDB twin; driver does the rows-only check,
     # pytest pins recall == 1.0 vs the exact n-gram query on this corpus.
@@ -703,6 +733,7 @@ LLM_REGISTRY: dict = {
     "dedup_winnow": (q_dedup_winnow, _ORACLE_DEDUP_WINNOW),
     "dedup_exact": (q_dedup_exact, _ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _ORACLE_NGRAM_JACCARD),
+    "dedup_clusters": (q_dedup_clusters, _ORACLE_DEDUP_CLUSTERS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
     "dedup_minhash_md5": (q_dedup_minhash_md5, _ORACLE_MINHASH_MD5),
     "dedup_simhash": (q_dedup_simhash, None),

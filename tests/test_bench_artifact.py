@@ -59,6 +59,9 @@ def test_sidecar_carries_full_detail():
     assert sidecar["runs"] == per_runs
     assert sidecar["repeat"] == 3
     assert sidecar["sf"] == 0.1
+    assert all(
+        sidecar["median"][n] == sorted(r)[1] for n, r in per_runs.items()
+    )
     # headline best-of must agree with the sidecar's runs
     for n, best in headline["queries"].items():
         assert best == per_query[n]

@@ -151,6 +151,72 @@ def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
     )
 
 
+def test_neardup_components_crafted(spark):
+    """Min-label propagation over a pair graph: a 4-hop PATH (worst
+    case per diameter round), a separate 2-clique, and a shared-min
+    triangle all resolve to min-id canonical labels; docs in no pair
+    don't appear."""
+    pairs = spark.createDataFrame(
+        [
+            (2, 3), (3, 4), (4, 5), (5, 6),  # path: all -> 2
+            (10, 11),                         # clique: both -> 10
+            (20, 21), (21, 22), (20, 22),     # triangle: all -> 20
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.canonical_id)
+        for r in dedup.neardup_components(pairs).collect()
+    }
+    assert got == {
+        (2, 2), (3, 2), (4, 2), (5, 2), (6, 2),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+    # empty pair list is already at fixpoint
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.neardup_components(empty).count() == 0
+    # diameter larger than max_iter raises instead of mislabeling
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dedup.neardup_components(pairs, max_iter=1)
+
+
+def test_neardup_components_vs_union_find(spark):
+    """Seeded random graph vs a driver-side union-find model."""
+    import random
+
+    rng = random.Random(99)
+    n = 200
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(150)
+        }
+    )
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    want = {(v, find(v)) for v in touched}
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.canonical_id)
+        for r in dedup.neardup_components(pairs).collect()
+    }
+    assert got == want
+
+
 def test_simhash_hamming(spark):
     base = "the quick brown fox jumps over the lazy dog " * 3
     df = spark.createDataFrame(
