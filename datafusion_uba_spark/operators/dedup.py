@@ -532,6 +532,10 @@ def neardup_components(
     partition sensitivity. The DuckDB oracle replays it as a recursive
     transitive closure + min-over-reachable.
     """
+    # the edge list participates in EVERY round's join: localCheckpoint
+    # it once so the (possibly expensive) pair-generation pipeline runs
+    # one time, not once per round — measured 6.9 s -> ~pairs-cost at
+    # sf0.1 for the dedup_clusters registry row
     e = (
         pairs.select(
             F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -540,6 +544,7 @@ def neardup_components(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
+        .localCheckpoint()
     )
     lab = (
         e.select(F.col("src").alias("id"))

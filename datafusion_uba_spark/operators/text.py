@@ -529,3 +529,46 @@ def text_stats(
         "fingerprint",
         "shingle_fp",
     )
+
+
+# --- vocabulary profiling ---------------------------------------------------
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary profile: the ``k`` most frequent normalized
+    whitespace tokens with occurrence and document frequencies — the
+    inspection query every training-data pipeline runs before choosing
+    stopword/df cutoffs (e.g. ngram_jaccard_pairs' ``max_df``) and the
+    input to tokenizer-vocabulary sanity checks.
+
+    Plan shape at 100 TB: one narrow explode (token strings only — the
+    normalize chain stays post-shuffle, see the explode_outer note in
+    dedup.ngram_jaccard_pairs), a partial+final hash aggregate keyed on
+    token (count + distinct-doc count), then TakeOrderedAndProject for
+    the top k — no full sort shuffle, no collect. Deterministic total
+    order: (n_occurrences desc, token asc) breaks count ties.
+
+    Output: (token, n_occurrences, n_docs).
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        normalize_text(text_col).alias("__norm"),
+    )
+    # explode_OUTER + null guard, not inner explode: the optimizer
+    # would infer size(tokens)>0, substituting the normalize chain
+    # into a pre-shuffle interpreted scan filter (dedup.py:139 disease)
+    toks = base.select(
+        "__id", F.explode_outer(tokens_from_norm(F.col("__norm"))).alias("token")
+    ).where(F.col("token").isNotNull())
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("__id").alias("n_docs"),
+    )
+    return agg.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(k)

@@ -283,6 +283,26 @@ WHERE CAST(floor((common_shingles * 10000)
 """
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return text_ops.vocab_topk(docs, k=100)
+
+
+# same tokenization as _TOKS; the empty-norm guard mirrors Spark's
+# tokens_from_norm (empty doc -> no tokens, DuckDB string_split('')
+# would yield ['']); deterministic tie-break (count desc, token asc)
+# makes LIMIT a total-order prefix on both engines
+_ORACLE_VOCAB_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+  WHERE {_NORM} <> ''
+)
+SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM toks GROUP BY token
+ORDER BY n_occurrences DESC, token ASC LIMIT 100
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair generation (the verified exact ngram-Jaccard query) composed
     # with min-label connected components: the canonicalization step a
@@ -728,6 +748,7 @@ WHERE is_dup = 0 AND lang_pred = 'en'
 
 LLM_REGISTRY: dict = {
     "text_stats": (q_text_stats, _ORACLE_TEXT_STATS),
+    "vocab_topk": (q_vocab_topk, _ORACLE_VOCAB_TOPK),
     "corpus_filter": (q_corpus_filter, _ORACLE_CORPUS_FILTER),
     "winnow_fingerprints": (q_winnow_fingerprints, _ORACLE_WINNOW),
     "dedup_winnow": (q_dedup_winnow, _ORACLE_DEDUP_WINNOW),

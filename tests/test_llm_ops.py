@@ -237,6 +237,21 @@ def test_simhash_hamming(spark):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_vocab_topk_crafted(spark):
+    """Normalization (case/whitespace), occurrence vs document counts,
+    deterministic count-tie ordering, and empty/null docs contributing
+    nothing."""
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, ""), (4, None), (5, "  B   a ")],
+        "doc_id long, text string",
+    )
+    rows = [tuple(r) for r in text_ops.vocab_topk(df, k=2).collect()]
+    # a: 3 occurrences in 2 docs; b: 3 in 3; tie broken token-asc
+    assert rows == [("a", 3, 2), ("b", 3, 3)]
+    all_rows = [tuple(r) for r in text_ops.vocab_topk(df, k=10).collect()]
+    assert all_rows == [("a", 3, 2), ("b", 3, 3), ("c", 1, 1)]
+
+
 # --- similarity ------------------------------------------------------------
 
 

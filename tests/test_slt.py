@@ -3,6 +3,9 @@ import os
 from datafusion_uba_spark.slt.runner import norm_value, parse_slt, run_file
 
 SLT_DIR = os.path.join(os.path.dirname(__file__), "slt")
+# the tpch corpus' expected blocks are pinned at sf0.001 (fixed data,
+# not a function of the session's sf_dir fixture)
+SF_DIR_TPCH = "/root/testdata/sf0.001"
 
 
 def test_retention_slt_corpus(spark):
@@ -54,6 +57,29 @@ def test_norm_workspace_paths():
 
 def test_engine_slt_corpus(spark):
     failures = run_file(spark, os.path.join(SLT_DIR, "engine.slt"))
+    assert not failures, "\n\n".join(
+        f"line {f.line}: {f.sql}\n{f.message}" for f in failures
+    )
+
+
+def test_tpch_slt_corpus(spark):
+    """The reference's TPC-H sqllogictest mode
+    (tests/sqllogictests/README.md:142-158) — infrastructure-only
+    there (data/queries absent from its repo, gated on INCLUDE_TPCH).
+    Here the TPC-H-ish tables ship with the harness, so the corpus
+    runs unconditionally: the harness registers the parquet tables as
+    temp views (the reference's per-file fixture-registration
+    architecture, setup.rs:86-118) and the slt file runs adapted Q1 /
+    Q3 / Q5 / Q6 / Q10. Expected blocks were generated via complete
+    mode and independently cross-checked value-for-value in DuckDB."""
+    from datafusion_uba_spark.sources import load_table
+
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem",
+    ):
+        load_table(spark, SF_DIR_TPCH, t).createOrReplaceTempView(t)
+    failures = run_file(spark, os.path.join(SLT_DIR, "tpch.slt"))
     assert not failures, "\n\n".join(
         f"line {f.line}: {f.sql}\n{f.message}" for f in failures
     )
