@@ -397,6 +397,36 @@ FROM events WHERE event_type = 'error'
 """
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregate per event type: the events
+    table's ``props`` column is a JSON document; get_json_object pulls
+    the typed field JVM-side (no UDF) and the rest is an ordinary hash
+    aggregate. Extends the engine-surface inventory with the JSON
+    function family (absent from the reference's own queries; Spark
+    and DuckDB both provide it natively)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__k").alias("sum_k"),
+            F.min("__k").alias("min_k"),
+            F.max("__k").alias("max_k"),
+        )
+    )
+
+
+_ORACLE_EVENTS_JSON = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -413,6 +443,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "derived_topk": (q_derived_topk, _ORACLE_DERIVED_TOPK),
     "nested_array_literal": (q_nested_array_literal, _ORACLE_NESTED_ARRAY),
     "null_semantics": (q_null_semantics, _ORACLE_NULL_SEMANTICS),
+    "events_json_props": (q_events_json_props, _ORACLE_EVENTS_JSON),
 }
 
 # LLM-training-data-pipeline inventory (dedup / similarity / text /

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_uba_spark.operators import dedup, multimodal, similarity
+from datafusion_uba_spark.operators import dedup, multimodal, sampling, similarity
 from datafusion_uba_spark.operators import text as text_ops
 from datafusion_uba_spark.sources import load_table
 
@@ -280,6 +280,82 @@ JOIN sizes sa ON sa.id = doc_a
 JOIN sizes sb ON sb.id = doc_b
 WHERE CAST(floor((common_shingles * 10000)
             / (sa.n + sb.n - common_shingles)) AS BIGINT) >= 8000
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 20 docs per language under the fixed (md5(id), id) permutation —
+    # the reproducible training-mix quota sampler (no seed to version)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return sampling.stratified_sample(docs, ["lang"], 20)
+
+
+_ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source, sample_rank FROM (
+  SELECT doc_id, lang, source,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INT) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 20
+"""
+
+
+def q_doc_embedding_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-source enrichment join: text-side features (documents) with
+    vector-side features (embeddings) on the shared id — the 'attach
+    embeddings to the cleaned corpus' step every multimodal training
+    pipeline runs. At 100 TB both sides are large: this is the
+    co-partitioned equi-join case (bucket both by id with
+    sources.write_bucketed and it needs no exchange at all), not a
+    broadcast. The squared-norm is the exact integer dot of the
+    quantized vector with itself — portable to the oracle."""
+    from datafusion_uba_spark.operators.similarity import (
+        dot_q_unrolled,
+        quantize,
+    )
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    d0 = docs.select(
+        "doc_id", "lang", "source", text_ops.normalize_text("text").alias("__norm")
+    )
+    d = d0.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(text_ops.tokens_from_norm(F.col("__norm"))).alias("n_tokens"),
+    )
+    e0 = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        "label",
+        quantize("embedding").alias("__q"),
+    )
+    e = e0.select(
+        "doc_id",
+        "label",
+        dot_q_unrolled(F.col("__q"), F.col("__q"), 64).alias("norm2_u"),
+    )
+    return d.join(e, "doc_id")
+
+
+_ORACLE_DOC_EMB_ENRICH = f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN {_NORM} IS NULL THEN NULL
+              WHEN {_NORM} = '' THEN 0
+              ELSE len({_TOKS}) END AS n_tokens
+  FROM documents
+),
+e AS (
+  SELECT vec_id AS doc_id, label,
+         CAST({_ddb_dot(_QUANT, _QUANT)} AS BIGINT) AS norm2_u
+  FROM embeddings
+)
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_tokens AS INT) AS n_tokens,
+       e.label, e.norm2_u
+FROM d JOIN e USING (doc_id)
 """
 
 
@@ -749,6 +825,8 @@ WHERE is_dup = 0 AND lang_pred = 'en'
 LLM_REGISTRY: dict = {
     "text_stats": (q_text_stats, _ORACLE_TEXT_STATS),
     "vocab_topk": (q_vocab_topk, _ORACLE_VOCAB_TOPK),
+    "stratified_sample": (q_stratified_sample, _ORACLE_STRATIFIED_SAMPLE),
+    "doc_embedding_enrich": (q_doc_embedding_enrich, _ORACLE_DOC_EMB_ENRICH),
     "corpus_filter": (q_corpus_filter, _ORACLE_CORPUS_FILTER),
     "winnow_fingerprints": (q_winnow_fingerprints, _ORACLE_WINNOW),
     "dedup_winnow": (q_dedup_winnow, _ORACLE_DEDUP_WINNOW),

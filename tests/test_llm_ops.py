@@ -237,6 +237,48 @@ def test_simhash_hamming(spark):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_stratified_sample_deterministic(spark):
+    """The quota sampler's pick is the fixed (md5(id), id) permutation
+    prefix per stratum — verified against a driver-side hashlib model —
+    and re-running or appending NEW ids never reorders earlier picks'
+    relative order (the no-seed reproducibility contract)."""
+    import hashlib
+
+    from datafusion_uba_spark.operators import sampling
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def model(ids, n):
+        ordered = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        return ordered[:n]
+
+    got = {
+        (r.lang, r.doc_id, r.sample_rank)
+        for r in sampling.stratified_sample(df, ["lang"], 5).collect()
+    }
+    want = set()
+    for lang in ("en", "de"):
+        ids = [i for i, l in rows if l == lang]
+        for rank, i in enumerate(model(ids, 5), start=1):
+            want.add((lang, i, rank))
+    assert got == want
+    # appending new ids can displace picks but not REORDER survivors
+    df2 = spark.createDataFrame(
+        rows + [(i, "en") for i in range(100, 130)], "doc_id long, lang string"
+    )
+    got2 = [
+        (r.doc_id, r.sample_rank)
+        for r in sampling.stratified_sample(df2, ["lang"], 5)
+        .where("lang = 'en'")
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    first = [d for d, _ in got2 if d < 100]
+    base = [d for (l, d, _) in sorted(want, key=lambda t: t[2]) if l == "en"]
+    assert first == [d for d in base if d in set(first)]
+
+
 def test_vocab_topk_crafted(spark):
     """Normalization (case/whitespace), occurrence vs document counts,
     deterministic count-tie ordering, and empty/null docs contributing
