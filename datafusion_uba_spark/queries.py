@@ -427,6 +427,61 @@ FROM events GROUP BY event_type
 """
 
 
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate: revenue by (region, nation) with nation
+    subtotals and a grand total in one pass — the grouping-sets
+    surface (Spark expands it to a single expand+hash-agg, no
+    re-scan). NULL grouping keys are replaced with sentinels so the
+    driver's hash compare is well-defined across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+        "__rev"
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .select(F.col("r_name"), F.col("n_name"), rev)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("__rev").alias("revenue_cents"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("<all>")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("<all>")).alias("nation"),
+            "n_items",
+            "revenue_cents",
+        )
+    )
+
+
+_ORACLE_REVENUE_ROLLUP = """
+SELECT coalesce(r_name, '<all>') AS region,
+       coalesce(n_name, '<all>') AS nation,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -444,6 +499,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "nested_array_literal": (q_nested_array_literal, _ORACLE_NESTED_ARRAY),
     "null_semantics": (q_null_semantics, _ORACLE_NULL_SEMANTICS),
     "events_json_props": (q_events_json_props, _ORACLE_EVENTS_JSON),
+    "revenue_rollup": (q_revenue_rollup, _ORACLE_REVENUE_ROLLUP),
 }
 
 # LLM-training-data-pipeline inventory (dedup / similarity / text /

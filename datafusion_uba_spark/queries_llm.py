@@ -359,6 +359,38 @@ FROM d JOIN e USING (doc_id)
 """
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles of document length per language — the
+    distribution check behind length cutoffs. Spark's ``percentile``
+    is the EXACT aggregate (sort-based partial/final, not the t-digest
+    approx), interpolating at p*(n-1) exactly like DuckDB's
+    quantile_cont: identical doubles from integer inputs on both
+    engines, so the row hash-verifies. At 100 TB you'd reach for
+    approx_percentile; the exact twin is the correctness anchor it
+    would be validated against (same pattern as cosine_topk vs LSH)."""
+    docs = _docs(spark, sf_dir)
+    n_chars = F.length(text_ops.normalize_text("text"))
+    return (
+        docs.select("lang", n_chars.alias("__n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("percentile(__n, 0.5)").alias("p50"),
+            F.expr("percentile(__n, 0.9)").alias("p90"),
+            F.expr("percentile(__n, 0.99)").alias("p99"),
+        )
+    )
+
+
+_ORACLE_LENGTH_QUANTILES = f"""
+SELECT lang, count(*) AS n_docs,
+       quantile_cont(length({_NORM}), 0.5) AS p50,
+       quantile_cont(length({_NORM}), 0.9) AS p90,
+       quantile_cont(length({_NORM}), 0.99) AS p99
+FROM documents GROUP BY lang
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return text_ops.vocab_topk(docs, k=100)
@@ -825,6 +857,7 @@ WHERE is_dup = 0 AND lang_pred = 'en'
 LLM_REGISTRY: dict = {
     "text_stats": (q_text_stats, _ORACLE_TEXT_STATS),
     "vocab_topk": (q_vocab_topk, _ORACLE_VOCAB_TOPK),
+    "length_quantiles": (q_length_quantiles, _ORACLE_LENGTH_QUANTILES),
     "stratified_sample": (q_stratified_sample, _ORACLE_STRATIFIED_SAMPLE),
     "doc_embedding_enrich": (q_doc_embedding_enrich, _ORACLE_DOC_EMB_ENRICH),
     "corpus_filter": (q_corpus_filter, _ORACLE_CORPUS_FILTER),
