@@ -572,3 +572,47 @@ def vocab_topk(
     return agg.orderBy(
         F.col("n_occurrences").desc(), F.col("token").asc()
     ).limit(k)
+
+
+# --- PII redaction ----------------------------------------------------------
+
+# Patterns restricted to the common syntax subset of Java regex (Spark)
+# and RE2 (DuckDB): character classes + bounded repetition only — no
+# backreferences, no lookaround — so the DuckDB oracle replays them
+# verbatim and both engines redact identical spans.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    # long digit runs (phones incl. +CC prefix, SSNs, account ids);
+    # 7+ chars starting/ending on a digit (or leading +) avoids
+    # years/quantities
+    ("longnum", r"[+0-9][0-9 ()+.-]{5,}[0-9]", "<NUM>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub the standard PII surface forms (emails, URLs, long digit
+    runs) from a text column — the mandatory pre-training hygiene pass.
+    Pure ``regexp_replace``/``regexp_count`` projections: JVM-side,
+    codegen'd, one scan, no UDF, trivially linear at 100 TB.
+
+    Redaction ORDER matters and is fixed (email → url → longnum): an
+    email inside a URL query string is redacted as email first, and the
+    longnum pass runs last so it cannot eat digits inside a
+    yet-unredacted URL. Counts are computed on the ORIGINAL text, so
+    they report what was present, not what survived earlier passes.
+
+    Output: (id, clean_text, n_email, n_url, n_longnum).
+    """
+    clean = _col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    counts = [
+        F.regexp_count(_col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    return df.select(
+        F.col(id_col), clean.alias("clean_text"), *counts
+    )

@@ -283,6 +283,33 @@ WHERE CAST(floor((common_shingles * 10000)
 """
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return text_ops.redact_pii(docs)
+
+
+def _oracle_redact_pii() -> str:
+    # the SAME patterns the Spark operator uses (single source of
+    # truth: text.PII_PATTERNS), applied in the same order; 'g' flag
+    # because DuckDB's regexp_replace is first-match-only by default
+    # while Spark's is replace-all
+    clean = "text"
+    counts = []
+    # DuckDB standard strings pass backslashes through verbatim (no
+    # escape processing), so \s etc. must NOT be doubled
+    for name, pat, token in text_ops.PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        clean = f"regexp_replace({clean}, '{lit}', '{token}', 'g')"
+        counts.append(
+            f"CAST(len(regexp_extract_all(text, '{lit}')) AS INT)"
+            f" AS n_{name}"
+        )
+    return (
+        f"SELECT doc_id, {clean} AS clean_text, {', '.join(counts)} "
+        "FROM documents"
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 20 docs per language under the fixed (md5(id), id) permutation —
     # the reproducible training-mix quota sampler (no seed to version)
@@ -858,6 +885,7 @@ LLM_REGISTRY: dict = {
     "text_stats": (q_text_stats, _ORACLE_TEXT_STATS),
     "vocab_topk": (q_vocab_topk, _ORACLE_VOCAB_TOPK),
     "length_quantiles": (q_length_quantiles, _ORACLE_LENGTH_QUANTILES),
+    "redact_pii": (q_redact_pii, _oracle_redact_pii()),
     "stratified_sample": (q_stratified_sample, _ORACLE_STRATIFIED_SAMPLE),
     "doc_embedding_enrich": (q_doc_embedding_enrich, _ORACLE_DOC_EMB_ENRICH),
     "corpus_filter": (q_corpus_filter, _ORACLE_CORPUS_FILTER),

@@ -279,6 +279,34 @@ def test_stratified_sample_deterministic(spark):
     assert first == [d for d in base if d in set(first)]
 
 
+def test_redact_pii_crafted(spark):
+    """Emails, URLs, and long digit runs are replaced with typed
+    tokens; counts report the ORIGINAL text; clean text keeps
+    non-PII content; null text stays null."""
+    from datafusion_uba_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@corp.example.org for info"),
+            (2, "see https://ex.com/a?id=9 and http://b.io/page"),
+            (3, "call +1 (555) 123-4567 or 12345678 now"),
+            (4, "year 2024 and room 101 stay untouched"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert rows[1].clean_text == "contact <EMAIL> for info"
+    assert (rows[1].n_email, rows[1].n_url, rows[1].n_longnum) == (1, 0, 0)
+    assert rows[2].clean_text == "see <URL> and <URL>"
+    assert rows[2].n_url == 2
+    assert rows[3].clean_text == "call <NUM> or <NUM> now"
+    assert rows[3].n_longnum == 2
+    assert rows[4].clean_text == "year 2024 and room 101 stay untouched"
+    assert (rows[4].n_email, rows[4].n_url, rows[4].n_longnum) == (0, 0, 0)
+    assert rows[5].clean_text is None and rows[5].n_email is None
+
+
 def test_vocab_topk_crafted(spark):
     """Normalization (case/whitespace), occurrence vs document counts,
     deterministic count-tie ordering, and empty/null docs contributing
