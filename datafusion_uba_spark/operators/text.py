@@ -616,3 +616,66 @@ def redact_pii(
     return df.select(
         F.col(id_col), clean.alias("clean_text"), *counts
     )
+
+
+# --- cross-document repetition (boilerplate / contamination) ----------------
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document cross-corpus repetition: what fraction of a doc's
+    distinct word ``n``-grams also appear in at least ``min_df`` - 1
+    OTHER documents. High values flag boilerplate (headers, templates,
+    licenses) and benchmark contamination — the span-level signal that
+    document-hash dedup misses (two distinct pages sharing a 300-token
+    footer are not doc-duplicates, but the footer is). 8-grams are the
+    conventional span unit: long enough that natural re-use is rare,
+    short enough to survive small edits.
+
+    Plan shape at 100 TB: the same inverted-index discipline as
+    ngram_jaccard_pairs — distinct grams per doc (staged projections),
+    one explode carrying (doc, gram) only, document frequency by one
+    hash aggregate, join back, per-doc re-aggregate. Linear; never
+    all-pairs; the hot-gram skew lands on the df aggregate where AQE
+    splits it.
+
+    Output: (id, n_grams, n_shared, shared_bp) for docs with >= n
+    tokens; shared_bp = floor(n_shared * 10000 / n_grams).
+    """
+    s0 = df.select(
+        F.col(id_col).alias("__id"), normalize_text(text_col).alias("__norm")
+    )
+    s1 = s0.select(
+        "__id", tokens_from_norm(F.col("__norm")).alias("__toks")
+    ).where(F.size("__toks") >= n)
+    sh = s1.select(
+        "__id", shingles_from_tokens(F.col("__toks"), n).alias("__sh")
+    )
+    # explode_outer + null guard: same optimizer-substitution dodge as
+    # dedup.ngram_jaccard_pairs (inner explode infers a size()>0 filter
+    # and inlines the whole shingle chain into a pre-shuffle Filter)
+    inv = sh.select("__id", F.explode_outer("__sh").alias("__g")).where(
+        F.col("__g").isNotNull()
+    )
+    gdf = inv.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        inv.join(gdf, "__g")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__df") >= min_df).cast("int")).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_grams",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.floor(F.col("n_shared") * 10000 / F.col("n_grams"))
+        .cast("long")
+        .alias("shared_bp"),
+    )

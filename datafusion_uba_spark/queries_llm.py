@@ -283,6 +283,46 @@ WHERE CAST(floor((common_shingles * 10000)
 """
 
 
+def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return text_ops.boilerplate_stats(docs)
+
+
+def _ddb_shingles_n(toks: str, n: int) -> str:
+    """Distinct word n-grams of a token-list expr for any n (the
+    generalized form of _shingles_from's hardcoded trigram)."""
+    parts = " || ' ' || ".join(
+        f"{toks}[CAST(i AS INT)" + (f" + {j}]" if j else "]")
+        for j in range(n)
+    )
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN list_distinct(list_transform("
+        f"range(1, len({toks}) - {n} + 2), i -> {parts})) ELSE [] END"
+    )
+
+
+_ORACLE_BOILERPLATE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, {_ddb_shingles_n('toks', 8)} AS gs
+  FROM t WHERE len(toks) >= 8
+),
+inv AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+gdf AS (SELECT gram, count(*) AS df FROM inv GROUP BY gram),
+per AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared
+  FROM inv JOIN gdf USING (gram) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(floor(n_shared * 10000 / n_grams) AS BIGINT) AS shared_bp
+FROM per
+"""
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return text_ops.redact_pii(docs)
@@ -886,6 +926,7 @@ LLM_REGISTRY: dict = {
     "vocab_topk": (q_vocab_topk, _ORACLE_VOCAB_TOPK),
     "length_quantiles": (q_length_quantiles, _ORACLE_LENGTH_QUANTILES),
     "redact_pii": (q_redact_pii, _oracle_redact_pii()),
+    "boilerplate_stats": (q_boilerplate_stats, _ORACLE_BOILERPLATE),
     "stratified_sample": (q_stratified_sample, _ORACLE_STRATIFIED_SAMPLE),
     "doc_embedding_enrich": (q_doc_embedding_enrich, _ORACLE_DOC_EMB_ENRICH),
     "corpus_filter": (q_corpus_filter, _ORACLE_CORPUS_FILTER),

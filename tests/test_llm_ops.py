@@ -279,6 +279,32 @@ def test_stratified_sample_deterministic(spark):
     assert first == [d for d in base if d in set(first)]
 
 
+def test_boilerplate_stats_crafted(spark):
+    """A shared 8-token footer across two docs is counted as shared
+    grams in both; a unique doc scores 0; short docs are excluded."""
+    from datafusion_uba_spark.operators.text import boilerplate_stats
+
+    footer = "this content is provided as is without any warranty"  # 9 toks
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta " + footer),
+            (2, "epsilon zeta " + footer),
+            (3, "one unique doc with eight tokens or more here now"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in boilerplate_stats(df).collect()}
+    assert 4 not in rows  # < 8 tokens
+    # the 9-token footer contributes 2 shared 8-grams to each doc
+    assert rows[1].n_shared == 2 and rows[2].n_shared == 2
+    assert rows[3].n_shared == 0 and rows[3].shared_bp == 0
+    # doc1: 4+9=13 tokens -> 6 distinct 8-grams; doc2: 11 -> 4
+    assert rows[1].n_grams == 6
+    assert rows[2].n_grams == 4  # 11 tokens -> 4 grams
+    assert rows[2].shared_bp == 5000  # 2/4
+
+
 def test_redact_pii_crafted(spark):
     """Emails, URLs, and long digit runs are replaced with typed
     tokens; counts report the ORIGINAL text; clean text keeps
