@@ -35,6 +35,7 @@ HEAVY = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
     "ann_topk",
     "ann_topk_lsh",
     "embedding_neardup",
@@ -45,6 +46,10 @@ HEAVY = [
     "funnel_steps_any",
     "asof_view_value",
     "session_of_event",
+    "vocab_topk",
+    "boilerplate_stats",
+    "stratified_sample",
+    "doc_embedding_enrich",
 ]
 
 
