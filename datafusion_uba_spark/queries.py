@@ -482,6 +482,86 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def q_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface: per-customer order sequence number,
+    previous order's total (lag), and running total — the classic
+    analytic-window trio, one hash-partitioned sort per customer.
+    Money values in exact integer cents so the running sum is
+    order-independent-summation-safe and hash-verifiable."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = _cents(F.col("o_totalprice"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = orders.select(
+        "o_custkey", "o_orderkey", cents.alias("__cents")
+    )
+    return base.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("__cents").alias("total_cents"),
+        F.row_number().over(w).alias("order_seq"),
+        F.lag("__cents", 1).over(w).alias("prev_total_cents"),
+        F.sum("__cents").over(wsum).alias("running_cents"),
+    )
+
+
+_ORACLE_ORDER_RANKS = """
+WITH base AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       cents AS total_cents,
+       CAST(row_number() OVER w AS INT) AS order_seq,
+       lag(cents, 1) OVER w AS prev_total_cents,
+       CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_cents
+FROM base
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+"""
+
+
+def q_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: customers ordering in BOTH 1996 and 1997
+    (INTERSECT) and in 1996 but never 1997 (EXCEPT), labeled and
+    unioned. Spark plans set ops as aggregates/anti-joins — all
+    shuffle-on-key."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def buyers(year: int) -> DataFrame:
+        return orders.where(
+            F.year("o_orderdate") == year
+        ).select("o_custkey").distinct()
+
+    y96, y97 = buyers(1996), buyers(1997)
+    both = y96.intersect(y97).select(
+        F.col("o_custkey").alias("custkey"), F.lit("both").alias("cohort")
+    )
+    churned = y96.exceptAll(y97).select(
+        F.col("o_custkey").alias("custkey"), F.lit("only_1996").alias("cohort")
+    )
+    return both.unionAll(churned)
+
+
+_ORACLE_REPEAT_BUYERS = """
+WITH y96 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+),
+y97 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+)
+SELECT o_custkey AS custkey, 'both' AS cohort
+  FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+UNION ALL
+SELECT o_custkey AS custkey, 'only_1996' AS cohort
+  FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -500,6 +580,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "null_semantics": (q_null_semantics, _ORACLE_NULL_SEMANTICS),
     "events_json_props": (q_events_json_props, _ORACLE_EVENTS_JSON),
     "revenue_rollup": (q_revenue_rollup, _ORACLE_REVENUE_ROLLUP),
+    "order_ranks": (q_order_ranks, _ORACLE_ORDER_RANKS),
+    "repeat_buyers": (q_repeat_buyers, _ORACLE_REPEAT_BUYERS),
 }
 
 # LLM-training-data-pipeline inventory (dedup / similarity / text /
