@@ -679,3 +679,68 @@ def boilerplate_stats(
         .cast("long")
         .alias("shared_bp"),
     )
+
+
+# --- context-window chunking ------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    context-window packing primitive of every pretraining/RAG pipeline
+    (chunk N tokens, stride N - overlap so no boundary sentence is lost
+    to both neighbors).
+
+    Chunk starts are 0, stride, 2*stride, ..., ending at the SMALLEST
+    multiple of stride whose window reaches the last token — full
+    coverage with no fully-redundant tail window (a doc of exactly
+    ``chunk_tokens`` tokens yields one chunk, and a doc the sliding
+    windows already cover gains no extra chunk whose tokens all
+    appeared in its predecessor). All built-ins: tokens → a
+    ``sequence()`` of chunk starts → posexplode → ``slice`` +
+    ``concat_ws`` — a pure narrow map per document (zero shuffles), so
+    at 100 TB it scales with the scan. Deterministic: chunk_id is the
+    window index, text reconstruction is whitespace-joined normalized
+    tokens.
+
+    Output: (id, chunk_id, n_tokens, chunk_text); empty/null docs
+    yield no rows.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("chunk_documents: overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    s0 = df.select(
+        F.col(id_col).alias("__id"), normalize_text(text_col).alias("__norm")
+    )
+    s1 = s0.select(
+        "__id", tokens_from_norm(F.col("__norm")).alias("__toks")
+    ).where(F.size("__toks") > 0)
+    # last start = ceil((size - chunk) / stride) * stride, floored at 0
+    # (integer form; negative for short docs -> greatest picks 0)
+    last = (
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.size("__toks") - chunk_tokens + stride - 1) / stride
+            ).cast("int"),
+        )
+        * stride
+    )
+    starts = F.sequence(F.lit(0), last, F.lit(stride))
+    ch = s1.select(
+        "__id",
+        "__toks",
+        F.posexplode_outer(starts).alias("chunk_id", "__start"),
+    ).where(F.col("__start").isNotNull())
+    piece = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return ch.select(
+        F.col("__id").alias(id_col),
+        "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

@@ -283,6 +283,34 @@ WHERE CAST(floor((common_shingles * 10000)
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return text_ops.chunk_documents(docs, chunk_tokens=64, overlap=8)
+
+
+def _oracle_chunk_documents(chunk: int = 64, overlap: int = 8) -> str:
+    stride = chunk - overlap
+    sl = f"[CAST(start + 1 AS INT):CAST(start + {chunk} AS INT)]"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+  WHERE {_NORM} IS NOT NULL AND {_NORM} <> ''
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0,
+           greatest(0, CAST(floor((len(toks) - {chunk} + {stride} - 1)
+             / {stride}) AS BIGINT)) * {stride} + 1,
+           {stride})) AS start
+  FROM t
+)
+SELECT doc_id, CAST(start / {stride} AS INT) AS chunk_id,
+       CAST(len(toks{sl}) AS INT) AS n_tokens,
+       array_to_string(toks{sl}, ' ') AS chunk_text
+FROM s
+"""
+
+
 def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return text_ops.boilerplate_stats(docs)
@@ -927,6 +955,7 @@ LLM_REGISTRY: dict = {
     "length_quantiles": (q_length_quantiles, _ORACLE_LENGTH_QUANTILES),
     "redact_pii": (q_redact_pii, _oracle_redact_pii()),
     "boilerplate_stats": (q_boilerplate_stats, _ORACLE_BOILERPLATE),
+    "chunk_documents": (q_chunk_documents, _oracle_chunk_documents()),
     "stratified_sample": (q_stratified_sample, _ORACLE_STRATIFIED_SAMPLE),
     "doc_embedding_enrich": (q_doc_embedding_enrich, _ORACLE_DOC_EMB_ENRICH),
     "corpus_filter": (q_corpus_filter, _ORACLE_CORPUS_FILTER),

@@ -279,6 +279,39 @@ def test_stratified_sample_deterministic(spark):
     assert first == [d for d in base if d in set(first)]
 
 
+def test_chunk_documents_crafted(spark):
+    """Window boundaries: exact-fit doc -> no empty tail chunk; short
+    doc -> one chunk; overlap tokens appear in both neighbors; empty
+    and null docs vanish."""
+    from datafusion_uba_spark.operators.text import chunk_documents
+
+    toks10 = " ".join(f"t{i}" for i in range(10))
+    toks4 = " ".join(f"s{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [(1, toks10), (2, toks4), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    )
+    # doc1: stride 3, coverage ends at start 6 (covers t6..t9) — no
+    # redundant 4th window; doc2 fits one window exactly
+    assert rows == [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t3 t4 t5 t6"),
+        (1, 2, 4, "t6 t7 t8 t9"),
+        (2, 0, 4, "s0 s1 s2 s3"),
+    ]
+    # exact fit: 4 tokens, chunk 4, overlap 0 -> exactly one chunk
+    one = chunk_documents(
+        df.where("doc_id = 2"), chunk_tokens=4, overlap=0
+    ).collect()
+    assert len(one) == 1 and one[0].n_tokens == 4
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
 def test_boilerplate_stats_crafted(spark):
     """A shared 8-token footer across two docs is counted as shared
     grams in both; a unique doc scores 0; short docs are excluded."""
