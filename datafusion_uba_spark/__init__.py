@@ -22,6 +22,7 @@ from datafusion_uba_spark.operators.retention import (
 from datafusion_uba_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
+    sampling,
     similarity,
     text,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "similarity",
     "text",
     "multimodal",
+    "sampling",
 ]
 
 __version__ = "0.1.0"

@@ -37,6 +37,10 @@ def stratified_sample(
     2 ranks the surviving ``salt_buckets * n`` rows per stratum.
     Output: input columns + ``sample_rank`` (1-based within stratum).
     """
+    if not strata_cols:
+        raise ValueError("stratified_sample: need at least one stratum column")
+    if n_per_stratum < 1:
+        raise ValueError("stratified_sample: n_per_stratum must be >= 1")
     key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in strata_cols])
     tagged = df.withColumn("__stratum", key)
     order = [
