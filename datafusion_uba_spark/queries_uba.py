@@ -282,6 +282,67 @@ FROM e JOIN sess s
 """
 
 
+def q_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM segmentation input: per-user Recency (last event
+    time), Frequency (event count), Monetary (integer-cents sum of
+    the value column) — one hash aggregate on the user key, the
+    cheapest possible UBA plan at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_event_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+
+
+_ORACLE_USER_RFM = """
+SELECT user_id, max(epoch_us(ts)) AS last_event_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS monetary_cents
+FROM events GROUP BY user_id
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts (the Markov matrix /
+    Sankey-diagram source): per user, each event paired with its
+    predecessor under the total order (ts, event_id), then one hash
+    aggregate on the (prev, next) pair. The per-user lag is a
+    hash-partitioned window sort — the same single-shuffle shape as
+    sessionize."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    t = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    return (
+        t.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+_ORACLE_EVENT_TRANSITIONS = """
+WITH o AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type, next_type, count(*) AS n_transitions
+FROM o WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+"""
+
+
 UBA_REGISTRY: dict = {
     "sessionize": (q_sessionize, _ORACLE_SESSIONIZE),
     "hourly_event_counts": (q_hourly_event_counts, _ORACLE_HOURLY),
@@ -289,4 +350,6 @@ UBA_REGISTRY: dict = {
     "funnel_steps_any": (q_funnel_steps_any, _ORACLE_FUNNEL_ANY),
     "asof_view_value": (q_asof_view_value, _ORACLE_ASOF),
     "session_of_event": (q_session_of_event, _ORACLE_SESSION_OF_EVENT),
+    "user_rfm": (q_user_rfm, _ORACLE_USER_RFM),
+    "event_transitions": (q_event_transitions, _ORACLE_EVENT_TRANSITIONS),
 }
