@@ -744,3 +744,132 @@ def chunk_documents(
         F.size(piece).alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+# --- benchmark decontamination ---------------------------------------------
+
+
+def contamination_stats(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, how many
+    of its distinct word ``n``-grams appear ANYWHERE in a benchmark
+    (eval-set) corpus — the standard pre-training hygiene pass that
+    drops training documents which would leak test answers (the
+    GPT-3/PaLM-style n-gram-overlap decontamination check;
+    ``boilerplate_stats`` measures repetition WITHIN the corpus, this
+    measures overlap AGAINST an external contaminant set).
+
+    Scale shape: the benchmark side is tiny by construction (eval sets
+    are MBs against a 100 TB crawl), so its distinct-gram set is
+    broadcast and the corpus side never shuffles for the probe — one
+    narrow gram explode, a broadcast left join, and a per-document
+    re-aggregate (partial-agg combines map-side; the only shuffle
+    carries (doc_id, counts)). Linear in corpus size, zero exchanges
+    of corpus text.
+
+    Every corpus document appears in the output (a doc too short to
+    have any ``n``-gram is trivially clean): (id, n_grams, n_hit,
+    contaminated).
+    """
+    bg = (
+        benchmark.select(normalize_text(text_col).alias("__norm"))
+        .select(tokens_from_norm(F.col("__norm")).alias("__toks"))
+        .select(F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("__g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    s0 = corpus.select(
+        F.col(id_col).alias("__id"), normalize_text(text_col).alias("__norm")
+    )
+    s1 = s0.select("__id", tokens_from_norm(F.col("__norm")).alias("__toks"))
+    sh = s1.select("__id", shingles_from_tokens(F.col("__toks"), n).alias("__sh"))
+    # explode_outer keeps gram-less docs as a single null-gram row, so
+    # short documents still get an (all-clean) output row
+    inv = sh.select("__id", F.explode_outer("__sh").alias("__g"))
+    per = (
+        inv.join(F.broadcast(bg), "__g", "left")
+        .groupBy("__id")
+        .agg(
+            F.sum(F.col("__g").isNotNull().cast("int")).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    return per.select(
+        F.col("__id").alias(id_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        (F.col("n_hit") > 0).alias("contaminated"),
+    )
+
+
+# --- TF-IDF keyword extraction ---------------------------------------------
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` keywords by TF-IDF — the classic
+    content-descriptor features (topic tagging, weak labeling, corpus
+    browsing) of a document pipeline.
+
+    Exactness choice: idf enters the RANKING only through the tf/df
+    ratio — for a fixed corpus the corpus size N is the same constant
+    in every score, so ranking by tf * idf(N/df) with any monotone idf
+    equals ranking by tf/df. We therefore score with the exact integer
+    ``score_u = (tf * 1_000_000) div df`` (floor division, identical
+    in Spark ``div`` and DuckDB ``//``): no doubles, no libm-ulp
+    divergence between engines, no N broadcast. The familiar
+    log-damped variant would reorder only ACROSS documents, never the
+    per-document ranking this returns. Ties break (tf desc, token asc)
+    so top-k is a total-order prefix on both engines.
+
+    Plan at 100 TB: tf is one hash aggregate on (doc, token); df is a
+    second hash aggregate over tf's (already distinct-per-doc) output;
+    the tf-df equi-join shuffles on token where AQE handles stopword
+    skew (hash agg with map-side partials, not a window over a
+    token-sorted partition, exactly to keep hot tokens splittable);
+    the final top-k is one row_number window per document. No
+    all-pairs, no driver-side vocabulary.
+
+    Output: (id, token, tf, df, score_u, rank), rank in 1..k.
+    """
+    from pyspark.sql import Window
+
+    s0 = df.select(
+        F.col(id_col).alias("__id"), normalize_text(text_col).alias("__norm")
+    )
+    s1 = s0.select(
+        "__id", tokens_from_norm(F.col("__norm")).alias("__toks")
+    ).where(F.size("__toks") > 0)
+    tok = s1.select("__id", F.explode("__toks").alias("__t"))
+    tf = tok.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("df"))
+    j = tf.join(dfreq, "__t").withColumn(
+        "score_u", F.expr("tf * 1000000L div df")
+    )
+    w = (
+        Window.partitionBy("__id")
+        .orderBy(
+            F.col("score_u").desc(), F.col("tf").desc(), F.col("__t").asc()
+        )
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__t").alias("token"),
+            "tf",
+            "df",
+            "score_u",
+            "rank",
+        )
+    )

@@ -946,11 +946,79 @@ WHERE is_dup = 0 AND lang_pred = 'en'
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over a deterministic corpus split:
+    docs with doc_id % 19 == 0 play the eval benchmark (~5%, the
+    small broadcast side), the rest are the training corpus scanned
+    for 8-gram overlap. See text.contamination_stats for the
+    broadcast-probe plan."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corpus = docs.where(F.col("doc_id") % 19 != 0)
+    return text_ops.contamination_stats(corpus, bench, n=8)
+
+
+_ORACLE_DECONTAMINATE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE {_NORM} <> ''
+),
+g AS (SELECT doc_id, {_ddb_shingles_n('toks', 8)} AS gs FROM t),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 19 = 0
+),
+inv AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 19 <> 0),
+per AS (
+  SELECT i.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM inv i LEFT JOIN bench b USING (gram) GROUP BY i.doc_id
+)
+SELECT c.doc_id,
+       CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(per.n_hit, 0) AS BIGINT) AS n_hit,
+       coalesce(per.n_hit, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 19 <> 0) c
+LEFT JOIN per USING (doc_id)
+"""
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return text_ops.tfidf_topk(docs, k=3)
+
+
+# score_u = tf * 1e6 // df: floor division is identical in DuckDB //
+# and Spark div; tie-break (tf desc, token asc) totals the order.
+# Docs with empty normalized text yield no tokens on either engine.
+_ORACLE_TFIDF = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE {_NORM} <> ''
+),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+s AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         tf.tf * 1000000 // dfreq.df AS score_u
+  FROM tf JOIN dfreq USING (token)
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score_u AS BIGINT) AS score_u, CAST(rank AS INT) AS rank
+FROM (
+  SELECT s.*, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_u DESC, tf DESC, token ASC
+  ) AS rank FROM s
+)
+WHERE rank <= 3
+"""
+
+
 # registry
 # ---------------------------------------------------------------------------
 
 LLM_REGISTRY: dict = {
     "text_stats": (q_text_stats, _ORACLE_TEXT_STATS),
+    "decontaminate": (q_decontaminate, _ORACLE_DECONTAMINATE),
+    "tfidf_keywords": (q_tfidf_keywords, _ORACLE_TFIDF),
     "vocab_topk": (q_vocab_topk, _ORACLE_VOCAB_TOPK),
     "length_quantiles": (q_length_quantiles, _ORACLE_LENGTH_QUANTILES),
     "redact_pii": (q_redact_pii, _oracle_redact_pii()),

@@ -675,3 +675,75 @@ def test_winnow_guarantee_and_edges(spark):
     }
     assert fps[1] & fps[2], "shared 11+ char substring must share a print"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_contamination_stats_crafted(spark):
+    """A corpus doc sharing an 8-gram with the benchmark is flagged
+    with the right hit count; an overlap-free doc is clean; a short
+    (gram-less) doc still appears, trivially clean; hits against ANY
+    benchmark doc count."""
+    from datafusion_uba_spark.operators.text import contamination_stats
+
+    leak = "the quick brown fox jumps over the lazy dog"  # 9 toks -> 2 grams
+    bench = spark.createDataFrame(
+        [(100, "benchmark question says " + leak), (101, "unrelated eval")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, leak + " extra tail words here"),  # shares both leak grams
+            (2, "totally different content with eight plus tokens in it now"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in contamination_stats(corpus, bench).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].contaminated and rows[1].n_hit == 2
+    # doc1: 13 tokens -> 6 distinct 8-grams
+    assert rows[1].n_grams == 6
+    assert not rows[2].contaminated and rows[2].n_hit == 0
+    assert rows[2].n_grams > 0
+    assert rows[3].n_grams == 0 and rows[3].n_hit == 0
+    assert not rows[3].contaminated
+
+
+def test_tfidf_topk_crafted(spark):
+    """Rarer tokens outrank common ones at equal tf; higher tf wins at
+    equal df; ties order by token; empty docs yield no rows; rank is
+    a dense 1..k prefix."""
+    from datafusion_uba_spark.operators.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            # 'common' appears in all 3 docs; 'rare*' only here
+            (1, "common rare1 rare1 rare2"),
+            (2, "common common solo"),
+            (3, "common"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(df, k=2)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for v in by_doc.values():
+        v.sort(key=lambda r: r.rank)
+    assert 4 not in by_doc  # empty doc -> no tokens
+    # doc1: rare1 tf=2 df=1 -> 2e6; rare2 tf=1 df=1 -> 1e6; common tf=1 df=3
+    d1 = by_doc[1]
+    assert [(r.token, r.tf, r.df, r.score_u) for r in d1] == [
+        ("rare1", 2, 1, 2_000_000),
+        ("rare2", 1, 1, 1_000_000),
+    ]
+    assert [r.rank for r in d1] == [1, 2]
+    # doc2: solo tf=1 df=1 -> 1e6 beats common tf=2 df=3 -> 666666
+    d2 = by_doc[2]
+    assert [(r.token, r.score_u) for r in d2] == [
+        ("solo", 1_000_000),
+        ("common", 666_666),
+    ]
+    # doc3: only 'common' exists -> a single row, rank 1
+    assert [(r.token, r.rank) for r in by_doc[3]] == [("common", 1)]
