@@ -343,7 +343,71 @@ FROM o WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
 """
 
 
+def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-contained weekly cohort retention (the triangle chart):
+    cohort = a user's first active ISO week, and for each later week
+    the count of cohort users still active. Complements the
+    reference's retention_count/retention_sum UDAFs (which consume
+    caller-supplied integer day offsets — reference
+    src/retention/retention_count.rs:26-177) with the end-to-end
+    calendar form every product-analytics tool ships.
+
+    Plan: distinct (user, week) is one hash aggregate; the per-user
+    cohort week is a window min over the SAME user key (AQE reuses the
+    user-hash layout); the final (cohort, offset) rollup is a count
+    over already-unique rows. All shuffles are key-parallel on user or
+    (cohort, offset) — nothing quadratic, no skew beyond the natural
+    cohort sizes."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    r = wk.withColumn("cohort_week", F.min("week").over(w))
+    return (
+        r.groupBy(
+            # ISO string, not DATE: date columns round-trip to different
+            # pandas dtypes from Spark vs DuckDB, breaking hash compare
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            F.expr("CAST(datediff(week, cohort_week) div 7 AS INT)").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# date_trunc('week') is Monday-start on both engines; date-date is
+# integer days in DuckDB and datediff() in Spark; // and div are the
+# same floor division on the non-negative offsets here
+_ORACLE_COHORT_RETENTION_WEEKLY = """
+WITH wk AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+c AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM wk
+)
+SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+       CAST((week - cohort_week) // 7 AS INT) AS week_offset,
+       count(*) AS n_users
+FROM c GROUP BY 1, 2
+"""
+
+
 UBA_REGISTRY: dict = {
+    "cohort_retention_weekly": (
+        q_cohort_retention_weekly,
+        _ORACLE_COHORT_RETENTION_WEEKLY,
+    ),
     "sessionize": (q_sessionize, _ORACLE_SESSIONIZE),
     "hourly_event_counts": (q_hourly_event_counts, _ORACLE_HOURLY),
     "funnel_steps": (q_funnel_steps, _ORACLE_FUNNEL),
