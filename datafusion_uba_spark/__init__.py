@@ -24,6 +24,7 @@ from datafusion_uba_spark.operators import (  # noqa: F401
     multimodal,
     sampling,
     similarity,
+    sketches,
     text,
 )
 
@@ -37,6 +38,7 @@ __all__ = [
     "text",
     "multimodal",
     "sampling",
+    "sketches",
 ]
 
 __version__ = "0.1.0"

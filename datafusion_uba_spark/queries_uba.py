@@ -403,7 +403,49 @@ FROM c GROUP BY 1, 2
 """
 
 
+def q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU: per-day distinct users + event volume. The exact
+    COUNT(DISTINCT) is the two-shuffle plan (partial distinct on
+    (day, user), then final count) — correct at any scale but paying
+    a (day, user)-sized intermediate; it is the correctness anchor
+    the HLL twin (`daily_active_users_hll`) is pinned against."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_ORACLE_DAU = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS dau, count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_daily_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches-HLL DAU twin: one shuffle, 4 KiB mergeable state
+    per day — the 100 TB path for distinct counts. Deterministic but
+    not DuckDB-replayable (different HLL implementation), so this row
+    is rows-only checked; the exact anchor is `daily_active_users`
+    and the <2% error + lossless-rollup pins live in
+    tests/test_llm_ops.py (same exact-vs-approx discipline as
+    cosine_topk vs ann_topk_lsh)."""
+    from datafusion_uba_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    day = ev.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    return sketches.approx_distinct(day, ["day"], "user_id", out_col="dau_approx")
+
+
 UBA_REGISTRY: dict = {
+    "daily_active_users": (q_daily_active_users, _ORACLE_DAU),
+    "daily_active_users_hll": (q_daily_active_users_hll, None),
     "cohort_retention_weekly": (
         q_cohort_retention_weekly,
         _ORACLE_COHORT_RETENTION_WEEKLY,

@@ -747,3 +747,61 @@ def test_tfidf_topk_crafted(spark):
     ]
     # doc3: only 'common' exists -> a single row, rank 1
     assert [(r.token, r.rank) for r in by_doc[3]] == [("common", 1)]
+
+
+def test_hll_approx_distinct_error_and_rollup(spark):
+    """The HLL estimate lands within 2% of exact at lgk=12 on a 20k-id
+    set; sketching at fine grain then union-merging to coarse grain
+    agrees with sketching coarse directly (the mergeable-partials
+    contract that makes the sketch the 100 TB path); bad args raise."""
+    import pytest as _pytest
+
+    from datafusion_uba_spark.operators import sketches
+
+    df = spark.range(60_000).select(
+        (F.col("id") % 3).cast("int").alias("g"),
+        (F.col("id") % 20_000).alias("uid"),
+        (F.col("id") % 6).cast("int").alias("fine"),
+    )
+    # exact: every g sees all 20k uids
+    out = {
+        r.g: r.approx_distinct
+        for r in sketches.approx_distinct(df, ["g"], "uid").collect()
+    }
+    assert set(out) == {0, 1, 2}
+    for g, est in out.items():
+        assert abs(est - 20_000) / 20_000 < 0.02, (g, est)
+
+    # rollup: fine=(g, fine) merged up to g must track the direct
+    # estimate closely (same-lgk sketches union near-losslessly)
+    rolled = {
+        r.g: r.approx_distinct
+        for r in sketches.approx_distinct_rollup(
+            df, ["g", "fine"], ["g"], "uid"
+        ).collect()
+    }
+    for g in out:
+        assert abs(rolled[g] - out[g]) / out[g] < 0.01, (g, rolled[g], out[g])
+
+    with _pytest.raises(ValueError, match="lgk"):
+        sketches.approx_distinct(df, ["g"], "uid", lgk=30)
+    with _pytest.raises(ValueError, match="coarse_cols"):
+        sketches.approx_distinct_rollup(df, ["fine"], ["g"], "uid")
+
+
+def test_dau_hll_tracks_exact(spark, sf_dir):
+    """Registry-twin parity: the HLL DAU row tracks the exact DAU row
+    within 5% on every day of the fixture."""
+    from datafusion_uba_spark.queries_uba import (
+        q_daily_active_users,
+        q_daily_active_users_hll,
+    )
+
+    exact = {r.day: r.dau for r in q_daily_active_users(spark, sf_dir).collect()}
+    approx = {
+        r.day: r.dau_approx
+        for r in q_daily_active_users_hll(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, dau in exact.items():
+        assert abs(approx[day] - dau) / max(dau, 1) < 0.05, (day, approx[day], dau)
