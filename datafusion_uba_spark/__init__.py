@@ -22,6 +22,7 @@ from datafusion_uba_spark.operators.retention import (
 from datafusion_uba_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
+    packing,
     sampling,
     similarity,
     sketches,
@@ -37,6 +38,7 @@ __all__ = [
     "similarity",
     "text",
     "multimodal",
+    "packing",
     "sampling",
     "sketches",
 ]

@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_uba_spark.operators import dedup, multimodal, sampling, similarity
+from datafusion_uba_spark.operators import (
+    dedup,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+)
 from datafusion_uba_spark.operators import text as text_ops
 from datafusion_uba_spark.sources import load_table
 
@@ -1012,10 +1018,89 @@ WHERE rank <= 3
 """
 
 
+# Spark conv(hex, 16, 10) == DuckDB ('0x' || hex)::INT — both parse the
+# 4-hex-char md5 prefix as an integer in [0, 65536)
+def _ddb_id_bucket(id_expr: str) -> str:
+    return f"('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 4))::INT"
+
+
+_N_TOKENS_EXPR = (
+    f"CASE WHEN {_NORM} IS NULL THEN 0 WHEN {_NORM} = '' THEN 0 "
+    f"ELSE len({_TOKS}) END"
+)
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return packing.pack_token_stream(docs, capacity=256, n_shards=8)
+
+
+_ORACLE_SEQUENCE_PACKING = f"""
+WITH t AS (
+  SELECT doc_id, {_N_TOKENS_EXPR} AS n FROM documents
+),
+s AS (
+  SELECT doc_id, n, {_ddb_id_bucket('doc_id')} % 8 AS shard
+  FROM t WHERE n >= 1
+),
+c AS (
+  SELECT doc_id, shard, n,
+         coalesce(sum(n) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_offset
+  FROM s
+)
+SELECT doc_id, shard, CAST(n AS BIGINT) AS n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 256 AS BIGINT) AS first_window,
+       CAST((start_offset + n - 1) // 256 AS BIGINT) AS last_window
+FROM c
+"""
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split, reported as the per-split manifest
+    (doc count + token budget) a dataset card needs."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", text_ops.normalize_text("text").alias("__norm")
+    ).select(
+        "doc_id", F.size(text_ops.tokens_from_norm(F.col("__norm"))).alias("__n")
+    )
+    return (
+        packing.assign_split(d, val_pct=5, test_pct=5)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.greatest(F.col("__n"), F.lit(0))).alias("n_tokens"),
+        )
+    )
+
+
+# thresholds replicate assign_split's integer arithmetic:
+# test_lo = 65536 - 65536*5//100 = 62260; val_lo = 62260 - 3276 = 58984
+_ORACLE_DATASET_SPLIT = f"""
+WITH t AS (
+  SELECT doc_id, {_N_TOKENS_EXPR} AS n,
+         {_ddb_id_bucket('doc_id')} AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket >= 62260 THEN 'test'
+            WHEN bucket >= 58984 THEN 'val'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(greatest(n, 0)) AS BIGINT) AS n_tokens
+FROM t GROUP BY 1
+"""
+
+
 # registry
 # ---------------------------------------------------------------------------
 
 LLM_REGISTRY: dict = {
+    "sequence_packing": (q_sequence_packing, _ORACLE_SEQUENCE_PACKING),
+    "dataset_split": (q_dataset_split, _ORACLE_DATASET_SPLIT),
     "text_stats": (q_text_stats, _ORACLE_TEXT_STATS),
     "decontaminate": (q_decontaminate, _ORACLE_DECONTAMINATE),
     "tfidf_keywords": (q_tfidf_keywords, _ORACLE_TFIDF),

@@ -805,3 +805,72 @@ def test_dau_hll_tracks_exact(spark, sf_dir):
     assert set(exact) == set(approx)
     for day, dau in exact.items():
         assert abs(approx[day] - dau) / max(dau, 1) < 0.05, (day, approx[day], dau)
+
+
+def test_pack_token_stream_crafted(spark):
+    """With one shard the packed stream is a plain running layout:
+    offsets are cumulative in id order, a doc straddling a capacity
+    boundary spans two windows, empty docs are excluded, and
+    precomputed token counts short-circuit tokenization."""
+    from datafusion_uba_spark.operators.packing import pack_token_stream
+
+    df = spark.createDataFrame(
+        [(1, 6), (2, 3), (3, 5), (4, 0)], "doc_id long, n long"
+    )
+    out = {
+        r.doc_id: r
+        for r in pack_token_stream(
+            df, capacity=8, n_shards=1, tokens_col="n"
+        ).collect()
+    }
+    assert 4 not in out  # zero-token doc dropped
+    assert (out[1].start_offset, out[1].first_window, out[1].last_window) == (0, 0, 0)
+    # doc2 occupies tokens [6, 9): straddles the window boundary at 8
+    assert (out[2].start_offset, out[2].first_window, out[2].last_window) == (6, 0, 1)
+    assert (out[3].start_offset, out[3].first_window, out[3].last_window) == (9, 1, 1)
+    # text-derived counts agree with explicit ones
+    dt = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i"), (3, "j k l m n"), (4, "")],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r.doc_id: r
+        for r in pack_token_stream(dt, capacity=8, n_shards=1).collect()
+    }
+    assert {k: (v.start_offset, v.last_window) for k, v in out2.items()} == {
+        k: (v.start_offset, v.last_window) for k, v in out.items()
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="capacity"):
+        pack_token_stream(df, capacity=0, tokens_col="n")
+
+
+def test_assign_split_deterministic_and_stable(spark):
+    """Split labels are a pure function of the id: identical across
+    calls, unchanged when the corpus grows (append stability), and
+    the 90/5/5 shares land near nominal on 10k ids."""
+    from datafusion_uba_spark.operators.packing import assign_split
+
+    ids = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in assign_split(ids, val_pct=5, test_pct=5).collect()}
+    shares = {s: sum(1 for v in a.values() if v == s) / len(a) for s in set(a.values())}
+    assert abs(shares["train"] - 0.90) < 0.02
+    assert abs(shares["val"] - 0.05) < 0.01
+    assert abs(shares["test"] - 0.05) < 0.01
+    # append stability: the first 1k ids keep their labels inside a larger corpus
+    sub = {
+        r.doc_id: r.split
+        for r in assign_split(
+            spark.range(1_000).withColumnRenamed("id", "doc_id"),
+            val_pct=5,
+            test_pct=5,
+        ).collect()
+    }
+    assert all(a[k] == v for k, v in sub.items())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="val_pct"):
+        assign_split(ids, val_pct=60, test_pct=50)
