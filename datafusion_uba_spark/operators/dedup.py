@@ -65,6 +65,48 @@ def exact_dedup(
     )
 
 
+def dedup_against(
+    increment: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: which documents of a NEW batch are
+    genuinely new against an EXISTING corpus? The day-N+1 ingest
+    shape — dedup the increment against everything already ingested
+    without re-deduplicating the whole corpus (exact_dedup is the
+    within-batch pass; this is the cross-batch pass that follows it).
+
+    Plan at 100 TB: the corpus side reduces to a single-column
+    distinct fingerprint projection (narrow scan, no text movement);
+    the check is a LEFT ANTI equi-join on the hash — Spark's
+    streaming-friendly no-materialize join. The increment is usually
+    orders of magnitude smaller than the corpus, so the anti-join
+    shuffles the corpus' hash column once; persisting the corpus'
+    fingerprint projection as a bucketed table (sources.write_bucketed
+    on fingerprint) makes repeated daily ingests exchange-free on the
+    corpus side.
+
+    Returns the new batch's rows as (id, fingerprint), keeping only
+    docs whose normalized content appears nowhere in the corpus AND
+    which are the canonical (min-id) copy within the increment itself
+    (an increment carrying two copies of a new doc admits one).
+    """
+    inc_fp = increment.select(
+        F.col(id_col), content_fingerprint(text_col).alias("fingerprint")
+    )
+    corpus_fp = corpus.select(
+        content_fingerprint(text_col).alias("fingerprint")
+    ).distinct()
+    fresh = inc_fp.join(corpus_fp, "fingerprint", "left_anti")
+    w = Window.partitionBy("fingerprint")
+    return (
+        fresh.withColumn("__canon", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("__canon"))
+        .select(id_col, "fingerprint")
+    )
+
+
 # --- exact n-gram Jaccard --------------------------------------------------
 
 

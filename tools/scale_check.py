@@ -50,7 +50,20 @@ HEAVY = [
     "boilerplate_stats",
     "stratified_sample",
     "doc_embedding_enrich",
+    "decontaminate",
+    "tfidf_keywords",
+    "cohort_retention_weekly",
+    "daily_active_users",
+    "daily_active_users_hll",
+    "sequence_packing",
+    "dataset_split",
 ]
+
+# SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
+# incremental measurement without re-timing the whole list)
+_only = os.environ.get("SCALE_ONLY")
+if _only:
+    HEAVY = [n for n in HEAVY if n in set(_only.split(","))]
 
 
 def _replicate(spark, k: int, out_dir: str) -> None:
