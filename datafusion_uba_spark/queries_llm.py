@@ -1095,10 +1095,42 @@ FROM t GROUP BY 1
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N+1 ingest: docs with doc_id % 4 == 0 arrive as the new
+    batch, the rest are the already-ingested corpus; return the batch
+    docs that are genuinely new (content-hash anti-join + within-batch
+    canonicalization — see dedup.dedup_against)."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    inc = docs.where(F.col("doc_id") % 4 == 0)
+    return dedup.dedup_against(inc, corpus)
+
+
+_ORACLE_DEDUP_INCREMENTAL = f"""
+WITH fp AS (
+  SELECT doc_id, sha256({_NORM}) AS fingerprint FROM documents
+),
+corpus AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 4 <> 0
+),
+fresh AS (
+  SELECT i.doc_id, i.fingerprint
+  FROM fp i LEFT JOIN corpus c USING (fingerprint)
+  WHERE i.doc_id % 4 = 0 AND c.fingerprint IS NULL
+)
+SELECT doc_id, fingerprint FROM (
+  SELECT doc_id, fingerprint,
+         min(doc_id) OVER (PARTITION BY fingerprint) AS canon
+  FROM fresh
+) WHERE doc_id = canon
+"""
+
+
 # registry
 # ---------------------------------------------------------------------------
 
 LLM_REGISTRY: dict = {
+    "dedup_incremental": (q_dedup_incremental, _ORACLE_DEDUP_INCREMENTAL),
     "sequence_packing": (q_sequence_packing, _ORACLE_SEQUENCE_PACKING),
     "dataset_split": (q_dataset_split, _ORACLE_DATASET_SPLIT),
     "text_stats": (q_text_stats, _ORACLE_TEXT_STATS),

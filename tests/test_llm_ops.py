@@ -874,3 +874,26 @@ def test_assign_split_deterministic_and_stable(spark):
 
     with _pytest.raises(ValueError, match="val_pct"):
         assign_split(ids, val_pct=60, test_pct=50)
+
+
+def test_dedup_against_crafted(spark):
+    """A batch doc whose normalized content exists in the corpus is
+    dropped (even across whitespace/case differences); a batch-internal
+    duplicate pair admits only its min-id copy; genuinely new docs
+    survive."""
+    corpus = spark.createDataFrame(
+        [(1, "Existing   Document one"), (2, "another old doc")],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        [
+            (10, "existing document one"),  # dup of corpus doc 1 after norm
+            (11, "brand new content"),
+            (12, "brand  NEW content"),  # batch-internal dup of 11
+            (13, "also new"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_against(inc, corpus)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [11, 13]
