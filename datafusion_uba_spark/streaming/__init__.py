@@ -35,6 +35,7 @@ from pyspark.sql.streaming import StreamingQuery
 __all__ = [
     "stream_events",
     "hourly_event_counts",
+    "daily_active_users",
     "sessionize",
     "streaming_user_day_flags",
     "streaming_funnel_flags",
@@ -118,6 +119,43 @@ def hourly_event_counts(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
             "event_type",
             "n_events",
+        )
+    )
+
+
+def daily_active_users(
+    events: DataFrame,
+    watermark: str | None = "1 day",
+    lgk: int = 12,
+) -> DataFrame:
+    """Approximate distinct users per day (DataSketches HLL) — the
+    streaming form of the batch `daily_active_users_hll` registry row.
+
+    Why a sketch is THE streaming distinct-count: exact streaming
+    COUNT(DISTINCT) needs one state entry per (day, user) — unbounded
+    in users; the HLL buffer is a fixed 2^lgk registers per day, and
+    the watermark evicts closed days, so total state is
+    O(open_days * 4 KiB) regardless of traffic. HLL registers are
+    max-merged, so the estimate is insensitive to both event order
+    and micro-batch boundaries — the streamed result EQUALS the batch
+    twin exactly (pinned by the parity test), not just approximately.
+
+    Batch: the identical plan is a plain hash aggregate.
+    """
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(lgk))
+            )
+            .cast("long")
+            .alias("dau_approx")
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("day_start_us"),
+            "dau_approx",
         )
     )
 

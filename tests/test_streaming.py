@@ -518,3 +518,27 @@ def test_stream_to_parquet_backfill(spark, batch_events, tmp_path):
     run_once()  # same source, same checkpoint: nothing new to emit
     second = _rows(spark.read.parquet(out), "window_start_us", "event_type")
     assert second == first
+
+
+def test_daily_active_users_parity(spark, batch_events):
+    """The streamed HLL DAU equals the batch twin EXACTLY (not just
+    within error): HLL registers are max-merged, so micro-batch
+    boundaries and event order cannot change the final sketch."""
+    from datafusion_uba_spark.streaming import daily_active_users
+
+    sdf = daily_active_users(_stream(spark), watermark=None)
+    run_to_memory(sdf, "dau_parity", output_mode="complete")
+    got = _rows(spark.table("dau_parity"), "day_start_us")
+    want = _rows(daily_active_users(batch_events, watermark=None), "day_start_us")
+    assert got == want and len(got) > 0
+    # and the estimates are sane vs the exact batch distinct count
+    exact = {
+        tuple(r)[0]: tuple(r)[1]
+        for r in batch_events.groupBy(
+            F.unix_micros(F.date_trunc("day", "ts")).alias("d")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for day, est in got:
+        assert abs(est - exact[day]) / max(exact[day], 1) < 0.05
