@@ -70,6 +70,7 @@ def dedup_against(
     corpus: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_fingerprints: bool = False,
 ) -> DataFrame:
     """Incremental exact dedup: which documents of a NEW batch are
     genuinely new against an EXISTING corpus? The day-N+1 ingest
@@ -91,13 +92,23 @@ def dedup_against(
     docs whose normalized content appears nowhere in the corpus AND
     which are the canonical (min-id) copy within the increment itself
     (an increment carrying two copies of a new doc admits one).
+
+    ``corpus_fingerprints=True`` declares that ``corpus`` is already
+    the persisted fingerprint projection (a ``fingerprint`` column,
+    e.g. the bucketed table a daily pipeline maintains) rather than
+    raw documents — the corpus side then joins with no recompute and,
+    when bucketed on fingerprint, no exchange at all (pinned by
+    tests/test_llm_ops.py::test_dedup_against_bucketed_corpus).
     """
     inc_fp = increment.select(
         F.col(id_col), content_fingerprint(text_col).alias("fingerprint")
     )
-    corpus_fp = corpus.select(
-        content_fingerprint(text_col).alias("fingerprint")
-    ).distinct()
+    if corpus_fingerprints:
+        corpus_fp = corpus.select("fingerprint")
+    else:
+        corpus_fp = corpus.select(
+            content_fingerprint(text_col).alias("fingerprint")
+        ).distinct()
     fresh = inc_fp.join(corpus_fp, "fingerprint", "left_anti")
     w = Window.partitionBy("fingerprint")
     return (

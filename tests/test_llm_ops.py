@@ -897,3 +897,55 @@ def test_dedup_against_crafted(spark):
     out = dedup.dedup_against(inc, corpus)
     ids = sorted(r.doc_id for r in out.collect())
     assert ids == [11, 13]
+
+
+def test_dedup_against_bucketed_corpus(spark):
+    """The daily-ingest layout: with the corpus fingerprint projection
+    persisted BUCKETED on fingerprint, the incremental dedup anti-join
+    plans with the corpus side exchange-free (Bucketed: true, and the
+    only fingerprint Exchange is the small increment side) and the
+    same results as the recompute path."""
+    import re
+
+    from datafusion_uba_spark.operators.text import content_fingerprint
+    from datafusion_uba_spark.sources import write_bucketed
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        [(100, "corpus doc number 7"), (101, "fresh content one"),
+         (102, "fresh content two")],
+        "doc_id long, text string",
+    )
+    write_bucketed(
+        corpus.select(content_fingerprint("text").alias("fingerprint")).distinct(),
+        "corpus_fp_bucketed",
+        "fingerprint",
+        4,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = dedup.dedup_against(
+            inc, spark.table("corpus_fp_bucketed"), corpus_fingerprints=True
+        )
+        assert sorted(r.doc_id for r in out.collect()) == [101, 102]
+        plan = (
+            out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "Bucketed: true" in plan, plan
+        fp_exchanges = re.findall(r"Exchange hashpartitioning\(fingerprint", plan)
+        assert len(fp_exchanges) == 1, (
+            f"expected only the increment-side exchange, got "
+            f"{len(fp_exchanges)}:\n{plan}"
+        )
+        # recompute path agrees
+        want = sorted(
+            r.doc_id for r in dedup.dedup_against(inc, corpus).collect()
+        )
+        assert sorted(r.doc_id for r in out.collect()) == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

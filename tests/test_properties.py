@@ -259,3 +259,47 @@ def test_funnel_any_anchor_matches_model(spark, evs):
     }
     want = _funnel_any_model(evs, 3, _DAY_US)
     assert got == {i + 1: int(want[i]) for i in range(3)}
+
+
+# --- sequence packing vs pure-python model ---------------------------------
+
+
+@given(
+    ns=st.lists(st.integers(0, 40), min_size=1, max_size=12),
+    cap=st.sampled_from([4, 16]),
+    shards=st.sampled_from([1, 3]),
+)
+@settings(**_SETTINGS)
+def test_pack_token_stream_matches_model(spark, ns, cap, shards):
+    """pack_token_stream equals a sequential per-shard packing model
+    for arbitrary token counts: same md5 shard assignment, contiguous
+    offsets in id order, floor-division window spans, zero-token docs
+    dropped."""
+    import hashlib
+
+    from datafusion_uba_spark.operators.packing import pack_token_stream
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(ns)], "doc_id long, n long"
+    )
+    out = pack_token_stream(df, capacity=cap, n_shards=shards, tokens_col="n")
+    model = {}
+    cursor: dict[int, int] = {}
+    for i, n in enumerate(ns):
+        if n < 1:
+            continue
+        sh = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % shards
+        off = cursor.get(sh, 0)
+        model[i] = (sh, n, off, off // cap, (off + n - 1) // cap)
+        cursor[sh] = off + n
+    got = {
+        r.doc_id: (
+            r.shard,
+            r.n_tokens,
+            r.start_offset,
+            r.first_window,
+            r.last_window,
+        )
+        for r in out.collect()
+    }
+    assert got == model
