@@ -949,3 +949,33 @@ def test_dedup_against_bucketed_corpus(spark):
         assert sorted(r.doc_id for r in out.collect()) == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_approx_percentile_tracks_exact_quantiles(spark, sf_dir):
+    """Closes the loop length_quantiles' docstring promises: the scale
+    path (approx_percentile, t-digest-style sketch) is validated
+    against the exact percentile aggregate on the same column — p50/p90
+    within 5% relative, p99 within 10% (tail accuracy is what the
+    accuracy parameter buys; 10000 is Spark's default)."""
+    from datafusion_uba_spark.queries_llm import q_length_quantiles
+
+    exact = {r.lang: r for r in q_length_quantiles(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length(text_ops.normalize_text("text"))
+    approx = {
+        r.lang: r
+        for r in docs.select("lang", n.alias("__n"))
+        .groupBy("lang")
+        .agg(
+            F.expr("approx_percentile(__n, 0.5, 10000)").alias("p50"),
+            F.expr("approx_percentile(__n, 0.9, 10000)").alias("p90"),
+            F.expr("approx_percentile(__n, 0.99, 10000)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for lang, e in exact.items():
+        a = approx[lang]
+        for fld, tol in (("p50", 0.05), ("p90", 0.05), ("p99", 0.10)):
+            ev, av = float(getattr(e, fld)), float(getattr(a, fld))
+            assert abs(av - ev) / max(ev, 1.0) < tol, (lang, fld, av, ev)

@@ -186,3 +186,48 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS ev_bucketed")
         spark.sql("DROP TABLE IF EXISTS cnt_bucketed")
+
+
+def test_compact_parquet(spark, tmp_path):
+    """40 tiny files compact to the byte-target file count with the
+    data intact; the sorted variant clusters rows so every output file
+    holds a contiguous id range (the stats-pruning property)."""
+    from datafusion_uba_spark.sources import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    spark.range(40_000).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS grp"
+    ).repartition(40).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*")) == 40
+
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_file_mb=512)
+    files = glob.glob(f"{dst}/part-*")
+    assert n == 1 and len(files) == 1
+    a = spark.read.parquet(dst)
+    assert a.count() == 40_000
+    assert a.selectExpr("sum(id) AS s").collect()[0].s == 39_999 * 40_000 // 2
+
+    # sorted compaction: per-file id ranges must not overlap
+    dst2 = str(tmp_path / "compacted_sorted")
+    # force >1 file via a tiny target (integer MB floor: use many rows)
+    spark.range(400_000).selectExpr("id").repartition(40).write.parquet(
+        str(tmp_path / "frag2")
+    )
+    n2 = compact_parquet(
+        spark, str(tmp_path / "frag2"), dst2, target_file_mb=1, sort_cols="id"
+    )
+    assert n2 >= 2
+    from pyspark.sql import functions as F2
+
+    ranges = (
+        spark.read.parquet(dst2)
+        .select("id", F2.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F2.min("id").alias("lo"), F2.max("id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
