@@ -815,6 +815,7 @@ def tfidf_topk(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize_tf: bool = False,
 ) -> DataFrame:
     """Per-document top-``k`` keywords by TF-IDF — the classic
     content-descriptor features (topic tagging, weak labeling, corpus
@@ -834,10 +835,20 @@ def tfidf_topk(
     Plan at 100 TB: tf is one hash aggregate on (doc, token); df is a
     second hash aggregate over tf's (already distinct-per-doc) output;
     the tf-df equi-join shuffles on token where AQE handles stopword
-    skew (hash agg with map-side partials, not a window over a
-    token-sorted partition, exactly to keep hot tokens splittable);
-    the final top-k is one row_number window per document. No
-    all-pairs, no driver-side vocabulary.
+    skew (hash agg with map-side partials + AQE-splittable join, not a
+    window over a token-sorted partition — a hot-token window
+    partition cannot be split, a skewed join can); the final top-k is
+    one row_number window per document. No all-pairs, no driver-side
+    vocabulary.
+
+    The one deliberate cost: the tf subtree feeds BOTH the df
+    aggregate and the join probe, and column pruning specializes the
+    two copies so ReuseExchange cannot dedupe them — the explode +
+    partial aggregate runs twice (this is the classic two-job TF-IDF
+    shape). ``materialize_tf=True`` cuts that with a localCheckpoint
+    of tf (same results, tf computed once — the right call when the
+    corpus scan dominates); the default stays pure-lineage, which is
+    what the registry row's oracle replays.
 
     Output: (id, token, tf, df, score_u, rank), rank in 1..k.
     """
@@ -851,6 +862,8 @@ def tfidf_topk(
     ).where(F.size("__toks") > 0)
     tok = s1.select("__id", F.explode("__toks").alias("__t"))
     tf = tok.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("tf"))
+    if materialize_tf:
+        tf = tf.localCheckpoint(eager=True)
     dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("df"))
     j = tf.join(dfreq, "__t").withColumn(
         "score_u", F.expr("tf * 1000000L div df")

@@ -979,3 +979,21 @@ def test_approx_percentile_tracks_exact_quantiles(spark, sf_dir):
         for fld, tol in (("p50", 0.05), ("p90", 0.05), ("p99", 0.10)):
             ev, av = float(getattr(e, fld)), float(getattr(a, fld))
             assert abs(av - ev) / max(ev, 1.0) < tol, (lang, fld, av, ev)
+
+
+def test_tfidf_materialize_tf_equivalent(spark):
+    """materialize_tf=True returns identical rows while computing the
+    tf aggregate once (the checkpoint truncates lineage: no explode
+    remains in the executed plan)."""
+    from datafusion_uba_spark.operators.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta tok{i} tok{i} gamma") for i in range(30)],
+        "doc_id long, text string",
+    )
+    pure = {(r.doc_id, r.token, r.rank) for r in tfidf_topk(df, k=2).collect()}
+    mat_df = tfidf_topk(df, k=2, materialize_tf=True)
+    mat = {(r.doc_id, r.token, r.rank) for r in mat_df.collect()}
+    assert mat == pure and len(mat) > 0
+    plan = mat_df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" not in plan, plan
