@@ -128,7 +128,9 @@ def main() -> None:
         json.dump(sidecar, f, indent=1)
     print(f"bench: per-rep detail written to {sidecar_path}", file=sys.stderr)
     print(json.dumps(sidecar), file=sys.stderr, flush=True)
-    print(json.dumps(out), flush=True)
+    # compact separators: every byte of the stdout line counts against
+    # the driver's ~2 KB tail capture (round-6 regression)
+    print(json.dumps(out, separators=(",", ":")), flush=True)
     spark.stop()
 
 

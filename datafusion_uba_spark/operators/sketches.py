@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["approx_distinct", "approx_distinct_rollup"]
+__all__ = [
+    "approx_distinct",
+    "approx_distinct_rollup",
+    "count_min_build",
+    "count_min_estimate",
+]
 
 
 def _estimate(sketch: Column) -> Column:
@@ -80,4 +85,120 @@ def approx_distinct_rollup(
     )
     return fine.groupBy(*coarse_cols).agg(
         _estimate(F.hll_union_agg(F.col("__sk"))).alias(out_col)
+    )
+
+
+# --- count-min sketch ------------------------------------------------------
+#
+# Heavy-hitter frequency estimation (Cormode & Muthukrishnan 2005).
+# The 100 TB problem this solves: "how often does key X occur?" when
+# the key cardinality itself doesn't fit anywhere — an exact
+# per-key count shuffles the full distinct key set, a CMS shuffles at
+# most d*w counter cells PER MAP PARTITION no matter how many keys or
+# rows exist (Spark's partial hash-aggregate combines the (depth,
+# bucket) cells map-side before the exchange). The sketch is mergeable
+# the same way the HLL above is: cell tables from disjoint corpus
+# slices ADD, so per-day partials roll up by summing cells.
+#
+# Guarantee: estimate >= true count always (deterministic, hash
+# collisions only ever inflate); estimate <= true + eps*N with
+# probability 1 - delta for w = ceil(e/eps), d = ceil(ln(1/delta)).
+# tests/test_llm_ops.py pins the one-sided property for every key.
+
+
+def _cms_bucket(key: Column, depth: int, w: int, hash_family: str) -> Column:
+    """Bucket of ``key`` in CMS row ``depth`` — one of d pairwise
+    independent hash functions, realized by salting the hash input
+    with the row index (same seeding idiom as the MinHash families,
+    operators/dedup.py).
+
+    ``hash_family="xxhash64"`` is the production path (JVM-native,
+    no string materialization). ``"md5"`` is the portable 60-bit
+    md5-prefix family DuckDB can replay exactly
+    (('0x' || substr(md5(...), 1, 15))::BIGINT), making a CMS registry
+    row fully hash-verifiable — same twin discipline as
+    dedup_minhash_md5 (operators/dedup.py:303).
+    """
+    if hash_family == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{depth}:"), key.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        h = F.xxhash64(key, F.lit(depth))
+    return F.pmod(h, F.lit(w)).cast("int")
+
+
+def count_min_build(
+    df: DataFrame,
+    key_col: str,
+    w: int = 1024,
+    d: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Build a count-min sketch of ``key_col`` occurrences.
+
+    Returns the cell table (depth int, bucket int, cell_count long) —
+    at most d*w rows regardless of input size. Plan: a map-side
+    posexplode to d (depth, bucket) cells per row, then ONE hash
+    aggregate whose shuffle is capped at d*w cells per map partition
+    by the partial combine; the raw corpus is scanned once and never
+    re-shuffled. Sketches over disjoint inputs merge by summing
+    cell_count on (depth, bucket).
+    """
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"count_min_build: unknown hash_family {hash_family!r}")
+    if w < 1 or d < 1:
+        raise ValueError(f"count_min_build: need w >= 1, d >= 1, got {w=} {d=}")
+    key = F.col(key_col)
+    cells = df.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(key, i, w, hash_family) for i in range(d)])
+        ).alias("depth", "bucket")
+    )
+    return cells.groupBy("depth", "bucket").agg(
+        F.count(F.lit(1)).alias("cell_count")
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    w: int = 1024,
+    d: int = 4,
+    hash_family: str = "xxhash64",
+    out_col: str = "cms_count",
+) -> DataFrame:
+    """Estimate the count of each key in ``keys`` from a CMS built
+    with the SAME (w, d, hash_family) — min over the key's d cells.
+
+    Plan: the probe side explodes each key to its d (depth, bucket)
+    coordinates and joins the cell table; the sketch is at most d*w
+    rows, so the join is marked broadcast — the (possibly huge) key
+    list never moves. Missing cells mean the key hashed only to
+    never-seen buckets: count 0.
+
+    Parameter mismatch with the build call silently yields garbage
+    (the same footgun ivf_topk_from_index guards against with
+    persisted metadata); if the sketch is stored, store (w, d,
+    hash_family) beside it and re-pass them here.
+    """
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"count_min_estimate: unknown hash_family {hash_family!r}"
+        )
+    key = F.col(key_col)
+    probes = keys.select(
+        key_col,
+        F.posexplode(
+            F.array(*[_cms_bucket(key, i, w, hash_family) for i in range(d)])
+        ).alias("depth", "bucket"),
+    )
+    joined = probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce("cell_count", F.lit(0))).alias(out_col)
     )

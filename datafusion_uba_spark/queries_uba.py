@@ -443,6 +443,75 @@ def q_daily_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.approx_distinct(day, ["day"], "user_id", out_col="dau_approx")
 
 
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (md5 verification family): build
+    a 4x256 CMS over event user_ids, then estimate the exact top-20
+    users' event counts from the sketch alone, returned beside the
+    exact counts.
+
+    The 100 TB story is the build plan: the shuffle is capped at d*w
+    counter cells per map partition (partial hash-agg combine) no
+    matter how many users or events exist, and the probe join
+    broadcasts the <= 1024-row cell table — the key list never moves
+    (operators/sketches.py:count_min_build). CMS guarantees
+    cms_n >= exact_n (pinned for every key in tests/test_llm_ops.py);
+    the md5 hash family replays bit-identically in DuckDB, so the
+    WHOLE build->probe->min pipeline is hash-verified — the same twin
+    discipline as dedup_minhash_md5. Production path uses
+    hash_family="xxhash64" (no per-row string materialization).
+    """
+    from datafusion_uba_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = sketches.count_min_build(
+        ev, "user_id", w=256, d=4, hash_family="md5"
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), "user_id").limit(20)
+    est = sketches.count_min_estimate(
+        sketch,
+        top.select("user_id"),
+        "user_id",
+        w=256,
+        d=4,
+        hash_family="md5",
+        out_col="cms_n",
+    )
+    return top.join(est, "user_id").select("user_id", "exact_n", "cms_n")
+
+
+# Same 60-bit md5-prefix bucket family as the MinHash md5 oracle; both
+# engines' operands are nonnegative, so % == pmod.
+_CMS_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' "
+    "|| CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT) % 256"
+)
+
+_ORACLE_HEAVY_HITTERS_CMS = f"""
+WITH cells AS (
+  SELECT i.d AS depth,
+         {_CMS_BUCKET.format(i="i.d", key="user_id")} AS bucket,
+         count(*) AS cell_count
+  FROM events, (SELECT unnest(range(0, 4)) AS d) i
+  GROUP BY 1, 2
+),
+exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1),
+top AS (SELECT * FROM exact ORDER BY exact_n DESC, user_id LIMIT 20),
+probes AS (
+  SELECT t.user_id, i.d AS depth,
+         {_CMS_BUCKET.format(i="i.d", key="t.user_id")} AS bucket
+  FROM top t, (SELECT unnest(range(0, 4)) AS d) i
+),
+est AS (
+  SELECT p.user_id, min(coalesce(c.cell_count, 0)) AS cms_n
+  FROM probes p LEFT JOIN cells c USING (depth, bucket)
+  GROUP BY 1
+)
+SELECT t.user_id, t.exact_n, e.cms_n
+FROM top t JOIN est e USING (user_id)
+"""
+
+
 UBA_REGISTRY: dict = {
     "daily_active_users": (q_daily_active_users, _ORACLE_DAU),
     "daily_active_users_hll": (q_daily_active_users_hll, None),
@@ -458,4 +527,5 @@ UBA_REGISTRY: dict = {
     "session_of_event": (q_session_of_event, _ORACLE_SESSION_OF_EVENT),
     "user_rfm": (q_user_rfm, _ORACLE_USER_RFM),
     "event_transitions": (q_event_transitions, _ORACLE_EVENT_TRANSITIONS),
+    "heavy_hitters_cms": (q_heavy_hitters_cms, _ORACLE_HEAVY_HITTERS_CMS),
 }

@@ -31,7 +31,8 @@ def _fake_results():
 def test_headline_line_fits_driver_capture():
     _, per_query, per_runs = _fake_results()
     headline, _ = build_artifacts(per_query, per_runs, {}, 3, 0.1)
-    line = json.dumps(headline)
+    # bench.py prints with compact separators; measure the same bytes
+    line = json.dumps(headline, separators=(",", ":"))
     # driver tail capture is ~2 KB; leave headroom for registry growth
     assert len(line) < 1800, f"headline line is {len(line)} bytes"
     assert "runs" not in headline
@@ -47,7 +48,7 @@ def test_headline_stays_small_even_with_errors():
         per_query.pop(n)
         per_runs.pop(n)
     headline, sidecar = build_artifacts(per_query, per_runs, errors, 3, 0.1)
-    line = json.dumps(headline)
+    line = json.dumps(headline, separators=(",", ":"))
     assert len(line) < 1800, f"headline line is {len(line)} bytes"
     assert headline["failed"] == sorted(errors)
     assert all(len(v) == 500 for v in sidecar["errors"].values())

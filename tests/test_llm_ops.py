@@ -789,6 +789,55 @@ def test_hll_approx_distinct_error_and_rollup(spark):
         sketches.approx_distinct_rollup(df, ["fine"], ["g"], "uid")
 
 
+def test_count_min_never_underestimates_and_merges(spark, sf_dir):
+    """Count-min contract, both hash families: (a) estimate >= exact
+    for EVERY key (CMS collisions only inflate — the one-sided
+    guarantee the heavy_hitters_cms row relies on), with the average
+    overestimate bounded by the eps*N bound's scale; (b) cell tables
+    built on disjoint corpus slices merge by summing cells into
+    exactly the full-corpus sketch (the partial-rollup contract shared
+    with the HLL sketches); (c) bad args raise."""
+    from datafusion_uba_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    n_total = ev.count()
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    w, d = 512, 4
+    for fam in ("xxhash64", "md5"):
+        sk = sketches.count_min_build(ev, "user_id", w=w, d=d, hash_family=fam)
+        est = sketches.count_min_estimate(
+            sk, exact.select("user_id"), "user_id", w=w, d=d, hash_family=fam
+        )
+        rows = exact.join(est, "user_id").collect()
+        assert len(rows) == exact.count()
+        assert all(r.cms_count >= r.exact_n for r in rows), fam
+        # mean overestimate is ~N/w per colliding row; allow 4x slack
+        over = sum(r.cms_count - r.exact_n for r in rows) / len(rows)
+        assert over <= 4 * n_total / w, (fam, over, n_total / w)
+
+    # mergeability: sum of half-sketches == full sketch, cell by cell
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = (
+        sketches.count_min_build(a, "user_id", w=w, d=d)
+        .unionAll(sketches.count_min_build(b, "user_id", w=w, d=d))
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    full = sketches.count_min_build(ev, "user_id", w=w, d=d)
+    assert (
+        merged.exceptAll(full).count() == 0
+        and full.exceptAll(merged).count() == 0
+    )
+
+    with pytest.raises(ValueError, match="hash_family"):
+        sketches.count_min_build(ev, "user_id", hash_family="sha9")
+    with pytest.raises(ValueError, match="hash_family"):
+        sketches.count_min_estimate(full, exact, "user_id", hash_family="sha9")
+    with pytest.raises(ValueError, match="w >= 1"):
+        sketches.count_min_build(ev, "user_id", w=0)
+
+
 def test_dau_hll_tracks_exact(spark, sf_dir):
     """Registry-twin parity: the HLL DAU row tracks the exact DAU row
     within 5% on every day of the fixture."""
