@@ -1,0 +1,134 @@
+"""Z-order (Morton) multi-dimensional data layout.
+
+The 100 TB problem: parquet scan pruning works off per-file / per-row-
+group min-max statistics, and a corpus sorted by ONE column prunes
+only predicates on that column — a `WHERE user_id BETWEEN a AND b AND
+value BETWEEN c AND d` box query against a user_id-sorted layout still
+admits every file for the value dimension. Interleaving the bits of
+both dimensions into one Morton key and range-partition-sorting by it
+gives every file a small HYPERCUBE of the key space, so min-max stats
+prune on all interleaved dimensions at once — the same layout trick as
+Delta Lake's OPTIMIZE ZORDER BY / the classic UB-tree, built here from
+Spark built-ins only (shift/and/or are whole-stage-codegen
+expressions; the write is repartitionByRange + sortWithinPartitions,
+one range shuffle).
+
+Everything is integer-exact by construction — bucketization uses only
+subtraction and right-shift (never float division), so the identical
+arithmetic replays bit-for-bit in DuckDB:
+``zorder_key_sql`` emits the oracle expression from the same
+interleave spec that builds the Spark column (single source of truth;
+registry row `zorder_keys` in queries.py).
+
+tests/test_layout.py measures the actual pruning win: on a 2-D box
+predicate, the z-ordered layout admits a fraction of the files a
+single-column sort admits, using real parquet footer stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bucket_shift",
+    "zorder_bucket",
+    "zorder_key",
+    "zorder_key_sql",
+    "zorder_layout",
+]
+
+
+def bucket_shift(lo: int, hi: int, bits: int) -> int:
+    """Right-shift that maps [lo, hi] onto [0, 2**bits) buckets.
+
+    Integer-exact: ``s = max(0, bit_length(hi - lo) - bits)``; the
+    bucket of x is then ``(x - lo) >> s`` and is always < 2**bits.
+    (DuckDB replays bit_length as ``length(bin(hi - lo))`` — equal for
+    every positive range, and both sides clamp at 0 for range 0.)
+    No log2 anywhere: float log of a near-power-of-two differing in
+    the last ulp between engines would silently shear every bucket.
+    """
+    if hi < lo:
+        raise ValueError(f"bucket_shift: hi < lo ({hi} < {lo})")
+    return max(0, (hi - lo).bit_length() - bits)
+
+
+def zorder_bucket(col: Column, lo: int, shift: int) -> Column:
+    """Bucketize an integer column with the shift from bucket_shift."""
+    return F.shiftright((col - F.lit(lo)).cast("long"), shift)
+
+
+def _interleave_spec(k: int, bits: int) -> list[tuple[int, int, int]]:
+    """(dim, source_bit, target_bit) triples — the ONE definition of
+    the Morton interleave, consumed by both zorder_key (Spark) and
+    zorder_key_sql (DuckDB oracle)."""
+    return [(i, b, b * k + i) for b in range(bits) for i in range(k)]
+
+
+def zorder_key(cols: list[Column], bits: int = 8) -> Column:
+    """Morton key of k bucketized columns (each in [0, 2**bits)).
+
+    Pure shift/and/or expression tree — k*bits terms, all inside
+    whole-stage codegen; bits=8 with k=2 is 16 terms producing a
+    16-bit key, plenty for file-level layout (files per dimension
+    rarely exceed 2**8 distinct stat ranges).
+    """
+    out: Column | None = None
+    for i, b, t in _interleave_spec(len(cols), bits):
+        term = F.shiftleft(F.shiftright(cols[i], b).bitwiseAND(F.lit(1)), t)
+        out = term if out is None else out.bitwiseOR(term)
+    assert out is not None
+    return out.cast("long")
+
+
+def zorder_key_sql(col_exprs: list[str], bits: int = 8) -> str:
+    """The identical Morton key as an ANSI-SQL expression (DuckDB
+    oracle replay) — generated from the same _interleave_spec."""
+    terms = [
+        f"((({col_exprs[i]} >> {b}) & 1) << {t})"
+        for i, b, t in _interleave_spec(len(col_exprs), bits)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int = 64,
+    bounds: dict[str, tuple[int, int]] | None = None,
+    key_col: str = "__z",
+) -> DataFrame:
+    """Re-layout ``df`` in Morton order on integer columns ``cols``.
+
+    Returns the frame range-partitioned into ``n_files`` partitions
+    and sorted by the z-key within each — write it with
+    ``.write.parquet(...)`` and every file's footer min-max stats
+    cover a compact hypercube of (cols) space.
+
+    ``bounds`` maps col -> (lo, hi); when omitted they are computed
+    with one min/max aggregate (a collect of 2*k scalars — metadata-
+    scale, same construction-time-job discipline as ivf_build_index).
+    The plan is: [stats agg] -> one range exchange on the z-key ->
+    per-partition sort; the corpus is shuffled exactly once, which is
+    the unavoidable cost of any physical re-layout.
+    """
+    if not cols:
+        raise ValueError("zorder_layout: need at least one column")
+    if bounds is None:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols}
+    buckets = []
+    for c in cols:
+        lo, hi = bounds[c]
+        buckets.append(
+            zorder_bucket(F.col(c), lo, bucket_shift(lo, hi, bits))
+        )
+    keyed = df.withColumn(key_col, zorder_key(buckets, bits))
+    return keyed.repartitionByRange(n_files, key_col).sortWithinPartitions(
+        key_col
+    )

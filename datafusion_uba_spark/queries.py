@@ -562,6 +562,129 @@ SELECT o_custkey AS custkey, 'only_1996' AS cohort
 """
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: the daily event matrix — one row per day, one
+    (count, cents) column pair per event type.
+
+    The pivot values are EXPLICIT: with them, Catalyst plans a single
+    hash aggregate of conditional aggregates (one shuffle on day, no
+    wide rows ever materialized); without them, Spark first runs a
+    whole extra job — a full distinct scan of event_type — just to
+    discover the column set, and the plan becomes
+    data-value-dependent, which at 100 TB is both a second pass over
+    the corpus and a schema-stability hazard. Empty cells are
+    coalesced to 0 so the output is dense and hash-stable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    piv = (
+        ev.select(day, "event_type", "value")
+        .groupBy("day")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("cents"),
+        )
+    )
+    dense = [
+        F.coalesce(F.col(f"{t}_{m}"), F.lit(0)).alias(f"{t}_{m}")
+        for t in _PIVOT_TYPES
+        for m in ("n", "cents")
+    ]
+    return piv.select(F.col("day"), *dense)
+
+
+# DuckDB replay: PIVOT is sugar over FILTERed conditional aggregation —
+# written out explicitly so the equivalence Catalyst applies is the
+# thing being verified. sum() over BIGINT is HUGEINT in DuckDB; cast.
+_ORACLE_EVENT_TYPE_PIVOT = "\n".join(
+    ["SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,"]
+    + [
+        ",\n".join(
+            f"  count(*) FILTER (WHERE event_type = '{t}') AS {t}_n,\n"
+            f"  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) "
+            f"FILTER (WHERE event_type = '{t}'), 0) AS BIGINT) AS {t}_cents"
+            for t in _PIVOT_TYPES
+        )
+    ]
+    + ["FROM events GROUP BY 1"]
+)
+
+
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout keys: the Morton key every event would be
+    laid out by under ``zorder_layout(events, [user_id, cents])``
+    (operators/layout.py) — per-row (bucket_x, bucket_y, zkey), the
+    arithmetic the multi-dimensional scan-pruning layout stands on.
+
+    Bucketization is integer-exact (subtract + right-shift only; the
+    shift comes from bit_length, never float log2), so DuckDB replays
+    the ENTIRE bucketize->interleave pipeline bit-for-bit — the
+    oracle's interleave expression is generated from the same
+    _interleave_spec as this Spark column (layout.zorder_key_sql).
+    The min/max bounds are one construction-time stats aggregate
+    (2*k scalars — same discipline as ivf_build_index); the pruning
+    win this layout buys is measured on real parquet footer stats in
+    tests/test_layout.py.
+    """
+    from datafusion_uba_spark.operators import layout
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = _cents(F.col("value"))
+    b = ev.agg(
+        F.min("user_id").alias("lox"),
+        F.max("user_id").alias("hix"),
+        F.min(cents).alias("loy"),
+        F.max(cents).alias("hiy"),
+    ).collect()[0]
+    sx = layout.bucket_shift(b.lox, b.hix, bits=8)
+    sy = layout.bucket_shift(b.loy, b.hiy, bits=8)
+    bucketed = ev.select(
+        "event_id",
+        layout.zorder_bucket(F.col("user_id"), b.lox, sx).alias("bx"),
+        layout.zorder_bucket(cents, b.loy, sy).alias("by"),
+    )
+    return bucketed.withColumn(
+        "zkey", layout.zorder_key([F.col("bx"), F.col("by")], bits=8)
+    )
+
+
+def _oracle_zorder_keys() -> str:
+    from datafusion_uba_spark.operators.layout import zorder_key_sql
+
+    # greatest(0, length(bin(range)) - 8) == python bucket_shift for
+    # every range when bits >= 1 (bin(0) = '0' has length 1; both
+    # clamp to 0)
+    return f"""
+WITH b AS (
+  SELECT min(user_id) AS lox, max(user_id) AS hix,
+         min(CAST(round(value * 100) AS BIGINT)) AS loy,
+         max(CAST(round(value * 100) AS BIGINT)) AS hiy
+  FROM events
+),
+s AS (
+  SELECT lox, loy,
+         greatest(0, length(bin(hix - lox)) - 8) AS sx,
+         greatest(0, length(bin(hiy - loy)) - 8) AS sy
+  FROM b
+),
+bk AS (
+  SELECT event_id,
+         (user_id - lox) >> sx AS bx,
+         (CAST(round(value * 100) AS BIGINT) - loy) >> sy AS by
+  FROM events, s
+)
+SELECT event_id, bx, by, {zorder_key_sql(["bx", "by"], bits=8)} AS zkey
+FROM bk
+"""
+
+
+_ORACLE_ZORDER_KEYS = _oracle_zorder_keys()
+
+
 # --- registry --------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -582,6 +705,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "revenue_rollup": (q_revenue_rollup, _ORACLE_REVENUE_ROLLUP),
     "order_ranks": (q_order_ranks, _ORACLE_ORDER_RANKS),
     "repeat_buyers": (q_repeat_buyers, _ORACLE_REPEAT_BUYERS),
+    "event_type_pivot": (q_event_type_pivot, _ORACLE_EVENT_TYPE_PIVOT),
+    "zorder_keys": (q_zorder_keys, _ORACLE_ZORDER_KEYS),
 }
 
 # LLM-training-data-pipeline inventory (dedup / similarity / text /
