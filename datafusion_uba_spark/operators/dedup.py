@@ -333,6 +333,135 @@ def minhash_signature(
     )
 
 
+def _banded(sig_df: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(__id, band_id, band_sig) from a (__id, __sig) signature frame —
+    the banded LSH bucket key layout shared by the within-batch pair
+    finder (minhash_lsh_pairs) and the persistable incremental index
+    (minhash_index)."""
+    rows = num_perm // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.slice("__sig", bi * rows + 1, rows).alias("band_sig"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sig_df.select("__id", F.explode(band_structs).alias("__b")).select(
+        "__id", F.col("__b.band_id"), F.col("__b.band_sig")
+    )
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """The persistable LSH side of incremental near-dup: the corpus'
+    banded MinHash index (doc_id, band_id, band_sig).
+
+    A daily ingest pipeline computes this ONCE per corpus generation,
+    persists it (ideally bucketed on (band_id, band_sig) — see
+    sources.write_bucketed), and probes each day's increment against
+    it via minhash_dedup_against(..., corpus_index=...) without ever
+    re-hashing the corpus — the near-dup analogue of the exact
+    fingerprint projection dedup_against maintains.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("bands must divide num_perm")
+    sh = _shingle_df(df, text_col, id_col, n)
+    sig = sh.select(
+        "__id",
+        minhash_signature(F.col("__sh"), num_perm, hash_family).alias("__sig"),
+    )
+    return _banded(sig, num_perm, bands).withColumnRenamed("__id", id_col)
+
+
+def minhash_dedup_against(
+    increment: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    hash_family: str = "xxhash64",
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup: which documents of a new batch are
+    near-duplicates of an EXISTING corpus? The cross-batch companion
+    of minhash_lsh_pairs, and the near-dup analogue of the exact
+    dedup_against — together they are the day-N+1 crawl-ingest pass
+    (drop exact copies, then drop fuzzed copies).
+
+    Plan at 100 TB: only the INCREMENT is shingled/signed fresh (the
+    corpus side reuses ``corpus_index`` when given — at most
+    bands rows per corpus doc, no text); candidates come from the
+    band-bucket equi-join; exact-Jaccard verification then touches
+    corpus text ONLY for candidate doc_ids (a semi-join-sized read),
+    so the full corpus is never rescanned. Returns
+    (doc_id, dup_of, jaccard_bp): every increment doc whose exact
+    shingle Jaccard against some corpus doc clears ``threshold``; the
+    genuinely-new set is the increment anti-joined on doc_id.
+
+    ``corpus_index`` must have been built with the SAME (n, num_perm,
+    bands, hash_family) — mismatches silently produce garbage (the
+    CMS/IVF metadata footgun; persist the params beside the index).
+    ``corpus`` must carry the text either way: verification needs it.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("bands must divide num_perm")
+    inc_sh = _shingle_df(increment, text_col, id_col, n)
+    inc_sig = inc_sh.select(
+        "__id",
+        minhash_signature(F.col("__sh"), num_perm, hash_family).alias("__sig"),
+    )
+    inc_banded = _banded(inc_sig, num_perm, bands)
+    if corpus_index is None:
+        corpus_index = minhash_index(
+            corpus, text_col, id_col, n, num_perm, bands, hash_family
+        )
+    inc_b = inc_banded.select(
+        F.col("__id").alias("__inc_id"),
+        F.col("band_id").alias("__inc_band"),
+        F.col("band_sig").alias("__inc_sig"),
+    )
+    cand = (
+        inc_b.join(
+            corpus_index,
+            (F.col("__inc_band") == F.col("band_id"))
+            & (F.col("__inc_sig") == F.col("band_sig")),
+        )
+        .select(
+            F.col("__inc_id").alias("doc_id"), F.col(id_col).alias("dup_of")
+        )
+        .distinct()
+    )
+    # exact verify on candidates only: corpus shingles are computed for
+    # the candidate dup_of set alone (join pushes the id filter down)
+    cor_sh = _shingle_df(corpus, text_col, id_col, n).select(
+        F.col("__id").alias("dup_of"), F.col("__sh").alias("__shc")
+    )
+    inc_side = inc_sh.select(
+        F.col("__id").alias("doc_id"), F.col("__sh").alias("__shi")
+    )
+    inter = F.size(F.array_intersect("__shi", "__shc"))
+    union = F.size("__shi") + F.size("__shc") - inter
+    jac_bp = F.floor((inter * 10000) / union).cast("long")
+    return (
+        cand.join(inc_side, "doc_id")
+        .join(cor_sh, "dup_of")
+        .select("doc_id", "dup_of", jac_bp.alias("jaccard_bp"))
+        .where(F.col("jaccard_bp") >= int(round(threshold * 10000)))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -357,25 +486,12 @@ def minhash_lsh_pairs(
     """
     if num_perm % bands != 0:
         raise ValueError("bands must divide num_perm")
-    rows = num_perm // bands
     sh = _shingle_df(df, text_col, id_col, n)
     sig = sh.select(
         "__id",
-        "__sh",
         minhash_signature(F.col("__sh"), num_perm, hash_family).alias("__sig"),
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band_id"),
-                F.slice("__sig", bi * rows + 1, rows).alias("band_sig"),
-            )
-            for bi in range(bands)
-        ]
-    )
-    banded = sig.select(
-        "__id", F.explode(band_structs).alias("__b")
-    ).select("__id", F.col("__b.band_id"), F.col("__b.band_sig"))
+    banded = _banded(sig, num_perm, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -605,6 +605,68 @@ WHERE CAST(floor((common * 10000) / (na + nb - common)) AS BIGINT) >= 8000
 """
 
 
+def q_dedup_minhash_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup (md5 verification family): even doc_ids
+    play the existing corpus, odd doc_ids the day-N+1 increment; every
+    increment doc whose exact shingle Jaccard against some corpus doc
+    clears 0.8 comes back as (doc_id, dup_of, jaccard_bp).
+
+    The cross-batch companion of dedup_incremental (exact) — together
+    they are the daily crawl-ingest pass. Scale shape
+    (operators/dedup.py:minhash_dedup_against): only the increment is
+    shingled/signed fresh; the corpus side is the persistable banded
+    index (minhash_index), and exact verification reads corpus text
+    only for candidate ids. DuckDB replays the whole
+    sign->band->probe->verify pipeline via the 60-bit md5 family (same
+    32x8 banding as dedup_minhash_md5).
+    """
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    inc = docs.where(F.col("doc_id") % 2 == 1)
+    return dedup.minhash_dedup_against(
+        inc, corpus, threshold=0.8, num_perm=32, bands=8, hash_family="md5"
+    )
+
+
+_ORACLE_MINHASH_AGAINST = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS s FROM documents
+  WHERE len({_SHINGLES}) > 0
+),
+sig AS (
+  SELECT id,
+    list_transform(range(0, 32), i ->
+      list_min(list_transform(s, x ->
+        CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || x), 1, 15))
+             AS BIGINT)))) AS g
+  FROM sh
+),
+banded AS (
+  SELECT id, b.band_id,
+         list_slice(g, b.band_id * 4 + 1, b.band_id * 4 + 4) AS band_sig
+  FROM sig, (SELECT unnest(range(0, 8)) AS band_id) b
+),
+cand AS (
+  SELECT DISTINCT i.id AS doc_id, c.id AS dup_of
+  FROM banded i JOIN banded c
+    ON i.band_id = c.band_id AND i.band_sig = c.band_sig
+   AND i.id % 2 = 1 AND c.id % 2 = 0
+),
+verified AS (
+  SELECT doc_id, dup_of,
+    len(list_intersect(si.s, sc.s)) AS common,
+    len(si.s) AS ni, len(sc.s) AS nc
+  FROM cand
+  JOIN sh si ON si.id = doc_id
+  JOIN sh sc ON sc.id = dup_of
+)
+SELECT doc_id, dup_of,
+  CAST(floor((common * 10000) / (ni + nc - common)) AS BIGINT) AS jaccard_bp
+FROM verified
+WHERE CAST(floor((common * 10000) / (ni + nc - common)) AS BIGINT) >= 8000
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return dedup.simhash_pairs(docs, max_hamming=3)
@@ -1151,6 +1213,10 @@ LLM_REGISTRY: dict = {
     "dedup_clusters": (q_dedup_clusters, _ORACLE_DEDUP_CLUSTERS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
     "dedup_minhash_md5": (q_dedup_minhash_md5, _ORACLE_MINHASH_MD5),
+    "dedup_minhash_against": (
+        q_dedup_minhash_against,
+        _ORACLE_MINHASH_AGAINST,
+    ),
     "dedup_simhash": (q_dedup_simhash, None),
     "dedup_simhash_md5": (q_dedup_simhash_md5, _ORACLE_SIMHASH_MD5),
     "ann_topk": (q_ann_topk, _ORACLE_ANN_TOPK),

@@ -789,6 +789,53 @@ def test_hll_approx_distinct_error_and_rollup(spark):
         sketches.approx_distinct_rollup(df, ["fine"], ["g"], "uid")
 
 
+def test_minhash_dedup_against_index_reuse_and_pairs_consistency(
+    spark, sf_dir, tmp_path
+):
+    """Incremental near-dup contracts: (a) probing a PERSISTED
+    minhash_index (written to and read back from parquet, as a daily
+    pipeline would) returns exactly the same matches as signing the
+    corpus on the fly; (b) the cross-split matches agree with the
+    within-batch pair finder run over the full corpus — the increment
+    operator finds precisely the odd-even pairs minhash_lsh_pairs
+    finds, no more, no fewer; (c) bad banding raises."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    inc = docs.where(F.col("doc_id") % 2 == 1)
+    kw = dict(num_perm=32, bands=8, threshold=0.8)
+
+    direct = dedup.minhash_dedup_against(inc, corpus, **kw)
+    got_direct = {
+        (r.doc_id, r.dup_of, r.jaccard_bp) for r in direct.collect()
+    }
+
+    idx_path = str(tmp_path / "mh_index")
+    dedup.minhash_index(corpus, num_perm=32, bands=8).write.parquet(idx_path)
+    via_idx = dedup.minhash_dedup_against(
+        inc, corpus, corpus_index=spark.read.parquet(idx_path), **kw
+    )
+    assert {
+        (r.doc_id, r.dup_of, r.jaccard_bp) for r in via_idx.collect()
+    } == got_direct
+
+    pairs = dedup.minhash_lsh_pairs(docs, num_perm=32, bands=8, threshold=0.8)
+    cross = {
+        (r.doc_a, r.doc_b, r.jaccard_bp)
+        for r in pairs.collect()
+        if r.doc_a % 2 != r.doc_b % 2
+    }
+    as_pairs = {
+        (min(i, c), max(i, c), j) for (i, c, j) in got_direct
+    }
+    assert as_pairs == cross
+    assert got_direct, "fixture has no cross-split near-dups"
+
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_dedup_against(inc, corpus, num_perm=32, bands=7)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_index(corpus, num_perm=32, bands=7)
+
+
 def test_count_min_never_underestimates_and_merges(spark, sf_dir):
     """Count-min contract, both hash families: (a) estimate >= exact
     for EVERY key (CMS collisions only inflate — the one-sided
