@@ -57,6 +57,10 @@ HEAVY = [
     "daily_active_users_hll",
     "sequence_packing",
     "dataset_split",
+    "heavy_hitters_cms",
+    "event_type_pivot",
+    "zorder_keys",
+    "dedup_minhash_against",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
