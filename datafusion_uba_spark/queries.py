@@ -562,6 +562,99 @@ SELECT o_custkey AS custkey, 'only_1996' AS cohort
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: two selective date filters pushed into both
+    fact scans, segment filter on the dim, 3-way join → per-order
+    revenue top-k. Ordering ties broken by l_orderkey so LIMIT is
+    deterministic for the oracle hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cut = F.to_timestamp(F.lit("1998-06-01"))
+    revenue = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < cut)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > cut)
+    )
+    return (
+        j.groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(revenue).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+_ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-flag filter on the fact, one-quarter
+    window on orders, customer rollup with a broadcast nation dim —
+    the lost-revenue-per-customer report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(revenue).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_ORACLE_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -707,6 +800,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "repeat_buyers": (q_repeat_buyers, _ORACLE_REPEAT_BUYERS),
     "event_type_pivot": (q_event_type_pivot, _ORACLE_EVENT_TYPE_PIVOT),
     "zorder_keys": (q_zorder_keys, _ORACLE_ZORDER_KEYS),
+    "shipping_priority": (q_shipping_priority, _ORACLE_SHIPPING_PRIORITY),
+    "returned_items": (q_returned_items, _ORACLE_RETURNED_ITEMS),
 }
 
 # LLM-training-data-pipeline inventory (dedup / similarity / text /
