@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bucket_shift",
+    "quantile_bounds",
+    "quantile_bucket",
     "zorder_bucket",
     "zorder_key",
     "zorder_key_sql",
@@ -92,6 +94,29 @@ def zorder_key_sql(col_exprs: list[str], bits: int = 8) -> str:
     return "(" + " | ".join(terms) + ")"
 
 
+def quantile_bounds(
+    df: DataFrame, col: str, bits: int, accuracy: int = 10_000
+) -> list:
+    """2**bits - 1 approx-quantile cut points for rank bucketization
+    (one pass, mergeable GK sketch — no sort shuffle)."""
+    n = 1 << bits
+    probs = [i / n for i in range(1, n)]
+    row = df.agg(
+        F.percentile_approx(col, probs, accuracy).alias("__q")
+    ).collect()[0]
+    return list(row.__getattr__("__q"))
+
+
+def quantile_bucket(col: Column, bounds: list) -> Column:
+    """Bucket of ``col`` against sorted cut points: #bounds <= x,
+    always in [0, len(bounds)]. The cut points ride along as a literal
+    array (broadcast in the task binary); the per-row cost is one
+    vectorized pass over 2**bits - 1 literals — a one-time layout
+    cost, not a query-time one."""
+    arr = F.array(*[F.lit(b) for b in bounds])
+    return F.size(F.filter(arr, lambda b: b <= col)).cast("long")
+
+
 def zorder_layout(
     df: DataFrame,
     cols: list[str],
@@ -99,6 +124,7 @@ def zorder_layout(
     n_files: int = 64,
     bounds: dict[str, tuple[int, int]] | None = None,
     key_col: str = "__z",
+    bucketize: str = "width",
 ) -> DataFrame:
     """Re-layout ``df`` in Morton order on integer columns ``cols``.
 
@@ -113,21 +139,55 @@ def zorder_layout(
     The plan is: [stats agg] -> one range exchange on the z-key ->
     per-partition sort; the corpus is shuffled exactly once, which is
     the unavoidable cost of any physical re-layout.
+
+    ``bucketize`` picks the bucketization:
+
+    - ``"width"`` (default): equal-width via subtract+shift —
+      integer-exact (oracle-replayable; registry row zorder_keys) but
+      SKEW-SENSITIVE: a heavy-tailed column collapses most rows into
+      a few buckets, and with them most of the z-key's discriminating
+      bits, so files in the dense region stop pruning.
+    - ``"quantile"``: rank bucketization against 2**bits - 1
+      approx-quantile cut points (one extra pass, no sort shuffle) —
+      every bucket holds ~equal row mass regardless of distribution,
+      which is what keeps per-file stat ranges tight at 100 TB where
+      real columns are Zipfian, not uniform. Measured win on skewed
+      data in tests/test_layout.py.
     """
     if not cols:
         raise ValueError("zorder_layout: need at least one column")
-    if bounds is None:
-        aggs = []
-        for c in cols:
-            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
-        row = df.agg(*aggs).collect()[0]
-        bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols}
+    if bucketize not in ("width", "quantile"):
+        raise ValueError(f"zorder_layout: unknown bucketize {bucketize!r}")
     buckets = []
-    for c in cols:
-        lo, hi = bounds[c]
-        buckets.append(
-            zorder_bucket(F.col(c), lo, bucket_shift(lo, hi, bits))
-        )
+    if bucketize == "quantile":
+        # ONE stats pass for all columns (k sketches in one aggregate),
+        # not k separate jobs
+        n = 1 << bits
+        probs = [i / n for i in range(1, n)]
+        row = df.agg(
+            *[
+                F.percentile_approx(c, probs, 10_000).alias(f"__q_{c}")
+                for c in cols
+            ]
+        ).collect()[0]
+        buckets = [
+            quantile_bucket(F.col(c), list(row[f"__q_{c}"])) for c in cols
+        ]
+    else:
+        if bounds is None:
+            aggs = []
+            for c in cols:
+                aggs += [
+                    F.min(c).alias(f"__lo_{c}"),
+                    F.max(c).alias(f"__hi_{c}"),
+                ]
+            row = df.agg(*aggs).collect()[0]
+            bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols}
+        for c in cols:
+            lo, hi = bounds[c]
+            buckets.append(
+                zorder_bucket(F.col(c), lo, bucket_shift(lo, hi, bits))
+            )
     keyed = df.withColumn(key_col, zorder_key(buckets, bits))
     return keyed.repartitionByRange(n_files, key_col).sortWithinPartitions(
         key_col

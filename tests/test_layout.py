@@ -101,6 +101,87 @@ def test_zorder_prunes_2d_box_better_than_linear_sort(spark, grid, tmp_path):
         assert got == want, p
 
 
+def test_quantile_bucketize_beats_width_on_skewed_data(spark, tmp_path):
+    """The 100 TB failure mode of equal-width bucketing: a heavy-
+    tailed column collapses ~99% of rows into bucket 0 (range 2**20,
+    mass concentrated below 100), so the z-key loses that dimension's
+    discriminating bits and a dense-region box stops pruning.
+    Quantile (rank) bucketization keeps every bucket at ~equal row
+    mass, so files in the dense region carry tight y-stats again —
+    measured here on real parquet footers."""
+    h1 = F.xxhash64("id", F.lit(1))
+    h2 = F.xxhash64("id", F.lit(2))
+    h3 = F.xxhash64("id", F.lit(3))
+    skewed = spark.range(200_000).select(
+        "id",
+        F.pmod(h1, F.lit(256)).alias("x"),
+        # 1% tail spread over [0, 2**20), 99% dense mass in [0, 100)
+        F.when(F.pmod(h3, F.lit(100)) == 0, F.pmod(h2, F.lit(1 << 20)))
+        .otherwise(F.pmod(h2, F.lit(100)))
+        .alias("y"),
+    )
+    width_path = str(tmp_path / "width")
+    quant_path = str(tmp_path / "quantile")
+    for mode, path in (("width", width_path), ("quantile", quant_path)):
+        layout.zorder_layout(
+            skewed, ["x", "y"], bits=BITS, n_files=N_FILES, bucketize=mode
+        ).drop("__z").write.parquet(path)
+
+    # dense-region box: ~10% of the y row mass (all inside width-
+    # bucket 0), an eighth of x
+    box_x, box_y = (96, 127), (0, 9)
+
+    def admitted(path, bx, by):
+        a = t = 0
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                t += 1
+                row = md.row_group(rg)
+                st = {
+                    row.column(i).path_in_schema: row.column(i).statistics
+                    for i in range(row.num_columns)
+                }
+                if (
+                    st["x"].max >= bx[0]
+                    and st["x"].min <= bx[1]
+                    and st["y"].max >= by[0]
+                    and st["y"].min <= by[1]
+                ):
+                    a += 1
+        return a, t
+
+    w_adm, w_tot = admitted(width_path, box_x, box_y)
+    q_adm, q_tot = admitted(quant_path, box_x, box_y)
+    assert w_tot >= N_FILES and q_tot >= N_FILES
+    # measured: quantile 3/64 vs width 9/64 (width's y-stats can't
+    # discriminate inside its one dense bucket, so only x prunes)
+    assert q_adm * 2 <= w_adm, (q_adm, w_adm)
+
+    # the stark case — a y-only dense-region predicate: equal-width
+    # admits EVERY file (measured 64/64, zero pruning); quantile keeps
+    # pruning (measured 10/64)
+    w_adm2, _ = admitted(width_path, (0, 255), box_y)
+    q_adm2, _ = admitted(quant_path, (0, 255), box_y)
+    assert w_adm2 == w_tot, "width layout should admit every file here"
+    assert q_adm2 * 3 <= w_adm2, (q_adm2, w_adm2)
+
+    # layouts don't change answers
+    want = skewed.where(
+        F.col("x").between(*box_x) & F.col("y").between(*box_y)
+    ).count()
+    for p in (width_path, quant_path):
+        got = (
+            spark.read.parquet(p)
+            .where(F.col("x").between(*box_x) & F.col("y").between(*box_y))
+            .count()
+        )
+        assert got == want, p
+
+    with pytest.raises(ValueError, match="bucketize"):
+        layout.zorder_layout(skewed, ["x"], bucketize="rank")
+
+
 def test_zorder_key_is_collision_free_and_plan_shuffles_once(spark, grid):
     # interleaving k bits-per-dim buckets is a bijection onto the
     # 2k-bit key: distinct zkeys == distinct (x, y) pairs
