@@ -655,6 +655,89 @@ LIMIT 20
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side query — three conjunctive
+    predicates (date range, discount band, quantity cap) all pushed
+    into the parquet scan, then one global agg. The plan the 100 TB
+    case wants: no shuffle at all except the single-row partial-agg
+    gather."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * F.col("l_discount"))
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_ORACLE_FORECAST_REVENUE = """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact rollup (sum qty > 300),
+    then join the surviving keys back to orders + customer. The
+    having-filtered key set is tiny, so both upstream joins probe
+    with a small build side — the group-then-filter-then-enrich plan,
+    not a join-everything-then-filter one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_cents"))
+        .where(F.col("sum_qty_cents") > 300 * 100)
+    )
+    j = big.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        j.select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _cents(F.col("o_totalprice")).alias("totalprice_cents"),
+            "sum_qty_cents",
+        )
+        .orderBy(F.col("sum_qty_cents").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+_ORACLE_LARGE_ORDERS = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       sum_qty_cents
+FROM (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+  FROM lineitem GROUP BY 1
+  HAVING sum_qty_cents > 30000
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty_cents DESC, o_orderkey
+LIMIT 20
+"""
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -802,6 +885,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "zorder_keys": (q_zorder_keys, _ORACLE_ZORDER_KEYS),
     "shipping_priority": (q_shipping_priority, _ORACLE_SHIPPING_PRIORITY),
     "returned_items": (q_returned_items, _ORACLE_RETURNED_ITEMS),
+    "forecast_revenue": (q_forecast_revenue, _ORACLE_FORECAST_REVENUE),
+    "large_orders": (q_large_orders, _ORACLE_LARGE_ORDERS),
 }
 
 # LLM-training-data-pipeline inventory (dedup / similarity / text /

@@ -40,6 +40,7 @@ __all__ = [
     "streaming_user_day_flags",
     "streaming_funnel_flags",
     "streaming_exact_dedup",
+    "heavy_hitter_cells",
     "run_to_memory",
 ]
 
@@ -439,6 +440,33 @@ def streaming_exact_dedup(
             time_col, watermark
         ).dropDuplicatesWithinWatermark(["fingerprint"])
     return with_fp.dropDuplicates(["fingerprint"])
+
+
+def heavy_hitter_cells(
+    events: DataFrame,
+    key_col: str = "user_id",
+    w: int = 1024,
+    d: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Streaming count-min sketch — the streaming form of the batch
+    count_min_build (operators/sketches.py), sharing its exact
+    expression tree.
+
+    Why a CMS is THE streaming frequency counter: exact per-key counts
+    need one state entry per key — unbounded; the CMS's aggregation
+    state is AT MOST d*w counter cells no matter how many keys or
+    events arrive, so this is one of the few unbounded (un-windowed,
+    un-watermarked) streaming aggregations that is safe by
+    construction — the key space itself is finite. Counter cells are
+    sum-merged, so micro-batch boundaries and event order cannot
+    change the final cell table: the streamed sketch EQUALS the batch
+    twin exactly (pinned by the parity test). Run in complete/update
+    mode; probe the emitted cells with count_min_estimate.
+    """
+    from datafusion_uba_spark.operators.sketches import count_min_build
+
+    return count_min_build(events, key_col, w=w, d=d, hash_family=hash_family)
 
 
 def run_to_memory(

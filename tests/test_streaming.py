@@ -520,6 +520,42 @@ def test_stream_to_parquet_backfill(spark, batch_events, tmp_path):
     assert second == first
 
 
+def test_heavy_hitter_cells_parity(spark, batch_events):
+    """The streamed count-min cell table equals the batch twin
+    EXACTLY: counters are sum-merged, so micro-batch boundaries
+    cannot change the final sketch — and estimates probed from the
+    streamed cells equal batch estimates for every key."""
+    from datafusion_uba_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+    from datafusion_uba_spark.streaming import heavy_hitter_cells
+
+    kw = dict(key_col="user_id", w=64, d=3)
+    sdf = heavy_hitter_cells(_stream(spark), **kw)
+    run_to_memory(sdf, "cms_parity", output_mode="complete")
+    got = _rows(spark.table("cms_parity"), "depth", "bucket")
+    want = _rows(count_min_build(batch_events, "user_id", w=64, d=3), "depth", "bucket")
+    assert got == want and len(got) > 0
+
+    keys = batch_events.select("user_id").distinct()
+    est_stream = _rows(
+        count_min_estimate(spark.table("cms_parity"), keys, "user_id", w=64, d=3),
+        "user_id",
+    )
+    est_batch = _rows(
+        count_min_estimate(
+            count_min_build(batch_events, "user_id", w=64, d=3),
+            keys,
+            "user_id",
+            w=64,
+            d=3,
+        ),
+        "user_id",
+    )
+    assert est_stream == est_batch and len(est_stream) > 0
+
+
 def test_daily_active_users_parity(spark, batch_events):
     """The streamed HLL DAU equals the batch twin EXACTLY (not just
     within error): HLL registers are max-merged, so micro-batch
