@@ -31,6 +31,7 @@ equivalent contract.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -200,6 +201,23 @@ def write_bucketed(
     the retention/sessionize sweet spot).
     """
     bc = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # A managed-table LOCATION can outlive its metastore entry (the
+        # derby metastore lives in the launching cwd, the warehouse dir
+        # is shared /tmp — a table written by a session with a different
+        # cwd, or one that died mid-write, leaves a directory this
+        # session's catalog doesn't know). saveAsTable then refuses with
+        # LOCATION_ALREADY_EXISTS even in overwrite mode, so drop the
+        # catalog entry AND clear any stale orphan location first.
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(str(spark.conf.get("spark.sql.warehouse.dir"))).path
+        loc = os.path.join(wh, table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bc)
     if sort_cols is not None:
         sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
