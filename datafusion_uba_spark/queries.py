@@ -745,14 +745,15 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT surface: the daily event matrix — one row per day, one
     (count, cents) column pair per event type.
 
-    The pivot values are EXPLICIT: with them, Catalyst plans a single
-    hash aggregate of conditional aggregates (one shuffle on day, no
-    wide rows ever materialized); without them, Spark first runs a
-    whole extra job — a full distinct scan of event_type — just to
-    discover the column set, and the plan becomes
-    data-value-dependent, which at 100 TB is both a second pass over
-    the corpus and a schema-stability hazard. Empty cells are
-    coalesced to 0 so the output is dense and hash-stable.
+    The pivot values are EXPLICIT: with them, Catalyst plans the
+    two-level pivot aggregate directly — a (day, type) hash aggregate
+    (the only corpus-sized shuffle) followed by a pivotfirst rollup
+    to day whose input is already tiny (days x types rows); without
+    them, Spark first runs a whole extra job — a full distinct scan
+    of event_type — just to discover the column set, and the plan
+    becomes data-value-dependent, which at 100 TB is both a second
+    pass over the corpus and a schema-stability hazard. Empty cells
+    are coalesced to 0 so the output is dense and hash-stable.
     """
     ev = load_table(spark, sf_dir, "events")
     day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")

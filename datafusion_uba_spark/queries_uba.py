@@ -467,7 +467,17 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", w=256, d=4, hash_family="md5"
     )
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
-    top = exact.orderBy(F.col("exact_n").desc(), "user_id").limit(20)
+    # top feeds BOTH the probe side and the output join; without the
+    # (lazy, 20-row) localCheckpoint Spark executes the full exact
+    # aggregate twice — ReuseExchange does not fire across the
+    # sort+limit self-reference (verified on the executed plan), and
+    # at scale the exact distinct shuffle is the expensive half of
+    # this anchor query
+    top = (
+        exact.orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(20)
+        .localCheckpoint(eager=False)
+    )
     est = sketches.count_min_estimate(
         sketch,
         top.select("user_id"),
