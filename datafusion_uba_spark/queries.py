@@ -791,6 +791,48 @@ _ORACLE_EVENT_TYPE_PIVOT = "\n".join(
 )
 
 
+def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate: event volume/revenue over every subset of
+    (event_type, hour-of-day) — all four grouping sets in ONE
+    expand+hash-agg pass over the corpus, no re-scan per set (the
+    grouping-sets companion of revenue_rollup's ROLLUP surface).
+    NULL grouping keys become sentinels so the hash compare is
+    well-defined across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.hour("ts").alias("hr"),
+            _cents(F.col("value")).alias("__cents"),
+        )
+        .cube("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__cents").alias("value_cents"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("etype"),
+            F.coalesce(F.col("hr"), F.lit(-1)).alias("hr"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+_ORACLE_EVENT_CUBE = """
+SELECT coalesce(event_type, '<all>') AS etype,
+       coalesce(hr, -1) AS hr,
+       count(*) AS n_events,
+       CAST(sum(c) AS BIGINT) AS value_cents
+FROM (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+)
+GROUP BY CUBE (event_type, hr)
+"""
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout keys: the Morton key every event would be
     laid out by under ``zorder_layout(events, [user_id, cents])``
@@ -888,6 +930,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "returned_items": (q_returned_items, _ORACLE_RETURNED_ITEMS),
     "forecast_revenue": (q_forecast_revenue, _ORACLE_FORECAST_REVENUE),
     "large_orders": (q_large_orders, _ORACLE_LARGE_ORDERS),
+    "event_cube": (q_event_cube, _ORACLE_EVENT_CUBE),
 }
 
 # LLM-training-data-pipeline inventory (dedup / similarity / text /
