@@ -303,3 +303,64 @@ def test_pack_token_stream_matches_model(spark, ns, cap, shards):
         for r in out.collect()
     }
     assert got == model
+
+
+# --- z-order layout: cross-engine arithmetic pins --------------------------
+#
+# The zorder_keys oracle claims two engine-exact equivalences: the
+# Morton interleave expression (generated SQL == the Spark column ==
+# a naive bit loop) and the bucket shift (python bit_length ==
+# DuckDB length(bin(range))). Both are pinned here against DuckDB
+# directly — no Spark in the loop, so hypothesis can afford many
+# examples including the power-of-two boundaries float log2 would get
+# wrong.
+
+
+def _morton_model(x: int, y: int, bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_zorder_sql_matches_morton_model(pairs):
+    import duckdb
+
+    from datafusion_uba_spark.operators.layout import zorder_key_sql
+
+    expr = zorder_key_sql(["x", "y"], bits=8)
+    vals = ", ".join(f"({x}, {y})" for x, y in pairs)
+    got = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {expr} FROM (VALUES {vals}) v(x, y)"
+        ).fetchall()
+    ]
+    assert got == [_morton_model(x, y, 8) for x, y in pairs]
+    # bijectivity on the full 8-bit grid comes free from exactness:
+    # the model is trivially injective per (x, y)
+
+
+@given(st.integers(0, 2**40), st.integers(0, 2**20), st.integers(1, 16))
+@settings(max_examples=80, deadline=None)
+def test_bucket_shift_matches_duckdb_bin_length(lo, span, bits):
+    import duckdb
+
+    from datafusion_uba_spark.operators.layout import bucket_shift
+
+    hi = lo + span
+    s_py = bucket_shift(lo, hi, bits)
+    s_sql = duckdb.sql(
+        f"SELECT greatest(0, length(bin({hi} - {lo})) - {bits})"
+    ).fetchone()[0]
+    assert s_py == s_sql, (lo, hi, bits)
+    assert (hi - lo) >> s_py < (1 << bits)
