@@ -231,3 +231,47 @@ def test_compact_parquet(spark, tmp_path):
     )
     spans = sorted((r.lo, r.hi) for r in ranges)
     assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+
+
+def test_retention_on_bucketed_events_no_exchange(spark, sf_dir):
+    """The recurring-pipeline layout for the UBA family: events
+    persisted bucketed on user_id satisfy the retention aggregate's
+    required distribution straight off the scan — ZERO Exchange in the
+    whole per-user bitmap plan (write the fact table once, run every
+    per-user operator shuffle-free forever), and results identical to
+    the unbucketed path."""
+    from pyspark.sql import functions as F
+
+    from datafusion_uba_spark.operators.retention import retention_count
+
+    ev = sources.load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    sources.write_bucketed(ev, "ev_user_bucketed", "user_id", 8)
+    try:
+        def build(frame):
+            return retention_count(
+                frame.withColumn("__d", F.dayofmonth("ts") - 1),
+                F.col("event_type") == "signup",
+                F.col("event_type") == "purchase",
+                6,
+                F.col("__d"),
+                group_by="user_id",
+            )
+
+        bucketed = build(spark.table("ev_user_bucketed"))
+        bucketed.count()  # AQE-finalize
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+        want = {
+            (r.user_id, tuple(map(tuple, r.stats)))
+            for r in build(ev).collect()
+        }
+        got = {
+            (r.user_id, tuple(map(tuple, r.stats)))
+            for r in bucketed.collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ev_user_bucketed")
