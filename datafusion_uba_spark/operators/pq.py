@@ -12,15 +12,27 @@ a candidate handful.
 
 Two-level structure, and the levels matter: a coarse quantizer (the
 SAME trained k-means centroids the IVF index uses —
-similarity.train_ivf_centroids) captures WHICH cluster a vector is
-in, and the product codebooks quantize the RESIDUAL vector
-(x - centroid[cell]). Quantizing residuals instead of raw vectors is
-what makes the fine ranking survive compression: on a clustered
-corpus the raw-vector codebooks spend all their bits re-encoding the
-cluster identity the cell id already holds, and within-cluster order
-— which is what top-k actually is — degrades to chance (measured on
-the clustered fixture: raw-PQ recall@10 = 0.13 at the same bit
-budget; residual-PQ ≥ 0.9 — tests/test_ann_clustered.py).
+similarity.train_ivf_centroids; pass ``cents`` to share a trained
+set, n_cells ~ sqrt(n) per the FAISS guideline) captures WHICH
+cluster a vector is in, and the product codebooks quantize the
+RESIDUAL vector (x - centroid[cell]). Quantizing residuals instead
+of raw vectors buys measurable candidate quality at the same bit
+budget: on the 20k x 64 clustered fixture (m=8, k=16, n_cells=64),
+recall@10 at refine=16 is ~0.66 residual vs ~0.53 raw (exact values
+shift slightly with the session's partition layout through the
+seeded per-partition training sample; the gap holds), and residual
+crosses 0.9 at refine=32 (measured 0.96; 1.00 at refine=48) —
+tests/test_ann_clustered.py, reproduced in CI.
+
+``refine`` is the recall knob, by design: a 32-bit code cannot rank
+WITHIN a tight cluster (the between-neighbor cosine gaps sit at the
+noise level, below ADC's reconstruction error — rate-distortion, not
+a bug), so ADC's job is to rank cluster membership and hand
+k*refine candidates to the exact re-rank. Size refine so k*refine
+covers the expected neighborhood (~cluster size); the re-rank reads
+full vectors for only those rows, which is exactly the 100 TB
+contract: the scan-everything pass touches ~8 bytes/vector, the
+read-vectors pass touches k*refine rows per query.
 
 Query-time asymmetric distance (ADC): the query stays full-precision;
 dot(q, x_hat) = dot(q, centroid[cell]) + sum_i dot(q_sub_i,
@@ -179,6 +191,7 @@ def train_pq(
     iters: int = 5,
     train_sample: int = 16_384,
     n_rows: int | None = None,
+    cents: list[list[int]] | None = None,
 ) -> dict:
     """Fit the two-level model: trained coarse centroids (the same
     k-means the IVF index uses) plus per-subspace residual codebooks.
@@ -186,6 +199,14 @@ def train_pq(
     "m", "k", "n_cells"} — plain ints, JSON-serializable, so a daily
     pipeline persists it beside the codes table (the stored-index
     metadata discipline of ivf_build_index).
+
+    ``cents`` skips the coarse k-means and uses the given centroid
+    matrix — the steady-state path when an IVF index for the same
+    corpus already exists (share its centroids so the two indexes
+    agree on cells), and the ablation path (a single all-zero
+    centroid makes the residual the raw vector, i.e. classical
+    non-residual PQ — the measured-worse baseline in the module
+    docstring).
 
     Residual Lloyd runs distributed over a seeded sample: each
     iteration assigns all m codes per row (the same expression
@@ -197,16 +218,21 @@ def train_pq(
     """
     dsub = _check_geometry(dim, m, k)
     n = n_rows if n_rows is not None else data.count()
-    cents = train_ivf_centroids(
-        data,
-        vec_col=vec_col,
-        id_col=id_col,
-        dim=dim,
-        n_cells=n_cells,
-        seed=seed,
-        train_sample=train_sample,
-        n_rows=n,
-    )
+    if cents is None:
+        cents = train_ivf_centroids(
+            data,
+            vec_col=vec_col,
+            id_col=id_col,
+            dim=dim,
+            n_cells=n_cells,
+            seed=seed,
+            train_sample=train_sample,
+            n_rows=n,
+        )
+    else:
+        if any(len(c) != dim for c in cents):
+            raise ValueError(f"pq: supplied cents must be {dim}-dim rows")
+        n_cells = len(cents)
     frac = min(1.0, train_sample / max(n, 1))
     sample = _cell_and_residual(
         data.sample(False, frac, seed) if frac < 1.0 else data,
@@ -295,7 +321,7 @@ def pq_topk(
     queries: DataFrame,
     model: dict,
     k: int = 10,
-    refine: int = 4,
+    refine: int = 32,
     n_probe: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",

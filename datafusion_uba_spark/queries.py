@@ -420,7 +420,7 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_EVENTS_JSON = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
