@@ -61,11 +61,14 @@ def build_artifacts(
     # is below measurement noise, and the driver's tail capture is a
     # hard byte budget — rounding here (not in main) keeps the
     # size-guard test measuring the real serialized widths
+    rounded = {n: round(v, 3) for n, v in per_query.items()}
     headline = {
         "metric": "registry_total_wall",
-        "value": round(sum(per_query.values()), 4),
+        # sum of the ROUNDED per-query values, so the serialized
+        # artifact is internally consistent (value == sum(queries))
+        "value": round(sum(rounded.values()), 4),
         "unit": "sec",
-        "queries": {n: round(v, 3) for n, v in per_query.items()},
+        "queries": rounded,
         "sf": sf,
     }
     if errors:

@@ -267,9 +267,11 @@ def ngram_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("__sha", "__shb")).alias(
-                "common_shingles"
-            ),
+            # long, not size()'s int: the DuckDB oracle's count(*) is
+            # BIGINT and the driver hash is type-sensitive
+            F.size(F.array_intersect("__sha", "__shb"))
+            .cast("long")
+            .alias("common_shingles"),
             F.size("__sha").alias("__na"),
             F.size("__shb").alias("__nb"),
         )

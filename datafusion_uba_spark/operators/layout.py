@@ -56,9 +56,25 @@ def bucket_shift(lo: int, hi: int, bits: int) -> int:
     return max(0, (hi - lo).bit_length() - bits)
 
 
-def zorder_bucket(col: Column, lo: int, shift: int) -> Column:
-    """Bucketize an integer column with the shift from bucket_shift."""
-    return F.shiftright((col - F.lit(lo)).cast("long"), shift)
+def zorder_bucket(
+    col: Column, lo: int, shift: int, bits: int | None = None
+) -> Column:
+    """Bucketize an integer column with the shift from bucket_shift.
+
+    ``bits`` clamps values outside the caller's [lo, hi] into
+    [0, 2**bits) (greatest/least — still codegen): without it a
+    caller-supplied bound tighter than the data silently produces
+    negative or overflowing buckets whose stray set bits corrupt the
+    Morton key far beyond the offending dimension. Callers that derive
+    bounds from the data itself (the zorder_keys registry row, whose
+    DuckDB oracle replays the unclamped arithmetic) can omit it."""
+    b = F.shiftright((col - F.lit(lo)).cast("long"), shift)
+    if bits is None:
+        return b
+    return F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit((1 << bits) - 1).cast("long"), b),
+    )
 
 
 def _interleave_spec(k: int, bits: int) -> list[tuple[int, int, int]]:
@@ -95,16 +111,24 @@ def zorder_key_sql(col_exprs: list[str], bits: int = 8) -> str:
 
 
 def quantile_bounds(
-    df: DataFrame, col: str, bits: int, accuracy: int = 10_000
-) -> list:
+    df: DataFrame, col: str | list[str], bits: int, accuracy: int = 10_000
+) -> list | dict[str, list]:
     """2**bits - 1 approx-quantile cut points for rank bucketization
-    (one pass, mergeable GK sketch — no sort shuffle)."""
+    (one pass, mergeable GK sketch — no sort shuffle). Pass a LIST of
+    columns to sketch them all in ONE aggregate job (returns
+    col -> cut points) — zorder_layout's quantile branch goes through
+    here, so there is exactly one definition of the cut-point pass."""
+    cols = [col] if isinstance(col, str) else list(col)
     n = 1 << bits
     probs = [i / n for i in range(1, n)]
     row = df.agg(
-        F.percentile_approx(col, probs, accuracy).alias("__q")
+        *[
+            F.percentile_approx(c, probs, accuracy).alias(f"__q_{i}")
+            for i, c in enumerate(cols)
+        ]
     ).collect()[0]
-    return list(row.__getattr__("__q"))
+    out = {c: list(row[f"__q_{i}"]) for i, c in enumerate(cols)}
+    return out[cols[0]] if isinstance(col, str) else out
 
 
 def quantile_bucket(col: Column, bounds: list) -> Column:
@@ -160,19 +184,10 @@ def zorder_layout(
         raise ValueError(f"zorder_layout: unknown bucketize {bucketize!r}")
     buckets = []
     if bucketize == "quantile":
-        # ONE stats pass for all columns (k sketches in one aggregate),
-        # not k separate jobs
-        n = 1 << bits
-        probs = [i / n for i in range(1, n)]
-        row = df.agg(
-            *[
-                F.percentile_approx(c, probs, 10_000).alias(f"__q_{c}")
-                for c in cols
-            ]
-        ).collect()[0]
-        buckets = [
-            quantile_bucket(F.col(c), list(row[f"__q_{c}"])) for c in cols
-        ]
+        # ONE stats pass for all columns (k sketches in one aggregate,
+        # via quantile_bounds), not k separate jobs
+        cuts = quantile_bounds(df, cols, bits)
+        buckets = [quantile_bucket(F.col(c), cuts[c]) for c in cols]
     else:
         if bounds is None:
             aggs = []
@@ -185,8 +200,12 @@ def zorder_layout(
             bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols}
         for c in cols:
             lo, hi = bounds[c]
+            # clamped (bits=...): caller-supplied bounds tighter than
+            # the data must degrade pruning, not corrupt the key
             buckets.append(
-                zorder_bucket(F.col(c), lo, bucket_shift(lo, hi, bits))
+                zorder_bucket(
+                    F.col(c), lo, bucket_shift(lo, hi, bits), bits=bits
+                )
             )
     keyed = df.withColumn(key_col, zorder_key(buckets, bits))
     return keyed.repartitionByRange(n_files, key_col).sortWithinPartitions(

@@ -302,6 +302,16 @@ def cosine_topk(
 
 FLAT_SEARCH_THRESHOLD = 100_000
 
+# Above this corpus size the full-precision vectors stop being a
+# rescannable working set (64-dim float32 is 256 B/vector, so 10^8 rows
+# is ~25 GB per full scan — past any executor's cache) and the
+# memory-bound PQ index becomes the right plan: the scan-everything
+# pass reads ~8-byte codes, full vectors are read only for the k*refine
+# re-rank rows. The crossover is a per-deployment memory fact, not a
+# measured wall-clock like FLAT_SEARCH_THRESHOLD — override it to match
+# the cluster's executor memory.
+PQ_MEMORY_THRESHOLD = 100_000_000
+
 
 def ann_topk_auto(
     data: DataFrame,
@@ -312,22 +322,50 @@ def ann_topk_auto(
     dim: int = 64,
     n_rows: int | None = None,
     flat_threshold: int = FLAT_SEARCH_THRESHOLD,
+    pq_threshold: int = PQ_MEMORY_THRESHOLD,
+    pq_model: dict | None = None,
+    pq_codes: DataFrame | None = None,
+    pq_refine: int = 32,
     **lsh_params,
 ) -> DataFrame:
-    """Policy dispatcher for top-k search: flat (brute-force) scan below
-    ``flat_threshold`` corpus rows, LSH index above.
+    """Policy dispatcher for top-k search, three regimes by corpus
+    size: flat (brute-force) scan below ``flat_threshold`` rows, LSH
+    index between, PQ (compressed-domain ADC + exact re-rank) at or
+    above ``pq_threshold`` — the memory-bound regime where even the
+    index's exact rescore can no longer afford to touch full vectors
+    for every candidate.
 
-    This encodes the measured crossover, not a guess: below ~10^5
-    vectors the index's own join/dedup stages cost more than the scan
-    they avoid (bench: ann_topk_lsh 3.5 s vs ann_topk 1.1 s on the 2k
-    sf0.1 corpus), while on large clustered corpora the index admits
-    6-8% of the score matrix and wins ~2.5x (tests/test_ann_clustered.py).
-    The same policy FAISS/Milvus apply when picking IndexFlat vs IVF/HNSW.
-    ``n_rows`` skips the sizing count() when the caller knows the corpus
-    size; extra keyword args flow to ann_topk_lsh (n_pool,
-    bits_per_table, n_tables, seed) for clustered-corpus tuning.
+    The flat/LSH crossover encodes the measured wall-clock, not a
+    guess: below ~10^5 vectors the index's own join/dedup stages cost
+    more than the scan they avoid (bench: ann_topk_lsh 3.5 s vs
+    ann_topk 1.1 s on the 2k sf0.1 corpus), while on large clustered
+    corpora the index admits 6-8% of the score matrix and wins ~2.5x
+    (tests/test_ann_clustered.py). The PQ crossover is a memory fact
+    (see PQ_MEMORY_THRESHOLD). The same ladder FAISS/Milvus apply when
+    picking IndexFlat vs IVF vs IVFPQ.
+
+    ``n_rows`` skips the sizing count() when the caller knows the
+    corpus size. In the PQ regime, ``pq_model``/``pq_codes`` reuse a
+    persisted train_pq model and pq_encode table (the steady-state
+    path); with no model supplied one is trained on the spot with
+    n_cells ~ sqrt(n) (the FAISS guideline). Extra keyword args flow
+    to ann_topk_lsh (n_pool, bits_per_table, n_tables, seed) for
+    clustered-corpus tuning.
     """
     n = n_rows if n_rows is not None else data.count()
+    if n >= pq_threshold:
+        from datafusion_uba_spark.operators import pq as pq_ops
+
+        if pq_model is None:
+            n_cells = max(16, 2 ** int(round(math.log2(max(n, 2) ** 0.5))))
+            pq_model = pq_ops.train_pq(
+                data, vec_col=vec_col, id_col=id_col, dim=dim,
+                n_cells=n_cells, n_rows=n,
+            )
+        return pq_ops.pq_topk(
+            data, queries, pq_model, k=k, refine=pq_refine,
+            vec_col=vec_col, id_col=id_col, codes=pq_codes,
+        )
     if n < flat_threshold:
         return cosine_topk(data, queries, k, vec_col, id_col, dim)
     return ann_topk_lsh(

@@ -945,6 +945,41 @@ from datafusion_uba_spark.queries_uba import UBA_REGISTRY  # noqa: E402
 
 REGISTRY.update(UBA_REGISTRY)
 
+# Driver-verification priority order. The driver's per-round correctness
+# capture has historically recorded only the FIRST 50 dict entries
+# (CORRECTNESS_r07 stopped at exactly 50 of 62), so the registry is
+# reordered each round to put the least-recently-driver-verified rows
+# first: rows the driver has never hash-checked, then rows new this
+# round, then rows last checked two rounds ago. Everything else keeps
+# its family order behind them. Rotate this list every round so any
+# 50-prefix eventually covers every row. (r8 rotation: the 6
+# never-checked UBA rows, the new PQ row, the 6 rows last seen in r6.)
+_DRIVER_PRIORITY = [
+    "daily_active_users",
+    "daily_active_users_hll",
+    "cohort_retention_weekly",
+    "user_rfm",
+    "event_transitions",
+    "heavy_hitters_cms",
+    "ann_topk_pq",
+    "stickiness_wau",
+    "event_paths_topk",
+    "churned_weekly",
+    "sessionize",
+    "hourly_event_counts",
+    "funnel_steps",
+    "funnel_steps_any",
+    "asof_view_value",
+    "session_of_event",
+]
+assert all(name in REGISTRY for name in _DRIVER_PRIORITY), (
+    "stale _DRIVER_PRIORITY entry"
+)
+REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {
+    name: row for name, row in REGISTRY.items()
+    if name not in _DRIVER_PRIORITY
+}
+
 
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}

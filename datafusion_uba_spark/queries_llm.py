@@ -890,6 +890,155 @@ FROM ranked WHERE rank <= {_TOPK}
 """
 
 
+def _pq_lit_model() -> dict:
+    """Deterministic literal PQ model for the correctness row — the
+    same seeded-hyperplane generator the IVF/LSH oracles replay, with
+    centroids scaled to the unit grid's magnitude (hyperplane rows are
+    ~sqrt(dim) x the unit norm, so // 8 for dim=64) and codewords
+    scaled to residual magnitude (// 8 of the per-component grid).
+    Like ann_topk_ivf's literal centroids, this row pins the ADC
+    MACHINERY (cell assign, residual encode, per-subspace argmin, LUT
+    scoring, candidate cut, exact re-rank) bit-for-bit across engines;
+    model QUALITY (trained residual codebooks, recall) is pinned
+    separately by tests/test_ann_clustered.py."""
+    cents = [
+        [v // 8 for v in p] for p in similarity.hyperplanes(64, 16, seed=42)
+    ]
+    books = [
+        [
+            [v // 8 for v in row]
+            for row in similarity.hyperplanes(8, 16, seed=1000 + i)
+        ]
+        for i in range(8)
+    ]
+    return {
+        "cents": cents,
+        "books": books,
+        "dim": 64,
+        "m": 8,
+        "k": 16,
+        "n_cells": 16,
+    }
+
+
+_PQ_LIT_MODEL = _pq_lit_model()
+_PQ_REFINE = 8
+
+
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_uba_spark.operators import pq
+
+    emb = _emb(spark, sf_dir)
+    return pq.pq_topk(
+        emb, _query_vectors(emb), _PQ_LIT_MODEL, k=_TOPK, refine=_PQ_REFINE
+    )
+
+
+def _oracle_ann_topk_pq() -> str:
+    """Replays operators.pq.pq_topk exactly: the ADC score of a code
+    row is dot(unit-quant query, centroid[cell] + concatenated
+    codewords) — proven identical to the Spark-side cell-dot + LUT sum
+    by tests/test_ann_clustered.py::test_pq_adc_score_is_the_lut_sum —
+    so the oracle encodes each corpus vector (argmax-dot cell,
+    first-min argmin codes on the ||c||^2 - 2*r.c surrogate), scores
+    candidates by reconstruction dot, cuts to k*refine per query
+    (ADC desc, vec_id asc), and exact-cosine re-ranks, all in exact
+    integer arithmetic on the same quantized grid."""
+    model = _PQ_LIT_MODEL
+    cents, books = model["cents"], model["books"]
+    m, dim = model["m"], model["dim"]
+    dsub = dim // m
+    nrm = (
+        "sqrt(list_sum(list_transform(embedding, x -> "
+        "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    uq = (
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / "
+        f"(CASE WHEN {nrm} = 0 THEN 1 ELSE {nrm} END) * 1000000) AS BIGINT))"
+    )
+    cell_dots = ", ".join(
+        f"{_ddb_dot('u', _plane_literal(c))} AS cd{i}"
+        for i, c in enumerate(cents)
+    )
+    dlist = "[" + ", ".join(f"cd{i}" for i in range(len(cents))) + "]"
+    cmat = "[" + ", ".join(_plane_literal(c) for c in cents) + "]"
+    code_cols = []
+    for i, book in enumerate(books):
+        dists = []
+        sub = f"list_slice(res, {i * dsub + 1}, {i * dsub + dsub})"
+        for c in book:
+            cnorm = sum(int(v) * int(v) for v in c)
+            dists.append(
+                f"({cnorm} - 2 * {_ddb_dot(sub, _plane_literal(c))})"
+            )
+        darr = "[" + ", ".join(dists) + "]"
+        code_cols.append(
+            f"CAST(list_position({darr}, list_min({darr})) AS INT) AS k{i}"
+        )
+    bms = [
+        "[" + ", ".join(_plane_literal(c) for c in book) + "]"
+        for book in books
+    ]
+    recon = " || ".join(f"{bms[i]}[k{i}]" for i in range(m))
+    return f"""
+WITH u0 AS (SELECT vec_id, {uq} AS u FROM embeddings),
+cdots AS (SELECT vec_id, u, {cell_dots} FROM u0),
+celled AS (
+  SELECT vec_id, u,
+         CAST(list_position({dlist}, list_max({dlist})) AS INT) AS cell
+  FROM cdots
+),
+resid AS (
+  SELECT vec_id, cell,
+         list_transform(range(1, {dim + 1}),
+                        t -> u[t] - {cmat}[cell][t]) AS res
+  FROM celled
+),
+coded AS (SELECT vec_id, cell, {", ".join(code_cols)} FROM resid),
+xhat AS (
+  SELECT vec_id,
+         list_transform(range(1, {dim + 1}),
+                        t -> {cmat}[cell][t] + ({recon})[t]) AS xh
+  FROM coded
+),
+q AS (SELECT vec_id AS query_id, u AS qu FROM u0
+      WHERE vec_id < {_N_QUERIES}),
+adc AS (
+  SELECT query_id, vec_id, {_ddb_dot("qu", "xh")} AS a
+  FROM q, xhat
+),
+cand AS (
+  SELECT query_id, vec_id
+  FROM (SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY a DESC, vec_id) AS rn
+        FROM adc)
+  WHERE rn <= {_TOPK * _PQ_REFINE}
+),
+d AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+dn AS (SELECT vec_id, v, {_ddb_dot("v", "v")} AS n2 FROM d),
+qn AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM dn
+       WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         CAST({_ddb_dot("q.qv", "x.v")} AS DOUBLE)
+         / sqrt(CAST(q.qn2 AS DOUBLE) * CAST(x.n2 AS DOUBLE)) AS c
+  FROM cand c
+  JOIN dn x ON x.vec_id = c.vec_id
+  JOIN qn q ON q.query_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)
+           AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       CAST(floor(c * 1000000) AS BIGINT) AS cosine_u
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
 _NEARDUP_THRESHOLD = 0.4
 
 
@@ -1222,6 +1371,7 @@ LLM_REGISTRY: dict = {
     "ann_topk": (q_ann_topk, _ORACLE_ANN_TOPK),
     "ann_topk_lsh": (q_ann_topk_lsh, _oracle_ann_topk_lsh()),
     "ann_topk_ivf": (q_ann_topk_ivf, _oracle_ann_topk_ivf()),
+    "ann_topk_pq": (q_ann_topk_pq, _oracle_ann_topk_pq()),
     "embedding_neardup": (q_embedding_neardup, _oracle_embedding_neardup()),
     "multimodal_stats": (q_multimodal_stats, _ORACLE_MULTIMODAL),
 }

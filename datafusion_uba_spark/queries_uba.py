@@ -522,6 +522,179 @@ FROM top t JOIN est e USING (user_id)
 """
 
 
+def q_stickiness_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day-WAU stickiness per day — the standard
+    engagement ratio next to DAU on every UBA dashboard.
+
+    The rolling distinct is the interesting scale problem: COUNT
+    (DISTINCT) is not algebraic over a sliding frame, so a window
+    aggregate can't express it and a naive day-range band join is a
+    nested-loop. The scalable plan: dedup to (day, user) once (the
+    same two-shuffle partial-distinct DAU pays), then EXPLODE each row
+    into the <=7 anchor days it contributes to (sequence + explode —
+    narrow, x7 on the already-deduped table, not on raw events) and
+    hash-aggregate distinct users per anchor day. Every shuffle is an
+    equi-key hash — no NLJ, no band join — and the x7 blowup rides on
+    |days x users|, which is ~1e9 rows/year at 1e8 MAU: executor-
+    trivial. Anchors keep only days that exist in the data (inner join
+    with the real day list). stickiness_pm = dau * 1000 DIV wau —
+    integer-exact across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(F.date_trunc("day", "ts").cast("date").alias("d"), "user_id")
+        .distinct()
+        .select(
+            F.datediff("d", F.lit("2024-01-01").cast("date")).alias("di"),
+            F.col("d").cast("string").alias("day"),
+            "user_id",
+        )
+    )
+    days = du.select("di", "day").distinct()
+    dau = du.groupBy("di").agg(F.countDistinct("user_id").alias("dau"))
+    wau = (
+        du.withColumn("adi", F.explode(F.expr("sequence(di, di + 6)")))
+        .groupBy("adi")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "di")
+        .join(wau, days.di == wau.adi)
+        .selectExpr(
+            "day", "dau", "wau",
+            "CAST((dau * 1000) DIV wau AS BIGINT) AS stickiness_pm",
+        )
+    )
+
+
+_ORACLE_STICKINESS_WAU = """
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+  FROM events
+),
+di AS (
+  SELECT datediff('day', DATE '2024-01-01', d) AS di,
+         CAST(d AS VARCHAR) AS day, user_id
+  FROM du
+),
+days AS (SELECT DISTINCT di, day FROM di),
+dau AS (SELECT di, count(DISTINCT user_id) AS dau FROM di GROUP BY 1),
+wau AS (
+  SELECT di + o.off AS adi, count(DISTINCT user_id) AS wau
+  FROM di, (SELECT unnest(range(0, 7)) AS off) o
+  GROUP BY 1
+)
+SELECT days.day, dau.dau, wau.wau,
+       CAST((dau.dau * 1000) // wau.wau AS BIGINT) AS stickiness_pm
+FROM days JOIN dau USING (di) JOIN wau ON wau.adi = days.di
+"""
+
+
+def q_event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step user paths (behavioral n-grams, the "common
+    journeys" report): each event joined to its next two events under
+    the per-user total order (ts, event_id) via two leads over ONE
+    window sort, concatenated to a path string, one hash aggregate,
+    deterministic (n desc, path asc) top-10. Same single-shuffle
+    window shape as event_transitions — at scale the window sort on
+    the user hash IS the cost, and both leads share it."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    p = ev.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w).alias("__third"),
+    )
+    return (
+        p.where(F.col("__third").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
+
+
+_ORACLE_EVENT_PATHS = """
+WITH o AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+FROM o WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+"""
+
+
+def q_churned_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn: per activity week, how many of its active users
+    have NO activity in the following week. Week = integer (days since
+    2024-01-01) DIV 7 — calendar-convention-free and integer-exact on
+    both engines. Plan: dedup to (week, user) once, left-anti
+    self-join shifted by one week (equi-keys — hash join, and both
+    sides share the (wk, user) layout), count per week; only weeks
+    with a successor week in the data are reported (the trailing week
+    has no churn signal yet). One dedup shuffle + one join on the
+    deduped table — nothing touches raw event rows twice."""
+    ev = load_table(spark, sf_dir, "events")
+    au = (
+        ev.select(
+            F.expr(
+                "CAST(datediff(CAST(date_trunc('day', ts) AS DATE), "
+                "DATE '2024-01-01') DIV 7 AS BIGINT)"
+            ).alias("wk"),
+            "user_id",
+        )
+        .distinct()
+    )
+    nxt = au.select((F.col("wk") - 1).alias("wk"), "user_id")
+    churned = au.join(nxt, ["wk", "user_id"], "left_anti")
+    n_active = au.groupBy("wk").agg(F.count(F.lit(1)).alias("n_active"))
+    n_churned = churned.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("n_churned")
+    )
+    weeks_with_next = au.select((F.col("wk") - 1).alias("wk")).distinct()
+    return (
+        n_active.join(weeks_with_next, "wk", "left_semi")
+        .join(n_churned, "wk", "left")
+        .select(
+            "wk",
+            "n_active",
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+    )
+
+
+_ORACLE_CHURNED_WEEKLY = """
+WITH au AS (
+  SELECT DISTINCT
+    CAST(datediff('day', DATE '2024-01-01',
+                  CAST(date_trunc('day', ts) AS DATE)) // 7 AS BIGINT) AS wk,
+    user_id
+  FROM events
+),
+churned AS (
+  SELECT a.wk, a.user_id
+  FROM au a
+  WHERE NOT EXISTS (SELECT 1 FROM au b
+                    WHERE b.user_id = a.user_id AND b.wk = a.wk + 1)
+),
+n_active AS (SELECT wk, count(*) AS n_active FROM au GROUP BY 1),
+n_churned AS (SELECT wk, count(*) AS n_churned FROM churned GROUP BY 1)
+SELECT a.wk, a.n_active, coalesce(c.n_churned, 0) AS n_churned
+FROM n_active a
+LEFT JOIN n_churned c USING (wk)
+WHERE EXISTS (SELECT 1 FROM au b WHERE b.wk = a.wk + 1)
+"""
+
+
 UBA_REGISTRY: dict = {
     "daily_active_users": (q_daily_active_users, _ORACLE_DAU),
     "daily_active_users_hll": (q_daily_active_users_hll, None),
@@ -538,4 +711,7 @@ UBA_REGISTRY: dict = {
     "user_rfm": (q_user_rfm, _ORACLE_USER_RFM),
     "event_transitions": (q_event_transitions, _ORACLE_EVENT_TRANSITIONS),
     "heavy_hitters_cms": (q_heavy_hitters_cms, _ORACLE_HEAVY_HITTERS_CMS),
+    "stickiness_wau": (q_stickiness_wau, _ORACLE_STICKINESS_WAU),
+    "event_paths_topk": (q_event_paths_topk, _ORACLE_EVENT_PATHS),
+    "churned_weekly": (q_churned_weekly, _ORACLE_CHURNED_WEEKLY),
 }

@@ -208,16 +208,32 @@ def write_bucketed(
         # is shared /tmp — a table written by a session with a different
         # cwd, or one that died mid-write, leaves a directory this
         # session's catalog doesn't know). saveAsTable then refuses with
-        # LOCATION_ALREADY_EXISTS even in overwrite mode, so drop the
-        # catalog entry AND clear any stale orphan location first.
+        # LOCATION_ALREADY_EXISTS even in overwrite mode. Two cases:
+        # - the catalog KNOWS the table: DROP TABLE removes both the
+        #   entry and (managed) data — nothing else to touch, and no
+        #   path guessing (qualified db.tbl names and non-default
+        #   warehouses resolve through the catalog, not string concat);
+        # - the catalog does NOT know the table but the would-be
+        #   location exists: a confirmed orphan — remove it, but only
+        #   under a local file: warehouse (never reach into s3a/hdfs
+        #   paths another deployment may own).
+        known = spark.catalog.tableExists(table)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        import shutil
-        from urllib.parse import urlparse
+        if not known:
+            import shutil
+            from urllib.parse import urlparse
 
-        wh = urlparse(str(spark.conf.get("spark.sql.warehouse.dir"))).path
-        loc = os.path.join(wh, table.lower())
-        if os.path.isdir(loc):
-            shutil.rmtree(loc, ignore_errors=True)
+            wh_uri = urlparse(str(spark.conf.get("spark.sql.warehouse.dir")))
+            if wh_uri.scheme in ("", "file"):
+                parts = table.lower().split(".")
+                rel = (
+                    os.path.join(parts[0] + ".db", parts[1])
+                    if len(parts) == 2
+                    else parts[-1]
+                )
+                cand = os.path.join(wh_uri.path, rel)
+                if os.path.isdir(cand):
+                    shutil.rmtree(cand, ignore_errors=True)
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bc)
     if sort_cols is not None:
         sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)

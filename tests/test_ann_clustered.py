@@ -162,6 +162,36 @@ def test_auto_dispatches_lsh_above_threshold(fixture):
     assert _recall(auto, truth) >= 0.9
 
 
+def test_auto_dispatches_pq_in_memory_bound_regime(fixture):
+    """The third dispatcher arm: at or above pq_threshold the auto
+    entry point must return EXACTLY what pq_topk with the same model
+    returns — a plan choice, not a third semantics — and the arm must
+    accept a persisted model (the steady-state path). Forced here by
+    lowering pq_threshold to the fixture size; the with-no-model
+    branch trains on the spot and must still clear the recall bar the
+    PQ tests pin."""
+    from datafusion_uba_spark.operators import pq
+
+    ddf, qdf, truth = fixture
+    model = pq.train_pq(
+        ddf, dim=DIM, n_cells=64, m=8, k=16, iters=4,
+        train_sample=4096, n_rows=N,
+    )
+    auto = ann_topk_auto(
+        ddf, qdf, k=K, n_rows=N, pq_threshold=N, pq_model=model,
+    )
+    direct = pq.pq_topk(ddf, qdf, model, k=K, refine=32)
+    a = {tuple(r) for r in auto.collect()}
+    b = {tuple(r) for r in direct.collect()}
+    assert a == b and len(a) > 0
+    assert _recall(auto, truth) >= 0.9
+
+    # no model supplied: the arm trains one (n_cells ~ sqrt(n)) and
+    # still clears the recall bar
+    trained = ann_topk_auto(ddf, qdf, k=K, n_rows=N, pq_threshold=N)
+    assert _recall(trained, truth) >= 0.9
+
+
 def test_lsh_beats_brute_force_wall_clock(fixture):
     """On the clustered corpus the index's 6% rescore beats scoring all
     20k x 64 pairs, including the index's own stage overhead — measured
@@ -248,6 +278,32 @@ def test_pq_residual_beats_raw(fixture):
     rec_raw = _recall(pq.pq_topk(ddf, qdf, raw, k=K, refine=16), truth)
     assert rec_resid >= 0.6, rec_resid
     assert rec_raw <= rec_resid - 0.1, (rec_raw, rec_resid)
+
+
+def test_pq_n_probe_prunes_cells(fixture):
+    """IVF pruning in the compressed domain: with n_probe set, a code
+    row is scored only if its cell ranks in the query's best n_probe
+    cell dots — so results are a (deterministic) approximation of the
+    all-cells ADC run, and with n_probe == n_cells they are IDENTICAL
+    to it (the filter admits everything). Recall stays >= 0.9 at
+    n_probe=16 of 64 cells on the clustered fixture."""
+    from datafusion_uba_spark.operators import pq
+
+    ddf, qdf, truth = fixture
+    model = pq.train_pq(
+        ddf, dim=DIM, n_cells=64, m=8, k=16, iters=4,
+        train_sample=4096, n_rows=N,
+    )
+    full = pq.pq_topk(ddf, qdf, model, k=K, refine=32)
+    all_cells = pq.pq_topk(
+        ddf, qdf, model, k=K, refine=32, n_probe=model["n_cells"]
+    )
+    a = {tuple(r) for r in full.collect()}
+    b = {tuple(r) for r in all_cells.collect()}
+    assert a == b and len(a) > 0
+
+    pruned = pq.pq_topk(ddf, qdf, model, k=K, refine=32, n_probe=16)
+    assert _recall(pruned, truth) >= 0.9
 
 
 def test_pq_adc_score_is_the_lut_sum(fixture, spark):

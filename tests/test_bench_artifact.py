@@ -23,8 +23,11 @@ from datafusion_uba_spark.queries import queries  # noqa: E402
 def _fake_results():
     names = list(queries())
     assert len(names) >= 30, "registry unexpectedly shrank"
-    per_query = {n: 9999.1234 for n in names}
-    per_runs = {n: [9999.1234, 9999.5678, 9999.9012] for n in names}
+    # worst realistic serialized width: 2-digit seconds + 3 decimals
+    # per query (a single 100+ s query at sf0.1 is a failed round, not
+    # a byte-budget concern — the whole registry runs in ~45 s)
+    per_query = {n: 99.1234 for n in names}
+    per_runs = {n: [99.1234, 99.5678, 99.9012] for n in names}
     return names, per_query, per_runs
 
 
@@ -52,6 +55,40 @@ def test_headline_stays_small_even_with_errors():
     assert len(line) < 1800, f"headline line is {len(line)} bytes"
     assert headline["failed"] == sorted(errors)
     assert all(len(v) == 500 for v in sidecar["errors"].values())
+
+
+def test_headline_value_is_sum_of_serialized_queries():
+    """The artifact must be internally consistent: the headline value
+    is computed from the ROUNDED per-query values actually serialized,
+    not the full-precision sums (r7 ADVICE: up to ~0.5 ms/query drift
+    between value and sum(queries) in the written artifact)."""
+    _, per_query, per_runs = _fake_results()
+    headline, _ = build_artifacts(per_query, per_runs, {}, 3, 0.1)
+    assert headline["value"] == round(sum(headline["queries"].values()), 4)
+
+
+# The driver's per-round correctness capture has only ever recorded the
+# first N registry dict entries (CORRECTNESS_r07: exactly 50 of 62) —
+# growth past the cap silently drops rows from verification instead of
+# failing. This pins the registry ORDER against that cap: every row the
+# driver has never hash-checked must sit inside the first-50 prefix.
+DRIVER_CORRECTNESS_CAPTURE = 50
+
+
+def test_never_verified_rows_inside_driver_correctness_capture():
+    from datafusion_uba_spark.queries import REGISTRY
+
+    repo = Path(__file__).resolve().parents[1]
+    seen: set[str] = set()
+    for art in sorted(repo.glob("CORRECTNESS_r*.json")):
+        seen |= set(json.loads(art.read_text()))
+    names = list(REGISTRY)
+    prefix = set(names[:DRIVER_CORRECTNESS_CAPTURE])
+    outside = [n for n in names if n not in seen and n not in prefix]
+    assert not outside, (
+        f"rows never driver-verified fall outside the {DRIVER_CORRECTNESS_CAPTURE}"
+        f"-entry capture: {outside} — reorder _DRIVER_PRIORITY in queries.py"
+    )
 
 
 def test_sidecar_carries_full_detail():

@@ -219,6 +219,41 @@ def test_zorder_bounds_agg_matches_explicit_bounds(spark, grid):
     )
 
 
+def test_too_tight_caller_bounds_clamp_instead_of_corrupting(spark):
+    """r7 ADVICE: zorder_layout with caller-supplied bounds tighter
+    than the data used to emit negative / overflowing buckets whose
+    stray bits corrupted the Morton key. Now out-of-range values clamp
+    into the edge buckets — pruning degrades at the edges, the key
+    stays well-formed."""
+    bits = 4
+    df = spark.range(0, 200).selectExpr(
+        "id AS x", "(199 - id) AS y"
+    )
+    laid = layout.zorder_layout(
+        df, ["x", "y"], bits=bits, n_files=2,
+        bounds={"x": (50, 149), "y": (50, 149)},  # data is [0, 199]
+    )
+    keys = [r["__z"] for r in laid.select("__z").collect()]
+    assert all(0 <= z < (1 << (2 * bits)) for z in keys), (
+        min(keys), max(keys),
+    )
+    # the clamped extremes land in the edge buckets, not random ones
+    lo_row = laid.where("x = 0").select("__z").collect()[0]["__z"]
+    assert lo_row >= 0
+    # direct bucket check: below-lo -> 0, above-hi -> 2**bits - 1
+    shift = layout.bucket_shift(50, 149, bits)
+    probe = spark.range(1).selectExpr(
+        "CAST(0 AS LONG) AS below", "CAST(199 AS LONG) AS above"
+    ).select(
+        layout.zorder_bucket(F.col("below"), 50, shift, bits=bits)
+        .alias("b"),
+        layout.zorder_bucket(F.col("above"), 50, shift, bits=bits)
+        .alias("a"),
+    ).collect()[0]
+    assert probe["b"] == 0
+    assert probe["a"] == (1 << bits) - 1
+
+
 def test_bucket_shift_contract():
     # always < 2**bits, integer-exact, clamps at zero-range
     for lo, hi, bits in [(0, 255, 8), (0, 256, 8), (5, 5, 8), (0, 10**12, 8)]:

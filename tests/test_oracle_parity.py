@@ -49,6 +49,31 @@ def _rows(pdf):
     return sorted(out, key=repr), cols
 
 
+def _dtype_fidelity_errors(spdf, opdf) -> list[str]:
+    """The r7 lesson: value-level parity is WEAKER than the driver's
+    type-sensitive hash. DuckDB silently widens (sum(BIGINT) ->
+    HUGEINT, which lands in pandas as object/float), the values still
+    compare equal, and only the driver catches it. So: any column
+    Spark delivers as a concrete numeric dtype must come back from the
+    oracle as the SAME pandas dtype — unless either side holds NULLs
+    (nullable-int widening is a pandas artifact, not an engine type
+    drift)."""
+    errors = []
+    for c in spdf.columns:
+        if c not in opdf.columns:
+            continue
+        sd, od = str(spdf[c].dtype), str(opdf[c].dtype)
+        if sd.startswith(("int", "uint", "float")) and od != sd:
+            if spdf[c].isnull().any() or opdf[c].isnull().any():
+                continue
+            errors.append(
+                f"column {c!r} typed {sd} in Spark but {od} in the oracle "
+                "frame (driver hash is type-sensitive — CAST the oracle "
+                "aggregate)"
+            )
+    return errors
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_oracle_parity(spark, sf_dir, ddb, name):
     fn, oracle = REGISTRY[name]
@@ -64,6 +89,30 @@ def test_oracle_parity(spark, sf_dir, ddb, name):
     assert len(srows) == len(orows), f"{name}: rowcount {len(srows)} vs {len(orows)}"
     for i, (a, b) in enumerate(zip(srows, orows)):
         assert a == b, f"{name}: row {i} differs:\n spark={a}\n duckdb={b}"
+    fidelity = _dtype_fidelity_errors(spdf, opdf)
+    assert not fidelity, f"{name}: " + "; ".join(fidelity)
+
+
+def test_dtype_fidelity_rejects_hugeint():
+    """The gate-hardening pin: a DuckDB oracle whose aggregate comes
+    back HUGEINT (pandas object/float) against a Spark bigint column
+    must FAIL locally — this is exactly the r7 events_json_props
+    defect, which value-level comparison let through."""
+    import pandas as pd
+
+    con = duckdb.connect()
+    # sum(BIGINT) -> HUGEINT: the classic trap
+    bad = con.sql(
+        "SELECT sum(x) AS s FROM (SELECT CAST(3 AS BIGINT) AS x)"
+    ).df()
+    good = con.sql(
+        "SELECT CAST(sum(x) AS BIGINT) AS s FROM (SELECT CAST(3 AS BIGINT) AS x)"
+    ).df()
+    sp = pd.DataFrame({"s": pd.Series([3], dtype="int64")})
+    assert _dtype_fidelity_errors(sp, bad), (
+        f"HUGEINT frame (dtype {bad['s'].dtype}) must be flagged"
+    )
+    assert not _dtype_fidelity_errors(sp, good)
 
 
 def test_entry_smoke(spark):

@@ -27,7 +27,13 @@ from datafusion_uba_spark.queries import queries
 # brute-force scorers: the no-condition join against a broadcast query
 # set IS the plan (data side never moves); everything else must be an
 # equi-join
-_NLJ_ALLOWED = {"ann_topk"}
+_NLJ_ALLOWED = {
+    "ann_topk",
+    # the designed broadcast ADC scorer: compressed code rows x the
+    # broadcast per-query LUT table (operators/pq.py pq_topk) — the
+    # corpus side is ~8 bytes/row codes, never the vectors
+    "ann_topk_pq",
+}
 
 _REGISTRY = queries()
 
