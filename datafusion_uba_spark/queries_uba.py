@@ -540,6 +540,14 @@ def q_stickiness_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the real day list). stickiness_pm = dau * 1000 DIV wau —
     integer-exact across engines."""
     ev = load_table(spark, sf_dir, "events")
+    # the deduped (day, user) frame feeds THREE consumers (day list,
+    # dau, wau); without the (lazy) localCheckpoint Spark re-runs the
+    # raw-event scan + dedup shuffle once per branch — ReuseExchange
+    # does not fire across them (verified on the executed plan: 6
+    # scans, 0 reused). Same bounded-frame discipline as
+    # heavy_hitters_cms: |days x users| is ~1e9 rows/year at 1e8 MAU,
+    # executor-storage scale, while the raw events it replaces are the
+    # 100 TB side.
     du = (
         ev.select(F.date_trunc("day", "ts").cast("date").alias("d"), "user_id")
         .distinct()
@@ -548,6 +556,7 @@ def q_stickiness_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").cast("string").alias("day"),
             "user_id",
         )
+        .localCheckpoint(eager=False)
     )
     days = du.select("di", "day").distinct()
     dau = du.groupBy("di").agg(F.countDistinct("user_id").alias("dau"))
@@ -644,6 +653,10 @@ def q_churned_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no churn signal yet). One dedup shuffle + one join on the
     deduped table — nothing touches raw event rows twice."""
     ev = load_table(spark, sf_dir, "events")
+    # four consumers (shifted copy, anti-join probe, active counts,
+    # successor-week list) — materialize the bounded (week, user)
+    # dedup once (see q_stickiness_wau's note; 8 scans / 0 reused
+    # without it)
     au = (
         ev.select(
             F.expr(
@@ -653,6 +666,7 @@ def q_churned_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     nxt = au.select((F.col("wk") - 1).alias("wk"), "user_id")
     churned = au.join(nxt, ["wk", "user_id"], "left_anti")

@@ -61,6 +61,12 @@ HEAVY = [
     "event_type_pivot",
     "zorder_keys",
     "dedup_minhash_against",
+    "user_rfm",
+    "event_transitions",
+    "ann_topk_pq",
+    "stickiness_wau",
+    "event_paths_topk",
+    "churned_weekly",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
