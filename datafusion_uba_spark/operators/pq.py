@@ -68,7 +68,12 @@ __all__ = [
     "train_pq",
     "pq_encode",
     "pq_topk",
+    "pq_build_index",
+    "pq_topk_from_index",
+    "drop_pq_index",
 ]
+
+_PQ_META_SUFFIX = "__pq_meta"
 
 
 def _unit_quant_sql(vec_col: str) -> str:
@@ -418,4 +423,91 @@ def pq_topk(
         "rank",
         "vec_id",
         F.floor(F.col("__cos") * 1_000_000).cast("long").alias("cosine_u"),
+    )
+
+
+def pq_build_index(
+    data: DataFrame,
+    table: str,
+    model: dict,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_buckets: int | None = None,
+) -> None:
+    """Persist the PQ index: encode every vector ONCE and write the
+    (vec_id, cell, codes) table to the catalog, bucketed by ``cell``
+    (one bucket file group per coarse cell, n_buckets defaults to
+    n_cells), plus a one-row ``<table>__pq_meta`` companion holding
+    the FULL model JSON — the same stored-index metadata discipline as
+    ivf_build_index: pq_topk_from_index reads the model back from the
+    metadata, so a probe can never run against codes from a different
+    model (the silent-low-recall footgun the IVF round-6 advisor
+    finding closed).
+
+    This is the steady-state 100 TB shape: the m*k-dot encode cost is
+    paid at WRITE time, daily probes scan ~8 bytes/vector of codes,
+    and the full-precision corpus is touched only for the re-rank
+    join. Write once, probe daily."""
+    import json as _json
+
+    from datafusion_uba_spark.sources import write_bucketed
+
+    codes = pq_encode(data, model, vec_col, id_col)
+    write_bucketed(codes, table, "cell", n_buckets or model["n_cells"])
+    spark = data.sparkSession
+    meta = spark.createDataFrame(
+        [(
+            int(model["dim"]), int(model["m"]), int(model["k"]),
+            int(model["n_cells"]), _json.dumps(model),
+        )],
+        "dim int, m int, k int, n_cells int, model_json string",
+    )
+    meta.write.mode("overwrite").format("parquet").saveAsTable(
+        table + _PQ_META_SUFFIX
+    )
+
+
+def drop_pq_index(spark, table: str) -> None:
+    """Drop a persisted PQ index and its metadata companion."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}{_PQ_META_SUFFIX}")
+
+
+def pq_topk_from_index(
+    spark,
+    table: str,
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    refine: int = 32,
+    n_probe: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """ADC top-k against a pq_build_index table: the model rides in
+    the index's metadata companion (never caller-supplied, so codes
+    and model cannot diverge), the codes table is the scan side, and
+    ``data`` supplies full-precision vectors for the exact re-rank
+    only. ``dim`` (optional) cross-checks the caller's expectation
+    against the stored geometry and raises on mismatch."""
+    import json as _json
+
+    try:
+        meta = spark.table(table + _PQ_META_SUFFIX).collect()[0]
+    except Exception as exc:  # noqa: BLE001 - surface a clear contract error
+        raise ValueError(
+            f"pq_topk_from_index: no metadata table for index {table!r} "
+            f"(build it with pq_build_index): {exc}"
+        ) from None
+    if dim is not None and int(meta["dim"]) != int(dim):
+        raise ValueError(
+            f"pq_topk_from_index: index {table!r} stores dim="
+            f"{meta['dim']}, caller expects dim={dim}"
+        )
+    model = _json.loads(meta["model_json"])
+    codes = spark.table(table).select("vec_id", "cell", "codes")
+    return pq_topk(
+        data, queries, model, k=k, refine=refine, n_probe=n_probe,
+        vec_col=vec_col, id_col=id_col, codes=codes,
     )

@@ -280,6 +280,41 @@ def test_pq_residual_beats_raw(fixture):
     assert rec_raw <= rec_resid - 0.1, (rec_raw, rec_resid)
 
 
+def test_pq_index_build_probe_roundtrip(fixture, spark):
+    """The steady-state path: pq_build_index persists codes (bucketed
+    by cell) + the model in a metadata companion; pq_topk_from_index
+    reads the model BACK FROM the metadata (so codes and model cannot
+    diverge) and returns exactly what a live pq_topk with that model
+    returns. A geometry mismatch at probe raises instead of silently
+    returning low-recall results — the same stored-index contract as
+    the IVF index."""
+    import pytest as _pytest
+
+    from datafusion_uba_spark.operators import pq
+
+    ddf, qdf, _ = fixture
+    model = pq.train_pq(
+        ddf, dim=DIM, n_cells=64, m=8, k=16, iters=2,
+        train_sample=2048, n_rows=N,
+    )
+    table = "pq_idx_roundtrip"
+    pq.pq_build_index(ddf, table, model)
+    try:
+        live = pq.pq_topk(ddf, qdf, model, k=K, refine=16)
+        stored = pq.pq_topk_from_index(
+            spark, table, ddf, qdf, k=K, refine=16, dim=DIM
+        )
+        a = {tuple(r) for r in live.collect()}
+        b = {tuple(r) for r in stored.collect()}
+        assert a == b and len(a) > 0
+        with _pytest.raises(ValueError, match="dim"):
+            pq.pq_topk_from_index(spark, table, ddf, qdf, k=K, dim=32)
+        with _pytest.raises(ValueError, match="metadata"):
+            pq.pq_topk_from_index(spark, "no_such_pq_index", ddf, qdf, k=K)
+    finally:
+        pq.drop_pq_index(spark, table)
+
+
 def test_pq_n_probe_prunes_cells(fixture):
     """IVF pruning in the compressed domain: with n_probe set, a code
     row is scored only if its cell ranks in the query's best n_probe
