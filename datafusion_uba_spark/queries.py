@@ -965,6 +965,7 @@ _DRIVER_PRIORITY = [
     "stickiness_wau",
     "event_paths_topk",
     "churned_weekly",
+    "moving_value_frames",
     "sessionize",
     "hourly_event_counts",
     "funnel_steps",

@@ -709,6 +709,72 @@ WHERE EXISTS (SELECT 1 FROM au b WHERE b.wk = a.wk + 1)
 """
 
 
+def q_moving_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded window FRAMES — the analytic surface order_ranks'
+    unbounded running sum does not cover: a 7-ROW moving sum vs a
+    7-DAY RANGE moving sum over a deliberately GAPPED daily series
+    (days below the event type's average are dropped first, via a
+    window avg), where the two frame semantics genuinely diverge —
+    the ROWS frame reaches back over gaps, the RANGE frame does not.
+    All sums in exact integer cents; one (event_type)-partitioned sort
+    serves both frames, and the day-level pre-aggregate keeps the
+    window input at |types x days| scale regardless of event volume."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        # long, not datediff's int: DuckDB's datediff is BIGINT and the
+        # driver hash is type-sensitive
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).cast("long").alias("di"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("day_cents")
+    )
+    busy = daily.withColumn(
+        "__avg", F.avg("day_cents").over(Window.partitionBy("event_type"))
+    ).where(F.col("day_cents") > F.col("__avg"))
+    w = Window.partitionBy("event_type").orderBy("di")
+    w_rows = w.rowsBetween(-6, 0)
+    w_range = w.rangeBetween(-6, 0)
+    return busy.select(
+        "event_type",
+        "di",
+        "day_cents",
+        F.sum("day_cents").over(w_rows).alias("moving7_rows_cents"),
+        F.sum("day_cents").over(w_range).alias("moving7_range_cents"),
+    )
+
+
+_ORACLE_MOVING_VALUE_FRAMES = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01',
+                  CAST(date_trunc('day', ts) AS DATE)) AS di,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS day_cents
+  FROM events GROUP BY 1, 2
+),
+busy AS (
+  SELECT * FROM (
+    SELECT event_type, di, day_cents,
+           avg(day_cents) OVER (PARTITION BY event_type) AS a
+    FROM daily
+  ) WHERE day_cents > a
+)
+SELECT event_type, di, day_cents,
+       CAST(sum(day_cents) OVER (PARTITION BY event_type ORDER BY di
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS moving7_rows_cents,
+       CAST(sum(day_cents) OVER (PARTITION BY event_type ORDER BY di
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS moving7_range_cents
+FROM busy
+"""
+
+
 UBA_REGISTRY: dict = {
     "daily_active_users": (q_daily_active_users, _ORACLE_DAU),
     "daily_active_users_hll": (q_daily_active_users_hll, None),
@@ -728,4 +794,5 @@ UBA_REGISTRY: dict = {
     "stickiness_wau": (q_stickiness_wau, _ORACLE_STICKINESS_WAU),
     "event_paths_topk": (q_event_paths_topk, _ORACLE_EVENT_PATHS),
     "churned_weekly": (q_churned_weekly, _ORACLE_CHURNED_WEEKLY),
+    "moving_value_frames": (q_moving_value_frames, _ORACLE_MOVING_VALUE_FRAMES),
 }

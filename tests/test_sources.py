@@ -157,6 +157,28 @@ def test_write_partitioned_prunes_directories(spark, sf_dir, tmp_path):
     assert back.count() == want and want > 0
 
 
+def test_bucketed_overwrite_known_table_and_qualified_names(spark, sf_dir):
+    """r7 ADVICE: overwrite used to guess the table location as
+    warehouse/<name> — wrong for db-qualified names (db.tbl lives at
+    wh/db.db/tbl), and it rmtree'd paths the catalog still owned. Now
+    a catalog-known table is dropped THROUGH the catalog (no path
+    guessing), so repeated overwrites work for bare AND qualified
+    names, and the second write fully replaces the first."""
+    ev = sources.load_table(spark, sf_dir, "events")
+    small = ev.selectExpr("user_id", "event_id").limit(100)
+    smaller = ev.selectExpr("user_id", "event_id").limit(37)
+    spark.sql("CREATE DATABASE IF NOT EXISTS ovw_db")
+    try:
+        for table in ("ovw_plain", "ovw_db.ovw_tbl"):
+            sources.write_bucketed(small, table, "user_id", 4)
+            sources.write_bucketed(smaller, table, "user_id", 4)
+            assert spark.table(table).count() == 37, table
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ovw_plain")
+        spark.sql("DROP TABLE IF EXISTS ovw_db.ovw_tbl")
+        spark.sql("DROP DATABASE IF EXISTS ovw_db")
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """write_bucketed's contract: two tables bucketed on the join key
     join with ZERO Exchange operators in the physical plan — the
