@@ -40,6 +40,7 @@ __all__ = [
     "streaming_user_day_flags",
     "streaming_funnel_flags",
     "streaming_exact_dedup",
+    "streaming_minhash_dedup_against",
     "heavy_hitter_cells",
     "run_to_memory",
 ]
@@ -440,6 +441,147 @@ def streaming_exact_dedup(
             time_col, watermark
         ).dropDuplicatesWithinWatermark(["fingerprint"])
     return with_fp.dropDuplicates(["fingerprint"])
+
+
+def streaming_minhash_dedup_against(
+    docs: DataFrame,
+    corpus: DataFrame,
+    corpus_index: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str | None = None,
+    watermark: str | None = None,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Streaming NEAR-dup ingest against a persisted corpus: the
+    streaming form of dedup.minhash_dedup_against — incoming documents
+    are shingled/signed/banded with stateless narrow maps, candidates
+    come from a STREAM-STATIC equi-join on (band_id, band_sig) against
+    the corpus band index, and the exact-Jaccard verify is a second
+    stream-static join that touches corpus shingles only for candidate
+    doc_ids. This is the crawl-ingest steady state: the corpus index
+    is built once per generation (dedup.minhash_index, ideally
+    bucketed), and every arriving document is checked without ever
+    rescanning or re-hashing the corpus.
+
+    The only stateful step is collapsing multi-band candidate
+    duplicates (a pair matching in k bands appears k times):
+    dropDuplicatesWithinWatermark keyed on (doc_id, dup_of). The state
+    is exactly right-sized — a pair can only recur at its document's
+    single arrival time, so state drops as soon as the watermark
+    passes it. Unbounded streams therefore MUST pass (time_col,
+    watermark), same contract as streaming_exact_dedup; batch frames
+    may pass neither (plain dropDuplicates).
+
+    Output matches the batch op: (doc_id, dup_of, jaccard_bp) for
+    every arriving document whose exact shingle Jaccard against some
+    corpus document clears ``threshold`` (streamed in append mode once
+    the watermark passes; the batch twin parity is pinned by
+    tests/test_streaming.py).
+    """
+    from datafusion_uba_spark.operators.dedup import (
+        _shingle_df,
+        minhash_index,
+        minhash_signature,
+    )
+    from datafusion_uba_spark.operators.text import (
+        normalize_text,
+        shingles_from_tokens,
+        tokens_from_norm,
+    )
+
+    if num_perm % bands != 0:
+        raise ValueError("bands must divide num_perm")
+    if (time_col is None) != (watermark is None):
+        raise ValueError(
+            "streaming_minhash_dedup_against: pass BOTH time_col and "
+            "watermark (bounded state) or NEITHER (batch / explicitly "
+            "unbounded)"
+        )
+    if docs.isStreaming and time_col is None:
+        raise ValueError(
+            "streaming_minhash_dedup_against on a stream requires "
+            "(time_col, watermark): the multi-band candidate collapse "
+            "would otherwise keep one state entry per (doc, match) pair "
+            "forever"
+        )
+    if corpus_index is None:
+        corpus_index = minhash_index(
+            corpus, text_col, id_col, n, num_perm, bands, hash_family
+        )
+
+    tcols = [F.col(time_col).alias("__t")] if time_col is not None else []
+    s0 = docs.select(
+        F.col(id_col).alias("__id"),
+        *tcols,
+        normalize_text(text_col).alias("__norm"),
+    )
+    carried = ["__id"] + (["__t"] if time_col is not None else [])
+    s1 = s0.select(
+        *carried, tokens_from_norm(F.col("__norm")).alias("__toks")
+    ).where(F.size("__toks") >= n)
+    sh = s1.select(
+        *carried, shingles_from_tokens(F.col("__toks"), n).alias("__sh")
+    )
+    sig = sh.select(
+        *carried,
+        "__sh",
+        minhash_signature(F.col("__sh"), num_perm, hash_family).alias(
+            "__sig"
+        ),
+    )
+    rows = num_perm // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.slice("__sig", bi * rows + 1, rows).alias("band_sig"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select(
+        *carried, "__sh", F.explode(band_structs).alias("__b")
+    ).select(
+        *carried,
+        "__sh",
+        F.col("__b.band_id").alias("__inc_band"),
+        F.col("__b.band_sig").alias("__inc_sig"),
+    )
+    # the shingle array RIDES THROUGH the candidate join so the verify
+    # never has to re-join the stream to itself (a stream-stream join)
+    cand = banded.join(
+        corpus_index,
+        (F.col("__inc_band") == F.col("band_id"))
+        & (F.col("__inc_sig") == F.col("band_sig")),
+    ).select(
+        F.col("__id").alias("doc_id"),
+        *([F.col("__t")] if time_col is not None else []),
+        "__sh",
+        F.col(id_col).alias("dup_of"),
+    )
+    if time_col is not None:
+        cand = cand.withWatermark(
+            "__t", watermark
+        ).dropDuplicatesWithinWatermark(["doc_id", "dup_of"])
+    else:
+        cand = cand.dropDuplicates(["doc_id", "dup_of"])
+
+    cor_sh = _shingle_df(corpus, text_col, id_col, n).select(
+        F.col("__id").alias("dup_of"), F.col("__sh").alias("__shc")
+    )
+    inter = F.size(F.array_intersect("__sh", "__shc"))
+    union = F.size("__sh") + F.size("__shc") - inter
+    jac_bp = F.floor((inter * 10000) / union).cast("long")
+    return (
+        cand.join(cor_sh, "dup_of")
+        .select("doc_id", "dup_of", jac_bp.alias("jaccard_bp"))
+        .where(F.col("jaccard_bp") >= int(round(threshold * 10000)))
+    )
 
 
 def heavy_hitter_cells(

@@ -578,3 +578,90 @@ def test_daily_active_users_parity(spark, batch_events):
     }
     for day, est in got:
         assert abs(est - exact[day]) / max(exact[day], 1) < 0.05
+
+
+def test_streaming_minhash_dedup_against_parity(spark, tmp_path):
+    """The crawl-ingest steady state, streamed: an increment of
+    documents (20 verbatim copies of corpus docs under new ids + 5
+    genuinely new docs) flows through a file stream into
+    streaming_minhash_dedup_against with the persisted corpus band
+    index; the emitted (doc_id, dup_of, jaccard_bp) rows must equal
+    the batch minhash_dedup_against over the same files — Spark's
+    incrementalizer and the watermarked multi-band collapse are the
+    only differences. The new docs must NOT match."""
+    from datafusion_uba_spark.operators.dedup import (
+        minhash_dedup_against,
+        minhash_index,
+    )
+    from datafusion_uba_spark.streaming import (
+        streaming_minhash_dedup_against,
+    )
+
+    corpus = load_table(spark, SF_DIR, "documents")
+    dups = corpus.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    fresh = spark.createDataFrame(
+        [
+            (2_000_000 + i, f"utterly novel text number {i} " * 8)
+            for i in range(5)
+        ],
+        "doc_id long, text string",
+    ).select(
+        "doc_id", "text",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    inc_dir = str(tmp_path / "increment")
+    dups.unionByName(fresh).write.parquet(inc_dir)
+
+    idx = minhash_index(corpus)
+    inc_batch = spark.read.parquet(inc_dir)
+    want = {
+        (r.doc_id, r.dup_of, r.jaccard_bp)
+        for r in minhash_dedup_against(
+            inc_batch, corpus, corpus_index=idx
+        ).collect()
+    }
+    assert want, "expected the copied docs to match the corpus"
+    assert all(d < 2_000_000 for d, _, _ in want)  # new docs don't match
+
+    # batch frame through the SAME helper (no watermark path)
+    batch_got = {
+        (r.doc_id, r.dup_of, r.jaccard_bp)
+        for r in streaming_minhash_dedup_against(
+            inc_batch, corpus, corpus_index=idx
+        ).collect()
+    }
+    assert batch_got == want
+
+    schema = spark.read.parquet(inc_dir).schema
+    sdocs = spark.readStream.schema(schema).parquet(inc_dir)
+    out = streaming_minhash_dedup_against(
+        sdocs, corpus, corpus_index=idx, time_col="ts", watermark="1 hour"
+    )
+    run_to_memory(out, "minhash_ingest", output_mode="append")
+    got = {
+        (r.doc_id, r.dup_of, r.jaccard_bp)
+        for r in spark.table("minhash_ingest").collect()
+    }
+    assert got == want
+
+
+def test_streaming_minhash_dedup_guards(spark):
+    from datafusion_uba_spark.streaming import (
+        streaming_minhash_dedup_against,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="BOTH"):
+        streaming_minhash_dedup_against(docs, docs, time_col="ts")
+    with pytest.raises(ValueError, match="bands must divide"):
+        streaming_minhash_dedup_against(docs, docs, num_perm=64, bands=7)
+    sdocs = (
+        spark.readStream.schema(docs.schema)
+        .parquet("/root/testdata/sf0.001")
+    )
+    with pytest.raises(ValueError, match="requires"):
+        streaming_minhash_dedup_against(sdocs, docs)
