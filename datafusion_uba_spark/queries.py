@@ -966,6 +966,7 @@ _DRIVER_PRIORITY = [
     "event_paths_topk",
     "churned_weekly",
     "moving_value_frames",
+    "ann_topk_auto",
     "sessionize",
     "hourly_event_counts",
     "funnel_steps",

@@ -830,6 +830,18 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_lsh(emb, _query_vectors(emb), k=_TOPK)
 
 
+def q_ann_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production entry point itself as a driver-checked row: at
+    the correctness corpus size (500 << flat_threshold) the dispatcher
+    must choose the flat scan, so the flat oracle IS its oracle — a
+    wrong plan choice (index regime on a tiny corpus) would change the
+    result set and hash-fail. The other two regimes' exactness is
+    pinned by the dispatch tests (tests/test_ann_clustered.py,
+    tests/test_llm_ops.py)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ann_topk_auto(emb, _query_vectors(emb), k=_TOPK)
+
+
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return similarity.ivf_topk(emb, _query_vectors(emb), k=_TOPK)
@@ -1372,6 +1384,7 @@ LLM_REGISTRY: dict = {
     "ann_topk_lsh": (q_ann_topk_lsh, _oracle_ann_topk_lsh()),
     "ann_topk_ivf": (q_ann_topk_ivf, _oracle_ann_topk_ivf()),
     "ann_topk_pq": (q_ann_topk_pq, _oracle_ann_topk_pq()),
+    "ann_topk_auto": (q_ann_topk_auto, _ORACLE_ANN_TOPK),
     "embedding_neardup": (q_embedding_neardup, _oracle_embedding_neardup()),
     "multimodal_stats": (q_multimodal_stats, _ORACLE_MULTIMODAL),
 }

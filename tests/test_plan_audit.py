@@ -29,6 +29,9 @@ from datafusion_uba_spark.queries import queries
 # equi-join
 _NLJ_ALLOWED = {
     "ann_topk",
+    # the dispatcher in its flat regime IS ann_topk (same broadcast
+    # scorer crossJoin)
+    "ann_topk_auto",
     # the designed broadcast ADC scorer: compressed code rows x the
     # broadcast per-query LUT table (operators/pq.py pq_topk) — the
     # corpus side is ~8 bytes/row codes, never the vectors
