@@ -967,6 +967,8 @@ _DRIVER_PRIORITY = [
     "churned_weekly",
     "moving_value_frames",
     "ann_topk_auto",
+    # changed this round (common_shingles int->long): re-verify
+    "dedup_ngram_jaccard",
     "sessionize",
     "hourly_event_counts",
     "funnel_steps",
