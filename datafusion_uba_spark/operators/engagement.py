@@ -1,0 +1,108 @@
+"""Rolling-distinct engagement operators: stickiness (DAU / trailing
+WAU) and weekly churn.
+
+The shared scale problem: COUNT(DISTINCT) is not algebraic over a
+sliding frame, so a window aggregate can't express "distinct users in
+the trailing 7 days" and a day-range band join would plan a
+nested-loop. The operators here use the two shapes that stay
+equi-keyed at any scale:
+
+- **explode-to-anchors** (stickiness): each deduped (day, user) row is
+  exploded into the <= W anchor days it contributes to, then a plain
+  hash aggregate counts distinct users per anchor. The xW blowup rides
+  on |days x users| — the already-deduped frame, ~1e9 rows/year at
+  1e8 MAU — never on raw events.
+- **shifted anti-join** (churn): activity in week w left-anti-joined
+  against itself shifted by one week, all on (wk, user) equi-keys.
+
+Both dedup the raw activity ONCE into a lazily localCheckpointed
+frame: the deduped table feeds several consumers and ReuseExchange
+does not fire across those branches (measured: 6-8 raw scans per
+query without it — see the registry rows' history).
+
+Consumed by the batch registry rows (queries_uba.q_stickiness_wau /
+q_churned_weekly, DuckDB-oracle-checked at sf0.01) and pinned against
+naive Python set models on generated activity in
+tests/test_properties.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["stickiness_wau", "weekly_churn"]
+
+
+def stickiness_wau(
+    activity: DataFrame,
+    day_col: str = "di",
+    id_col: str = "user_id",
+    window: int = 7,
+) -> DataFrame:
+    """(di, dau, wau, stickiness_pm) per active day: exact DAU,
+    exact trailing-``window``-day distinct actives, and the integer
+    milli-ratio dau*1000 DIV wau (exact across engines — no float
+    division). ``activity`` is (integer day index, user id) rows,
+    duplicates welcome; only days present in the data are reported."""
+    du = (
+        activity.select(
+            F.col(day_col).cast("long").alias("di"),
+            F.col(id_col).alias("__u"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dau = du.groupBy("di").agg(F.countDistinct("__u").alias("dau"))
+    wau = (
+        du.withColumn(
+            "adi", F.explode(F.expr(f"sequence(di, di + {int(window) - 1})"))
+        )
+        .groupBy("adi")
+        .agg(F.countDistinct("__u").alias("wau"))
+    )
+    days = du.select("di").distinct()
+    return (
+        days.join(dau, "di")
+        .join(wau, days.di == wau.adi)
+        .selectExpr(
+            "di", "dau", "wau",
+            "CAST((dau * 1000) DIV wau AS BIGINT) AS stickiness_pm",
+        )
+    )
+
+
+def weekly_churn(
+    activity: DataFrame,
+    week_col: str = "wk",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """(wk, n_active, n_churned) per activity week: how many of the
+    week's active users have NO activity in the following week. Only
+    weeks with a successor week in the data are reported (the trailing
+    week has no churn signal yet). ``activity`` is (integer week
+    index, user id) rows, duplicates welcome."""
+    au = (
+        activity.select(
+            F.col(week_col).cast("long").alias("wk"),
+            F.col(id_col).alias("__u"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nxt = au.select((F.col("wk") - 1).alias("wk"), "__u")
+    churned = au.join(nxt, ["wk", "__u"], "left_anti")
+    n_active = au.groupBy("wk").agg(F.count(F.lit(1)).alias("n_active"))
+    n_churned = churned.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("n_churned")
+    )
+    weeks_with_next = au.select((F.col("wk") - 1).alias("wk")).distinct()
+    return (
+        n_active.join(weeks_with_next, "wk", "left_semi")
+        .join(n_churned, "wk", "left")
+        .select(
+            "wk",
+            "n_active",
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+    )

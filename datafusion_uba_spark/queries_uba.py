@@ -539,39 +539,26 @@ def q_stickiness_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     trivial. Anchors keep only days that exist in the data (inner join
     with the real day list). stickiness_pm = dau * 1000 DIV wau —
     integer-exact across engines."""
+    from datafusion_uba_spark.operators.engagement import stickiness_wau
+
     ev = load_table(spark, sf_dir, "events")
-    # the deduped (day, user) frame feeds THREE consumers (day list,
-    # dau, wau); without the (lazy) localCheckpoint Spark re-runs the
-    # raw-event scan + dedup shuffle once per branch — ReuseExchange
-    # does not fire across them (verified on the executed plan: 6
-    # scans, 0 reused). Same bounded-frame discipline as
-    # heavy_hitters_cms: |days x users| is ~1e9 rows/year at 1e8 MAU,
-    # executor-storage scale, while the raw events it replaces are the
-    # 100 TB side.
-    du = (
-        ev.select(F.date_trunc("day", "ts").cast("date").alias("d"), "user_id")
-        .distinct()
-        .select(
-            F.datediff("d", F.lit("2024-01-01").cast("date")).alias("di"),
-            F.col("d").cast("string").alias("day"),
-            "user_id",
-        )
-        .localCheckpoint(eager=False)
+    du = ev.select(
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("di"),
+        "user_id",
     )
-    days = du.select("di", "day").distinct()
-    dau = du.groupBy("di").agg(F.countDistinct("user_id").alias("dau"))
-    wau = (
-        du.withColumn("adi", F.explode(F.expr("sequence(di, di + 6)")))
-        .groupBy("adi")
-        .agg(F.countDistinct("user_id").alias("wau"))
-    )
-    return (
-        days.join(dau, "di")
-        .join(wau, days.di == wau.adi)
-        .selectExpr(
-            "day", "dau", "wau",
-            "CAST((dau * 1000) DIV wau AS BIGINT) AS stickiness_pm",
-        )
+    res = stickiness_wau(du)
+    # the day label is a pure function of the day index — derived, not
+    # joined back to the events scan
+    return res.select(
+        F.expr(
+            "CAST(date_add(DATE '2024-01-01', CAST(di AS INT)) AS STRING)"
+        ).alias("day"),
+        "dau",
+        "wau",
+        "stickiness_pm",
     )
 
 
@@ -651,39 +638,20 @@ def q_churned_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides share the (wk, user) layout), count per week; only weeks
     with a successor week in the data are reported (the trailing week
     has no churn signal yet). One dedup shuffle + one join on the
-    deduped table — nothing touches raw event rows twice."""
+    deduped table — nothing touches raw event rows twice. The pipeline
+    lives in operators/engagement.py (property-pinned vs a Python set
+    model); this row binds it to the events table."""
+    from datafusion_uba_spark.operators.engagement import weekly_churn
+
     ev = load_table(spark, sf_dir, "events")
-    # four consumers (shifted copy, anti-join probe, active counts,
-    # successor-week list) — materialize the bounded (week, user)
-    # dedup once (see q_stickiness_wau's note; 8 scans / 0 reused
-    # without it)
-    au = (
-        ev.select(
-            F.expr(
-                "CAST(datediff(CAST(date_trunc('day', ts) AS DATE), "
-                "DATE '2024-01-01') DIV 7 AS BIGINT)"
-            ).alias("wk"),
-            "user_id",
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
+    au = ev.select(
+        F.expr(
+            "CAST(datediff(CAST(date_trunc('day', ts) AS DATE), "
+            "DATE '2024-01-01') DIV 7 AS BIGINT)"
+        ).alias("wk"),
+        "user_id",
     )
-    nxt = au.select((F.col("wk") - 1).alias("wk"), "user_id")
-    churned = au.join(nxt, ["wk", "user_id"], "left_anti")
-    n_active = au.groupBy("wk").agg(F.count(F.lit(1)).alias("n_active"))
-    n_churned = churned.groupBy("wk").agg(
-        F.count(F.lit(1)).alias("n_churned")
-    )
-    weeks_with_next = au.select((F.col("wk") - 1).alias("wk")).distinct()
-    return (
-        n_active.join(weeks_with_next, "wk", "left_semi")
-        .join(n_churned, "wk", "left")
-        .select(
-            "wk",
-            "n_active",
-            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
-        )
-    )
+    return weekly_churn(au)
 
 
 _ORACLE_CHURNED_WEEKLY = """

@@ -364,3 +364,67 @@ def test_bucket_shift_matches_duckdb_bin_length(lo, span, bits):
     ).fetchone()[0]
     assert s_py == s_sql, (lo, hi, bits)
     assert (hi - lo) >> s_py < (1 << bits)
+
+
+# --- rolling-distinct engagement vs set models ------------------------------
+
+_activity = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 13)),  # (user, day)
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(pairs=_activity)
+@settings(**_SETTINGS)
+def test_stickiness_matches_model(spark, pairs):
+    """stickiness_wau (explode-to-anchor-days rolling distinct) vs the
+    naive per-day set model — generated activity includes gapped days,
+    single-day users, and duplicate rows."""
+    from datafusion_uba_spark.operators.engagement import stickiness_wau
+
+    df = spark.createDataFrame(
+        [(u, d) for u, d in pairs], "user_id long, di long"
+    )
+    got = {
+        (r.di, r.dau, r.wau, r.stickiness_pm)
+        for r in stickiness_wau(df).collect()
+    }
+    act = set(pairs)
+    days = sorted({d for _, d in act})
+    want = set()
+    for d in days:
+        dau = len({u for u, dd in act if dd == d})
+        wau = len({u for u, dd in act if d - 6 <= dd <= d})
+        want.add((d, dau, wau, dau * 1000 // wau))
+    assert got == want
+
+
+@given(pairs=st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 5)),  # (user, week)
+    min_size=1,
+    max_size=30,
+))
+@settings(**_SETTINGS)
+def test_weekly_churn_matches_model(spark, pairs):
+    """weekly_churn (shifted left-anti self-join) vs the naive
+    week-set model; only weeks with a successor week are reported."""
+    from datafusion_uba_spark.operators.engagement import weekly_churn
+
+    df = spark.createDataFrame(
+        [(u, w) for u, w in pairs], "user_id long, wk long"
+    )
+    got = {
+        (r.wk, r.n_active, r.n_churned)
+        for r in weekly_churn(df).collect()
+    }
+    act = set(pairs)
+    weeks = {w for _, w in act}
+    want = set()
+    for w in sorted(weeks):
+        if w + 1 not in weeks:
+            continue
+        active = {u for u, ww in act if ww == w}
+        nxt = {u for u, ww in act if ww == w + 1}
+        want.add((w, len(active), len(active - nxt)))
+    assert got == want
