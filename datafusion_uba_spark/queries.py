@@ -969,6 +969,7 @@ _DRIVER_PRIORITY = [
     "ann_topk_auto",
     # changed this round (common_shingles int->long): re-verify
     "dedup_ngram_jaccard",
+    "length_quantiles_approx",
     "sessionize",
     "hourly_event_counts",
     "funnel_steps",

@@ -492,6 +492,30 @@ FROM documents GROUP BY lang
 """
 
 
+def q_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path the exact row anchors:
+    ``approx_percentile`` (Greenwald-Khanna sketch — mergeable partial
+    state, one shuffle of sketch summaries instead of a per-group
+    sort). Deterministic for a fixed accuracy but not replayable in
+    DuckDB (different sketch), so this is a rows-only driver row —
+    the exact twin ``length_quantiles`` is the correctness anchor,
+    and the <=1%-rank error bound against it is pinned in
+    tests/test_llm_ops.py (same exact-vs-approx discipline as DAU-HLL
+    and cosine-vs-LSH)."""
+    docs = _docs(spark, sf_dir)
+    n_chars = F.length(text_ops.normalize_text("text"))
+    return (
+        docs.select("lang", n_chars.alias("__n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("approx_percentile(__n, 0.5, 10000)").alias("p50"),
+            F.expr("approx_percentile(__n, 0.9, 10000)").alias("p90"),
+            F.expr("approx_percentile(__n, 0.99, 10000)").alias("p99"),
+        )
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return text_ops.vocab_topk(docs, k=100)
@@ -1361,6 +1385,7 @@ LLM_REGISTRY: dict = {
     "tfidf_keywords": (q_tfidf_keywords, _ORACLE_TFIDF),
     "vocab_topk": (q_vocab_topk, _ORACLE_VOCAB_TOPK),
     "length_quantiles": (q_length_quantiles, _ORACLE_LENGTH_QUANTILES),
+    "length_quantiles_approx": (q_length_quantiles_approx, None),
     "redact_pii": (q_redact_pii, _oracle_redact_pii()),
     "boilerplate_stats": (q_boilerplate_stats, _ORACLE_BOILERPLATE),
     "chunk_documents": (q_chunk_documents, _oracle_chunk_documents()),

@@ -1053,21 +1053,15 @@ def test_approx_percentile_tracks_exact_quantiles(spark, sf_dir):
     against the exact percentile aggregate on the same column — p50/p90
     within 5% relative, p99 within 10% (tail accuracy is what the
     accuracy parameter buys; 10000 is Spark's default)."""
-    from datafusion_uba_spark.queries_llm import q_length_quantiles
+    from datafusion_uba_spark.queries_llm import (
+        q_length_quantiles,
+        q_length_quantiles_approx,
+    )
 
     exact = {r.lang: r for r in q_length_quantiles(spark, sf_dir).collect()}
-    docs = load_table(spark, sf_dir, "documents")
-    n = F.length(text_ops.normalize_text("text"))
     approx = {
         r.lang: r
-        for r in docs.select("lang", n.alias("__n"))
-        .groupBy("lang")
-        .agg(
-            F.expr("approx_percentile(__n, 0.5, 10000)").alias("p50"),
-            F.expr("approx_percentile(__n, 0.9, 10000)").alias("p90"),
-            F.expr("approx_percentile(__n, 0.99, 10000)").alias("p99"),
-        )
-        .collect()
+        for r in q_length_quantiles_approx(spark, sf_dir).collect()
     }
     assert set(exact) == set(approx)
     for lang, e in exact.items():
