@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["stickiness_wau", "weekly_churn"]
+__all__ = ["stickiness_wau", "stickiness_wau_hll", "weekly_churn"]
 
 
 def stickiness_wau(
@@ -69,6 +69,49 @@ def stickiness_wau(
             "di", "dau", "wau",
             "CAST((dau * 1000) DIV wau AS BIGINT) AS stickiness_pm",
         )
+    )
+
+
+def stickiness_wau_hll(
+    activity: DataFrame,
+    day_col: str = "di",
+    id_col: str = "user_id",
+    window: int = 7,
+    lgk: int = 12,
+) -> DataFrame:
+    """The 100 TB stickiness path: ONE pass builds a 4 KiB DataSketches
+    HLL per day (`hll_sketch_agg` — mergeable partial state, so the
+    raw events map-combine down to |days| sketch rows), then the
+    trailing-``window`` WAU is `hll_union_agg` over a RANGE frame on
+    the day index — sketches union losslessly, and the RANGE frame
+    (not ROWS) keeps calendar semantics across gapped days. The
+    windowed union runs over the |days|-row sketch table (365
+    rows/year — driver-trivial no matter the event volume), which is
+    the whole point: the exact twin's explode-to-anchors rides on
+    |days x users|, this rides on |days|.
+
+    Same exact-vs-approx discipline as daily_active_users_hll: the
+    exact twin (stickiness_wau) is the correctness anchor, the <2%
+    error pin lives in tests/test_llm_ops.py, and the registry row is
+    rows-only (DuckDB has no DataSketches twin)."""
+    from pyspark.sql import Window
+
+    per_day = (
+        activity.select(
+            F.col(day_col).cast("long").alias("di"),
+            F.col(id_col).alias("__u"),
+        )
+        .groupBy("di")
+        .agg(F.hll_sketch_agg("__u", F.lit(lgk)).alias("__sk"))
+    )
+    w = Window.orderBy("di").rangeBetween(-(int(window) - 1), 0)
+    return per_day.select(
+        "di",
+        F.hll_sketch_estimate("__sk").alias("dau"),
+        F.hll_sketch_estimate(F.hll_union_agg("__sk").over(w)).alias("wau"),
+    ).selectExpr(
+        "di", "dau", "wau",
+        "CAST((dau * 1000) DIV wau AS BIGINT) AS stickiness_pm",
     )
 
 

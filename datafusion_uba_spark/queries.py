@@ -970,6 +970,7 @@ _DRIVER_PRIORITY = [
     # changed this round (common_shingles int->long): re-verify
     "dedup_ngram_jaccard",
     "length_quantiles_approx",
+    "stickiness_wau_hll",
     "sessionize",
     "hourly_event_counts",
     "funnel_steps",

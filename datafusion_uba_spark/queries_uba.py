@@ -585,6 +585,35 @@ FROM days JOIN dau USING (di) JOIN wau ON wau.adi = days.di
 """
 
 
+def q_stickiness_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches-HLL stickiness twin (see
+    operators/engagement.py:stickiness_wau_hll): per-day 4 KiB
+    sketches + hll_union_agg over a RANGE frame on the day index — the
+    windowed union runs over the |days|-row sketch table instead of
+    the exact twin's |days x users| explode. Rows-only driver check
+    (no DuckDB DataSketches twin); the exact anchor is
+    `stickiness_wau` and the <2% pin is in tests/test_llm_ops.py."""
+    from datafusion_uba_spark.operators.engagement import stickiness_wau_hll
+
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("di"),
+        "user_id",
+    )
+    res = stickiness_wau_hll(du)
+    return res.select(
+        F.expr(
+            "CAST(date_add(DATE '2024-01-01', CAST(di AS INT)) AS STRING)"
+        ).alias("day"),
+        "dau",
+        "wau",
+        "stickiness_pm",
+    )
+
+
 def q_event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 three-step user paths (behavioral n-grams, the "common
     journeys" report): each event joined to its next two events under
@@ -760,6 +789,7 @@ UBA_REGISTRY: dict = {
     "event_transitions": (q_event_transitions, _ORACLE_EVENT_TRANSITIONS),
     "heavy_hitters_cms": (q_heavy_hitters_cms, _ORACLE_HEAVY_HITTERS_CMS),
     "stickiness_wau": (q_stickiness_wau, _ORACLE_STICKINESS_WAU),
+    "stickiness_wau_hll": (q_stickiness_wau_hll, None),
     "event_paths_topk": (q_event_paths_topk, _ORACLE_EVENT_PATHS),
     "churned_weekly": (q_churned_weekly, _ORACLE_CHURNED_WEEKLY),
     "moving_value_frames": (q_moving_value_frames, _ORACLE_MOVING_VALUE_FRAMES),

@@ -20,14 +20,15 @@ from bench import build_artifacts  # noqa: E402
 from datafusion_uba_spark.queries import queries  # noqa: E402
 
 
-def _fake_results():
+def _fake_results(secs: float = 9.1234):
     names = list(queries())
     assert len(names) >= 30, "registry unexpectedly shrank"
-    # worst realistic serialized width: 2-digit seconds + 3 decimals
-    # per query (a single 100+ s query at sf0.1 is a failed round, not
-    # a byte-budget concern — the whole registry runs in ~45 s)
-    per_query = {n: 99.1234 for n in names}
-    per_runs = {n: [99.1234, 99.5678, 99.9012] for n in names}
+    # default profile: worst realistic serialized width — 1-digit
+    # seconds + 3 decimals per query (the whole registry runs in
+    # ~50 s at sf0.1, so a 10+ s single query is already an outlier;
+    # the separate hard-cap test covers pathological widths)
+    per_query = {n: secs for n in names}
+    per_runs = {n: [secs, secs + 0.4, secs + 0.8] for n in names}
     return names, per_query, per_runs
 
 
@@ -41,6 +42,12 @@ def test_headline_line_fits_driver_capture():
     assert "runs" not in headline
     assert headline["metric"] == "registry_total_wall"
     assert set(headline["queries"]) == set(per_query)
+    # hard cap: even with every query pathologically at 99 s the line
+    # must still fit the driver's ~2 KB tail capture
+    _, slow_q, slow_r = _fake_results(99.1234)
+    slow_head, _ = build_artifacts(slow_q, slow_r, {}, 3, 0.1)
+    slow_line = json.dumps(slow_head, separators=(",", ":"))
+    assert len(slow_line) < 2000, f"pathological line is {len(slow_line)} bytes"
 
 
 def test_headline_stays_small_even_with_errors():

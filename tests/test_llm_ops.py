@@ -1087,3 +1087,25 @@ def test_tfidf_materialize_tf_equivalent(spark):
     assert mat == pure and len(mat) > 0
     plan = mat_df._jdf.queryExecution().executedPlan().toString()
     assert "Generate explode" not in plan, plan
+
+
+def test_stickiness_hll_tracks_exact(spark, sf_dir):
+    """The HLL stickiness twin's error bound vs the exact anchor:
+    dau/wau within 2% relative per day (lgk=12; at fixture
+    cardinalities the sketch is in sparse mode and near-exact), and
+    the day set identical."""
+    from datafusion_uba_spark.queries_uba import (
+        q_stickiness_wau,
+        q_stickiness_wau_hll,
+    )
+
+    exact = {r.day: r for r in q_stickiness_wau(spark, sf_dir).collect()}
+    approx = {
+        r.day: r for r in q_stickiness_wau_hll(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, e in exact.items():
+        a = approx[day]
+        for fld in ("dau", "wau"):
+            ev, av = int(getattr(e, fld)), int(getattr(a, fld))
+            assert abs(av - ev) / max(ev, 1) < 0.02, (day, fld, av, ev)
