@@ -833,6 +833,190 @@ GROUP BY CUBE (event_type, hr)
 """
 
 
+def q_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape under the driver's hash gate (it already runs in
+    the slt corpus; this row makes the EXISTS-semijoin surface
+    driver-verified too): date-windowed orders EXISTS-semijoined to
+    late-shipped lineitems (the testdata has no commit/receipt dates,
+    so "late" is l_shipdate > o_orderdate), counted per priority.
+    Spark plans the correlated EXISTS as a LeftSemi hash join on
+    l_orderkey — the big side shuffles once on the join key."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    windowed = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late = windowed.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_ORACLE_PRIORITY_SEMIJOIN = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation x customer-nation shipping
+    volume by year — the double nation self-join (one broadcast dim
+    joined twice under different keys), symmetric pair disjunction,
+    year extraction, integer-cents revenue. Both nation joins
+    broadcast; only the fact tables shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("__ck"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        supp.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__ck"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+        .where(
+            F.col("l_shipdate").between(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("1996-12-31").cast("timestamp"),
+            )
+        )
+    )
+    vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            vol.alias("__c"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("__c").alias("revenue_cents"))
+    )
+
+
+_ORACLE_NATION_TRADE = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(c) AS BIGINT) AS revenue_cents
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS c
+  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                       AND TIMESTAMP '1996-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution via LEFT
+    OUTER JOIN with a JOIN-SIDE filter (the filter must not turn the
+    join inner — customers with zero qualifying orders count in the
+    c_count=0 bucket) and two-level aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    open_orders = orders.where(F.col("o_orderstatus") != "F")
+    per_cust = (
+        cust.join(
+            open_orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_ORACLE_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional (CASE) share of a month's revenue
+    from promo parts, in exact integer basis points — the two sums
+    ride in ONE hash aggregate, and the part join broadcasts (part is
+    the small side at any scale that matters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    agg = j.select(
+        cents.alias("__c"),
+        F.col("p_type").startswith("PROMO").alias("__promo"),
+    ).agg(
+        F.sum(F.when(F.col("__promo"), F.col("__c")).otherwise(F.lit(0)))
+        .alias("promo_cents"),
+        F.sum("__c").alias("total_cents"),
+    )
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        F.floor(F.col("promo_cents") * 10000 / F.col("total_cents"))
+        .cast("long")
+        .alias("promo_share_bp"),
+    )
+
+
+_ORACLE_PROMO_SHARE = """
+SELECT CAST(sum(CASE WHEN promo THEN c ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(sum(c) AS BIGINT) AS total_cents,
+       CAST(floor(sum(CASE WHEN promo THEN c ELSE 0 END) * 10000
+                  / sum(c)) AS BIGINT) AS promo_share_bp
+FROM (
+  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS c,
+         p_type LIKE 'PROMO%' AS promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
+)
+"""
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout keys: the Morton key every event would be
     laid out by under ``zorder_layout(events, [user_id, cents])``
@@ -931,6 +1115,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "forecast_revenue": (q_forecast_revenue, _ORACLE_FORECAST_REVENUE),
     "large_orders": (q_large_orders, _ORACLE_LARGE_ORDERS),
     "event_cube": (q_event_cube, _ORACLE_EVENT_CUBE),
+    "tpch_q4": (q_priority_semijoin, _ORACLE_PRIORITY_SEMIJOIN),
+    "tpch_q7": (q_nation_trade_volume, _ORACLE_NATION_TRADE),
+    "tpch_q13": (q_customer_distribution, _ORACLE_CUSTOMER_DISTRIBUTION),
+    "tpch_q14": (q_promo_revenue_share, _ORACLE_PROMO_SHARE),
 }
 
 # LLM-training-data-pipeline inventory (dedup / similarity / text /
@@ -971,6 +1159,10 @@ _DRIVER_PRIORITY = [
     "dedup_ngram_jaccard",
     "length_quantiles_approx",
     "stickiness_wau_hll",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q13",
+    "tpch_q14",
     "sessionize",
     "hourly_event_counts",
     "funnel_steps",
