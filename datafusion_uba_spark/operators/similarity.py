@@ -357,7 +357,16 @@ def ann_topk_auto(
         from datafusion_uba_spark.operators import pq as pq_ops
 
         if pq_model is None:
-            n_cells = max(16, 2 ** int(round(math.log2(max(n, 2) ** 0.5))))
+            # n_cells ~ sqrt(n) (FAISS guideline), CLAMPED at 256: the
+            # coarse quantizer ships as literal centroid expressions
+            # (n_cells dot columns per row), and past a few hundred
+            # cells the generated plan stops being the bottleneck-free
+            # path — a corpus big enough to want thousands of cells is
+            # exactly the corpus whose model should be TRAINED ONCE and
+            # passed in via pq_model/pq_codes, not refit per query.
+            n_cells = min(
+                256, max(16, 2 ** int(round(math.log2(max(n, 2) ** 0.5))))
+            )
             pq_model = pq_ops.train_pq(
                 data, vec_col=vec_col, id_col=id_col, dim=dim,
                 n_cells=n_cells, n_rows=n,
