@@ -1,0 +1,73 @@
+"""Behavioral pins for the round-8 UBA rows beyond oracle parity:
+claims the docstrings make that the value-compare alone doesn't prove.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_moving_frames_actually_diverge(spark):
+    """moving_value_frames exists to exercise ROWS vs RANGE — on the
+    gapped series the two columns must genuinely differ on a
+    substantial share of rows (53/71 at calibration), otherwise the
+    row silently degrades into testing one frame twice."""
+    from datafusion_uba_spark.queries_uba import q_moving_value_frames
+
+    df = q_moving_value_frames(spark, SF_DIR)
+    total = df.count()
+    differ = df.where(
+        F.col("moving7_rows_cents") != F.col("moving7_range_cents")
+    ).count()
+    assert total > 0
+    assert differ >= total // 3, (differ, total)
+
+
+def test_event_paths_partition_invariant(spark):
+    """The 3-step path counts must not depend on the input's physical
+    partitioning — the per-user window carries a total order
+    (ts, event_id), so any shuffle layout folds to the same top-10."""
+    from datafusion_uba_spark.operators.engagement import stickiness_wau
+    from datafusion_uba_spark.queries_uba import q_event_paths_topk
+    from datafusion_uba_spark.sources import load_table
+
+    base = {tuple(r) for r in q_event_paths_topk(spark, SF_DIR).collect()}
+
+    ev = load_table(spark, SF_DIR, "events").repartition(7, "event_type")
+    ev.createOrReplaceTempView("__ev_reparted")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    p = ev.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w).alias("__third"),
+    )
+    reparted = {
+        tuple(r)
+        for r in p.where(F.col("__third").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+        .collect()
+    }
+    assert reparted == base
+
+    # stickiness likewise: dedup-first makes layout irrelevant
+    du = ev.select(
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("di"),
+        "user_id",
+    )
+    a = {tuple(r) for r in stickiness_wau(du).collect()}
+    b = {tuple(r) for r in stickiness_wau(du.repartition(3)).collect()}
+    assert a == b
