@@ -36,7 +36,6 @@ def test_event_paths_partition_invariant(spark):
     base = {tuple(r) for r in q_event_paths_topk(spark, SF_DIR).collect()}
 
     ev = load_table(spark, SF_DIR, "events").repartition(7, "event_type")
-    ev.createOrReplaceTempView("__ev_reparted")
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
