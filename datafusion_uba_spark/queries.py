@@ -1163,6 +1163,7 @@ _DRIVER_PRIORITY = [
     "tpch_q7",
     "tpch_q13",
     "tpch_q14",
+    "rollup_cascade",
     "sessionize",
     "hourly_event_counts",
     "funnel_steps",

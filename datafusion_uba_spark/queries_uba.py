@@ -772,6 +772,39 @@ FROM busy
 """
 
 
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup cascade (operators/rollup.py): hour tier from
+    raw events, day from hour, week from day — raw events scanned
+    exactly once (plan-pinned). The oracle computes EVERY tier
+    directly from raw events, so a hash match proves the cascade is
+    lossless, which is the property that makes compute-once rollup
+    tables safe to serve coarser windows from at 100 TB."""
+    from datafusion_uba_spark.operators.rollup import rollup_cascade
+
+    ev = load_table(spark, sf_dir, "events")
+    return rollup_cascade(ev)
+
+
+def _oracle_rollup_cascade() -> str:
+    from datafusion_uba_spark.operators.rollup import TIER_SECONDS
+
+    tier_sql = " UNION ALL ".join(
+        f"""
+SELECT '{name}' AS tier,
+       ((epoch_us(ts) // 1000000) // {sec}) * {sec} * 1000000
+         AS bucket_start_us,
+       event_type AS key, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY 2, 3"""
+        for name, sec in TIER_SECONDS.items()
+    )
+    return tier_sql
+
+
+_ORACLE_ROLLUP_CASCADE = _oracle_rollup_cascade()
+
+
 UBA_REGISTRY: dict = {
     "daily_active_users": (q_daily_active_users, _ORACLE_DAU),
     "daily_active_users_hll": (q_daily_active_users_hll, None),
@@ -793,4 +826,5 @@ UBA_REGISTRY: dict = {
     "event_paths_topk": (q_event_paths_topk, _ORACLE_EVENT_PATHS),
     "churned_weekly": (q_churned_weekly, _ORACLE_CHURNED_WEEKLY),
     "moving_value_frames": (q_moving_value_frames, _ORACLE_MOVING_VALUE_FRAMES),
+    "rollup_cascade": (q_rollup_cascade, _ORACLE_ROLLUP_CASCADE),
 }

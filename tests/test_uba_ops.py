@@ -70,3 +70,31 @@ def test_event_paths_partition_invariant(spark):
     a = {tuple(r) for r in stickiness_wau(du).collect()}
     b = {tuple(r) for r in stickiness_wau(du.repartition(3)).collect()}
     assert a == b
+
+
+def test_rollup_cascade_single_raw_scan(spark):
+    """The cascade's reason to exist: raw events are scanned exactly
+    once — the day and week tiers aggregate the previous tier's
+    (lazily checkpointed) rollup, never the events. Executed-plan
+    check: no FileScan of the events parquet remains in the final
+    union (all three tiers read checkpointed RDDs), and tier sums are
+    mutually consistent (lossless additivity)."""
+    from datafusion_uba_spark.queries_uba import q_rollup_cascade
+
+    df = q_rollup_cascade(spark, SF_DIR)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan, plan[:2000]
+
+    by_tier = {}
+    for r in rows:
+        by_tier.setdefault(r.tier, []).append(r)
+    assert set(by_tier) == {"hour", "day", "week"}
+    for a, b in (("hour", "day"), ("day", "week")):
+        assert sum(r.n_events for r in by_tier[a]) == sum(
+            r.n_events for r in by_tier[b]
+        )
+        assert sum(r.value_cents for r in by_tier[a]) == sum(
+            r.value_cents for r in by_tier[b]
+        )
+    assert len(by_tier["hour"]) > len(by_tier["day"]) > len(by_tier["week"])
