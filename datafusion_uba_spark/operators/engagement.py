@@ -45,6 +45,8 @@ def stickiness_wau(
     milli-ratio dau*1000 DIV wau (exact across engines — no float
     division). ``activity`` is (integer day index, user id) rows,
     duplicates welcome; only days present in the data are reported."""
+    if window < 1:
+        raise ValueError(f"stickiness_wau: window must be >= 1, got {window}")
     du = (
         activity.select(
             F.col(day_col).cast("long").alias("di"),
@@ -53,7 +55,10 @@ def stickiness_wau(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    dau = du.groupBy("di").agg(F.countDistinct("__u").alias("dau"))
+    # du is already distinct on (di, __u): a plain count IS the
+    # distinct count, without the extra distinct-aggregate expansion
+    # countDistinct would plan over the |days x users| frame
+    dau = du.groupBy("di").agg(F.count(F.lit(1)).alias("dau"))
     wau = (
         du.withColumn(
             "adi", F.explode(F.expr(f"sequence(di, di + {int(window) - 1})"))
@@ -96,6 +101,10 @@ def stickiness_wau_hll(
     rows-only (DuckDB has no DataSketches twin)."""
     from pyspark.sql import Window
 
+    if window < 1:
+        raise ValueError(
+            f"stickiness_wau_hll: window must be >= 1, got {window}"
+        )
     per_day = (
         activity.select(
             F.col(day_col).cast("long").alias("di"),

@@ -235,8 +235,11 @@ def train_pq(
             n_rows=n,
         )
     else:
-        if any(len(c) != dim for c in cents):
-            raise ValueError(f"pq: supplied cents must be {dim}-dim rows")
+        if not cents or any(len(c) != dim for c in cents):
+            raise ValueError(
+                f"pq: supplied cents must be a non-empty list of "
+                f"{dim}-dim rows"
+            )
         n_cells = len(cents)
     frac = min(1.0, train_sample / max(n, 1))
     sample = _cell_and_residual(
@@ -462,6 +465,12 @@ def pq_build_index(
         )],
         "dim int, m int, k int, n_cells int, model_json string",
     )
+    # the same stale-orphan guard write_bucketed gets: a companion left
+    # by a dead session must not fail the build AFTER the codes table
+    # was already written (codes-without-metadata is unprobeable)
+    from datafusion_uba_spark.sources import drop_table_and_orphan
+
+    drop_table_and_orphan(spark, table + _PQ_META_SUFFIX)
     meta.write.mode("overwrite").format("parquet").saveAsTable(
         table + _PQ_META_SUFFIX
     )

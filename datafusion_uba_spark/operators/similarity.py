@@ -326,6 +326,7 @@ def ann_topk_auto(
     pq_model: dict | None = None,
     pq_codes: DataFrame | None = None,
     pq_refine: int = 32,
+    pq_n_probe: int | None = None,
     **lsh_params,
 ) -> DataFrame:
     """Policy dispatcher for top-k search, three regimes by corpus
@@ -356,6 +357,16 @@ def ann_topk_auto(
     if n >= pq_threshold:
         from datafusion_uba_spark.operators import pq as pq_ops
 
+        if pq_codes is not None and pq_model is None:
+            # scoring persisted codes with a freshly trained model
+            # would silently index them with mismatched codebooks —
+            # the stored-index footgun pq_topk_from_index exists to
+            # close; codes and model must travel together
+            raise ValueError(
+                "ann_topk_auto: pq_codes requires the pq_model that "
+                "encoded them (or use pq_topk_from_index, which reads "
+                "the model from the index metadata)"
+            )
         if pq_model is None:
             # n_cells ~ sqrt(n) (FAISS guideline), CLAMPED at 256: the
             # coarse quantizer ships as literal centroid expressions
@@ -373,7 +384,8 @@ def ann_topk_auto(
             )
         return pq_ops.pq_topk(
             data, queries, pq_model, k=k, refine=pq_refine,
-            vec_col=vec_col, id_col=id_col, codes=pq_codes,
+            n_probe=pq_n_probe, vec_col=vec_col, id_col=id_col,
+            codes=pq_codes,
         )
     if n < flat_threshold:
         return cosine_topk(data, queries, k, vec_col, id_col, dim)

@@ -177,6 +177,42 @@ def register(df: DataFrame, name: str, cache: bool = False) -> DataFrame:
     return df
 
 
+def drop_table_and_orphan(spark: SparkSession, table: str) -> None:
+    """Make ``table`` safely re-creatable: drop it through the catalog
+    if known (resolves the REAL location — qualified names, custom
+    warehouses — and removes managed data with it), else clear a
+    confirmed-orphan warehouse directory, but only under a local
+    ``file:`` warehouse (never reach into s3a/hdfs paths another
+    deployment may own). The orphan case is a location outliving its
+    metastore entry: the derby metastore lives in the launching cwd
+    while the warehouse dir is shared /tmp, so a table written by a
+    session with a different cwd — or one that died mid-write — leaves
+    a directory this session's catalog doesn't know, and saveAsTable
+    refuses with LOCATION_ALREADY_EXISTS even in overwrite mode.
+    Shared by write_bucketed and the index-metadata writers
+    (operators.pq.pq_build_index)."""
+    known = spark.catalog.tableExists(table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if known:
+        return
+    import shutil
+    from urllib.parse import urlparse
+
+    wh_uri = urlparse(str(spark.conf.get("spark.sql.warehouse.dir")))
+    if wh_uri.scheme not in ("", "file"):
+        return
+    # layout: wh/tbl | wh/db.db/tbl | wh/db.db/tbl for catalog.db.tbl
+    # (the catalog segment names the metastore, not a directory)
+    parts = table.lower().split(".")
+    if len(parts) >= 2:
+        rel = os.path.join(parts[-2] + ".db", parts[-1])
+    else:
+        rel = parts[-1]
+    cand = os.path.join(wh_uri.path, rel)
+    if os.path.isdir(cand):
+        shutil.rmtree(cand, ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -203,37 +239,7 @@ def write_bucketed(
     bc = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     spark = df.sparkSession
     if mode == "overwrite":
-        # A managed-table LOCATION can outlive its metastore entry (the
-        # derby metastore lives in the launching cwd, the warehouse dir
-        # is shared /tmp — a table written by a session with a different
-        # cwd, or one that died mid-write, leaves a directory this
-        # session's catalog doesn't know). saveAsTable then refuses with
-        # LOCATION_ALREADY_EXISTS even in overwrite mode. Two cases:
-        # - the catalog KNOWS the table: DROP TABLE removes both the
-        #   entry and (managed) data — nothing else to touch, and no
-        #   path guessing (qualified db.tbl names and non-default
-        #   warehouses resolve through the catalog, not string concat);
-        # - the catalog does NOT know the table but the would-be
-        #   location exists: a confirmed orphan — remove it, but only
-        #   under a local file: warehouse (never reach into s3a/hdfs
-        #   paths another deployment may own).
-        known = spark.catalog.tableExists(table)
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        if not known:
-            import shutil
-            from urllib.parse import urlparse
-
-            wh_uri = urlparse(str(spark.conf.get("spark.sql.warehouse.dir")))
-            if wh_uri.scheme in ("", "file"):
-                parts = table.lower().split(".")
-                rel = (
-                    os.path.join(parts[0] + ".db", parts[1])
-                    if len(parts) == 2
-                    else parts[-1]
-                )
-                cand = os.path.join(wh_uri.path, rel)
-                if os.path.isdir(cand):
-                    shutil.rmtree(cand, ignore_errors=True)
+        drop_table_and_orphan(spark, table)
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bc)
     if sort_cols is not None:
         sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)

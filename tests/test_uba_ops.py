@@ -98,3 +98,34 @@ def test_rollup_cascade_single_raw_scan(spark):
             r.value_cents for r in by_tier[b]
         )
     assert len(by_tier["hour"]) > len(by_tier["day"]) > len(by_tier["week"])
+
+
+def test_review_fix_guards(spark):
+    """Round-8 review fixes fail fast: pq_codes without its model is
+    rejected by the dispatcher (stored-index footgun), degenerate
+    stickiness windows raise instead of silently looking backward, and
+    train_pq rejects an empty centroid list."""
+    import pytest as _pytest
+
+    from datafusion_uba_spark.operators import pq
+    from datafusion_uba_spark.operators.engagement import (
+        stickiness_wau,
+        stickiness_wau_hll,
+    )
+    from datafusion_uba_spark.operators.similarity import ann_topk_auto
+
+    df = spark.createDataFrame([(0, 0)], "di long, user_id long")
+    with _pytest.raises(ValueError, match="window"):
+        stickiness_wau(df, window=0)
+    with _pytest.raises(ValueError, match="window"):
+        stickiness_wau_hll(df, window=0)
+
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="pq_model"):
+        ann_topk_auto(
+            emb, emb, n_rows=10, pq_threshold=1, pq_codes=emb,
+        )
+    with _pytest.raises(ValueError, match="non-empty"):
+        pq.train_pq(emb, cents=[])
