@@ -428,3 +428,50 @@ def test_weekly_churn_matches_model(spark, pairs):
         nxt = {u for u, ww in act if ww == w + 1}
         want.add((w, len(active), len(active - nxt)))
     assert got == want
+
+
+# --- rollup cascade vs direct-aggregation model -----------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3 * 7 * 86400),  # epoch seconds across 3 weeks
+            st.sampled_from(["a", "b"]),
+            st.integers(-500, 500),  # cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_rollup_cascade_matches_model(spark, rows):
+    """Every tier of the cascade equals the tier computed DIRECTLY
+    from raw rows (losslessness of additive rollup) — on generated
+    events that land exactly on bucket boundaries, negative values,
+    and single-row tiers."""
+    from datafusion_uba_spark.operators.rollup import (
+        TIER_SECONDS,
+        rollup_cascade,
+    )
+
+    df = spark.createDataFrame(
+        [(s * 1_000_000, k, c / 100.0) for s, k, c in rows],
+        "us long, event_type string, value double",
+    ).selectExpr(
+        "timestamp_micros(us) AS ts", "event_type", "value"
+    )
+    got = {
+        (r.tier, r.bucket_start_us, r.key, r.n_events, r.value_cents)
+        for r in rollup_cascade(df).collect()
+    }
+    want = set()
+    for tier, sec in TIER_SECONDS.items():
+        agg: dict = {}
+        for s, k, c in rows:
+            b = (s // sec) * sec * 1_000_000
+            n, v = agg.get((b, k), (0, 0))
+            agg[(b, k)] = (n + 1, v + c)
+        for (b, k), (n, v) in agg.items():
+            want.add((tier, b, k, n, v))
+    assert got == want
