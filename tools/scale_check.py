@@ -67,6 +67,9 @@ HEAVY = [
     "stickiness_wau",
     "event_paths_topk",
     "churned_weekly",
+    "moving_value_frames",
+    "stickiness_wau_hll",
+    "rollup_cascade",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
