@@ -453,10 +453,12 @@ def pq_build_index(
     join. Write once, probe daily."""
     import json as _json
 
-    from datafusion_uba_spark.sources import write_bucketed
+    from datafusion_uba_spark.sources import (
+        drop_table_and_orphan,
+        save_table_recovering_orphan,
+        write_bucketed,
+    )
 
-    codes = pq_encode(data, model, vec_col, id_col)
-    write_bucketed(codes, table, "cell", n_buckets or model["n_cells"])
     spark = data.sparkSession
     meta = spark.createDataFrame(
         [(
@@ -465,15 +467,25 @@ def pq_build_index(
         )],
         "dim int, m int, k int, n_cells int, model_json string",
     )
-    # the same stale-orphan guard write_bucketed gets: a companion left
-    # by a dead session must not fail the build AFTER the codes table
-    # was already written (codes-without-metadata is unprobeable)
-    from datafusion_uba_spark.sources import drop_table_and_orphan
-
-    drop_table_and_orphan(spark, table + _PQ_META_SUFFIX)
-    meta.write.mode("overwrite").format("parquet").saveAsTable(
-        table + _PQ_META_SUFFIX
+    # Write order is chosen so NO crash window leaves a mismatched
+    # live (codes, metadata) pair (r8 ADVICE — the old codes-then-meta
+    # order could strand codes that pq_topk_from_index cannot probe):
+    #   1. drop the old codes table — from here any probe fails loudly
+    #      with a missing-table error, never silently mixes models;
+    #   2. write the metadata (describes the codes about to be built);
+    #   3. write the codes. A crash after 1 or 2 leaves a clearly
+    #      broken index (missing table), never a silently wrong one.
+    meta_table = table + _PQ_META_SUFFIX
+    drop_table_and_orphan(spark, table)
+    drop_table_and_orphan(spark, meta_table)
+    save_table_recovering_orphan(
+        lambda: meta.write.mode("overwrite").format("parquet")
+        .saveAsTable(meta_table),
+        spark,
+        meta_table,
     )
+    codes = pq_encode(data, model, vec_col, id_col)
+    write_bucketed(codes, table, "cell", n_buckets or model["n_cells"])
 
 
 def drop_pq_index(spark, table: str) -> None:
@@ -502,13 +514,25 @@ def pq_topk_from_index(
     against the stored geometry and raises on mismatch."""
     import json as _json
 
+    from pyspark.errors import AnalysisException
+
+    # narrow except (r8 ADVICE): only a missing metadata TABLE or an
+    # empty metadata table mean "not a pq_build_index index" — any
+    # other failure (transient catalog error, executor loss) must
+    # surface as itself, not be misreported as a missing index
     try:
-        meta = spark.table(table + _PQ_META_SUFFIX).collect()[0]
-    except Exception as exc:  # noqa: BLE001 - surface a clear contract error
+        meta_rows = spark.table(table + _PQ_META_SUFFIX).collect()
+    except AnalysisException as exc:
         raise ValueError(
             f"pq_topk_from_index: no metadata table for index {table!r} "
             f"(build it with pq_build_index): {exc}"
         ) from None
+    if not meta_rows:
+        raise ValueError(
+            f"pq_topk_from_index: metadata table for index {table!r} is "
+            "empty (interrupted build? rebuild with pq_build_index)"
+        )
+    meta = meta_rows[0]
     if dim is not None and int(meta["dim"]) != int(dim):
         raise ValueError(
             f"pq_topk_from_index: index {table!r} stores dim="

@@ -872,16 +872,30 @@ def ivf_build_index(
         )
     else:
         cents = hyperplanes(dim, n_cells, seed=seed)
-    dc = _ivf_assign(data, vec_col, id_col, dim, cents)
-    write_bucketed(dc, table, "__cell", n_buckets or n_cells)
+    from datafusion_uba_spark.sources import (
+        drop_table_and_orphan,
+        save_table_recovering_orphan,
+    )
+
     spark = data.sparkSession
     meta = spark.createDataFrame(
         [(dim, seed, n_cells, json.dumps(cents))],
         "dim int, seed int, n_cells int, centroids_json string",
     )
-    meta.write.mode("overwrite").format("parquet").saveAsTable(
-        table + _IVF_META_SUFFIX
+    # same crash-window ordering as pq_build_index: drop both, write
+    # metadata, then the assigned vectors — no interrupted build can
+    # leave a live (data, metadata) pair from two different models
+    meta_table = table + _IVF_META_SUFFIX
+    drop_table_and_orphan(spark, table)
+    drop_table_and_orphan(spark, meta_table)
+    save_table_recovering_orphan(
+        lambda: meta.write.mode("overwrite").format("parquet")
+        .saveAsTable(meta_table),
+        spark,
+        meta_table,
     )
+    dc = _ivf_assign(data, vec_col, id_col, dim, cents)
+    write_bucketed(dc, table, "__cell", n_buckets or n_cells)
     return n_cells
 
 

@@ -994,10 +994,13 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("promo_cents"),
         F.sum("__c").alias("total_cents"),
     )
+    # integer division on BOTH engines (r8 ADVICE): float division +
+    # floor drifts between Spark and DuckDB once the cent sums pass
+    # 2^53; `DIV` keeps the whole derivation in BIGINT arithmetic
     return agg.select(
         "promo_cents",
         "total_cents",
-        F.floor(F.col("promo_cents") * 10000 / F.col("total_cents"))
+        F.expr("(promo_cents * 10000) DIV total_cents")
         .cast("long")
         .alias("promo_share_bp"),
     )
@@ -1006,14 +1009,209 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_PROMO_SHARE = """
 SELECT CAST(sum(CASE WHEN promo THEN c ELSE 0 END) AS BIGINT) AS promo_cents,
        CAST(sum(c) AS BIGINT) AS total_cents,
-       CAST(floor(sum(CASE WHEN promo THEN c ELSE 0 END) * 10000
-                  / sum(c)) AS BIGINT) AS promo_share_bp
+       CAST(CAST(sum(CASE WHEN promo THEN c ELSE 0 END) AS BIGINT) * 10000
+            // CAST(sum(c) AS BIGINT) AS BIGINT) AS promo_share_bp
 FROM (
   SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS c,
          p_type LIKE 'PROMO%' AS promo
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
 )
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated-scalar-subquery class — revenue
+    from brand lineitems whose quantity is below 20% of that part's
+    average quantity (the testdata has no p_container, so the filter
+    is brand-only). Decorrelated the way Catalyst would: the brand
+    filter broadcasts into lineitem FIRST (so the per-part average is
+    computed over only the ~1% of lineitems that can matter), the
+    per-part aggregate is itself broadcast back, and the threshold
+    compare is cross-multiplied into exact integer arithmetic
+    (5*qty*cnt < sum_qty ⟺ qty < 0.2*avg) so both engines decide every
+    boundary row identically — no float average in a predicate. At
+    100 TB: one shuffle-free scan-side reduction (broadcast semijoin),
+    one hash aggregate over the reduced set, one broadcast back; the
+    full lineitem table never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand = part.where(F.col("p_brand") == "Brand#4").select("p_partkey")
+    li_b = li.join(
+        F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("__q"),
+        _cents(F.col("l_extendedprice")).alias("__c"),
+    )
+    per_part = li_b.groupBy("l_partkey").agg(
+        F.sum("__q").alias("__sum_q"), F.count(F.lit(1)).alias("__cnt")
+    )
+    matched = li_b.join(
+        F.broadcast(per_part.withColumnRenamed("l_partkey", "__pk")),
+        F.col("l_partkey") == F.col("__pk"),
+    ).where(F.lit(5) * F.col("__q") * F.col("__cnt") < F.col("__sum_q"))
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("__c").alias("total_cents"),
+    ).select(
+        "n_lines",
+        "total_cents",
+        F.expr("total_cents DIV 7").alias("avg_weekly_cents"),
+    )
+
+
+_ORACLE_SMALL_QUANTITY = """
+SELECT n_lines, total_cents,
+       total_cents // 7 AS avg_weekly_cents
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM lineitem, part
+  WHERE p_partkey = l_partkey AND p_brand = 'Brand#4'
+    AND 5 * CAST(l_quantity AS BIGINT) *
+        (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        < (SELECT CAST(sum(l2.l_quantity) AS BIGINT) FROM lineitem l2
+           WHERE l2.l_partkey = p_partkey)
+)
+"""
+
+
+def q_top_recent_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested-IN + correlated-HAVING class —
+    suppliers more than half of whose shipped quantity of 'small%'
+    parts went out on/after a cutoff date (the testdata has no
+    partsupp, so availqty>0.5*shipped becomes recent>0.5*total: the
+    same GROUP BY + HAVING with a correlated share comparison inside
+    an IN chain). The share compare is cross-multiplied to integers
+    (2*recent > total). Plan at scale: part filter broadcasts into
+    lineitem (semijoin reduce), ONE hash aggregate per supplier with
+    both sums as conditional aggregates in the same pass, the
+    qualifying supplier ids broadcast into the supplier dim, nation
+    broadcast on top. The fact table shuffles once, on l_suppkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    small = part.where(F.col("p_name").startswith("small")).select("p_partkey")
+    q = F.col("l_quantity").cast("long")
+    recent = F.when(
+        F.col("l_shipdate") >= F.lit("1998-07-01").cast("timestamp"), q
+    ).otherwise(F.lit(0))
+    qualifying = (
+        li.join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(recent).alias("__recent"), F.sum(q).alias("__total"))
+        .where(F.lit(2) * F.col("__recent") > F.col("__total"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(
+            F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_ORACLE_TOP_RECENT_SHIPPERS = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    GROUP BY l_suppkey
+    HAVING 2 * sum(CASE WHEN l_shipdate >= DATE '1998-07-01'
+                        THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+           > sum(CAST(l_quantity AS BIGINT)))
+ORDER BY s_suppkey
+"""
+
+
+def q_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the multi-correlated-EXISTS class — suppliers
+    whose returned ('R') lineitems sit in finished multi-supplier
+    orders where NO other supplier's line was returned (the testdata
+    has no receipt/commit dates, so the returnflag stands in for
+    "late"). The EXISTS pair decorrelates into ONE per-order
+    aggregate: n_supp = countDistinct(supplier) ≥ 2 replays the
+    positive EXISTS, n_ret_supp = countDistinct(supplier | returned)
+    = 1 replays the NOT EXISTS (the probe line itself is returned, so
+    "exactly one returning supplier" means "no OTHER one"). At scale:
+    lineitem shuffles once on l_orderkey for the order-stats
+    aggregate and reuses that partitioning for the join; orders
+    broadcasts its filtered keys; supplier and nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    ord_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("__n_ret_supp"),
+    )
+    probe = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            F.broadcast(
+                orders.where(F.col("o_orderstatus") == "F")
+                .select("o_orderkey")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            ord_stats.withColumnRenamed("l_orderkey", "__ok"),
+            F.col("l_orderkey") == F.col("__ok"),
+        )
+        .where((F.col("__n_supp") >= 2) & (F.col("__n_ret_supp") == 1))
+    )
+    named = probe.join(
+        F.broadcast(
+            supp.join(
+                F.broadcast(
+                    nation.where(
+                        F.col("n_name").isin(
+                            "NATION_1", "NATION_2", "NATION_3",
+                            "NATION_4", "NATION_5",
+                        )
+                    )
+                ),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            ).select("s_suppkey", "s_name")
+        ),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    return (
+        named.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+_ORACLE_SOLE_RETURN = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND s_nationkey = n_nationkey
+  AND n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
 """
 
 
@@ -1119,6 +1317,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q7": (q_nation_trade_volume, _ORACLE_NATION_TRADE),
     "tpch_q13": (q_customer_distribution, _ORACLE_CUSTOMER_DISTRIBUTION),
     "tpch_q14": (q_promo_revenue_share, _ORACLE_PROMO_SHARE),
+    "tpch_q17": (q_small_quantity_revenue, _ORACLE_SMALL_QUANTITY),
+    "tpch_q20": (q_top_recent_shippers, _ORACLE_TOP_RECENT_SHIPPERS),
+    "tpch_q21": (q_sole_return_suppliers, _ORACLE_SOLE_RETURN),
 }
 
 # LLM-training-data-pipeline inventory (dedup / similarity / text /
@@ -1137,47 +1338,54 @@ REGISTRY.update(UBA_REGISTRY)
 # capture has historically recorded only the FIRST 50 dict entries
 # (CORRECTNESS_r07 stopped at exactly 50 of 62), so the registry is
 # reordered each round to put the least-recently-driver-verified rows
-# first: rows the driver has never hash-checked, then rows new this
-# round, then rows last checked two rounds ago. Everything else keeps
-# its family order behind them. Rotate this list every round so any
-# 50-prefix eventually covers every row. (r8 rotation: the 6
-# never-checked UBA rows, the new PQ row, the 6 rows last seen in r6.)
-_DRIVER_PRIORITY = [
-    "daily_active_users",
-    "daily_active_users_hll",
-    "cohort_retention_weekly",
-    "user_rfm",
-    "event_transitions",
-    "heavy_hitters_cms",
-    "ann_topk_pq",
-    "stickiness_wau",
-    "event_paths_topk",
-    "churned_weekly",
-    "moving_value_frames",
-    "ann_topk_auto",
-    # changed this round (common_shingles int->long): re-verify
-    "dedup_ngram_jaccard",
-    "length_quantiles_approx",
-    "stickiness_wau_hll",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q13",
-    "tpch_q14",
-    "rollup_cascade",
-    "sessionize",
-    "hourly_event_counts",
-    "funnel_steps",
-    "funnel_steps_any",
-    "asof_view_value",
-    "session_of_event",
-]
-assert all(name in REGISTRY for name in _DRIVER_PRIORITY), (
-    "stale _DRIVER_PRIORITY entry"
-)
-REGISTRY = {name: REGISTRY[name] for name in _DRIVER_PRIORITY} | {
-    name: row for name, row in REGISTRY.items()
-    if name not in _DRIVER_PRIORITY
-}
+# first. Through round 8 this was a hand-rotated list, which the r8
+# verdict flagged as the standing process risk (forget to rotate and
+# 25 rows go two rounds stale). It is now DERIVED from the
+# CORRECTNESS_r*.json artifacts the driver itself writes: rows the
+# driver has never captured come first, then rows by ascending
+# last-captured round; ties keep the registry's family order. Any
+# 50-row prefix therefore always holds exactly the rows whose
+# verification is stalest — no manual step, no way to forget.
+
+
+def _verification_order(registry: dict) -> list[str]:
+    """Order registry rows by driver-verification staleness.
+
+    Reads every ``CORRECTNESS_r*.json`` next to the repo root (the
+    driver's own per-round artifacts). A row's "last captured" round is
+    the newest artifact that mentions it at all — rows the driver has
+    never seen sort first (new rows), then oldest-capture-first. Falls
+    back to the registry's natural order on a fresh checkout with no
+    artifacts.
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    last_seen: dict[str, int] = {}
+    for art in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", art.stem)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(art.read_text())
+        except (OSError, ValueError):
+            continue  # a torn/corrupt artifact must not break import
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            last_seen[name] = max(last_seen.get(name, -1), rnd)
+    order = list(registry)
+    pos = {name: i for i, name in enumerate(order)}
+    return sorted(order, key=lambda n: (last_seen.get(n, -1), pos[n]))
+
+
+_priority = _verification_order(REGISTRY)
+if set(_priority) != set(REGISTRY):  # pragma: no cover - structural guard
+    raise RuntimeError("verification-priority order lost registry rows")
+REGISTRY = {name: REGISTRY[name] for name in _priority}
 
 
 def queries() -> dict[str, QueryFn]:

@@ -177,30 +177,15 @@ def register(df: DataFrame, name: str, cache: bool = False) -> DataFrame:
     return df
 
 
-def drop_table_and_orphan(spark: SparkSession, table: str) -> None:
-    """Make ``table`` safely re-creatable: drop it through the catalog
-    if known (resolves the REAL location — qualified names, custom
-    warehouses — and removes managed data with it), else clear a
-    confirmed-orphan warehouse directory, but only under a local
-    ``file:`` warehouse (never reach into s3a/hdfs paths another
-    deployment may own). The orphan case is a location outliving its
-    metastore entry: the derby metastore lives in the launching cwd
-    while the warehouse dir is shared /tmp, so a table written by a
-    session with a different cwd — or one that died mid-write — leaves
-    a directory this session's catalog doesn't know, and saveAsTable
-    refuses with LOCATION_ALREADY_EXISTS even in overwrite mode.
-    Shared by write_bucketed and the index-metadata writers
-    (operators.pq.pq_build_index)."""
-    known = spark.catalog.tableExists(table)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    if known:
-        return
-    import shutil
+def _orphan_location(spark: SparkSession, table: str) -> str | None:
+    """The warehouse directory ``table`` would occupy if it were a
+    managed table — but ONLY under a local ``file:`` warehouse (never
+    reach into s3a/hdfs paths another deployment may own)."""
     from urllib.parse import urlparse
 
     wh_uri = urlparse(str(spark.conf.get("spark.sql.warehouse.dir")))
     if wh_uri.scheme not in ("", "file"):
-        return
+        return None
     # layout: wh/tbl | wh/db.db/tbl | wh/db.db/tbl for catalog.db.tbl
     # (the catalog segment names the metastore, not a directory)
     parts = table.lower().split(".")
@@ -209,8 +194,53 @@ def drop_table_and_orphan(spark: SparkSession, table: str) -> None:
     else:
         rel = parts[-1]
     cand = os.path.join(wh_uri.path, rel)
-    if os.path.isdir(cand):
-        shutil.rmtree(cand, ignore_errors=True)
+    return cand if os.path.isdir(cand) else None
+
+
+def drop_table_and_orphan(spark: SparkSession, table: str) -> None:
+    """Make ``table`` re-creatable through the catalog: drop it if
+    known (resolves the REAL location — qualified names, custom
+    warehouses — and removes managed data with it). Unlike rounds ≤8
+    this NEVER deletes a warehouse directory preemptively: in the
+    shared-/tmp-warehouse multi-session scenario, a directory merely
+    unknown to THIS session's derby metastore can be a live table
+    owned by a concurrent session (r8 ADVICE — data-loss hazard).
+    Stale-orphan recovery now happens only inside
+    :func:`save_table_recovering_orphan`, AFTER ``saveAsTable``
+    itself proves the location is unclaimable by failing with
+    LOCATION_ALREADY_EXISTS."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def save_table_recovering_orphan(save, spark: SparkSession, table: str) -> None:
+    """Run ``save()`` (a ``saveAsTable`` thunk); if it fails with
+    LOCATION_ALREADY_EXISTS, clear the stale warehouse directory and
+    retry ONCE. The orphan case is a location outliving its metastore
+    entry: the derby metastore lives in the launching cwd while the
+    warehouse dir is shared /tmp, so a table written by a session with
+    a different cwd — or one that died mid-write — leaves a directory
+    this session's catalog doesn't know, and saveAsTable refuses even
+    in overwrite mode. Deleting only after that refusal (and only
+    under a local ``file:`` warehouse) is what makes this safe in the
+    multi-session case: a directory that IS a live concurrent table
+    would be visible to the shared metastore and never reach the
+    rmtree. Shared by write_bucketed and the index-metadata writers
+    (operators.pq.pq_build_index)."""
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        save()
+        return
+    except AnalysisException as exc:
+        if "LOCATION_ALREADY_EXISTS" not in str(exc):
+            raise
+        cand = _orphan_location(spark, table)
+        if cand is None:
+            raise
+    shutil.rmtree(cand, ignore_errors=True)
+    save()
 
 
 def write_bucketed(
@@ -244,7 +274,7 @@ def write_bucketed(
     if sort_cols is not None:
         sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         w = w.sortBy(*sc)
-    w.saveAsTable(table)
+    save_table_recovering_orphan(lambda: w.saveAsTable(table), spark, table)
 
 
 def _utc_nanos(date_str: str) -> int:

@@ -37,17 +37,35 @@ def test_headline_line_fits_driver_capture():
     headline, _ = build_artifacts(per_query, per_runs, {}, 3, 0.1)
     # bench.py prints with compact separators; measure the same bytes
     line = json.dumps(headline, separators=(",", ":"))
-    # driver tail capture is ~2 KB; leave headroom for registry growth
-    assert len(line) < 1900, f"headline line is {len(line)} bytes"
+    # r9 contract: the inline queries map is capped at the slowest 12,
+    # so the line stays < 1 KB at ANY registry size (r8 was at
+    # 1,821/1,900 bytes from growth alone)
+    assert len(line) < 1024, f"headline line is {len(line)} bytes"
     assert "runs" not in headline
     assert headline["metric"] == "registry_total_wall"
-    assert set(headline["queries"]) == set(per_query)
+    assert len(headline["queries"]) <= 12
+    assert set(headline["queries"]) <= set(per_query)
+    assert headline["nqueries"] == len(per_query)
+    assert headline["detail"] == "BENCH_RUNS.json"
     # hard cap: even with every query pathologically at 99 s the line
-    # must still fit the driver's ~2 KB tail capture
+    # must still fit — and still be < 1 KB
     _, slow_q, slow_r = _fake_results(99.1234)
     slow_head, _ = build_artifacts(slow_q, slow_r, {}, 3, 0.1)
     slow_line = json.dumps(slow_head, separators=(",", ":"))
-    assert len(slow_line) < 2040, f"pathological line is {len(slow_line)} bytes"
+    assert len(slow_line) < 1024, f"pathological line is {len(slow_line)} bytes"
+
+
+def test_headline_inlines_the_slowest_queries():
+    names, per_query, per_runs = _fake_results()
+    # give three queries distinctive costs; they must be the inline ones
+    per_query[names[0]] = 40.0
+    per_query[names[1]] = 30.0
+    per_query[names[2]] = 20.0
+    headline, sidecar = build_artifacts(per_query, per_runs, {}, 3, 0.1)
+    inline = list(headline["queries"])
+    assert inline[:3] == [names[0], names[1], names[2]]
+    # total still covers EVERY query, not just the inline subset
+    assert headline["value"] == round(sum(sidecar["best"].values()), 4)
 
 
 def test_headline_stays_small_even_with_errors():
@@ -59,19 +77,20 @@ def test_headline_stays_small_even_with_errors():
         per_runs.pop(n)
     headline, sidecar = build_artifacts(per_query, per_runs, errors, 3, 0.1)
     line = json.dumps(headline, separators=(",", ":"))
-    assert len(line) < 1900, f"headline line is {len(line)} bytes"
+    assert len(line) < 1024, f"headline line is {len(line)} bytes"
     assert headline["failed"] == sorted(errors)
     assert all(len(v) == 500 for v in sidecar["errors"].values())
 
 
 def test_headline_value_is_sum_of_serialized_queries():
     """The artifact must be internally consistent: the headline value
-    is computed from the ROUNDED per-query values actually serialized,
-    not the full-precision sums (r7 ADVICE: up to ~0.5 ms/query drift
-    between value and sum(queries) in the written artifact)."""
+    is computed from the ROUNDED per-query values actually serialized
+    (now in the sidecar's complete "best" map), not the full-precision
+    sums (r7 ADVICE: up to ~0.5 ms/query drift between value and the
+    written per-query record)."""
     _, per_query, per_runs = _fake_results()
-    headline, _ = build_artifacts(per_query, per_runs, {}, 3, 0.1)
-    assert headline["value"] == round(sum(headline["queries"].values()), 4)
+    headline, sidecar = build_artifacts(per_query, per_runs, {}, 3, 0.1)
+    assert headline["value"] == round(sum(sidecar["best"].values()), 4)
 
 
 # The driver's per-round correctness capture has only ever recorded the
@@ -107,8 +126,11 @@ def test_sidecar_carries_full_detail():
     assert all(
         sidecar["median"][n] == sorted(r)[1] for n, r in per_runs.items()
     )
-    # headline best-of must agree with the sidecar's runs (headline is
-    # rounded to 3 decimals for the byte budget; sidecar keeps full
-    # precision)
-    for n, best in headline["queries"].items():
+    # the sidecar's "best" map is the COMPLETE per-query record now
+    # that the headline inlines only the slowest-12
+    assert set(sidecar["best"]) == set(per_query)
+    for n, best in sidecar["best"].items():
         assert best == round(per_query[n], 3)
+    # the headline's inline subset must agree with the sidecar
+    for n, best in headline["queries"].items():
+        assert best == sidecar["best"][n]

@@ -54,9 +54,11 @@ def test_sum_unrolls_only_from_proven_alias():
     ;
     select retention_sum(other_col) from pre_registered
     """
-    with pytest.warns(RuntimeWarning, match="not provable"):
-        out = sql_macro.expand_macros(unrelated)
-    assert "collect_list" in out  # HOF fallback for the unproven column
+    # r9 contract: an unproven column can no longer silently plan the
+    # collect_list fold — without a session to probe the window length,
+    # expand_macros refuses (sql(spark, ...) probes and unrolls instead)
+    with pytest.raises(ValueError, match="not provable"):
+        sql_macro.expand_macros(unrelated)
 
 
 def test_sum_qualified_alias_still_proven():

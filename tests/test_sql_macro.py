@@ -57,8 +57,10 @@ def test_funnel_sql_unrolled(spark, event_view):
     assert to_py(got[0]["retention"]) == [[3], [3]]
 
 
-def test_sum_sql_hof_fallback(spark):
-    # standalone retention_sum (window length unknown) → HOF fold
+def test_sum_sql_standalone_probed(spark):
+    # standalone retention_sum (window length unknown from the text) →
+    # the length is PROBED with one aggregate pass, then unrolled into
+    # per-cell SUMs — never the r≤8 collect_list fold (r8 verdict #1)
     spark.sql(
         """
         CREATE OR REPLACE TEMPORARY VIEW slt_stats AS
@@ -68,11 +70,38 @@ def test_sum_sql_hof_fallback(spark):
         AS t(distinct_id, stats)
         """
     )
-    got = sql(spark, "SELECT retention_sum(stats) AS r FROM slt_stats").collect()
+    df = sql(spark, "SELECT retention_sum(stats) AS r FROM slt_stats")
+    got = df.collect()
     assert to_py(got[0]["r"]) == [[2, 1], [1, 1], [0]]
+    # scale-safety pin: the expanded statement plans a hash aggregate
+    # over per-cell sums, with NO per-group array gathering
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    assert "HashAggregate" in plan
 
 
-def test_sum_sql_hof_same_event(spark):
+def test_sum_sql_standalone_expand_without_session_raises(spark):
+    # expand_macros alone has no session to probe with: it must refuse
+    # the standalone sum rather than plan an unscalable fold
+    with pytest.raises(ValueError, match="not provable"):
+        expand_macros("SELECT retention_sum(stats) AS r FROM slt_stats")
+
+
+def test_sum_sql_standalone_empty_input(spark):
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW slt_stats_empty AS
+        SELECT * FROM VALUES (1, array(array(1Y), array(1Y)))
+        AS t(distinct_id, stats) WHERE 1 = 0
+        """
+    )
+    got = sql(
+        spark, "SELECT retention_sum(stats) AS r FROM slt_stats_empty"
+    ).collect()
+    assert to_py(got[0]["r"]) == []
+
+
+def test_sum_sql_standalone_same_event(spark):
     spark.sql(
         """
         CREATE OR REPLACE TEMPORARY VIEW slt_stats2 AS
