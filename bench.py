@@ -90,9 +90,13 @@ def build_artifacts(
         "sf": sf,
     }
     if errors:
-        # keep the headline parseable even on failures: names only here,
-        # full messages in the sidecar
-        headline["failed"] = sorted(errors)
+        # keep the headline parseable even on failures: a BOUNDED list
+        # of names (a mass failure — e.g. a broken sf dir failing every
+        # row — must not push the line past the driver's ~2 KB tail
+        # capture, exactly when diagnosis matters most; r9 advice), the
+        # total count, and full messages in the sidecar's errors map
+        headline["failed"] = sorted(errors)[:10]
+        headline["nfailed"] = len(errors)
     # median alongside min: on a shared host with multi-second
     # contention spikes, min is the truest plan cost but median shows
     # whether a spike landed (r6 verdict item #2)

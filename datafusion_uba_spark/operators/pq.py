@@ -454,8 +454,8 @@ def pq_build_index(
     import json as _json
 
     from datafusion_uba_spark.sources import (
-        drop_table_and_orphan,
         save_table_recovering_orphan,
+        staged_swap_tables,
         write_bucketed,
     )
 
@@ -467,25 +467,37 @@ def pq_build_index(
         )],
         "dim int, m int, k int, n_cells int, model_json string",
     )
-    # Write order is chosen so NO crash window leaves a mismatched
-    # live (codes, metadata) pair (r8 ADVICE — the old codes-then-meta
-    # order could strand codes that pq_topk_from_index cannot probe):
-    #   1. drop the old codes table — from here any probe fails loudly
-    #      with a missing-table error, never silently mixes models;
-    #   2. write the metadata (describes the codes about to be built);
-    #   3. write the codes. A crash after 1 or 2 leaves a clearly
-    #      broken index (missing table), never a silently wrong one.
-    meta_table = table + _PQ_META_SUFFIX
-    drop_table_and_orphan(spark, table)
-    drop_table_and_orphan(spark, meta_table)
-    save_table_recovering_orphan(
-        lambda: meta.write.mode("overwrite").format("parquet")
-        .saveAsTable(meta_table),
-        spark,
-        meta_table,
-    )
+    # Validate the build inputs BEFORE anything destructive: forcing
+    # analysis of the encode plan catches a bad vec_col/id_col or a
+    # malformed model immediately (r9 ADVICE), and the staged swap
+    # below keeps the PREVIOUS index live through any later failure
+    # (executor loss mid-encode included) — rounds ≤8 ordering dropped
+    # the live index first and a failed build stranded
+    # metadata-without-codes.
     codes = pq_encode(data, model, vec_col, id_col)
-    write_bucketed(codes, table, "cell", n_buckets or model["n_cells"])
+    codes.schema  # cheap plan analysis, no job
+    meta_table = table + _PQ_META_SUFFIX
+    staged_swap_tables(
+        spark,
+        [
+            (
+                table,
+                lambda t: write_bucketed(
+                    codes, t, "cell", n_buckets or model["n_cells"]
+                ),
+            ),
+            (
+                meta_table,
+                lambda t: save_table_recovering_orphan(
+                    lambda: meta.write.mode("overwrite")
+                    .format("parquet")
+                    .saveAsTable(t),
+                    spark,
+                    t,
+                ),
+            ),
+        ],
+    )
 
 
 def drop_pq_index(spark, table: str) -> None:

@@ -873,8 +873,8 @@ def ivf_build_index(
     else:
         cents = hyperplanes(dim, n_cells, seed=seed)
     from datafusion_uba_spark.sources import (
-        drop_table_and_orphan,
         save_table_recovering_orphan,
+        staged_swap_tables,
     )
 
     spark = data.sparkSession
@@ -882,20 +882,32 @@ def ivf_build_index(
         [(dim, seed, n_cells, json.dumps(cents))],
         "dim int, seed int, n_cells int, centroids_json string",
     )
-    # same crash-window ordering as pq_build_index: drop both, write
-    # metadata, then the assigned vectors — no interrupted build can
-    # leave a live (data, metadata) pair from two different models
-    meta_table = table + _IVF_META_SUFFIX
-    drop_table_and_orphan(spark, table)
-    drop_table_and_orphan(spark, meta_table)
-    save_table_recovering_orphan(
-        lambda: meta.write.mode("overwrite").format("parquet")
-        .saveAsTable(meta_table),
-        spark,
-        meta_table,
-    )
+    # same staged discipline as pq_build_index (r9 ADVICE): analyze the
+    # assignment plan first (catches bad columns/geometry with no job),
+    # build under staging names, and swap in only after both writes
+    # succeed — a failed build leaves the previous index live
     dc = _ivf_assign(data, vec_col, id_col, dim, cents)
-    write_bucketed(dc, table, "__cell", n_buckets or n_cells)
+    dc.schema  # cheap plan analysis, no job
+    meta_table = table + _IVF_META_SUFFIX
+    staged_swap_tables(
+        spark,
+        [
+            (
+                table,
+                lambda t: write_bucketed(dc, t, "__cell", n_buckets or n_cells),
+            ),
+            (
+                meta_table,
+                lambda t: save_table_recovering_orphan(
+                    lambda: meta.write.mode("overwrite")
+                    .format("parquet")
+                    .saveAsTable(t),
+                    spark,
+                    t,
+                ),
+            ),
+        ],
+    )
     return n_cells
 
 

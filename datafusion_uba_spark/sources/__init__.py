@@ -212,35 +212,117 @@ def drop_table_and_orphan(spark: SparkSession, table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+# A warehouse directory younger than this is treated as potentially
+# LIVE (a concurrent session mid-pipeline), not a stale orphan. Real
+# orphans are leftovers of dead runs — minutes to days old.
+ORPHAN_GRACE_SECONDS = 600
+
+
+def _orphan_looks_live(cand: str, grace: float = ORPHAN_GRACE_SECONDS) -> bool:
+    """True if ``cand`` shows signs of belonging to a LIVE concurrent
+    session: an in-flight Spark write (``_temporary`` staging dir), or
+    any file/dir mtime within the grace window."""
+    import time
+
+    if os.path.isdir(os.path.join(cand, "_temporary")):
+        return True
+    now = time.time()
+    try:
+        newest = os.stat(cand).st_mtime
+        for root, dirs, files in os.walk(cand):
+            for n in dirs + files:
+                newest = max(newest, os.stat(os.path.join(root, n)).st_mtime)
+    except OSError:
+        return True  # racing a concurrent delete/write: do not touch
+    return now - newest < grace
+
+
 def save_table_recovering_orphan(save, spark: SparkSession, table: str) -> None:
     """Run ``save()`` (a ``saveAsTable`` thunk); if it fails with
-    LOCATION_ALREADY_EXISTS, clear the stale warehouse directory and
+    LOCATION_ALREADY_EXISTS and the location looks STALE, clear it and
     retry ONCE. The orphan case is a location outliving its metastore
-    entry: the derby metastore lives in the launching cwd while the
-    warehouse dir is shared /tmp, so a table written by a session with
-    a different cwd — or one that died mid-write — leaves a directory
-    this session's catalog doesn't know, and saveAsTable refuses even
-    in overwrite mode. Deleting only after that refusal (and only
-    under a local ``file:`` warehouse) is what makes this safe in the
-    multi-session case: a directory that IS a live concurrent table
-    would be visible to the shared metastore and never reach the
-    rmtree. Shared by write_bucketed and the index-metadata writers
+    entry: each session's derby metastore lives in its launching cwd
+    while the warehouse dir is shared /tmp, so a table written by a
+    session with a different cwd — or one that died mid-write — leaves
+    a directory this session's catalog doesn't know, and saveAsTable
+    refuses even in overwrite mode. Because metastores are PER-SESSION,
+    that refusal alone cannot distinguish a dead run's leftovers from a
+    live concurrent session's same-named table (r9 ADVICE): before the
+    rmtree the directory must also look stale — no ``_temporary``
+    staging dir (an in-flight write) and no mtime within
+    ``ORPHAN_GRACE_SECONDS``. A recent or in-flight directory re-raises
+    the original error instead of clobbering possibly-live data; use a
+    different table name (or wait out the grace window) in that case.
+    Only local ``file:`` warehouses are ever recovered. Shared by
+    write_bucketed and the index-metadata writers
     (operators.pq.pq_build_index)."""
     import shutil
 
-    from pyspark.errors import AnalysisException
+    from pyspark.errors import AnalysisException, SparkRuntimeException
 
+    # Spark 4 raises the location conflict as SparkRuntimeException from
+    # the DataFrame writer and AnalysisException from some SQL paths —
+    # catch both, match on the error class string.
     try:
         save()
         return
-    except AnalysisException as exc:
+    except (AnalysisException, SparkRuntimeException) as exc:
         if "LOCATION_ALREADY_EXISTS" not in str(exc):
             raise
         cand = _orphan_location(spark, table)
-        if cand is None:
+        if cand is None or _orphan_looks_live(cand):
             raise
     shutil.rmtree(cand, ignore_errors=True)
     save()
+
+
+def staged_swap_tables(spark: SparkSession, builds) -> None:
+    """Build catalog tables under staging names, then swap them in —
+    the index-rebuild safety primitive (r9 ADVICE: pq_build_index used
+    to drop the LIVE index before encoding, so a failed build — bad
+    column, bad model, executor loss — destroyed the previously
+    working index; now a failure anywhere in the build phase leaves
+    the live tables untouched).
+
+    ``builds`` is a list of ``(live_name, write_fn)`` pairs;
+    ``write_fn(staging_name)`` must write the staged table (using
+    write_bucketed / save_table_recovering_orphan as appropriate).
+    Phase 1 writes every staged table; only after ALL succeed does
+    phase 2 drop the live tables (list order) and rename the staged
+    ones in (REVERSE list order — callers list the data table first
+    and its metadata companion last, so metadata is restored before
+    data and any crash window leaves a missing-data-table state that
+    fails loudly, never a live mismatched pair; same discipline as the
+    r8 drop/meta/codes ordering, with the destruction moved after the
+    build). The swap itself is catalog-metadata work (ALTER TABLE
+    RENAME moves the managed directory), seconds not hours — the
+    crash window shrinks from the whole encode to the rename."""
+    import shutil
+
+    staged: list[tuple[str, str]] = []
+    try:
+        for live, write_fn in builds:
+            stage = live + "__stage"
+            drop_table_and_orphan(spark, stage)
+            write_fn(stage)
+            staged.append((stage, live))
+    except Exception:
+        # best-effort staging cleanup; the LIVE tables are untouched
+        for stage, _ in staged:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {stage}")
+            except Exception:
+                pass
+        raise
+    for _, live in staged:
+        drop_table_and_orphan(spark, live)
+        # a stale orphan directory at the destination would fail the
+        # rename; clear it under the same liveness rules as recovery
+        cand = _orphan_location(spark, live)
+        if cand is not None and not _orphan_looks_live(cand):
+            shutil.rmtree(cand, ignore_errors=True)
+    for stage, live in reversed(staged):
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {live}")
 
 
 def write_bucketed(

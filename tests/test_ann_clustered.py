@@ -315,6 +315,49 @@ def test_pq_index_build_probe_roundtrip(fixture, spark):
         pq.drop_pq_index(spark, table)
 
 
+def test_pq_failed_rebuild_keeps_live_index(fixture, spark):
+    """r9 ADVICE: a failed rebuild (bad vec_col here; executor loss in
+    production) must leave the previously built index fully probe-able.
+    The build now analyzes the encode plan before anything destructive
+    and writes under staging names, swapping in only on success."""
+    import pytest as _pytest
+
+    from datafusion_uba_spark.operators import pq
+
+    ddf, qdf, _ = fixture
+    model = pq.train_pq(
+        ddf, dim=DIM, n_cells=64, m=8, k=16, iters=2,
+        train_sample=2048, n_rows=N,
+    )
+    table = "pq_idx_rebuild_safety"
+    pq.pq_build_index(ddf, table, model)
+    try:
+        before = {
+            tuple(r)
+            for r in pq.pq_topk_from_index(
+                spark, table, ddf, qdf, k=K, refine=16
+            ).collect()
+        }
+        with _pytest.raises(Exception, match="no_such_column|UNRESOLVED"):
+            pq.pq_build_index(ddf, table, model, vec_col="no_such_column")
+        after = {
+            tuple(r)
+            for r in pq.pq_topk_from_index(
+                spark, table, ddf, qdf, k=K, refine=16
+            ).collect()
+        }
+        assert after == before and len(after) > 0
+        # no staging leftovers in the catalog
+        leftovers = [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith(table) and t.name.endswith("__stage")
+        ]
+        assert leftovers == []
+    finally:
+        pq.drop_pq_index(spark, table)
+
+
 def test_pq_n_probe_prunes_cells(fixture):
     """IVF pruning in the compressed domain: with n_probe set, a code
     row is scored only if its cell ranks in the query's best n_probe

@@ -79,7 +79,24 @@ def test_headline_stays_small_even_with_errors():
     line = json.dumps(headline, separators=(",", ":"))
     assert len(line) < 1024, f"headline line is {len(line)} bytes"
     assert headline["failed"] == sorted(errors)
+    assert headline["nfailed"] == len(errors)
     assert all(len(v) == 500 for v in sidecar["errors"].values())
+
+
+def test_headline_bounded_when_every_query_fails():
+    """r9 advice: a mass failure (broken sf dir failing all registry
+    rows) must not push the headline past the driver tail capture —
+    exactly the run where diagnosis matters most. The inline failed
+    list is capped at 10 names + a total count; the complete list
+    lives in the sidecar's errors map."""
+    names, _, _ = _fake_results()
+    errors = {n: f"AnalysisException: path does not exist ({n})" for n in names}
+    headline, sidecar = build_artifacts({}, {}, errors, 3, 0.1)
+    line = json.dumps(headline, separators=(",", ":"))
+    assert len(line) < 1024, f"all-failed headline is {len(line)} bytes"
+    assert headline["failed"] == sorted(errors)[:10]
+    assert headline["nfailed"] == len(names)
+    assert set(sidecar["errors"]) == set(names)
 
 
 def test_headline_value_is_sum_of_serialized_queries():

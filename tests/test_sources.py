@@ -297,3 +297,68 @@ def test_retention_on_bucketed_events_no_exchange(spark, sf_dir):
         assert got == want and len(got) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS ev_user_bucketed")
+
+
+def test_orphan_recovery_stale_vs_live(spark, tmp_path):
+    """r9 ADVICE: metastores are per-session, so LOCATION_ALREADY_EXISTS
+    alone cannot prove the directory is a dead run's orphan — a live
+    concurrent session's same-named table looks identical. Recovery now
+    requires the location to also look STALE (no _temporary staging
+    dir, no recent mtime); a fresh directory re-raises instead of
+    being rmtree'd."""
+    import os
+    import time
+    from urllib.parse import urlparse
+
+    import pytest
+    from pyspark.errors import AnalysisException, SparkRuntimeException
+
+    wh = urlparse(str(spark.conf.get("spark.sql.warehouse.dir"))).path
+    tbl = "orphan_probe_tbl"
+    loc = os.path.join(wh, tbl)
+    df = spark.range(3).withColumnRenamed("id", "v")
+
+    def plant(path):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "part-00000.parquet"), "w") as f:
+            f.write("junk")
+
+    try:
+        # fresh (possibly-live) directory: refused, original error raised
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        plant(loc)
+        with pytest.raises((AnalysisException, SparkRuntimeException), match="LOCATION_ALREADY_EXISTS"):
+            sources.save_table_recovering_orphan(
+                lambda: df.write.mode("overwrite").saveAsTable(tbl), spark, tbl
+            )
+        assert os.path.exists(loc), "live-looking directory must survive"
+
+        # same directory backdated past the grace window: recovered
+        old = time.time() - sources.ORPHAN_GRACE_SECONDS - 60
+        for root, dirs, files in os.walk(loc):
+            for n in dirs + files:
+                os.utime(os.path.join(root, n), (old, old))
+        os.utime(loc, (old, old))
+        sources.save_table_recovering_orphan(
+            lambda: df.write.mode("overwrite").saveAsTable(tbl), spark, tbl
+        )
+        assert spark.table(tbl).count() == 3
+
+        # in-flight write marker beats staleness: _temporary => live
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        plant(loc)
+        os.makedirs(os.path.join(loc, "_temporary"), exist_ok=True)
+        for root, dirs, files in os.walk(loc):
+            for n in dirs + files:
+                os.utime(os.path.join(root, n), (old, old))
+        os.utime(loc, (old, old))
+        with pytest.raises((AnalysisException, SparkRuntimeException), match="LOCATION_ALREADY_EXISTS"):
+            sources.save_table_recovering_orphan(
+                lambda: df.write.mode("overwrite").saveAsTable(tbl), spark, tbl
+            )
+        assert os.path.exists(os.path.join(loc, "_temporary"))
+    finally:
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(loc, ignore_errors=True)

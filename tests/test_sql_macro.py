@@ -165,3 +165,112 @@ def test_string_literal_with_paren_and_comma(spark, event_view):
         """,
     ).collect()
     assert to_py(got[0]["stats"]) == [[1], [1]]
+
+
+def test_sum_mixed_with_aliased_count_probed(spark):
+    # r9 advice (medium): a statement mixing an aliased retention_count
+    # with a standalone retention_sum over an UNRELATED column used to
+    # build the probe from the raw text, leaving retention_count
+    # unexpanded -> UNRESOLVED_ROUTINE. The probe is now built from the
+    # same top-level walk as the final expansion.
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW slt_mixed AS
+        SELECT * FROM VALUES
+          (1, 'add', 20230101, array(array(1Y, 1Y), array(1Y, 0Y))),
+          (2, 'buy', 20230101, array(array(1Y, 0Y), array(0Y, 1Y)))
+        AS t(distinct_id, event, ds, prior)
+        """
+    )
+    got = sql(
+        spark,
+        """
+        SELECT retention_count(event = 'add', event = 'buy',
+                               20230101 - 20230101, ds - 20230101) AS stats,
+               retention_sum(prior) AS rs
+        FROM slt_mixed
+        """,
+    ).collect()
+    assert to_py(got[0]["stats"]) == [[1], [1]]
+    assert to_py(got[0]["rs"]) == [[2, 1], [1, 1], [0]]
+
+
+def test_sum_probe_ignores_trailing_order_by_limit(spark):
+    # r9 advice (low): the probe used to run through the full statement
+    # INCLUDING its LIMIT, so a group beyond the cutoff with a wider
+    # stats array was silently truncated to the probed (smaller) m. The
+    # probe now strips the trailing ORDER BY / LIMIT, so m is the width
+    # over ALL groups.
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW slt_ragged AS
+        SELECT * FROM VALUES
+          (1, array(array(1Y), array(1Y))),
+          (2, array(array(1Y, 1Y), array(1Y, 2Y)))
+        AS t(g, stats)
+        """
+    )
+    stmt = """
+        SELECT g, retention_sum(stats) AS r FROM slt_ragged
+        GROUP BY g ORDER BY g LIMIT 1
+        """
+    expanded = expand_macros(stmt, spark)
+    # probed width is 2 (group g=2's width, beyond the LIMIT) — the
+    # expansion indexes cell [0][1], which an un-stripped probe (m=1)
+    # would never emit; the final statement keeps its ORDER BY/LIMIT
+    assert "[0][1]" in expanded
+    assert "LIMIT 1" in expanded
+    # ragged widths then fail LOUDLY at execution (ANSI array indexing)
+    # instead of silently truncating group g=1's matrix to width 1
+    from pyspark.errors import ArrayIndexOutOfBoundsException
+
+    with pytest.raises(ArrayIndexOutOfBoundsException):
+        spark.sql(expanded).collect()
+
+
+def test_sum_probe_limit_uniform_width_ok(spark):
+    # the legitimate shape: uniform widths + GROUP BY + LIMIT runs fine
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW slt_uniform AS
+        SELECT * FROM VALUES
+          (1, array(array(1Y, 1Y), array(1Y, 0Y))),
+          (2, array(array(1Y, 0Y), array(0Y, 2Y)))
+        AS t(g, stats)
+        """
+    )
+    got = sql(
+        spark,
+        """
+        SELECT g, retention_sum(stats) AS r FROM slt_uniform
+        GROUP BY g ORDER BY g LIMIT 1
+        """,
+    ).collect()
+    assert len(got) == 1 and got[0]["g"] == 1
+    assert to_py(got[0]["r"]) == [[1, 1], [1, 0], [0]]
+
+
+def test_strip_trailing_order_limit_unit():
+    from datafusion_uba_spark.plans.sql_macro import (
+        _strip_trailing_order_limit as strip,
+    )
+
+    # outer ORDER BY ... LIMIT stripped at the ORDER keyword
+    assert strip("SELECT a FROM t ORDER BY a LIMIT 3", 8) == "SELECT a FROM t "
+    # bare LIMIT stripped
+    assert strip("SELECT a FROM t LIMIT 3", 8) == "SELECT a FROM t "
+    # ORDER BY inside OVER(...) is depth > 0: untouched
+    s = "SELECT rank() OVER (ORDER BY a) FROM t"
+    assert strip(s, 0) == s
+    # ORDER BY inside a subquery is depth > 0: untouched
+    s = "SELECT * FROM (SELECT a FROM t ORDER BY a LIMIT 2) q"
+    assert strip(s, 0) == s
+    # quoted identifiers containing the keyword are not clause starts
+    s = "SELECT `limit` FROM t"
+    assert strip(s, 0) == s
+    # keyword as a suffix of an identifier is not a clause start
+    s = "SELECT no_limit FROM t"
+    assert strip(s, 0) == s
+    # clause before the last substitution end (floor): unchanged
+    s = "SELECT a FROM t ORDER BY b"
+    assert strip(s, len(s)) == s
