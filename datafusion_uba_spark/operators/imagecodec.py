@@ -1,0 +1,164 @@
+"""Dependency-free raster codecs: 24-bit BMP and binary PPM (P6).
+
+Replaces the round-≤9 multimodal decode STUB with an honest pixel
+path: the container ships no PIL/ffmpeg, but both of these formats are
+simple enough to encode/decode exactly with numpy alone — real
+headers, real padding/row-order/channel-order quirks, real pixels.
+They slot into the existing Arrow `mapInPandas` plumbing in
+operators.multimodal (the production shape for opaque binary columns:
+metadata-only filters never touch bytes, bytes cross the Python
+boundary once per Arrow batch). Reference parity: the reference has no
+multimodal surface at all — this family is part of the
+training-data-pipeline extension the brief asks for beyond
+reference coverage.
+
+Format notes (public specs):
+- BMP: 14-byte BITMAPFILEHEADER ("BM", file size, pixel-data offset)
+  + 40-byte BITMAPINFOHEADER (Windows 3.x). 24 bpp, BI_RGB
+  (uncompressed). Rows are stored BOTTOM-UP when biHeight > 0 (the
+  common case; negative = top-down), each row padded to a 4-byte
+  boundary, channels in BGR order.
+- PPM P6 (netpbm): ASCII header `P6 <width> <height> <maxval>` with
+  `#` comments allowed between tokens, a single whitespace byte after
+  maxval, then raw RGB rows top-down, no padding.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_BMP_HEADER_SIZE = 14
+_BMP_INFO_SIZE = 40
+
+
+def _check_rgb(arr: np.ndarray) -> np.ndarray:
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got shape {arr.shape}")
+    return np.ascontiguousarray(arr, dtype=np.uint8)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP
+    (bottom-up rows, BGR channels, 4-byte row padding)."""
+    arr = _check_rgb(arr)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    # RGB -> BGR, top-down -> bottom-up, pad each row to the stride
+    bgr = arr[::-1, :, ::-1]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    pixel_bytes = rows.tobytes()
+    offset = _BMP_HEADER_SIZE + _BMP_INFO_SIZE
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", offset + len(pixel_bytes), 0, 0, offset
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII",
+        _BMP_INFO_SIZE,  # biSize
+        w,  # biWidth
+        h,  # biHeight > 0: bottom-up
+        1,  # biPlanes
+        24,  # biBitCount
+        0,  # biCompression = BI_RGB
+        len(pixel_bytes),  # biSizeImage
+        2835,  # biXPelsPerMeter (72 DPI)
+        2835,  # biYPelsPerMeter
+        0,  # biClrUsed
+        0,  # biClrImportant
+    )
+    return file_header + info_header + pixel_bytes
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP into an (h, w, 3) uint8 RGB
+    array. Handles bottom-up (biHeight > 0) and top-down (< 0) files
+    and any BITMAPINFOHEADER-or-later header size."""
+    if len(data) < _BMP_HEADER_SIZE + _BMP_INFO_SIZE:
+        raise ValueError("truncated BMP: no room for headers")
+    magic, _file_size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", data, 0)
+    if magic != b"BM":
+        raise ValueError(f"not a BMP file (magic {magic!r})")
+    info_size, w, h_signed, planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", data, _BMP_HEADER_SIZE
+    )
+    if info_size < _BMP_INFO_SIZE:
+        raise ValueError(f"unsupported BMP header size {info_size}")
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant: planes={planes} bpp={bpp} "
+            f"compression={compression} (24-bit BI_RGB only)"
+        )
+    h = abs(h_signed)
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h_signed}")
+    stride = (w * 3 + 3) & ~3
+    need = offset + stride * h
+    if len(data) < need:
+        raise ValueError(f"truncated BMP: need {need} bytes, have {len(data)}")
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    if h_signed > 0:  # bottom-up: flip to natural top-down order
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as binary PPM (P6)."""
+    arr = _check_rgb(arr)
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
+
+
+def _ppm_tokens(data: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated ASCII integers from ``data``
+    starting at ``start``, skipping ``#`` comments; returns (values,
+    index one past the single whitespace byte after the last token)."""
+    vals: list[int] = []
+    i = start
+    while len(vals) < n:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if i < len(data) and data[i] == ord("#"):
+            while i < len(data) and data[i] != ord("\n"):
+                i += 1
+            continue
+        j = i
+        while j < len(data) and data[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError("malformed PPM header")
+        vals.append(int(data[i:j]))
+        i = j
+    # exactly ONE whitespace byte separates the header from the raster
+    if i >= len(data) or not data[i : i + 1].isspace():
+        raise ValueError("malformed PPM header: missing raster separator")
+    return vals, i + 1
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6) into an (h, w, 3) uint8 RGB array."""
+    if data[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {data[:2]!r})")
+    (w, h, maxval), off = _ppm_tokens(data, 3, 2)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PPM dimensions {w}x{h}")
+    need = off + w * h * 3
+    if len(data) < need:
+        raise ValueError(f"truncated PPM: need {need} bytes, have {len(data)}")
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=off)
+    return np.ascontiguousarray(px.reshape(h, w, 3))
+
+
+def decode_image(data: bytes) -> tuple[str, np.ndarray]:
+    """Sniff the codec from magic bytes and decode; returns
+    (codec_name, rgb_array)."""
+    if data[:2] == b"BM":
+        return "bmp", decode_bmp(data)
+    if data[:2] == b"P6":
+        return "ppm", decode_ppm(data)
+    raise ValueError(f"unrecognized image magic {data[:2]!r}")

@@ -9,10 +9,15 @@ built-in JVM expressions; actual decode/feature-extraction runs as
 Arrow-batched ``mapInPandas`` so bytes cross the Python boundary once
 per batch, never per row.
 
-The container has no image/audio codec libraries, so ``decode_payload``
-ships a deterministic STUB decoder (documented below) behind the real
-Spark plumbing — schema, batching, partitioning are production-shaped;
-swap ``_decode_bytes`` for a real codec (PIL/ffmpeg) to go live.
+The container has no image/audio codec LIBRARIES, so the generic
+``decode_payload`` ships a deterministic STUB decoder (documented
+below) behind the real Spark plumbing — schema, batching, partitioning
+are production-shaped; swap ``_decode_bytes`` for a real codec
+(PIL/ffmpeg) to go live. Since round 10 the IMAGE path is no longer a
+stub at all: ``attach_image_payload`` / ``decode_image_stats`` encode
+and decode real 24-bit BMP and binary PPM files with the
+dependency-free numpy codecs in operators.imagecodec — real headers,
+row padding, bottom-up/BGR order — inside the same Arrow boundary.
 """
 
 from __future__ import annotations
@@ -206,3 +211,154 @@ def multimodal_stats(
     """End-to-end: attach payloads to a documents table and compute the
     built-in byte/metadata stats (the oracle-checkable surface)."""
     return payload_stats(attach_payload(df, text_col, id_col), id_col)
+
+
+# ---------------------------------------------------------------------------
+# real raster path: BMP/PPM encode + decode (operators.imagecodec), no stub
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic raster per doc_id — the generator the oracle
+# replays in closed form: width/height from the id, pixel value at
+# column x, channel c is (doc_id*7 + 13*x + 11*c) mod 256 on EVERY row
+# (row-invariant so the oracle's per-(doc, x) sum stays O(width) per
+# doc, not O(width*height); y-order fidelity — BMP's bottom-up flip —
+# is pinned exactly by the codec unit tests instead).
+IMG_W_BASE, IMG_W_MOD = 32, 97
+IMG_H_BASE, IMG_H_MOD = 16, 53
+
+IMAGE_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("modality", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _synth_rgb(doc_id: int):
+    """The deterministic raster for ``doc_id`` (see module constants)."""
+    import numpy as np
+
+    w = IMG_W_BASE + doc_id % IMG_W_MOD
+    h = IMG_H_BASE + doc_id % IMG_H_MOD
+    x = np.arange(w, dtype=np.int64)
+    row = (
+        (doc_id * 7 + 13 * x[:, None] + 11 * np.arange(3)[None, :]) % 256
+    ).astype("uint8")
+    return np.broadcast_to(row, (h, w, 3))
+
+
+def attach_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Render each doc's deterministic raster and ENCODE it for real:
+    even ids as 24-bit BMP (bottom-up, BGR, padded rows), odd ids as
+    binary PPM (P6) — through the same Arrow `mapInPandas` boundary a
+    real image loader would use. Output schema matches attach_payload's
+    (payload binary + typed meta struct)."""
+    import pandas as pd
+
+    from datafusion_uba_spark.operators import imagecodec
+
+    def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                arr = _synth_rgb(did)
+                codec = "bmp" if did % 2 == 0 else "ppm"
+                payload = (
+                    imagecodec.encode_bmp(arr)
+                    if codec == "bmp"
+                    else imagecodec.encode_ppm(arr)
+                )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "payload": payload,
+                        "meta": {
+                            "modality": "image",
+                            "width": arr.shape[1],
+                            "height": arr.shape[0],
+                            "codec": codec,
+                        },
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "meta"]
+            )
+
+    return df.select(id_col).mapInPandas(render, IMAGE_PAYLOAD_SCHEMA)
+
+
+IMAGE_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def decode_image_stats(df: DataFrame) -> DataFrame:
+    """REAL decode: sniff BMP/PPM from magic bytes, parse headers and
+    pixels (operators.imagecodec), and emit per-image channel sums —
+    exact integers, so the whole encode→decode roundtrip is pinned by
+    the DuckDB oracle's closed-form replay of the generator. Dimensions
+    come from the DECODED headers, not the metadata struct — a decoder
+    that misread stride/padding/channel order hashes red.
+
+    Scale shape: only (doc_id, payload) cross the Arrow boundary, one
+    worker call per batch, numpy-vectorized per image; output is 8
+    scalars/image, so the downstream agg/join is narrow."""
+    import pandas as pd
+
+    from datafusion_uba_spark.operators import imagecodec
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                codec, arr = imagecodec.decode_image(bytes(payload))
+                sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "codec": codec,
+                        "width": arr.shape[1],
+                        "height": arr.shape[0],
+                        "n_pixels": arr.shape[0] * arr.shape[1],
+                        "sum_r": int(sums[0]),
+                        "sum_g": int(sums[1]),
+                        "sum_b": int(sums[2]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_DECODED_SCHEMA.fields]
+            )
+
+    narrow = df.select("doc_id", "payload")
+    return narrow.mapInPandas(decode, IMAGE_DECODED_SCHEMA)
+
+
+def image_decode_roundtrip(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """End-to-end raster path over a documents table: render + encode
+    (BMP or PPM by id parity), then decode back and compute exact
+    channel statistics. The oracle-checkable surface for the real
+    (non-stub) codec family."""
+    return decode_image_stats(attach_image_payload(df, id_col))

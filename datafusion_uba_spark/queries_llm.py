@@ -1142,6 +1142,53 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.multimodal_stats(docs)
 
 
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real raster roundtrip (round 10, no stub): render each doc's
+    deterministic RGB image, ENCODE it as a real 24-bit BMP (even ids)
+    or binary P6 PPM (odd ids) with the dependency-free numpy codecs
+    in operators.imagecodec, then DECODE headers + pixels back and
+    emit exact per-channel integer sums. The oracle replays the pixel
+    generator in closed form, so any codec slip — stride padding, BGR
+    order, header arithmetic — hashes red. Scale shape: bytes cross
+    the Arrow boundary once per batch, output is 8 scalars/image."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.image_decode_roundtrip(docs)
+
+
+def _oracle_image_decode() -> str:
+    from datafusion_uba_spark.operators.multimodal import (
+        IMG_H_BASE,
+        IMG_H_MOD,
+        IMG_W_BASE,
+        IMG_W_MOD,
+    )
+
+    w = f"({IMG_W_BASE} + d.doc_id % {IMG_W_MOD})"
+    h = f"({IMG_H_BASE} + d.doc_id % {IMG_H_MOD})"
+    # pixel (x, c) = (doc_id*7 + 13x + 11c) mod 256 on every row, so
+    # each channel sum is height * sum over x of the row value — the
+    # per-(doc, x) lateral stays O(width) per doc
+    return f"""
+WITH px AS (
+  SELECT d.doc_id, {w} AS width, {h} AS height, g.x
+  FROM documents d
+  CROSS JOIN generate_series(0, {IMG_W_BASE + IMG_W_MOD - 2}) g(x)
+  WHERE g.x < {w}
+)
+SELECT
+  doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS codec,
+  CAST(width AS BIGINT) AS width,
+  CAST(height AS BIGINT) AS height,
+  CAST(width * height AS BIGINT) AS n_pixels,
+  CAST(height * SUM((doc_id * 7 + 13 * x) % 256) AS BIGINT) AS sum_r,
+  CAST(height * SUM((doc_id * 7 + 13 * x + 11) % 256) AS BIGINT) AS sum_g,
+  CAST(height * SUM((doc_id * 7 + 13 * x + 22) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id, width, height
+"""
+
+
 _ORACLE_MULTIMODAL = """
 SELECT doc_id,
   octet_length(CAST(text AS BLOB)) AS n_bytes,
@@ -1412,4 +1459,5 @@ LLM_REGISTRY: dict = {
     "ann_topk_auto": (q_ann_topk_auto, _ORACLE_ANN_TOPK),
     "embedding_neardup": (q_embedding_neardup, _oracle_embedding_neardup()),
     "multimodal_stats": (q_multimodal_stats, _ORACLE_MULTIMODAL),
+    "image_decode_stats": (q_image_decode_stats, _oracle_image_decode()),
 }
