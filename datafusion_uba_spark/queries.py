@@ -1215,6 +1215,243 @@ LIMIT 20
 """
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated-scalar-MIN class — for each
+    size-15 part, the European supplier(s) who shipped it at that
+    part's minimum European price (the testdata has no partsupp, so
+    lineitem plays the supply-cost table; same decorrelation shape:
+    a scalar MIN subquery correlated on partkey, re-filtered by the
+    same region predicate as the outer block). Costs compare in exact
+    cents so both engines decide boundary rows identically.
+
+    Decorrelated Spark-first: region→nation→supplier fold into one
+    small EU-supplier dim (broadcast), the part filter broadcasts too,
+    so the fact table reduces scan-side to EU×size-15 rows before its
+    ONE shuffle (the per-part MIN hash aggregate); the tiny per-part
+    minima broadcast back for the equality join. The classic plan for
+    this query re-scans lineitem for the subquery — this one scans it
+    once and reuses the reduced projection for both sides. ORDER
+    BY + LIMIT 100 is total (acctbal, n_name, s_name, p_partkey), so
+    the cut is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    eu_supp = (
+        supp.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            _cents(F.col("s_acctbal")).alias("acctbal_cents"),
+        )
+    )
+    parts15 = part.where(F.col("p_size") == 15).select("p_partkey", "p_name")
+    li_eu = (
+        li.join(
+            F.broadcast(eu_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(parts15.select(F.col("p_partkey").alias("__pk"))),
+            F.col("l_partkey") == F.col("__pk"),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            _cents(F.col("l_extendedprice")).alias("__cost"),
+        )
+    )
+    per_part_min = li_eu.groupBy("l_partkey").agg(
+        F.min("__cost").alias("min_cents")
+    )
+    matched = (
+        li_eu.join(
+            F.broadcast(
+                per_part_min.withColumnRenamed("l_partkey", "__mpk")
+            ),
+            (F.col("l_partkey") == F.col("__mpk"))
+            & (F.col("__cost") == F.col("min_cents")),
+        )
+        .select("l_partkey", "l_suppkey", "min_cents")
+        .distinct()
+    )
+    return (
+        matched.join(
+            F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(parts15), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            "acctbal_cents", "min_cents",
+        )
+        .orderBy(
+            F.desc("acctbal_cents"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+_ORACLE_MIN_COST_SUPPLIER = """
+SELECT DISTINCT p.p_partkey, p.p_name, s.s_name, n.n_name,
+       CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       CAST(round(l.l_extendedprice * 100) AS BIGINT) AS min_cents
+FROM part p, lineitem l, supplier s, nation n, region r
+WHERE p.p_partkey = l.l_partkey AND l.l_suppkey = s.s_suppkey
+  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'EUROPE' AND p.p_size = 15
+  AND CAST(round(l.l_extendedprice * 100) AS BIGINT) = (
+    SELECT min(CAST(round(l2.l_extendedprice * 100) AS BIGINT))
+    FROM lineitem l2, supplier s2, nation n2, region r2
+    WHERE l2.l_partkey = p.p_partkey AND l2.l_suppkey = s2.s_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the aggregate-then-scalar-MAX-of-aggregate
+    class (the REVENUE view + max(total_revenue) subquery). Revenue
+    sums per-row cents (the repo's exact-money convention), so the
+    max and every tie at the max match the oracle bit-for-bit.
+
+    Scale shape: ONE shuffle (the per-supplier hash aggregate over
+    the date-pruned scan); the one-row max folds from the same tiny
+    aggregate and broadcasts back; the supplier dim joins broadcast.
+    The view is computed once and reused for both sides — Spark's
+    plan dedups the subtree instead of re-scanning lineitem the way
+    the literal SQL would."""
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        date_bounds={"l_shipdate": ("1996-01-01", "1996-04-01")},
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    disc_cents = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(disc_cents).alias("total_cents"))
+    )
+    max_rev = revenue.agg(F.max("total_cents").alias("__mx"))
+    return (
+        supp.join(
+            F.broadcast(
+                revenue.join(
+                    F.broadcast(max_rev),
+                    F.col("total_cents") == F.col("__mx"),
+                )
+            ),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+_ORACLE_TOP_REVENUE_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_cents
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_cents = (SELECT max(total_cents) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: the anti-join + uncorrelated-scalar-AVG class —
+    customers in selected segments whose balance beats the positive-
+    balance average, and who placed no urgent order since 2000 (the
+    testdata has no c_phone, so market segments play the country-code
+    prefix and the NOT EXISTS gets the urgency/date filter to keep it
+    selective). The average compare is cross-multiplied to exact
+    cents (cents * n > sum) so boundary customers agree across
+    engines.
+
+    Scale shape: the scalar aggregate is a one-row broadcast (never a
+    collect), the candidate side is the small filtered dim, and the
+    anti join shuffles only the hard-filtered orders projection
+    (priority + date pushed to the scan) against it — at 100 TB the
+    orders table contributes one narrow semi-reduced shuffle, the
+    customer table one."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(
+        spark, sf_dir, "orders",
+        date_bounds={"o_orderdate": ("2000-01-01", "2002-01-01")},
+    )
+    segs = ["AUTOMOBILE", "BUILDING", "MACHINERY"]
+    cents = _cents(F.col("c_acctbal"))
+    seg = cust.where(F.col("c_mktsegment").isin(segs)).select(
+        "c_custkey", "c_mktsegment", "c_acctbal", cents.alias("__cents")
+    )
+    pos = seg.where(F.col("c_acctbal") > 0).agg(
+        F.sum("__cents").alias("__sum"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    urgent = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return (
+        seg.join(F.broadcast(pos))
+        .where(F.col("__cents") * F.col("__n") > F.col("__sum"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("__cents").alias("total_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_ORACLE_IDLE_RICH = """
+WITH seg AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+),
+pos AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM seg WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM seg, pos
+WHERE cents * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = seg.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_orderdate >= DATE '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout keys: the Morton key every event would be
     laid out by under ``zorder_layout(events, [user_id, cents])``
@@ -1320,6 +1557,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q17": (q_small_quantity_revenue, _ORACLE_SMALL_QUANTITY),
     "tpch_q20": (q_top_recent_shippers, _ORACLE_TOP_RECENT_SHIPPERS),
     "tpch_q21": (q_sole_return_suppliers, _ORACLE_SOLE_RETURN),
+    "tpch_q2": (q_min_cost_supplier, _ORACLE_MIN_COST_SUPPLIER),
+    "tpch_q15": (q_top_revenue_supplier, _ORACLE_TOP_REVENUE_SUPPLIER),
+    "tpch_q22": (q_idle_rich_customers, _ORACLE_IDLE_RICH),
 }
 
 # LLM-training-data-pipeline inventory (dedup / similarity / text /

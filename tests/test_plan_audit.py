@@ -36,6 +36,11 @@ _NLJ_ALLOWED = {
     # broadcast per-query LUT table (operators/pq.py pq_topk) — the
     # corpus side is ~8 bytes/row codes, never the vectors
     "ann_topk_pq",
+    # uncorrelated scalar-AVG subquery (TPC-H Q22 shape): the ONE-ROW
+    # positive-balance aggregate broadcast against the filtered
+    # customer dim — a 1-row inner side makes the NLJ O(|customers|),
+    # exactly how Spark plans a scalar subquery itself
+    "tpch_q22",
 }
 
 _REGISTRY = queries()
