@@ -21,10 +21,10 @@ per-tier shuffle rides on rollup rows, never on events.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rollup_cascade", "TIER_SECONDS"]
+__all__ = ["rollup_cascade", "gapfill", "TIER_SECONDS"]
 
 # tier -> seconds per bucket; each tier must divide the next (epoch
 # alignment keeps integer bucket math exact and engine-portable)
@@ -94,3 +94,153 @@ def rollup_cascade(
     for t in outs[1:]:
         result = result.unionByName(t)
     return result
+
+
+def gapfill(
+    observed: DataFrame,
+    start_s: int,
+    end_s: int,
+    bucket_seconds: int,
+    bucket_col: str = "bucket_s",
+    key_col: str = "key",
+    value_col: str = "value",
+    fill: str = "locf",
+) -> DataFrame:
+    """TimescaleDB-style ``time_bucket_gapfill``: densify a rolled-up
+    series to EVERY bucket in ``[start_s, end_s)`` per key, filling
+    the holes (TimescaleDB gapfill/locf/interpolate docs; the
+    reference has no gapfill — this extends the hypertable family its
+    retention/rollup semantics sit in).
+
+    ``observed`` holds (bucket_col: epoch-second bucket start,
+    key_col, value_col) rows with gaps — typically a rollup_cascade
+    tier or any groupBy-bucket aggregate. Fill strategies:
+
+    - ``"null"``: missing buckets appear with NULL value
+    - ``"zero"``: missing buckets get 0 (the right fill for counts)
+    - ``"locf"``: last observation carried forward per key; buckets
+      before a key's first observation stay NULL
+    - ``"linear"``: linear interpolation between the neighboring
+      observations, computed in integer micro-units
+      (``DIV``-rounded toward negative infinity, so the arithmetic
+      replays exactly in any engine); before-first/after-last buckets
+      stay NULL
+
+    Scale shape: the dense frame is |keys| x |buckets| rows built
+    from a per-key ``sequence`` explode (never a driver loop), the
+    join back to observations is a shuffle on (key, bucket) over
+    ROLLUP rows (not raw events), and the fill windows partition by
+    key — bounded state per key, no global window. An
+    out-of-tier-alignment observation (bucket_col not a multiple of
+    bucket_seconds from epoch) raises downstream of a cheap
+    validation aggregate rather than silently landing between grid
+    points.
+    """
+    if fill not in ("null", "zero", "locf", "linear"):
+        raise ValueError(f"gapfill: unknown fill strategy {fill!r}")
+    if bucket_seconds <= 0 or end_s <= start_s:
+        raise ValueError("gapfill: need bucket_seconds > 0 and end > start")
+
+    obs = observed.select(
+        F.col(bucket_col).cast("long").alias("__b"),
+        F.col(key_col).alias("__k"),
+        F.col(value_col).alias("__v"),
+    ).where((F.col("__b") >= start_s) & (F.col("__b") < end_s))
+    # validation is part of the returned plan: a misaligned bucket
+    # poisons the join grid, so fail the query instead of dropping it
+    n_checked = F.when(
+        F.pmod(F.col("__b") - start_s, F.lit(bucket_seconds)) == 0,
+        F.col("__b"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("gapfill: observation bucket "),
+                F.col("__b").cast("string"),
+                F.lit(f" is not aligned to the {bucket_seconds}s grid"),
+            )
+        )
+    )
+    obs = obs.select(n_checked.alias("__b"), "__k", "__v")
+
+    keys = obs.select("__k").distinct()
+    # long-typed bounds: a bare int literal under ~2^31 would make the
+    # whole sequence (and the output bucket column) int32
+    dense = keys.select(
+        "__k",
+        F.explode(
+            F.sequence(
+                F.lit(start_s).cast("long"),
+                F.lit(end_s - 1).cast("long"),
+                F.lit(bucket_seconds).cast("long"),
+            )
+        ).alias("__b"),
+    )
+    joined = dense.join(obs, ["__k", "__b"], "left")
+
+    if fill == "zero":
+        filled = joined.select(
+            "__k", "__b", F.coalesce("__v", F.lit(0).cast("long")).alias("__v")
+        )
+    elif fill == "null":
+        filled = joined
+    elif fill == "locf":
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = joined.select(
+            "__k", "__b", F.last("__v", ignorenulls=True).over(w).alias("__v")
+        )
+    else:  # linear
+        wp = (
+            Window.partitionBy("__k")
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wn = (
+            Window.partitionBy("__k")
+            .orderBy("__b")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pb = F.last(
+            F.when(F.col("__v").isNotNull(), F.col("__b")), ignorenulls=True
+        ).over(wp)
+        pv = F.last("__v", ignorenulls=True).over(wp)
+        nb = F.first(
+            F.when(F.col("__v").isNotNull(), F.col("__b")), ignorenulls=True
+        ).over(wn)
+        nv = F.first("__v", ignorenulls=True).over(wn)
+        # exact integer micro-units: value_u = pv*1e6 + ((nv-pv)*1e6 *
+        # (b-pb)) DIV (nb-pb) — floor division toward negative
+        # infinity, which replays identically in any SQL engine (no
+        # float rounding decides a cell)
+        neighbors = joined.select(
+            "__k",
+            "__b",
+            "__v",
+            pb.alias("__pb"),
+            pv.cast("long").alias("__pv"),
+            nb.alias("__nb"),
+            nv.cast("long").alias("__nv"),
+        )
+        interp = F.col("__pv") * F.lit(1_000_000) + F.expr(
+            "((__nv - __pv) * 1000000 * (__b - __pb)) DIV (__nb - __pb)"
+        )
+        filled = neighbors.select(
+            "__k",
+            "__b",
+            F.when(
+                F.col("__v").isNotNull(),
+                F.col("__v").cast("long") * F.lit(1_000_000),
+            )
+            .when(F.col("__pv").isNotNull() & F.col("__nv").isNotNull(), interp)
+            .alias("__v"),
+        )
+    return filled.select(
+        F.col("__k").alias(key_col),
+        F.col("__b").alias(bucket_col),
+        F.col("__v").alias(
+            value_col if fill != "linear" else value_col + "_u"
+        ),
+    )

@@ -805,6 +805,77 @@ FROM events GROUP BY 2, 3"""
 _ORACLE_ROLLUP_CASCADE = _oracle_rollup_cascade()
 
 
+# one aligned week of hourly buckets: 2024-01-05 .. 2024-01-12 UTC
+_GF_START_S = 1_704_412_800
+_GF_END_S = 1_705_017_600
+
+
+def q_events_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB-style time_bucket_gapfill + LOCF
+    (operators/rollup.py gapfill): hourly revenue-cents per event_type
+    densified to EVERY hour of an aligned week — 779 of 840 cells are
+    observed at sf0.01, so the fill path is genuinely exercised — with
+    holes carried forward per key. Scale shape: the dense grid is a
+    per-key sequence explode over rollup rows (|keys| x 168 here), the
+    fill window partitions by key, and the raw scan is date-pruned at
+    the parquet level via load_table's pushed bounds."""
+    from datafusion_uba_spark.operators.rollup import gapfill
+
+    ev = load_table(
+        spark, sf_dir, "events",
+        date_bounds={"ts": ("2024-01-05", "2024-01-12")},
+    )
+    obs = (
+        ev.where(
+            (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
+        )
+        .groupBy(
+            F.expr("(unix_micros(ts) DIV 1000000 DIV 3600) * 3600").alias(
+                "bucket_s"
+            ),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            )
+        )
+    )
+    return gapfill(
+        obs,
+        _GF_START_S,
+        _GF_END_S,
+        3600,
+        bucket_col="bucket_s",
+        key_col="event_type",
+        value_col="value_cents",
+        fill="locf",
+    )
+
+
+_ORACLE_EVENTS_GAPFILLED = f"""
+WITH obs AS (
+  SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS b,
+         event_type AS k,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT k, g.b
+  FROM (SELECT DISTINCT k FROM obs)
+  CROSS JOIN generate_series({_GF_START_S}, {_GF_END_S - 1}, 3600) g(b)
+)
+SELECT grid.k AS event_type, CAST(grid.b AS BIGINT) AS bucket_s,
+       last_value(obs.v IGNORE NULLS) OVER (
+         PARTITION BY grid.k ORDER BY grid.b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_cents
+FROM grid LEFT JOIN obs ON obs.k = grid.k AND obs.b = grid.b
+"""
+
+
 UBA_REGISTRY: dict = {
     "daily_active_users": (q_daily_active_users, _ORACLE_DAU),
     "daily_active_users_hll": (q_daily_active_users_hll, None),
@@ -827,4 +898,5 @@ UBA_REGISTRY: dict = {
     "churned_weekly": (q_churned_weekly, _ORACLE_CHURNED_WEEKLY),
     "moving_value_frames": (q_moving_value_frames, _ORACLE_MOVING_VALUE_FRAMES),
     "rollup_cascade": (q_rollup_cascade, _ORACLE_ROLLUP_CASCADE),
+    "events_gapfilled": (q_events_gapfilled, _ORACLE_EVENTS_GAPFILLED),
 }

@@ -129,3 +129,100 @@ def test_review_fix_guards(spark):
         )
     with _pytest.raises(ValueError, match="non-empty"):
         pq.train_pq(emb, cents=[])
+
+
+# --- gapfill ---------------------------------------------------------------
+
+
+def _gf_obs(spark):
+    # key a: observed at 0 and 200; key b: only at 100. Grid [0, 300) step 100.
+    return spark.createDataFrame(
+        [(0, "a", 10), (200, "a", 40), (100, "b", 7)],
+        "bucket_s long, key string, value long",
+    )
+
+
+def _gf_rows(df):
+    return {
+        (r["key"], r["bucket_s"]): r[df.columns[-1]] for r in df.collect()
+    }
+
+
+def test_gapfill_null_and_zero(spark):
+    from datafusion_uba_spark.operators.rollup import gapfill
+
+    obs = _gf_obs(spark)
+    nulls = _gf_rows(gapfill(obs, 0, 300, 100, fill="null"))
+    assert nulls == {
+        ("a", 0): 10, ("a", 100): None, ("a", 200): 40,
+        ("b", 0): None, ("b", 100): 7, ("b", 200): None,
+    }
+    zeros = _gf_rows(gapfill(obs, 0, 300, 100, fill="zero"))
+    assert zeros[("a", 100)] == 0 and zeros[("b", 200)] == 0
+
+
+def test_gapfill_locf_carries_forward_only(spark):
+    from datafusion_uba_spark.operators.rollup import gapfill
+
+    got = _gf_rows(gapfill(_gf_obs(spark), 0, 300, 100, fill="locf"))
+    # forward-fill inside the series; BEFORE a key's first observation
+    # stays NULL (locf never looks ahead)
+    assert got == {
+        ("a", 0): 10, ("a", 100): 10, ("a", 200): 40,
+        ("b", 0): None, ("b", 100): 7, ("b", 200): 7,
+    }
+
+
+def test_gapfill_linear_exact_micro_units(spark):
+    from datafusion_uba_spark.operators.rollup import gapfill
+
+    obs = spark.createDataFrame(
+        [(0, "a", 10), (300, "a", 20)], "bucket_s long, key string, value long"
+    )
+    got = _gf_rows(gapfill(obs, 0, 500, 100, fill="linear"))
+    # interior holes interpolate in integer micro-units with floor
+    # division: 10 + (20-10)*(100/300) = 13.333...  -> 13_333_333
+    assert got[("a", 0)] == 10_000_000
+    assert got[("a", 100)] == 13_333_333
+    assert got[("a", 200)] == 16_666_666
+    assert got[("a", 300)] == 20_000_000
+    # after the last observation: no next neighbor -> NULL
+    assert got[("a", 400)] is None
+
+
+def test_gapfill_rejects_misaligned_bucket(spark):
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from datafusion_uba_spark.operators.rollup import gapfill
+
+    obs = spark.createDataFrame(
+        [(50, "a", 1)], "bucket_s long, key string, value long"
+    )
+    with pytest.raises(SparkRuntimeException, match="not aligned"):
+        gapfill(obs, 0, 300, 100, fill="null").collect()
+
+
+def test_gapfill_long_bucket_type(spark):
+    from datafusion_uba_spark.operators.rollup import gapfill
+
+    # epoch-scale bounds must stay BIGINT (an int literal would make
+    # the sequence int32 — the r10 dtype drift the oracle caught)
+    obs = spark.createDataFrame(
+        [(1_704_412_800, "a", 1)], "bucket_s long, key string, value long"
+    )
+    out = gapfill(obs, 1_704_412_800, 1_704_412_800 + 7200, 3600, fill="locf")
+    assert dict(out.dtypes)["bucket_s"] == "bigint"
+    assert out.count() == 2
+
+
+def test_gapfill_bad_args(spark):
+    import pytest
+
+    from datafusion_uba_spark.operators.rollup import gapfill
+
+    obs = _gf_obs(spark)
+    with pytest.raises(ValueError, match="unknown fill"):
+        gapfill(obs, 0, 300, 100, fill="extrapolate")
+    with pytest.raises(ValueError, match="end > start"):
+        gapfill(obs, 300, 0, 100)
