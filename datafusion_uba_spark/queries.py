@@ -507,6 +507,55 @@ def q_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-window family order_ranks leaves out: rank /
+    dense_rank under ties, ntile quartiles, percent_rank and cume_dist
+    — one hash-partitioned sort per priority class, total ORDER BY
+    (cents, orderkey) so every tie and every quartile boundary is
+    engine-independent. percent_rank/cume_dist are the same closed
+    forms ((rank-1)/(n-1), rank_with_ties/n) evaluated as IEEE doubles
+    from identical integers in both engines, so they hash-compare
+    exactly despite being floats."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = _cents(F.col("o_totalprice"))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "__cents", "o_orderkey"
+    )
+    base = orders.select(
+        "o_orderpriority", "o_orderkey", cents.alias("__cents")
+    )
+    return base.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("__cents").alias("total_cents"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("dense_rnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+_ORACLE_ORDER_DISTRIBUTION = """
+WITH base AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderpriority AS priority, o_orderkey AS orderkey,
+       cents AS total_cents,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS dense_rnk,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM base
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey)
+"""
+
+
 _ORACLE_ORDER_RANKS = """
 WITH base AS (
   SELECT o_custkey, o_orderkey,
@@ -830,6 +879,61 @@ FROM (
   FROM events
 )
 GROUP BY CUBE (event_type, hr)
+"""
+
+
+def q_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the arbitrary-set companion of the
+    ROLLUP/CUBE rows): ((status, priority), (priority), ()) — NOT a
+    rollup of (status, priority), so only the real GROUPING SETS
+    machinery can plan it: one expand + ONE hash aggregate over
+    orders, no per-set re-scan. Grouping flags are emitted as an
+    explicit gid = 2*grouping(status) + grouping(priority) (portable
+    bit order; engines disagree on grouping_id()'s column packing) and
+    NULL keys become sentinels so the hash compare is well-defined."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = (
+        orders.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            _cents(F.col("o_totalprice")).alias("__cents"),
+        )
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            (
+                F.grouping("o_orderstatus") * F.lit(2)
+                + F.grouping("o_orderpriority")
+            )
+            .cast("int")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("__cents").alias("total_cents"),
+        )
+    )
+    return g.select(
+        F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+        "gid",
+        "n_orders",
+        "total_cents",
+    )
+
+
+_ORACLE_GROUPING_SETS = """
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       CAST(2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS INT)
+         AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderpriority), ())
 """
 
 
@@ -1542,6 +1646,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_json_props": (q_events_json_props, _ORACLE_EVENTS_JSON),
     "revenue_rollup": (q_revenue_rollup, _ORACLE_REVENUE_ROLLUP),
     "order_ranks": (q_order_ranks, _ORACLE_ORDER_RANKS),
+    "order_distribution_ranks": (
+        q_order_distribution_ranks,
+        _ORACLE_ORDER_DISTRIBUTION,
+    ),
     "repeat_buyers": (q_repeat_buyers, _ORACLE_REPEAT_BUYERS),
     "event_type_pivot": (q_event_type_pivot, _ORACLE_EVENT_TYPE_PIVOT),
     "zorder_keys": (q_zorder_keys, _ORACLE_ZORDER_KEYS),
@@ -1550,6 +1658,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "forecast_revenue": (q_forecast_revenue, _ORACLE_FORECAST_REVENUE),
     "large_orders": (q_large_orders, _ORACLE_LARGE_ORDERS),
     "event_cube": (q_event_cube, _ORACLE_EVENT_CUBE),
+    "order_grouping_sets": (q_order_grouping_sets, _ORACLE_GROUPING_SETS),
     "tpch_q4": (q_priority_semijoin, _ORACLE_PRIORITY_SEMIJOIN),
     "tpch_q7": (q_nation_trade_volume, _ORACLE_NATION_TRADE),
     "tpch_q13": (q_customer_distribution, _ORACLE_CUSTOMER_DISTRIBUTION),

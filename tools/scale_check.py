@@ -70,6 +70,12 @@ HEAVY = [
     "moving_value_frames",
     "stickiness_wau_hll",
     "rollup_cascade",
+    "events_gapfilled",
+    "image_decode_stats",
+    "order_grouping_sets",
+    "tpch_q2",
+    "tpch_q15",
+    "tpch_q22",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
@@ -137,6 +143,42 @@ def _replicate(spark, k: int, out_dir: str) -> None:
     for c in copies[1:]:
         rep = rep.unionAll(c)
     rep.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    # TPC-H shapes: FACT tables replicate with consistently shifted
+    # join keys (order/customer keys move together so joins stay
+    # intact); DIMENSION tables copy verbatim once — at a real 100 TB
+    # the facts grow and the dims don't, so this is the realistic
+    # stress: per-part/per-supplier group sizes grow k-fold.
+    shift = 1_000_000_000
+    orders = load_table(spark, BASE, "orders")
+    rep = orders
+    for i in range(1, k):
+        rep = rep.unionAll(
+            orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * shift))
+            .withColumn("o_custkey", F.col("o_custkey") + F.lit(i * shift))
+        )
+    rep.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    li = load_table(spark, BASE, "lineitem")
+    rep = li
+    for i in range(1, k):
+        rep = rep.unionAll(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * shift))
+        )
+    rep.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    cust = load_table(spark, BASE, "customer")
+    rep = cust
+    for i in range(1, k):
+        rep = rep.unionAll(
+            cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * shift))
+        )
+    rep.write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+
+    for dim in ("part", "supplier", "nation", "region"):
+        load_table(spark, BASE, dim).write.mode("overwrite").parquet(
+            f"{out_dir}/{dim}.parquet"
+        )
 
 
 def main() -> None:
