@@ -73,6 +73,7 @@ HEAVY = [
     "events_gapfilled",
     "image_decode_stats",
     "order_grouping_sets",
+    "order_distribution_ranks",
     "tpch_q2",
     "tpch_q15",
     "tpch_q22",
