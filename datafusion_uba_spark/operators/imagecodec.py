@@ -154,6 +154,34 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(px.reshape(h, w, 3))
 
 
+def resize_nearest(arr: np.ndarray, max_side: int) -> np.ndarray:
+    """Nearest-neighbor downscale so the longer side is <= ``max_side``
+    (aspect preserved, never upscale) — INTEGER-exact geometry and
+    index mapping, so an external engine can replay the resampled
+    pixels in closed form:
+
+        long = max(w, h)
+        nw = max(1, w * max_side // long), nh likewise  (unchanged if
+        long <= max_side)
+        src_x = dst_x * w // nw, src_y = dst_y * h // nh
+
+    This is the standard floor nearest-neighbor map (PIL NEAREST uses
+    the same integer grid up to rounding convention); no float scale
+    factor ever decides a pixel."""
+    arr = _check_rgb(arr)
+    h, w, _ = arr.shape
+    if max_side <= 0:
+        raise ValueError(f"max_side must be positive, got {max_side}")
+    long_side = max(w, h)
+    if long_side <= max_side:
+        return arr
+    nw = max(1, w * max_side // long_side)
+    nh = max(1, h * max_side // long_side)
+    xs = (np.arange(nw, dtype=np.int64) * w) // nw
+    ys = (np.arange(nh, dtype=np.int64) * h) // nh
+    return np.ascontiguousarray(arr[ys][:, xs])
+
+
 def decode_image(data: bytes) -> tuple[str, np.ndarray]:
     """Sniff the codec from magic bytes and decode; returns
     (codec_name, rgb_array)."""
