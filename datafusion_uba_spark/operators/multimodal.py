@@ -362,3 +362,58 @@ def image_decode_roundtrip(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     channel statistics. The oracle-checkable surface for the real
     (non-stub) codec family."""
     return decode_image_stats(attach_image_payload(df, id_col))
+
+
+def resize_image_payloads(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """REAL image resize (round 10; replaces the byte-truncation stub
+    for raster payloads): decode BMP/PPM, nearest-neighbor downscale
+    with integer-exact geometry (imagecodec.resize_nearest — no float
+    scale factor ever decides a pixel), and RE-ENCODE in the same
+    codec, all inside one Arrow `mapInPandas` pass. Output schema
+    matches attach_image_payload's, so resize composes with
+    decode_image_stats for an oracle-checkable resize→decode pipeline."""
+    import pandas as pd
+
+    from datafusion_uba_spark.operators import imagecodec
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                codec, arr = imagecodec.decode_image(bytes(payload))
+                out = imagecodec.resize_nearest(arr, max_side)
+                payload2 = (
+                    imagecodec.encode_bmp(out)
+                    if codec == "bmp"
+                    else imagecodec.encode_ppm(out)
+                )
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "payload": payload2,
+                        "meta": {
+                            "modality": "image",
+                            "width": out.shape[1],
+                            "height": out.shape[0],
+                            "codec": codec,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    return df.select("doc_id", "payload").mapInPandas(
+        resize, IMAGE_PAYLOAD_SCHEMA
+    )
+
+
+def image_resize_roundtrip(
+    df: DataFrame, max_side: int = 32, id_col: str = "doc_id"
+) -> DataFrame:
+    """render → encode → decode → nearest-neighbor resize → re-encode →
+    decode → exact channel sums: every pixel the final stats see has
+    been through BOTH codecs and the integer resample, so the DuckDB
+    oracle's closed-form replay of the source-index map pins the whole
+    chain byte-exact."""
+    return decode_image_stats(
+        resize_image_payloads(attach_image_payload(df, id_col), max_side)
+    )

@@ -1189,6 +1189,61 @@ GROUP BY doc_id, width, height
 """
 
 
+def q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real resize pipeline (round 10): render → encode → decode →
+    integer-exact nearest-neighbor downscale to max_side=32 →
+    RE-ENCODE in the same codec → decode again → exact channel sums.
+    The oracle replays the floor source-index map ((x*w) DIV nw) in
+    closed form, so a single off-by-one in geometry, stride, or either
+    codec hashes red."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.image_resize_roundtrip(docs, max_side=32)
+
+
+def _oracle_image_resize() -> str:
+    from datafusion_uba_spark.operators.multimodal import (
+        IMG_H_BASE,
+        IMG_H_MOD,
+        IMG_W_BASE,
+        IMG_W_MOD,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         ({IMG_W_BASE} + doc_id % {IMG_W_MOD}) AS w,
+         ({IMG_H_BASE} + doc_id % {IMG_H_MOD}) AS h
+  FROM documents
+),
+g AS (
+  SELECT doc_id, w, h,
+         CASE WHEN GREATEST(w, h) <= 32 THEN w
+              ELSE GREATEST(1, w * 32 // GREATEST(w, h)) END AS nw,
+         CASE WHEN GREATEST(w, h) <= 32 THEN h
+              ELSE GREATEST(1, h * 32 // GREATEST(w, h)) END AS nh
+  FROM d
+),
+px AS (
+  SELECT g.doc_id, g.w, g.nw, g.nh, s.x
+  FROM g CROSS JOIN generate_series(0, 31) s(x)
+  WHERE s.x < g.nw
+)
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS codec,
+  CAST(nw AS BIGINT) AS width,
+  CAST(nh AS BIGINT) AS height,
+  CAST(nw * nh AS BIGINT) AS n_pixels,
+  CAST(nh * SUM((doc_id * 7 + 13 * ((x * w) // nw)) % 256) AS BIGINT)
+    AS sum_r,
+  CAST(nh * SUM((doc_id * 7 + 13 * ((x * w) // nw) + 11) % 256) AS BIGINT)
+    AS sum_g,
+  CAST(nh * SUM((doc_id * 7 + 13 * ((x * w) // nw) + 22) % 256) AS BIGINT)
+    AS sum_b
+FROM px
+GROUP BY doc_id, nw, nh
+"""
+
+
 _ORACLE_MULTIMODAL = """
 SELECT doc_id,
   octet_length(CAST(text AS BLOB)) AS n_bytes,
@@ -1460,4 +1515,5 @@ LLM_REGISTRY: dict = {
     "embedding_neardup": (q_embedding_neardup, _oracle_embedding_neardup()),
     "multimodal_stats": (q_multimodal_stats, _ORACLE_MULTIMODAL),
     "image_decode_stats": (q_image_decode_stats, _oracle_image_decode()),
+    "image_resize_stats": (q_image_resize_stats, _oracle_image_resize()),
 }

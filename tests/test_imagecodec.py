@@ -115,3 +115,38 @@ def test_synth_generator_matches_closed_form():
                 assert a[0, x, c] == (did * 7 + 13 * x + 11 * c) % 256
         # row-invariant by construction
         assert np.array_equal(a[0], a[h - 1])
+
+
+def test_resize_nearest_integer_map():
+    # 4x4 -> 2x2 with max_side=2: src index = dst*4//2 = {0, 2}
+    a = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = ic.resize_nearest(a, 2)
+    assert out.shape == (2, 2, 3)
+    assert np.array_equal(out, a[[0, 2]][:, [0, 2]])
+
+
+def test_resize_nearest_aspect_and_no_upscale():
+    a = _arr(10, 40, seed=3)
+    out = ic.resize_nearest(a, 20)
+    # long side 40 -> 20, short side 10*20//40 = 5
+    assert out.shape == (5, 20, 3)
+    small = _arr(4, 6, seed=4)
+    assert ic.resize_nearest(small, 32) is small or np.array_equal(
+        ic.resize_nearest(small, 32), small
+    )
+    with pytest.raises(ValueError, match="positive"):
+        ic.resize_nearest(a, 0)
+
+
+def test_resize_nearest_min_one_pixel():
+    a = _arr(1, 100, seed=5)
+    out = ic.resize_nearest(a, 10)
+    # h = 1*10//100 = 0 -> clamped to 1
+    assert out.shape == (1, 10, 3)
+
+
+def test_resize_then_reencode_roundtrip():
+    a = _arr(33, 47, seed=6)
+    out = ic.resize_nearest(a, 16)
+    assert np.array_equal(ic.decode_bmp(ic.encode_bmp(out)), out)
+    assert np.array_equal(ic.decode_ppm(ic.encode_ppm(out)), out)
