@@ -24,7 +24,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rollup_cascade", "gapfill", "TIER_SECONDS"]
+__all__ = [
+    "rollup_cascade",
+    "gapfill",
+    "hour_rollup_cells",
+    "rollup_init",
+    "rollup_refresh",
+    "TIER_SECONDS",
+]
 
 # tier -> seconds per bucket; each tier must divide the next (epoch
 # alignment keeps integer bucket math exact and engine-portable)
@@ -94,6 +101,106 @@ def rollup_cascade(
     for t in outs[1:]:
         result = result.unionByName(t)
     return result
+
+
+def hour_rollup_cells(
+    events: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """The hour-tier cells of rollup_cascade as a standalone frame
+    (pday partition column = epoch day of the bucket): the unit of
+    storage for the PERSISTED continuous aggregate below."""
+    base = events.select(
+        F.expr(f"unix_micros(`{time_col}`) DIV 1000000").alias("__es"),
+        F.col(key_col).alias("key"),
+        F.round(F.col(value_col) * 100).cast("long").alias("__cents"),
+    )
+    return (
+        base.groupBy(_bucket("__es", 3600).alias("bucket_s"), "key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__cents").alias("value_cents"),
+        )
+        .select(
+            "bucket_s", "key", "n_events", "value_cents",
+            F.expr("bucket_s DIV 86400").alias("pday"),
+        )
+    )
+
+
+def rollup_init(
+    events: DataFrame,
+    table: str,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> None:
+    """Materialize the hour-tier rollup as a catalog parquet table
+    PARTITIONED BY pday (epoch day) — the continuous-aggregate store
+    rollup_refresh maintains incrementally."""
+    cells = hour_rollup_cells(events, time_col, key_col, value_col)
+    spark = events.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    from datafusion_uba_spark.sources import save_table_recovering_orphan
+
+    save_table_recovering_orphan(
+        lambda: cells.write.mode("overwrite")
+        .format("parquet")
+        .partitionBy("pday")
+        .saveAsTable(table),
+        spark,
+        table,
+    )
+
+
+def rollup_refresh(
+    increment: DataFrame,
+    table: str,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> list[int]:
+    """Incrementally fold a batch of NEW events into the persisted
+    hour-tier rollup — the TimescaleDB continuous-aggregate refresh /
+    Druid segment-replace pattern: aggregate the increment, merge it
+    with the stored cells of ONLY the affected pday partitions (sums
+    are additive, so merge = union + re-sum), and rewrite ONLY those
+    partitions via dynamic partition overwrite. Untouched days' files
+    are never read or written — at 100 TB a daily refresh touches one
+    day's partitions, not three years of history. Returns the affected
+    pday list (driver-side: O(days in the increment), bounded).
+
+    Correctness contract (pinned in tests/test_uba_ops.py): after any
+    sequence of disjoint-increment refreshes, the stored table equals
+    hour_rollup_cells over the concatenation of all increments —
+    including increments that land in EXISTING buckets (late events)."""
+    spark = increment.sparkSession
+    inc = hour_rollup_cells(increment, time_col, key_col, value_col)
+    inc = inc.localCheckpoint(eager=False)
+    days = [r["pday"] for r in inc.select("pday").distinct().collect()]
+    if not days:
+        return []
+    stored = spark.table(table).where(F.col("pday").isin(days))
+    merged = (
+        stored.unionByName(inc)
+        .groupBy("bucket_s", "key", "pday")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+        .select("bucket_s", "key", "n_events", "value_cents", "pday")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # dynamic mode: overwrite replaces ONLY the partitions present
+        # in `merged` (exactly the affected days), never the others
+        merged.write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return sorted(days)
 
 
 def gapfill(

@@ -226,3 +226,115 @@ def test_gapfill_bad_args(spark):
         gapfill(obs, 0, 300, 100, fill="extrapolate")
     with pytest.raises(ValueError, match="end > start"):
         gapfill(obs, 300, 0, 100)
+
+
+# --- incremental rollup refresh (continuous aggregate) ---------------------
+
+
+def _ev_df(spark, rows):
+    # rows: (epoch_s, event_type, value)
+    return spark.createDataFrame(
+        [(i, ts * 1_000_000, et, v) for i, (ts, et, v) in enumerate(rows)],
+        "event_id long, us long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+def test_rollup_refresh_equals_full_recompute(spark):
+    from datafusion_uba_spark.operators import rollup
+
+    day = 86400
+    batch1 = _ev_df(
+        spark,
+        [(10, "a", 1.0), (3700, "a", 2.0), (day + 5, "b", 3.0)],
+    )
+    # batch2 adds a NEW day and lands late events in EXISTING buckets
+    batch2 = _ev_df(
+        spark,
+        [(20, "a", 0.5), (2 * day + 9, "c", 4.0), (day + 6, "b", 1.5)],
+    )
+    table = "rollup_refresh_t1"
+    try:
+        rollup.rollup_init(batch1, table)
+        affected = rollup.rollup_refresh(batch2, table)
+        assert affected == [0, 1, 2]
+        got = {
+            (r["bucket_s"], r["key"]): (r["n_events"], r["value_cents"])
+            for r in spark.table(table).collect()
+        }
+        want = {
+            (r["bucket_s"], r["key"]): (r["n_events"], r["value_cents"])
+            for r in rollup.hour_rollup_cells(
+                batch1.unionByName(batch2)
+            ).collect()
+        }
+        assert got == want and len(got) == 4
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_rollup_refresh_rewrites_only_affected_partitions(spark):
+    import os
+    from urllib.parse import urlparse
+
+    from datafusion_uba_spark.operators import rollup
+
+    day = 86400
+    init = _ev_df(
+        spark, [(10, "a", 1.0), (day + 5, "b", 2.0), (2 * day + 7, "c", 3.0)]
+    )
+    table = "rollup_refresh_t2"
+    try:
+        rollup.rollup_init(init, table)
+        loc_row = (
+            spark.sql(f"DESCRIBE FORMATTED {table}")
+            .where("col_name = 'Location'")
+            .collect()[0]
+        )
+        loc = urlparse(loc_row["data_type"]).path
+
+        def files(day_part):
+            d = os.path.join(loc, f"pday={day_part}")
+            return {
+                f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d)
+                if not f.startswith("_") and not f.startswith(".")
+            }
+
+        before = {d: files(d) for d in (0, 1, 2)}
+        # refresh touches ONLY day 1
+        affected = rollup.rollup_refresh(
+            _ev_df(spark, [(day + 100, "b", 1.0)]), table
+        )
+        assert affected == [1]
+        after = {d: files(d) for d in (0, 1, 2)}
+        # untouched days: identical files, identical mtimes
+        assert after[0] == before[0]
+        assert after[2] == before[2]
+        # the affected day was rewritten
+        assert after[1] != before[1]
+        # and its merged cell is correct
+        row = (
+            spark.table(table)
+            .where("pday = 1 AND key = 'b'")
+            .collect()
+        )
+        assert len(row) == 1 and row[0]["n_events"] == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_rollup_refresh_empty_increment_noop(spark):
+    from datafusion_uba_spark.operators import rollup
+
+    table = "rollup_refresh_t3"
+    try:
+        rollup.rollup_init(_ev_df(spark, [(10, "a", 1.0)]), table)
+        assert rollup.rollup_refresh(_ev_df(spark, []), table) == []
+        assert spark.table(table).count() == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
