@@ -41,6 +41,7 @@ __all__ = [
     "streaming_funnel_flags",
     "streaming_exact_dedup",
     "streaming_minhash_dedup_against",
+    "streaming_rollup_refresh",
     "heavy_hitter_cells",
     "run_to_memory",
 ]
@@ -582,6 +583,59 @@ def streaming_minhash_dedup_against(
         .select("doc_id", "dup_of", jac_bp.alias("jaccard_bp"))
         .where(F.col("jaccard_bp") >= int(round(threshold * 10000)))
     )
+
+
+def streaming_rollup_refresh(
+    events: DataFrame,
+    table: str,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    timeout_sec: int = 300,
+) -> StreamingQuery:
+    """STREAMING continuous aggregate: fold a stream of events into the
+    persisted hour-tier rollup table (operators.rollup.rollup_init
+    store) one micro-batch at a time via ``foreachBatch`` →
+    ``rollup_refresh`` — the streaming face of the TimescaleDB
+    continuous-aggregate pattern, and the composition that makes the
+    rollup/gapfill serving stack END-TO-END: files land → refresh
+    touches only the affected days' partitions → batch dashboards
+    gapfill/serve from the always-current store.
+
+    Why foreachBatch instead of a stateful streaming aggregate: the
+    rollup table must stay a PLAIN partitioned parquet table that
+    batch queries (rollup tiers, gapfill, dashboards) read directly —
+    foreachBatch reuses the exact batch merge (increment agg + union +
+    re-sum + dynamic-partition overwrite of affected days), so
+    streaming and batch refresh are THE SAME code path, and the
+    per-batch write cost is proportional to the days the batch
+    touches, not the table. Exactly-once caveat (documented, standard
+    for foreachBatch sinks without idempotent keys): a batch replayed
+    after a crash between write and checkpoint would double-fold;
+    production would stamp batch_id into a refresh journal — here the
+    availableNow harness processes each file exactly once.
+
+    Runs with an availableNow trigger (process everything currently in
+    the source, then stop) and raises TimeoutError on overrun, like
+    run_to_memory."""
+    from datafusion_uba_spark.operators.rollup import rollup_refresh
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        rollup_refresh(batch, table, time_col, key_col, value_col)
+
+    q = (
+        events.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming rollup refresh into {table!r} still running "
+            f"after {timeout_sec}s"
+        )
+    return q
 
 
 def heavy_hitter_cells(

@@ -665,3 +665,39 @@ def test_streaming_minhash_dedup_guards(spark):
     )
     with pytest.raises(ValueError, match="requires"):
         streaming_minhash_dedup_against(sdocs, docs)
+
+
+def test_streaming_rollup_refresh_parity(spark, batch_events, tmp_path):
+    """Streaming continuous aggregate: events split into 4 files,
+    folded into the persisted hour-tier rollup one file per
+    micro-batch via foreachBatch -> rollup_refresh. The final store
+    must equal hour_rollup_cells over the whole table — pinning that
+    repeated partial refreshes (including late events landing in
+    already-written buckets) compose to the batch answer, through the
+    same merge code path the batch refresh uses."""
+    from datafusion_uba_spark.operators import rollup
+    from datafusion_uba_spark.streaming import streaming_rollup_refresh
+
+    src = str(tmp_path / "ev_rollup_split")
+    batch_events.repartition(4).write.mode("overwrite").parquet(src)
+    table = "rollup_stream_store"
+    try:
+        # init with an EMPTY store of the right shape, then stream all
+        rollup.rollup_init(batch_events.limit(0), table)
+        sdf = stream_events(
+            spark, src, max_files_per_trigger=1, path_glob_filter="*.parquet"
+        )
+        q = streaming_rollup_refresh(sdf, table)
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        got = {
+            (r["bucket_s"], r["key"]): (r["n_events"], r["value_cents"])
+            for r in spark.table(table).collect()
+        }
+        want = {
+            (r["bucket_s"], r["key"]): (r["n_events"], r["value_cents"])
+            for r in rollup.hour_rollup_cells(batch_events).collect()
+        }
+        assert got == want and len(got) > 0
+        assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
