@@ -228,10 +228,10 @@ def gapfill(
     - ``"locf"``: last observation carried forward per key; buckets
       before a key's first observation stay NULL
     - ``"linear"``: linear interpolation between the neighboring
-      observations, computed in integer micro-units
-      (``DIV``-rounded toward negative infinity, so the arithmetic
-      replays exactly in any engine); before-first/after-last buckets
-      stay NULL
+      observations, computed in integer micro-units with TRUNCATING
+      integer division — Spark's ``DIV`` and DuckDB's ``//`` both
+      truncate toward zero on integers, so the arithmetic replays
+      exactly; before-first/after-last buckets stay NULL
 
     Scale shape: the dense frame is |keys| x |buckets| rows built
     from a per-key ``sequence`` explode (never a driver loop), the
@@ -319,9 +319,9 @@ def gapfill(
         ).over(wn)
         nv = F.first("__v", ignorenulls=True).over(wn)
         # exact integer micro-units: value_u = pv*1e6 + ((nv-pv)*1e6 *
-        # (b-pb)) DIV (nb-pb) — floor division toward negative
-        # infinity, which replays identically in any SQL engine (no
-        # float rounding decides a cell)
+        # (b-pb)) DIV (nb-pb) — truncating integer division (identical
+        # in Spark DIV and DuckDB // on integers, negatives included);
+        # no float rounding decides a cell
         neighbors = joined.select(
             "__k",
             "__b",

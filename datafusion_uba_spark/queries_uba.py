@@ -854,6 +854,89 @@ def q_events_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_gapfilled_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The linear-interpolation gapfill twin of events_gapfilled: holes
+    fill with the straight line between neighboring observations in
+    TRUNCATING integer micro-units (Spark DIV == DuckDB // on
+    integers, negatives included), so the oracle replays every
+    interpolated cell bit-exactly — no float rounding ever decides a
+    value. Before-first/after-last buckets stay NULL."""
+    from datafusion_uba_spark.operators.rollup import gapfill
+
+    ev = load_table(
+        spark, sf_dir, "events",
+        date_bounds={"ts": ("2024-01-05", "2024-01-12")},
+    )
+    obs = (
+        ev.where(
+            (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
+        )
+        .groupBy(
+            F.expr("(unix_micros(ts) DIV 1000000 DIV 3600) * 3600").alias(
+                "bucket_s"
+            ),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            )
+        )
+    )
+    return gapfill(
+        obs,
+        _GF_START_S,
+        _GF_END_S,
+        3600,
+        bucket_col="bucket_s",
+        key_col="event_type",
+        value_col="value_cents",
+        fill="linear",
+    )
+
+
+_ORACLE_EVENTS_GAPFILLED_LINEAR = f"""
+WITH obs AS (
+  SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS b,
+         event_type AS k,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT k, g.b
+  FROM (SELECT DISTINCT k FROM obs)
+  CROSS JOIN generate_series({_GF_START_S}, {_GF_END_S - 1}, 3600) g(b)
+),
+j AS (
+  SELECT grid.k, grid.b, obs.v
+  FROM grid LEFT JOIN obs ON obs.k = grid.k AND obs.b = grid.b
+),
+n AS (
+  SELECT k, b, v,
+    last_value(v IGNORE NULLS) OVER wp AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+      OVER wp AS pb,
+    first_value(v IGNORE NULLS) OVER wn AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+      OVER wn AS nb
+  FROM j
+  WINDOW wp AS (PARTITION BY k ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY k ORDER BY b
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT k AS event_type, CAST(b AS BIGINT) AS bucket_s,
+  CASE WHEN v IS NOT NULL THEN v * 1000000
+       WHEN pv IS NOT NULL AND nv IS NOT NULL
+         THEN pv * 1000000 + ((nv - pv) * 1000000 * (b - pb)) // (nb - pb)
+  END AS value_cents_u
+FROM n
+"""
+
+
 _ORACLE_EVENTS_GAPFILLED = f"""
 WITH obs AS (
   SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS b,
@@ -899,4 +982,8 @@ UBA_REGISTRY: dict = {
     "moving_value_frames": (q_moving_value_frames, _ORACLE_MOVING_VALUE_FRAMES),
     "rollup_cascade": (q_rollup_cascade, _ORACLE_ROLLUP_CASCADE),
     "events_gapfilled": (q_events_gapfilled, _ORACLE_EVENTS_GAPFILLED),
+    "events_gapfilled_linear": (
+        q_events_gapfilled_linear,
+        _ORACLE_EVENTS_GAPFILLED_LINEAR,
+    ),
 }
