@@ -756,3 +756,72 @@ def neardup_components(
         "component diameter exceeds max_iter; raise it or switch to a "
         "large-star/small-star formulation"
     )
+
+
+def fuzzy_prefix_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 40,
+    max_dist: int = 3,
+    length_band: int = 8,
+) -> DataFrame:
+    """Edit-distance near-dup pairs over document PREFIXES — the
+    fuzzy-title/header dedup family (record-linkage style blocking +
+    levenshtein verify), complementing the token-set families above:
+    Jaccard/MinHash see bags of shingles, this sees CHARACTER edits
+    (typos, small insertions) in the leading span.
+
+    Plan: the classic blocking scheme, never all-pairs —
+    candidates must agree on (blocking key, length DIV length_band)
+    where the blocking key is the prefix's FIRST token in pass 1 and
+    LAST token in pass 2 (two passes so an edit inside one blocking
+    token still pairs via the other; both passes are equi-self-joins
+    on the block key, unioned + deduped). Only candidates pay the
+    O(prefix_len^2) levenshtein, and the length band caps how
+    different two prefixes in a block can be. At 100 TB the risk is a
+    hot blocking token ("the ..."): AQE skew-split handles moderate
+    skew, and length banding subdivides the giant blocks; for truly
+    pathological corpora lower length_band or raise prefix_len.
+
+    Recall contract (documented, standard for blocking): a pair is
+    found iff it agrees on at least one pass's block — edits that
+    change BOTH the first and last token, or cross a length-band
+    boundary, are missed. Exactness of found pairs is total: plain
+    2-argument levenshtein, identical in Spark and DuckDB, decides
+    membership (the oracle replays it verbatim).
+    """
+    pre = docs.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.substring(F.col(text_col), 1, prefix_len)).alias("pre"),
+    ).select(
+        "id",
+        "pre",
+        F.expr("split_part(pre, ' ', 1)").alias("tok1"),
+        F.expr("split_part(pre, ' ', -1)").alias("tokl"),
+        F.expr(f"length(pre) DIV {length_band}").alias("lb"),
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+
+    def pass_on(tok: str) -> DataFrame:
+        return a.join(
+            b,
+            (F.col(f"a.{tok}") == F.col(f"b.{tok}"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.pre").alias("p1"),
+            F.col("b.pre").alias("p2"),
+        )
+
+    cand = pass_on("tok1").unionByName(pass_on("tokl")).distinct()
+    return (
+        cand.select(
+            "id1",
+            "id2",
+            F.levenshtein("p1", "p2").cast("int").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= max_dist)
+    )

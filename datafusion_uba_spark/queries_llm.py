@@ -1142,6 +1142,41 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.multimodal_stats(docs)
 
 
+def q_dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs over 40-char document prefixes
+    (operators/dedup.py fuzzy_prefix_pairs): two-pass token blocking
+    (first token, last token) x length banding, then plain levenshtein
+    <= 3 decides membership — identical built-in in Spark and DuckDB,
+    so the oracle replays blocking AND verification verbatim."""
+    docs = _docs(spark, sf_dir)
+    return dedup.fuzzy_prefix_pairs(docs).orderBy("id1", "id2")
+
+
+_ORACLE_DEDUP_FUZZY = """
+WITH p AS (
+  SELECT doc_id AS id, lower(substr(text, 1, 40)) AS pre FROM documents
+),
+b AS (
+  SELECT id, pre,
+         split_part(pre, ' ', 1) AS tok1,
+         split_part(pre, ' ', -1) AS tokl,
+         length(pre) // 8 AS lb
+  FROM p
+),
+cand AS (
+  SELECT a.id AS id1, c.id AS id2, a.pre AS p1, c.pre AS p2
+  FROM b a JOIN b c ON a.tok1 = c.tok1 AND a.lb = c.lb AND a.id < c.id
+  UNION
+  SELECT a.id, c.id, a.pre, c.pre
+  FROM b a JOIN b c ON a.tokl = c.tokl AND a.lb = c.lb AND a.id < c.id
+)
+SELECT id1, id2, CAST(levenshtein(p1, p2) AS INT) AS edit_dist
+FROM cand
+WHERE levenshtein(p1, p2) <= 3
+ORDER BY id1, id2
+"""
+
+
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real raster roundtrip (round 10, no stub): render each doc's
     deterministic RGB image, ENCODE it as a real 24-bit BMP (even ids)
@@ -1516,4 +1551,5 @@ LLM_REGISTRY: dict = {
     "multimodal_stats": (q_multimodal_stats, _ORACLE_MULTIMODAL),
     "image_decode_stats": (q_image_decode_stats, _oracle_image_decode()),
     "image_resize_stats": (q_image_resize_stats, _oracle_image_resize()),
+    "dedup_fuzzy_prefix": (q_dedup_fuzzy_prefix, _ORACLE_DEDUP_FUZZY),
 }

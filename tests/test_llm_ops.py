@@ -1109,3 +1109,33 @@ def test_stickiness_hll_tracks_exact(spark, sf_dir):
         for fld in ("dau", "wau"):
             ev, av = int(getattr(e, fld)), int(getattr(a, fld))
             assert abs(av - ev) / max(ev, 1) < 0.02, (day, fld, av, ev)
+
+
+def test_fuzzy_prefix_pairs_golden(spark):
+    """Crafted pins for the blocking + levenshtein contract: a typo
+    pair is found (same first token), an edit in the FIRST token is
+    still found via the last-token pass, an over-budget edit is
+    rejected, and a pair differing in both blocking tokens is missed
+    BY DESIGN (the documented blocking recall contract)."""
+    from datafusion_uba_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high today"),
+            (2, "the quikc brown fox jumps high today"),   # typo: dist 2
+            (3, "teh quick brown fox jumps high today"),   # first-token edit
+            (4, "the quick brown fox leaps over everything now"),  # too far
+            (5, "aaa completely different text here zzz"),
+            (6, "bbb completely different text here yyy"),  # both toks differ
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id1"], r["id2"]): r["edit_dist"]
+        for r in dedup.fuzzy_prefix_pairs(docs, max_dist=3).collect()
+    }
+    assert got.get((1, 2)) == 2          # same tok1 block
+    assert got.get((1, 3)) == 2          # found via last-token pass
+    assert (2, 3) not in got             # dist 4 (both edits): over budget
+    assert (1, 4) not in got             # dist > 3 rejected
+    assert (5, 6) not in got             # both blocking tokens differ: missed
