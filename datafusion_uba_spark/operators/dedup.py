@@ -765,6 +765,7 @@ def fuzzy_prefix_pairs(
     prefix_len: int = 40,
     max_dist: int = 3,
     length_band: int = 8,
+    max_block: int = 256,
 ) -> DataFrame:
     """Edit-distance near-dup pairs over document PREFIXES — the
     fuzzy-title/header dedup family (record-linkage style blocking +
@@ -772,38 +773,82 @@ def fuzzy_prefix_pairs(
     Jaccard/MinHash see bags of shingles, this sees CHARACTER edits
     (typos, small insertions) in the leading span.
 
-    Plan: the classic blocking scheme, never all-pairs —
-    candidates must agree on (blocking key, length DIV length_band)
-    where the blocking key is the prefix's FIRST token in pass 1 and
-    LAST token in pass 2 (two passes so an edit inside one blocking
-    token still pairs via the other; both passes are equi-self-joins
-    on the block key, unioned + deduped). Only candidates pay the
-    O(prefix_len^2) levenshtein, and the length band caps how
-    different two prefixes in a block can be. At 100 TB the risk is a
-    hot blocking token ("the ..."): AQE skew-split handles moderate
-    skew, and length banding subdivides the giant blocks; for truly
-    pathological corpora lower length_band or raise prefix_len.
+    Two stages, both built to survive template-heavy corpora:
 
-    Recall contract (documented, standard for blocking): a pair is
-    found iff it agrees on at least one pass's block — edits that
-    change BOTH the first and last token, or cross a length-band
-    boundary, are missed. Exactness of found pairs is total: plain
-    2-argument levenshtein, identical in Spark and DuckDB, decides
-    membership (the oracle replays it verbatim).
+    1. **Exact-equal collapse** (the scale fix measured in
+       tools/SCALE_RESULTS.md: without it, 8x-replicated docs drove a
+       1.69 exponent — B identical prefixes in a block is B²/2
+       candidate pairs): every group of docs sharing an IDENTICAL
+       prefix links to its min-id representative with edit_dist 0 —
+       one groupBy + one equi-join, LINEAR in group size. Real crawl
+       corpora are exactly this shape (boilerplate headers repeated
+       millions of times).
+    2. **Blocking join over DISTINCT prefixes only** (one
+       representative per distinct prefix): candidates must agree on
+       (blocking key, length DIV length_band) where the key is the
+       prefix's FIRST token in pass 1 and LAST token in pass 2 (two
+       passes so an edit inside one blocking token still pairs via
+       the other), then plain 2-argument levenshtein — identical in
+       Spark and DuckDB — decides membership. Only distinct-prefix
+       candidates pay the O(prefix_len²) distance.
+
+    Pair semantics (the canonical-representative contract, replayed
+    verbatim by the registry oracle): within an exact-equal group,
+    pairs go to the representative (the full clique is implied at
+    dist 0); cross-prefix pairs connect REPRESENTATIVES. Connected
+    components are preserved exactly; the all-pairs expansion is
+    derivable. Recall contract (standard for blocking): a
+    cross-prefix pair is found iff it agrees on at least one pass's
+    block — edits changing BOTH the first and last token, or crossing
+    a length-band boundary, are missed. At 100 TB the residual risk
+    is a hot blocking token over DISTINCT prefixes; AQE skew-split
+    plus length banding bound it, and lowering length_band subdivides
+    further.
     """
     pre = docs.select(
         F.col(id_col).alias("id"),
         F.lower(F.substring(F.col(text_col), 1, prefix_len)).alias("pre"),
-    ).select(
+    )
+    reps = pre.groupBy("pre").agg(F.min("id").alias("id"))
+
+    # stage 1: exact-equal groups -> (rep, member) pairs at dist 0
+    same = (
+        pre.join(reps.withColumnRenamed("id", "__rep"), "pre")
+        .where(F.col("id") != F.col("__rep"))
+        .select(
+            F.col("__rep").alias("id1"),
+            F.col("id").alias("id2"),
+            F.lit(0).cast("int").alias("edit_dist"),
+        )
+    )
+
+    # stage 2: blocking + levenshtein over one row per DISTINCT prefix
+    keyed = reps.select(
         "id",
         "pre",
         F.expr("split_part(pre, ' ', 1)").alias("tok1"),
         F.expr("split_part(pre, ' ', -1)").alias("tokl"),
         F.expr(f"length(pre) DIV {length_band}").alias("lb"),
     )
-    a, b = pre.alias("a"), pre.alias("b")
 
     def pass_on(tok: str) -> DataFrame:
+        # two block guards, same discipline as max_df on shingles
+        # (replayed verbatim by the oracle):
+        # - an EMPTY blocking token is not a key, it is an artifact
+        #   (prefix cut at a trailing space) — at sf0.1 the '' last-
+        #   token block held 866 distinct prefixes = 374k pairs;
+        # - blocks larger than max_block are skipped outright (a hot
+        #   token over distinct prefixes is the one residual quadratic
+        #   — documented recall loss on pathological keys, bounded
+        #   cost everywhere else).
+        blk = (
+            keyed.where(F.col(tok) != "")
+            .withColumn(
+                "__bc", F.count(F.lit(1)).over(Window.partitionBy(tok, "lb"))
+            )
+            .where(F.col("__bc") <= max_block)
+        )
+        a, b = blk.alias("a"), blk.alias("b")
         return a.join(
             b,
             (F.col(f"a.{tok}") == F.col(f"b.{tok}"))
@@ -816,12 +861,22 @@ def fuzzy_prefix_pairs(
             F.col("b.pre").alias("p2"),
         )
 
-    cand = pass_on("tok1").unionByName(pass_on("tokl")).distinct()
-    return (
-        cand.select(
-            "id1",
-            "id2",
-            F.levenshtein("p1", "p2").cast("int").alias("edit_dist"),
-        )
-        .where(F.col("edit_dist") <= max_dist)
+    # Lazy lineage cut between candidate generation and verification:
+    # without it Catalyst pushes the levenshtein predicate down into
+    # BOTH blocking joins as an interpreted residual join condition
+    # (measured 12 s vs ~3 s at sf0.1 — evaluated per probe match,
+    # outside codegen, before the distinct dedups the two passes).
+    # With the cut, candidates materialize once (bounded by the
+    # max_block guard) and the distance runs codegen'd post-distinct.
+    cand = (
+        pass_on("tok1")
+        .unionByName(pass_on("tokl"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
+    cross = cand.select(
+        "id1",
+        "id2",
+        F.levenshtein("p1", "p2").cast("int").alias("edit_dist"),
+    ).where(F.col("edit_dist") <= max_dist)
+    return same.unionByName(cross)

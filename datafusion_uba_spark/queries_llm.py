@@ -1156,20 +1156,44 @@ _ORACLE_DEDUP_FUZZY = """
 WITH p AS (
   SELECT doc_id AS id, lower(substr(text, 1, 40)) AS pre FROM documents
 ),
+r AS (
+  SELECT pre, min(id) AS id FROM p GROUP BY pre
+),
+same AS (
+  SELECT r.id AS id1, p.id AS id2, CAST(0 AS INT) AS edit_dist
+  FROM p JOIN r ON p.pre = r.pre
+  WHERE p.id <> r.id
+),
 b AS (
   SELECT id, pre,
          split_part(pre, ' ', 1) AS tok1,
          split_part(pre, ' ', -1) AS tokl,
          length(pre) // 8 AS lb
-  FROM p
+  FROM r
+),
+b1 AS (
+  SELECT * FROM (
+    SELECT id, pre, tok1, lb,
+           count(*) OVER (PARTITION BY tok1, lb) AS bc
+    FROM b WHERE tok1 <> ''
+  ) WHERE bc <= 256
+),
+b2 AS (
+  SELECT * FROM (
+    SELECT id, pre, tokl, lb,
+           count(*) OVER (PARTITION BY tokl, lb) AS bc
+    FROM b WHERE tokl <> ''
+  ) WHERE bc <= 256
 ),
 cand AS (
   SELECT a.id AS id1, c.id AS id2, a.pre AS p1, c.pre AS p2
-  FROM b a JOIN b c ON a.tok1 = c.tok1 AND a.lb = c.lb AND a.id < c.id
+  FROM b1 a JOIN b1 c ON a.tok1 = c.tok1 AND a.lb = c.lb AND a.id < c.id
   UNION
   SELECT a.id, c.id, a.pre, c.pre
-  FROM b a JOIN b c ON a.tokl = c.tokl AND a.lb = c.lb AND a.id < c.id
+  FROM b2 a JOIN b2 c ON a.tokl = c.tokl AND a.lb = c.lb AND a.id < c.id
 )
+SELECT id1, id2, edit_dist FROM same
+UNION ALL
 SELECT id1, id2, CAST(levenshtein(p1, p2) AS INT) AS edit_dist
 FROM cand
 WHERE levenshtein(p1, p2) <= 3

@@ -1127,6 +1127,8 @@ def test_fuzzy_prefix_pairs_golden(spark):
             (4, "the quick brown fox leaps over everything now"),  # too far
             (5, "aaa completely different text here zzz"),
             (6, "bbb completely different text here yyy"),  # both toks differ
+            (7, "the quick brown fox jumps high today"),   # exact dup of 1
+            (8, "the quick brown fox jumps high today"),   # exact dup of 1
         ],
         "doc_id long, text string",
     )
@@ -1139,3 +1141,9 @@ def test_fuzzy_prefix_pairs_golden(spark):
     assert (2, 3) not in got             # dist 4 (both edits): over budget
     assert (1, 4) not in got             # dist > 3 rejected
     assert (5, 6) not in got             # both blocking tokens differ: missed
+    # exact-equal collapse: dups link to the min-id REPRESENTATIVE at
+    # dist 0 (linear, never a clique), and only the representative
+    # carries the cross-prefix pairs
+    assert got.get((1, 7)) == 0 and got.get((1, 8)) == 0
+    assert (7, 8) not in got
+    assert (2, 7) not in got and (3, 7) not in got

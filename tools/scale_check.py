@@ -77,6 +77,9 @@ HEAVY = [
     "tpch_q2",
     "tpch_q15",
     "tpch_q22",
+    "image_resize_stats",
+    "events_gapfilled_linear",
+    "dedup_fuzzy_prefix",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
