@@ -574,6 +574,95 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
 """
 
 
+def q_weekly_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join surface (the one join type the registry lacked):
+    weekly signup counts x weekly purchase counts, weeks present on
+    either side — NULL-side rows coalesce to zero so the output is a
+    complete comparison table. Epoch-week integer buckets (DIV
+    604800), exact and engine-portable. Plan: two hash aggregates over
+    one date-pruned scan branch each, then a full-outer sort-merge on
+    the tiny |weeks| frames — the fact table never joins."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def weekly(event_type: str, out: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == event_type)
+            .groupBy(
+                F.expr(
+                    "(unix_micros(ts) DIV 1000000 DIV 604800) * 604800"
+                ).alias("week_s")
+            )
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    s = weekly("signup", "n_signups")
+    p = weekly("purchase", "n_purchases").withColumnRenamed(
+        "week_s", "__pw"
+    )
+    return (
+        s.join(p, s["week_s"] == p["__pw"], "full_outer")
+        .select(
+            F.coalesce(F.col("week_s"), F.col("__pw")).alias("week_s"),
+            F.coalesce("n_signups", F.lit(0)).alias("n_signups"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+        .orderBy("week_s")
+    )
+
+
+_ORACLE_WEEKLY_SIGNUP_PURCHASE = """
+WITH s AS (
+  SELECT ((epoch_us(ts) // 1000000) // 604800) * 604800 AS week_s,
+         count(*) AS n_signups
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+p AS (
+  SELECT ((epoch_us(ts) // 1000000) // 604800) * 604800 AS week_s,
+         count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST(coalesce(s.week_s, p.week_s) AS BIGINT) AS week_s,
+       CAST(coalesce(n_signups, 0) AS BIGINT) AS n_signups,
+       CAST(coalesce(n_purchases, 0) AS BIGINT) AS n_purchases
+FROM s FULL OUTER JOIN p ON s.week_s = p.week_s
+ORDER BY week_s
+"""
+
+
+def q_user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group argmax (the portable `mode()`): each
+    user's most frequent event type, ties broken alphabetically — the
+    window formulation both engines replay exactly, where the built-in
+    mode()'s tie choice is engine-arbitrary. One hash aggregate over
+    (user, type) + one window on the tiny aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event"), "n")
+    )
+
+
+_ORACLE_USER_TOP_EVENT = """
+SELECT user_id, event_type AS top_event, n
+FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+)
+WHERE rn = 1
+"""
+
+
 def q_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation surface: customers ordering in BOTH 1996 and 1997
     (INTERSECT) and in 1996 but never 1997 (EXCEPT), labeled and
@@ -1651,6 +1740,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _ORACLE_ORDER_DISTRIBUTION,
     ),
     "repeat_buyers": (q_repeat_buyers, _ORACLE_REPEAT_BUYERS),
+    "weekly_signup_purchase": (
+        q_weekly_signup_purchase,
+        _ORACLE_WEEKLY_SIGNUP_PURCHASE,
+    ),
+    "user_top_event": (q_user_top_event, _ORACLE_USER_TOP_EVENT),
     "event_type_pivot": (q_event_type_pivot, _ORACLE_EVENT_TYPE_PIVOT),
     "zorder_keys": (q_zorder_keys, _ORACLE_ZORDER_KEYS),
     "shipping_priority": (q_shipping_priority, _ORACLE_SHIPPING_PRIORITY),
