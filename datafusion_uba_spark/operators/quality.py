@@ -1,0 +1,108 @@
+"""Data-quality audit operators — the deequ/great-expectations slice a
+100 TB ingest pipeline runs before anything else touches the data.
+
+Reference parity: the reference has no data-quality surface; this
+family is part of the pipeline extension the driver mandates. Design
+follows Amazon Deequ's core insight (Schelter et al., "Automating
+Large-Scale Data Quality Verification", VLDB 2018): every check is an
+AGGREGATE over the data, so arbitrarily many checks on one table fold
+into ONE scan + ONE hash-aggregate pass — conditional aggregates, not
+one job per rule. Cross-table rules (referential integrity) are the
+exception: each is one left-join conditional aggregate, keyed on the
+foreign key.
+
+Output contract: one row per check — (check_name, violations, total) with
+violations == 0 meaning pass — so the audit result is itself a tiny
+DataFrame a pipeline can gate on, store, or diff between runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["check_rows", "null_checks", "unique_check", "fk_check", "dq_union"]
+
+
+def _count_if(cond: Column) -> Column:
+    return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+
+def check_rows(
+    df: DataFrame, checks: list[tuple[str, Column]]
+) -> DataFrame:
+    """Run row-predicate checks in ONE aggregate pass: ``checks`` is a
+    list of (name, violation_condition) pairs; every condition becomes
+    a conditional-sum aggregate over the same scan. Returns one row
+    per check: (check_name, violations, total)."""
+    if not checks:
+        raise ValueError("check_rows: need at least one check")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__total")] + [
+        _count_if(cond).alias(f"__c{i}") for i, (_, cond) in enumerate(checks)
+    ]
+    row = df.agg(*aggs)
+    # unpivot the single aggregate row into (check_name, violations, total)
+    # with a stack() — still one job, no collect
+    pairs = ", ".join(
+        f"'{name}', __c{i}" for i, (name, _) in enumerate(checks)
+    )
+    return row.selectExpr(
+        f"stack({len(checks)}, {pairs}) AS (check_name, violations)", "__total"
+    ).select("check_name", "violations", F.col("__total").alias("total"))
+
+
+def null_checks(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Null-rate profile: one (``<col>_null``, violations, total) row
+    per column, single pass."""
+    return check_rows(df, [(f"{c}_null", F.col(c).isNull()) for c in cols])
+
+
+def unique_check(df: DataFrame, key_cols: list[str], name: str) -> DataFrame:
+    """Primary-key uniqueness: violations = rows carrying a duplicated
+    key (total occupancy of keys seen more than once, NOT the number
+    of duplicate keys — the row count a dedup would have to touch).
+    One hash aggregate on the key, one tiny re-aggregate."""
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    return per_key.agg(
+        _count_if(F.col("__n") > 1).alias("__dup_keys"),
+        F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("violations"),
+        F.sum("__n").cast("long").alias("total"),
+    ).select(F.lit(name).alias("check_name"), "violations", "total")
+
+
+def fk_check(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    name: str,
+) -> DataFrame:
+    """Referential integrity: violations = child rows whose foreign key
+    has no match in the parent (NULL keys are violations too — an
+    unjoinable fact row is broken regardless of why). Plan: LEFT OUTER
+    equi-join on the key against the parent's distinct-key projection
+    (narrow column, never the parent's payload), then ONE conditional
+    aggregate counts unmatched rows and total together — no separate
+    count job, no 1x1 cross join. The child shuffles once on the key;
+    a parent small enough broadcasts under AQE."""
+    parent_keys = parent.select(
+        F.col(parent_key).alias("__pk")
+    ).where(F.col("__pk").isNotNull()).distinct()
+    joined = child.select(F.col(child_key).alias("__fk")).join(
+        parent_keys, F.col("__fk") == F.col("__pk"), "left"
+    )
+    return joined.agg(
+        _count_if(F.col("__pk").isNull()).alias("violations"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    ).select(F.lit(name).alias("check_name"), "violations", "total")
+
+
+def dq_union(*audits: DataFrame) -> DataFrame:
+    """Union audit frames into the single (check_name, violations, total)
+    report, ordered by check name for stable output."""
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("check_name")

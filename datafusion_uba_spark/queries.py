@@ -663,6 +663,90 @@ WHERE rn = 1
 """
 
 
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (operators/quality.py, deequ-style): all the
+    row-predicate checks on a table fold into ONE conditional-
+    aggregate pass over one scan; uniqueness is one hash aggregate on
+    the key; referential integrity is one left-join conditional
+    aggregate against the parent's distinct-key projection. Output is
+    the tiny (check_name, violations, total) report a pipeline gates
+    on. Seven checks, four jobs, three table scans total."""
+    from datafusion_uba_spark.operators import quality
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return quality.dq_union(
+        quality.check_rows(
+            ev,
+            [
+                ("events_user_id_null", F.col("user_id").isNull()),
+                ("events_value_negative", F.col("value") < 0),
+                ("events_type_unknown", ~F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                )),
+            ],
+        ),
+        quality.unique_check(ev, ["event_id"], "events_event_id_dup"),
+        quality.fk_check(
+            li, "l_orderkey", orders, "o_orderkey", "lineitem_order_orphan"
+        ),
+        quality.check_rows(
+            orders,
+            [
+                ("orders_totalprice_nonpositive", F.col("o_totalprice") <= 0),
+                ("orders_status_unknown", ~F.col("o_orderstatus").isin(
+                    "F", "O", "P"
+                )),
+            ],
+        ),
+    )
+
+
+_ORACLE_DQ_AUDIT = """
+SELECT * FROM (
+  SELECT 'events_user_id_null' AS check_name,
+         CAST(count(*) FILTER (user_id IS NULL) AS BIGINT) AS violations,
+         CAST(count(*) AS BIGINT) AS total
+  FROM events
+  UNION ALL
+  SELECT 'events_value_negative',
+         CAST(count(*) FILTER (value < 0) AS BIGINT), CAST(count(*) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'events_type_unknown',
+         CAST(count(*) FILTER (event_type NOT IN
+              ('click', 'view', 'purchase', 'signup', 'error')) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'events_event_id_dup',
+         CAST(coalesce(sum(n) FILTER (n > 1), 0) AS BIGINT),
+         CAST(sum(n) AS BIGINT)
+  FROM (SELECT event_id, count(*) AS n FROM events GROUP BY event_id)
+  UNION ALL
+  SELECT 'lineitem_order_orphan',
+         CAST(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders
+                             WHERE o_orderkey IS NOT NULL) o
+    ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'orders_totalprice_nonpositive',
+         CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_status_unknown',
+         CAST(count(*) FILTER (o_orderstatus NOT IN ('F', 'O', 'P'))
+              AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM orders
+)
+ORDER BY check_name
+"""
+
+
 def q_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation surface: customers ordering in BOTH 1996 and 1997
     (INTERSECT) and in 1996 but never 1997 (EXCEPT), labeled and
@@ -1745,6 +1829,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _ORACLE_WEEKLY_SIGNUP_PURCHASE,
     ),
     "user_top_event": (q_user_top_event, _ORACLE_USER_TOP_EVENT),
+    "dq_audit": (q_dq_audit, _ORACLE_DQ_AUDIT),
     "event_type_pivot": (q_event_type_pivot, _ORACLE_EVENT_TYPE_PIVOT),
     "zorder_keys": (q_zorder_keys, _ORACLE_ZORDER_KEYS),
     "shipping_priority": (q_shipping_priority, _ORACLE_SHIPPING_PRIORITY),

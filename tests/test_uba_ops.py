@@ -338,3 +338,59 @@ def test_rollup_refresh_empty_increment_noop(spark):
         assert spark.table(table).count() == 1
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# --- data-quality audit ----------------------------------------------------
+
+
+def test_dq_checks_detect_crafted_violations(spark):
+    """The driver testdata is clean (all audit rows show 0), so the
+    detection logic itself is pinned here on crafted dirty data."""
+    from datafusion_uba_spark.operators import quality
+
+    ev = spark.createDataFrame(
+        [(1, 10, 5.0), (2, None, -1.0), (3, 11, 2.0), (3, None, -0.5)],
+        "event_id long, user_id long, value double",
+    )
+    rows = {
+        r["check_name"]: (r["violations"], r["total"])
+        for r in quality.check_rows(
+            ev,
+            [
+                ("user_null", F.col("user_id").isNull()),
+                ("value_neg", F.col("value") < 0),
+            ],
+        ).collect()
+    }
+    assert rows == {"user_null": (2, 4), "value_neg": (2, 4)}
+
+    uniq = quality.unique_check(ev, ["event_id"], "id_dup").collect()[0]
+    # violations = OCCUPANCY of duplicated keys (both rows of id 3)
+    assert (uniq["violations"], uniq["total"]) == (2, 4)
+
+    parent = spark.createDataFrame([(10,), (11,)], "pk long")
+    fk = quality.fk_check(ev, "user_id", parent, "pk", "fk_orphan").collect()[0]
+    # NULL foreign keys are violations too
+    assert (fk["violations"], fk["total"]) == (2, 4)
+
+    report = quality.dq_union(
+        quality.null_checks(ev, ["user_id", "value"]),
+        quality.unique_check(ev, ["event_id"], "id_dup"),
+    )
+    names = [r["check_name"] for r in report.collect()]
+    assert names == sorted(names) and len(names) == 3
+
+
+def test_dq_check_rows_single_pass(spark):
+    """All row-predicate checks on a table must fold into ONE scan +
+    ONE aggregate (the deequ shape) — no per-check jobs."""
+    from datafusion_uba_spark.operators import quality
+
+    ev = spark.range(100).selectExpr("id", "id % 7 AS v")
+    df = quality.check_rows(
+        ev,
+        [(f"c{i}", F.col("v") == i) for i in range(5)],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2  # partial + final, one pass
+    assert plan.count("Scan") <= 1 or "ExistingRDD" in plan
