@@ -30,6 +30,8 @@ __all__ = [
     "hour_rollup_cells",
     "rollup_init",
     "rollup_refresh",
+    "m4_downsample",
+    "time_weighted_avg",
     "TIER_SECONDS",
 ]
 
@@ -350,4 +352,123 @@ def gapfill(
         F.col("__v").alias(
             value_col if fill != "linear" else value_col + "_u"
         ),
+    )
+
+
+def m4_downsample(
+    series: DataFrame,
+    bucket_seconds: int,
+    ts_col: str = "ts_s",
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., "M4: A Visualization-Oriented
+    Time Series Data Aggregation", VLDB 2014): per (key, bucket) emit
+    min / max / first / last — the four values that make a
+    width-bounded line rendering pixel-exact, the canonical way to
+    ship a billion-point series to a dashboard as O(pixels) rows.
+
+    Deterministic tie rules (engines disagree on arg_min/min_by ties,
+    so neither is used): first = MIN value among rows at the bucket's
+    earliest timestamp, last = MIN value at the latest. Plan: one hash
+    aggregate computes the bucket envelope (t_min/t_max/v_min/v_max),
+    a self-equi-join on (key, bucket) re-reads only the two boundary
+    rows' candidates, and a second small aggregate resolves ties —
+    two shuffles on (key, bucket), both over bucket-sized frames.
+    """
+    base = series.select(
+        F.col(key_col).alias("__k"),
+        _bucket(ts_col, bucket_seconds).alias("__b"),
+        F.col(ts_col).cast("long").alias("__t"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    env = base.groupBy("__k", "__b").agg(
+        F.min("__t").alias("__t_min"),
+        F.max("__t").alias("__t_max"),
+        F.min("__v").alias("v_min"),
+        F.max("__v").alias("v_max"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    boundary = base.join(env, ["__k", "__b"]).where(
+        (F.col("__t") == F.col("__t_min")) | (F.col("__t") == F.col("__t_max"))
+    )
+    resolved = boundary.groupBy("__k", "__b").agg(
+        F.min(
+            F.when(F.col("__t") == F.col("__t_min"), F.col("__v"))
+        ).alias("v_first"),
+        F.min(
+            F.when(F.col("__t") == F.col("__t_max"), F.col("__v"))
+        ).alias("v_last"),
+    )
+    return (
+        env.join(resolved, ["__k", "__b"])
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__b").alias("bucket_s"),
+            "v_min",
+            "v_max",
+            "v_first",
+            "v_last",
+            "n_points",
+        )
+    )
+
+
+def time_weighted_avg(
+    series: DataFrame,
+    start_s: int,
+    end_s: int,
+    ts_col: str = "ts_s",
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average over an IRREGULAR series (the TimescaleDB
+    `time_weight('LOCF', ...)` aggregate): each observation holds its
+    value until the next one (last-observation-carried-forward), so
+    the average weights every value by its holding duration instead of
+    letting dense bursts dominate a plain avg.
+
+    Exact integer formulation, replayable in any engine: per key, the
+    weighted sum is sum(v_i * (t_{i+1} - t_i)) with the last
+    observation held to ``end_s``, over observations clamped to
+    [start_s, end_s); rows before a key's first observation contribute
+    nothing (NULL until first sample, exactly gapfill's LOCF rule).
+    Output: (key, weighted_sum = that integral in value*seconds,
+    covered_s = end_s - first_t, and twa_micro = the average in
+    micro-units via truncating division). One window (lead) over the
+    per-key series + one hash aggregate — no densification needed,
+    the integral is exact on the irregular points themselves.
+    """
+    if end_s <= start_s:
+        raise ValueError("time_weighted_avg: need end > start")
+    obs = series.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).cast("long").alias("__t"),
+        F.col(value_col).cast("long").alias("__v"),
+    ).where((F.col("__t") >= start_s) & (F.col("__t") < end_s))
+    w = Window.partitionBy("__k").orderBy("__t", "__v")
+    stepped = obs.select(
+        "__k",
+        "__t",
+        "__v",
+        F.coalesce(F.lead("__t", 1).over(w), F.lit(end_s).cast("long")).alias(
+            "__t_next"
+        ),
+    )
+    return (
+        stepped.groupBy("__k")
+        .agg(
+            F.sum(
+                F.col("__v") * (F.col("__t_next") - F.col("__t"))
+            ).alias("weighted_sum"),
+            (F.lit(end_s).cast("long") - F.min("__t")).alias("covered_s"),
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            "weighted_sum",
+            "covered_s",
+            F.expr("(weighted_sum * 1000000) DIV covered_s").alias(
+                "twa_micro"
+            ),
+        )
     )

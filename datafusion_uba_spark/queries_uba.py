@@ -937,6 +937,100 @@ FROM n
 """
 
 
+def q_events_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (operators/rollup.py m4_downsample, VLDB 2014):
+    per event_type, 2-hour buckets carrying min/max/first/last exact
+    cents — the O(pixels) lossless form a dashboard renders a raw
+    series from. Deterministic tie rules (min value at the boundary
+    timestamps) instead of engine-arbitrary arg_min/min_by."""
+    from datafusion_uba_spark.operators.rollup import m4_downsample
+
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.select(
+        F.col("event_type"),
+        F.expr("unix_micros(ts) DIV 1000000").alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("value"),
+    )
+    return m4_downsample(
+        series, 7200, ts_col="ts_s", key_col="event_type", value_col="value"
+    )
+
+
+_ORACLE_EVENTS_M4 = """
+WITH bb AS (
+  SELECT event_type AS k,
+         (((epoch_us(ts) // 1000000) // 7200) * 7200) AS b,
+         (epoch_us(ts) // 1000000) AS t,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+env AS (
+  SELECT k, b, min(t) AS tmin, max(t) AS tmax,
+         min(v) AS vmin, max(v) AS vmax, count(*) AS n
+  FROM bb GROUP BY k, b
+),
+res AS (
+  SELECT bb.k, bb.b,
+         min(v) FILTER (bb.t = env.tmin) AS vfirst,
+         min(v) FILTER (bb.t = env.tmax) AS vlast
+  FROM bb JOIN env ON bb.k = env.k AND bb.b = env.b
+  GROUP BY bb.k, bb.b
+)
+SELECT env.k AS event_type, CAST(env.b AS BIGINT) AS bucket_s,
+       vmin AS v_min, vmax AS v_max, vfirst AS v_first, vlast AS v_last,
+       CAST(n AS BIGINT) AS n_points
+FROM env JOIN res ON env.k = res.k AND env.b = res.b
+"""
+
+
+def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (operators/rollup.py time_weighted_avg,
+    the TimescaleDB time_weight('LOCF') aggregate): per event_type
+    over the aligned week, each observation's cents value weighted by
+    its holding duration — exact integer integral, truncating-division
+    micro-average, lead-window + one hash aggregate, no
+    densification."""
+    from datafusion_uba_spark.operators.rollup import time_weighted_avg
+
+    ev = load_table(
+        spark, sf_dir, "events",
+        date_bounds={"ts": ("2024-01-05", "2024-01-12")},
+    )
+    series = ev.select(
+        F.col("event_type"),
+        F.expr("unix_micros(ts) DIV 1000000").alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("value"),
+    )
+    return time_weighted_avg(
+        series, _GF_START_S, _GF_END_S,
+        ts_col="ts_s", key_col="event_type", value_col="value",
+    )
+
+
+_ORACLE_EVENTS_TWA = f"""
+WITH o AS (
+  SELECT event_type AS k,
+         (epoch_us(ts) // 1000000) AS t,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE (epoch_us(ts) // 1000000) >= {_GF_START_S}
+    AND (epoch_us(ts) // 1000000) < {_GF_END_S}
+),
+s AS (
+  SELECT k, t, v,
+         coalesce(lead(t) OVER (PARTITION BY k ORDER BY t, v),
+                  {_GF_END_S}) AS tn
+  FROM o
+)
+SELECT k AS event_type,
+       CAST(sum(v * (tn - t)) AS BIGINT) AS weighted_sum,
+       CAST({_GF_END_S} - min(t) AS BIGINT) AS covered_s,
+       CAST((CAST(sum(v * (tn - t)) AS BIGINT) * 1000000)
+            // ({_GF_END_S} - min(t)) AS BIGINT) AS twa_micro
+FROM s GROUP BY k
+"""
+
+
 _ORACLE_EVENTS_GAPFILLED = f"""
 WITH obs AS (
   SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS b,
@@ -986,4 +1080,6 @@ UBA_REGISTRY: dict = {
         q_events_gapfilled_linear,
         _ORACLE_EVENTS_GAPFILLED_LINEAR,
     ),
+    "events_m4": (q_events_m4, _ORACLE_EVENTS_M4),
+    "events_twa": (q_events_twa, _ORACLE_EVENTS_TWA),
 }

@@ -394,3 +394,51 @@ def test_dq_check_rows_single_pass(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") <= 2  # partial + final, one pass
     assert plan.count("Scan") <= 1 or "ExistingRDD" in plan
+
+
+# --- M4 downsampling + time-weighted average -------------------------------
+
+
+def test_m4_deterministic_boundaries(spark):
+    from datafusion_uba_spark.operators.rollup import m4_downsample
+
+    # one bucket [0, 100): two rows tie at the earliest AND latest ts
+    # -> first/last resolve to the MIN value at that boundary
+    s = spark.createDataFrame(
+        [(0, "a", 9), (0, "a", 4), (50, "a", 99), (99, "a", 7), (99, "a", 2)],
+        "ts_s long, key string, value long",
+    )
+    r = m4_downsample(s, 100).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["v_min"], row["v_max"]) == (2, 99)
+    assert (row["v_first"], row["v_last"]) == (4, 2)
+    assert (row["bucket_s"], row["n_points"]) == (0, 5)
+
+
+def test_time_weighted_avg_holds_values(spark):
+    from datafusion_uba_spark.operators.rollup import time_weighted_avg
+
+    # key a: v=10 held [0,60), v=40 held [60,100) over window [0,100)
+    # plain avg = 25; TWA = (10*60 + 40*40)/100 = 22
+    s = spark.createDataFrame(
+        [(0, "a", 10), (60, "a", 40), (90, "b", 5)],
+        "ts_s long, key string, value long",
+    )
+    got = {r["key"]: r for r in time_weighted_avg(s, 0, 100).collect()}
+    assert got["a"]["weighted_sum"] == 10 * 60 + 40 * 40
+    assert got["a"]["covered_s"] == 100
+    assert got["a"]["twa_micro"] == 22_000_000
+    # key b first observed at 90: covered only [90, 100)
+    assert got["b"]["covered_s"] == 10
+    assert got["b"]["twa_micro"] == 5_000_000
+    # out-of-window rows are clamped away
+    s2 = spark.createDataFrame(
+        [(-5, "a", 100), (0, "a", 10)], "ts_s long, key string, value long"
+    )
+    got2 = time_weighted_avg(s2, 0, 100).collect()[0]
+    assert got2["weighted_sum"] == 10 * 100
+    import pytest
+
+    with pytest.raises(ValueError, match="end > start"):
+        time_weighted_avg(s, 100, 0)
