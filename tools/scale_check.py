@@ -80,6 +80,11 @@ HEAVY = [
     "image_resize_stats",
     "events_gapfilled_linear",
     "dedup_fuzzy_prefix",
+    "dq_audit",
+    "events_m4",
+    "events_twa",
+    "weekly_signup_purchase",
+    "user_top_event",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
