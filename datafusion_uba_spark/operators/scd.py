@@ -1,0 +1,124 @@
+"""Slowly-changing-dimension type 2 versioning — point-in-time
+attribute history for dimensions (the user-profile case in a UBA
+pipeline: cohort and retention queries need the segment a user was in
+WHEN the event happened, not today's value).
+
+Reference parity: no SCD surface in the reference; standard warehouse
+semantics (Kimball type 2): each key carries interval-versioned rows
+(valid_from, valid_to), exactly one OPEN row (valid_to NULL) per live
+key; applying a change snapshot closes the open row at the change's
+effective time and opens a new one, attribute-identical changes are
+no-ops, and closed history is immutable.
+
+Everything is joins + unions on the KEY — one shuffle each for the
+open rows and the change batch; closed history passes through
+untouched (at 100 TB, partition the stored table by open/closed so
+the apply never rewrites history — same discipline as
+rollup_refresh's dynamic partition overwrite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["scd2_apply"]
+
+
+def scd2_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    effective_col: str = "effective_s",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Fold a change snapshot into a type-2 versioned dimension.
+
+    ``current``: (key..., attr..., valid_from, valid_to) with
+    valid_to NULL marking each key's single open row. ``changes``:
+    (key..., attr..., effective_col); several changes per key are
+    allowed — the LATEST per key applies (ties broken by attribute
+    order for determinism), matching nightly-snapshot semantics where
+    intermediate states were never observed.
+
+    Returns the new version table. Classification per key:
+    new key → open row inserted; attributes equal (null-safe) →
+    no-op; attributes differ → open row closed at the effective time
+    + new open row. A change strictly OLDER than the open row's
+    valid_from would create an inverted interval and raises in-plan
+    (raise_error) rather than corrupting history.
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    open_rows = current.where(F.col(to_col).isNull())
+    closed_rows = current.where(F.col(to_col).isNotNull())
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(effective_col), *[F.asc_nulls_first(a) for a in attrs]
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            *[F.col(k).alias(f"__ck_{k}") for k in keys],
+            *[F.col(a).alias(f"__ca_{a}") for a in attrs],
+            F.col(effective_col).alias("__eff"),
+        )
+    )
+
+    cond = None
+    for k in keys:
+        c = F.col(k) == F.col(f"__ck_{k}")
+        cond = c if cond is None else (cond & c)
+    j = open_rows.join(latest, cond, "full_outer")
+
+    has_open = F.col(from_col).isNotNull()
+    has_change = F.col("__eff").isNotNull()
+    same = None
+    for a in attrs:
+        c = F.col(a).eqNullSafe(F.col(f"__ca_{a}"))
+        same = c if same is None else (same & c)
+    # inverted-interval guard: a change older than the open version
+    checked_eff = F.when(
+        F.col("__eff") >= F.col(from_col), F.col("__eff")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("scd2_apply: change effective at "),
+                F.col("__eff").cast("string"),
+                F.lit(" predates the open version's valid_from "),
+                F.col(from_col).cast("string"),
+            )
+        )
+    )
+
+    # surviving open rows: no change, or attribute-identical change
+    kept_open = j.where(has_open & (~has_change | same)).select(
+        *keys, *attrs, from_col, to_col
+    )
+    # open rows closed by a differing change
+    newly_closed = j.where(has_open & has_change & ~same).select(
+        *keys, *attrs, from_col, checked_eff.alias(to_col)
+    )
+    # new open rows: differing change on an existing key, or a new key
+    new_open = (
+        j.where(has_change & (~has_open | ~same))
+        .select(
+            *[F.col(f"__ck_{k}").alias(k) for k in keys],
+            *[F.col(f"__ca_{a}").alias(a) for a in attrs],
+            F.col("__eff").alias(from_col),
+            F.lit(None).cast(
+                dict(current.dtypes)[to_col]
+            ).alias(to_col),
+        )
+    )
+    return (
+        closed_rows.select(*keys, *attrs, from_col, to_col)
+        .unionByName(kept_open)
+        .unionByName(newly_closed)
+        .unionByName(new_open)
+    )

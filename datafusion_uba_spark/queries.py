@@ -747,6 +747,98 @@ ORDER BY check_name
 """
 
 
+def q_scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 versioning (operators/scd.py): fold a deterministic
+    change snapshot into the customer dimension — custkey%3==0 moves
+    to segment 'UPGRADED' (close + open), custkey%5==0 (and not %3)
+    re-asserts its current attributes (no-op), and a synthetic block
+    of NEW keys opens fresh rows. The oracle replays the whole
+    classification (full-outer join on the key, null-safe attribute
+    compare, close-at-effective) so a single misplaced interval
+    hashes red. Point-in-time user attributes are what cohort/
+    retention queries join against at 100 TB."""
+    from datafusion_uba_spark.operators import scd
+
+    cust = load_table(spark, sf_dir, "customer")
+    current = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    upgraded = cust.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("UPGRADED").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit(1000).cast("long").alias("effective_s"),
+    )
+    noop = cust.where(
+        (F.col("c_custkey") % 5 == 0) & (F.col("c_custkey") % 3 != 0)
+    ).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit(1000).cast("long").alias("effective_s"),
+    )
+    fresh = cust.where(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("custkey"),
+        F.lit("NEWSEG").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit(1000).cast("long").alias("effective_s"),
+    )
+    changes = upgraded.unionByName(noop).unionByName(fresh)
+    return scd.scd2_apply(
+        current, changes, ["custkey"], ["segment", "nationkey"]
+    ).orderBy("custkey", "valid_from")
+
+
+_ORACLE_SCD2 = """
+WITH cur AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+         c_nationkey AS nationkey,
+         CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+  FROM customer
+),
+chg AS (
+  SELECT c_custkey AS custkey, 'UPGRADED' AS segment,
+         c_nationkey AS nationkey, CAST(1000 AS BIGINT) AS eff
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_nationkey, 1000
+  FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 3 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEWSEG', c_nationkey, 1000
+  FROM customer WHERE c_custkey % 11 = 0
+),
+j AS (
+  SELECT cur.custkey AS k, cur.segment AS seg, cur.nationkey AS nat,
+         cur.valid_from AS vf, cur.valid_to AS vt,
+         chg.custkey AS ck, chg.segment AS cseg, chg.nationkey AS cnat,
+         chg.eff
+  FROM cur FULL OUTER JOIN chg ON cur.custkey = chg.custkey
+)
+SELECT custkey, segment, nationkey, valid_from, valid_to FROM (
+  -- kept open: no change, or attribute-identical change
+  SELECT k AS custkey, seg AS segment, nat AS nationkey,
+         vf AS valid_from, vt AS valid_to
+  FROM j WHERE vf IS NOT NULL AND (eff IS NULL OR
+        (seg IS NOT DISTINCT FROM cseg AND nat IS NOT DISTINCT FROM cnat))
+  UNION ALL
+  -- closed by a differing change
+  SELECT k, seg, nat, vf, eff
+  FROM j WHERE vf IS NOT NULL AND eff IS NOT NULL AND NOT
+        (seg IS NOT DISTINCT FROM cseg AND nat IS NOT DISTINCT FROM cnat)
+  UNION ALL
+  -- new open versions: differing change or brand-new key
+  SELECT ck, cseg, cnat, eff, CAST(NULL AS BIGINT)
+  FROM j WHERE eff IS NOT NULL AND (vf IS NULL OR NOT
+        (seg IS NOT DISTINCT FROM cseg AND nat IS NOT DISTINCT FROM cnat))
+)
+ORDER BY custkey, valid_from
+"""
+
+
 def q_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation surface: customers ordering in BOTH 1996 and 1997
     (INTERSECT) and in 1996 but never 1997 (EXCEPT), labeled and
@@ -1830,6 +1922,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "user_top_event": (q_user_top_event, _ORACLE_USER_TOP_EVENT),
     "dq_audit": (q_dq_audit, _ORACLE_DQ_AUDIT),
+    "scd2_customer_versions": (q_scd2_customer_versions, _ORACLE_SCD2),
     "event_type_pivot": (q_event_type_pivot, _ORACLE_EVENT_TYPE_PIVOT),
     "zorder_keys": (q_zorder_keys, _ORACLE_ZORDER_KEYS),
     "shipping_priority": (q_shipping_priority, _ORACLE_SHIPPING_PRIORITY),

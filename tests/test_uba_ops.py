@@ -442,3 +442,63 @@ def test_time_weighted_avg_holds_values(spark):
 
     with pytest.raises(ValueError, match="end > start"):
         time_weighted_avg(s, 100, 0)
+
+
+# --- SCD2 versioning -------------------------------------------------------
+
+
+def test_scd2_apply_golden(spark):
+    from datafusion_uba_spark.operators import scd
+
+    current = spark.createDataFrame(
+        [
+            (1, "gold", 0, 50),     # closed history: immutable
+            (1, "silver", 50, None),
+            (2, "bronze", 0, None),
+            (3, "gold", 10, None),
+        ],
+        "k long, seg string, valid_from long, valid_to long",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "platinum", 100),   # differing change: close + open
+            (2, "bronze", 100),     # identical: no-op
+            (4, "new", 100),        # new key: open
+            (4, "newer", 200),      # same key, later change: LATEST wins
+        ],
+        "k long, seg string, effective_s long",
+    )
+    out = scd.scd2_apply(current, changes, ["k"], ["seg"])
+    rows = {(r["k"], r["valid_from"]): (r["seg"], r["valid_to"])
+            for r in out.collect()}
+    assert rows == {
+        (1, 0): ("gold", 50),          # history untouched
+        (1, 50): ("silver", 100),      # closed at effective time
+        (1, 100): ("platinum", None),  # new open version
+        (2, 0): ("bronze", None),      # no-op kept open
+        (3, 10): ("gold", None),       # untouched key kept open
+        (4, 200): ("newer", None),     # latest change per key applies
+    }
+    # every live key has exactly ONE open row
+    open_counts = [
+        r["n"]
+        for r in out.where(F.col("valid_to").isNull())
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert set(open_counts) == {1}
+
+
+def test_scd2_rejects_inverted_interval(spark):
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from datafusion_uba_spark.operators import scd
+
+    current = spark.createDataFrame(
+        [(1, "a", 100, None)], "k long, seg string, valid_from long, valid_to long"
+    )
+    stale = spark.createDataFrame(
+        [(1, "b", 50)], "k long, seg string, effective_s long"
+    )
+    with pytest.raises(SparkRuntimeException, match="predates"):
+        scd.scd2_apply(current, stale, ["k"], ["seg"]).collect()
