@@ -1031,6 +1031,89 @@ FROM s GROUP BY k
 """
 
 
+# SCD2 change effective mid-window: events before it attribute to the
+# original segment, events after to the upgraded one
+_SCD_MID_S = 1_704_672_000  # 2024-01-08 UTC
+
+
+def q_events_segment_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution — the composition the SCD2 table
+    exists for: every event joins the segment its user was in WHEN the
+    event happened (scd2_apply versions → backward as-of on
+    valid_from), so the same user counts under different segments
+    before and after a mid-window upgrade. Users without a dimension
+    row fall into 'unknown'. One as-of window over the version frame +
+    one hash aggregate."""
+    from datafusion_uba_spark.operators import scd
+    from datafusion_uba_spark.operators.asof import asof_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    current = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    changes = cust.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("user_id"),
+        F.lit("UPGRADED").alias("segment"),
+        F.lit(_SCD_MID_S).cast("long").alias("effective_s"),
+    )
+    versions = scd.scd2_apply(current, changes, ["user_id"], ["segment"])
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 1000000").alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("__cents"),
+    )
+    att = asof_join(
+        pts,
+        versions.select("user_id", "valid_from", "segment"),
+        on="user_id",
+        left_ts="ts_s",
+        right_ts="valid_from",
+        right_cols=["segment"],
+    )
+    return (
+        att.groupBy(
+            F.coalesce(F.col("segment_asof"), F.lit("unknown")).alias(
+                "segment"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__cents").alias("value_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+_ORACLE_EVENTS_SEGMENT_ASOF = f"""
+WITH v AS (
+  -- the scd2 version frame: original rows (valid_from 0) + upgraded
+  -- versions for custkey%3==0 opening mid-window
+  SELECT c_custkey AS user_id, c_mktsegment AS segment,
+         CAST(0 AS BIGINT) AS valid_from
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'UPGRADED', {_SCD_MID_S}
+  FROM customer WHERE c_custkey % 3 = 0
+),
+e AS (
+  SELECT user_id, (epoch_us(ts) // 1000000) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT coalesce(v.segment, 'unknown') AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(e.cents) AS BIGINT) AS value_cents
+FROM e ASOF LEFT JOIN v
+  ON e.user_id = v.user_id AND e.ts_s >= v.valid_from
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 _ORACLE_EVENTS_GAPFILLED = f"""
 WITH obs AS (
   SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS b,
@@ -1082,4 +1165,8 @@ UBA_REGISTRY: dict = {
     ),
     "events_m4": (q_events_m4, _ORACLE_EVENTS_M4),
     "events_twa": (q_events_twa, _ORACLE_EVENTS_TWA),
+    "events_segment_asof": (
+        q_events_segment_asof,
+        _ORACLE_EVENTS_SEGMENT_ASOF,
+    ),
 }
