@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_apply"]
+__all__ = ["scd2_apply", "scd2_init", "scd2_apply_table"]
 
 
 def scd2_apply(
@@ -121,4 +121,71 @@ def scd2_apply(
         .unionByName(kept_open)
         .unionByName(newly_closed)
         .unionByName(new_open)
+    )
+
+
+def scd2_init(
+    dim: DataFrame,
+    table: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> None:
+    """Materialize the initial version table (``dim`` must already
+    carry valid_from/valid_to) as a catalog parquet table."""
+    spark = dim.sparkSession
+    from datafusion_uba_spark.sources import save_table_recovering_orphan
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    save_table_recovering_orphan(
+        lambda: dim.write.mode("overwrite").format("parquet").saveAsTable(
+            table
+        ),
+        spark,
+        table,
+    )
+
+
+def scd2_apply_table(
+    spark,
+    table: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    effective_col: str = "effective_s",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> None:
+    """Apply a change batch to a PERSISTED version table in place.
+
+    A plan that reads ``table`` cannot overwrite it in the same job
+    (Spark refuses the self-overwrite, and a failure mid-write would
+    destroy the only copy), so the new version table is built under a
+    staging name and swapped in by rename via
+    sources.staged_swap_tables — the same crash-safety contract as the
+    ANN index builds: any failure leaves the previous versions live.
+    """
+    from datafusion_uba_spark.sources import (
+        save_table_recovering_orphan,
+        staged_swap_tables,
+    )
+
+    current = spark.table(table)
+    new_versions = scd2_apply(
+        current, changes, key_cols, attr_cols, effective_col, from_col, to_col
+    )
+    new_versions.schema  # analyze before anything destructive
+    staged_swap_tables(
+        spark,
+        [
+            (
+                table,
+                lambda t: save_table_recovering_orphan(
+                    lambda: new_versions.write.mode("overwrite")
+                    .format("parquet")
+                    .saveAsTable(t),
+                    spark,
+                    t,
+                ),
+            )
+        ],
     )

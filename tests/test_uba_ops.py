@@ -502,3 +502,45 @@ def test_scd2_rejects_inverted_interval(spark):
     )
     with pytest.raises(SparkRuntimeException, match="predates"):
         scd.scd2_apply(current, stale, ["k"], ["seg"]).collect()
+
+
+def test_scd2_apply_table_sequential_folds(spark):
+    """Persisted SCD2 maintenance: two sequential change batches fold
+    into the stored table through the staged swap (self-overwrite is
+    impossible by construction), and the final history equals the
+    hand-folded expectation."""
+    from datafusion_uba_spark.operators import scd
+
+    table = "scd2_store_t1"
+    try:
+        init = spark.createDataFrame(
+            [(1, "a", 0, None)],
+            "k long, seg string, valid_from long, valid_to long",
+        )
+        scd.scd2_init(init, table)
+        b1 = spark.createDataFrame(
+            [(1, "b", 100), (2, "x", 100)], "k long, seg string, effective_s long"
+        )
+        scd.scd2_apply_table(spark, table, b1, ["k"], ["seg"])
+        b2 = spark.createDataFrame(
+            [(1, "c", 200)], "k long, seg string, effective_s long"
+        )
+        scd.scd2_apply_table(spark, table, b2, ["k"], ["seg"])
+        rows = {
+            (r["k"], r["valid_from"]): (r["seg"], r["valid_to"])
+            for r in spark.table(table).collect()
+        }
+        assert rows == {
+            (1, 0): ("a", 100),
+            (1, 100): ("b", 200),
+            (1, 200): ("c", None),
+            (2, 100): ("x", None),
+        }
+        # no staging leftovers
+        assert not [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith(table) and t.name.endswith("__stage")
+        ]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

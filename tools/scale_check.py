@@ -85,6 +85,8 @@ HEAVY = [
     "events_twa",
     "weekly_signup_purchase",
     "user_top_event",
+    "scd2_customer_versions",
+    "events_segment_asof",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
