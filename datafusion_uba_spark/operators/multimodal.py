@@ -160,17 +160,20 @@ RESIZED_SCHEMA = T.StructType(
 def resize_image(
     df: DataFrame, max_side: int = 256
 ) -> DataFrame:
-    """Resize plumbing for image payloads: scale (width, height) so the
-    longer side is <= ``max_side`` (aspect preserved, never upscale)
-    and re-emit the payload through the same Arrow-batched mapInPandas
-    boundary a real resampler would use.
+    """Resize plumbing for OPAQUE payloads whose codec this container
+    cannot decode (the attach_payload fake-metadata table): scale
+    (width, height) so the longer side is <= ``max_side`` (aspect
+    preserved, never upscale) and re-emit the payload through the same
+    Arrow-batched mapInPandas boundary a real resampler would use.
 
-    The pixel transform is the deterministic STUB (payload truncated
-    proportionally to the area ratio — a real deployment swaps the
-    body for PIL's resize); the production-shaped parts are real:
-    metadata-only filter BEFORE bytes cross to Python (only image rows
-    and only 3 columns are shipped), per-Arrow-batch processing, and a
-    typed schema out.
+    The pixel transform here is the deterministic STUB (payload
+    truncated proportionally to the area ratio); for REAL rasters use
+    ``resize_image_payloads`` below, which decodes BMP/PPM, resamples
+    with the integer-exact nearest-neighbor map, and re-encodes — no
+    stub anywhere in that path. What is production-shaped here either
+    way: metadata-only filter BEFORE bytes cross to Python (only image
+    rows and only 3 columns are shipped), per-Arrow-batch processing,
+    and a typed schema out.
     """
     import pandas as pd
 
