@@ -25,7 +25,11 @@ __all__ = ["check_rows", "null_checks", "unique_check", "fk_check", "dq_union"]
 
 
 def _count_if(cond: Column) -> Column:
-    return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    # coalesce: SUM over ZERO rows is NULL, which would break the
+    # "violations == 0 means pass" gate contract on empty input
+    return F.coalesce(
+        F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+    ).cast("long")
 
 
 def check_rows(
@@ -64,11 +68,13 @@ def unique_check(df: DataFrame, key_cols: list[str], name: str) -> DataFrame:
     One hash aggregate on the key, one tiny re-aggregate."""
     per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
     return per_key.agg(
-        _count_if(F.col("__n") > 1).alias("__dup_keys"),
-        F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0)),
+            F.lit(0),
+        )
         .cast("long")
         .alias("violations"),
-        F.sum("__n").cast("long").alias("total"),
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("total"),
     ).select(F.lit(name).alias("check_name"), "violations", "total")
 
 

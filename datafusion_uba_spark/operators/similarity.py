@@ -947,7 +947,15 @@ def ivf_topk_from_index(
 
     meta_table = table + _IVF_META_SUFFIX
     if spark.catalog.tableExists(meta_table):
-        m = spark.table(meta_table).collect()[0]
+        meta_rows = spark.table(meta_table).collect()
+        if not meta_rows:
+            # same contract as the pq probe (r10 review finding): an
+            # EMPTY metadata table is a torn build, not a legacy index
+            raise ValueError(
+                f"ivf_topk_from_index: metadata table {meta_table!r} is "
+                "empty (interrupted build?); rebuild with ivf_build_index"
+            )
+        m = meta_rows[0]
         for name, given, stored in (
             ("n_cells", n_cells, m["n_cells"]),
             ("dim", dim, m["dim"]),

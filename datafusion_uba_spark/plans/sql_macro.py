@@ -268,11 +268,25 @@ def _strip_trailing_order_limit(sql_text: str, floor: int) -> str:
     caller's probe-column location error handles the rest.
     """
     depth, i, in_str = 0, 0, None
-    while i < len(sql_text):
+    n = len(sql_text)
+    while i < n:
         c = sql_text[i]
         if in_str:
             if c == in_str:
                 in_str = None
+        elif c == "-" and sql_text[i : i + 2] == "--":
+            # line comment: skip to EOL — an apostrophe inside must not
+            # flip the string state, and a keyword inside is not a
+            # clause start (r10 review finding)
+            j = sql_text.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        elif c == "/" and sql_text[i : i + 2] == "/*":
+            j = sql_text.find("*/", i + 2)
+            if j < 0:
+                return sql_text  # unterminated comment: leave untouched
+            i = j + 2
+            continue
         elif c in ("'", '"', "`"):
             in_str = c
         elif c in "([":
@@ -283,7 +297,7 @@ def _strip_trailing_order_limit(sql_text: str, floor: int) -> str:
             m = _TRAIL_CLAUSE_RE.match(sql_text, i)
             if m and (i == 0 or not (sql_text[i - 1].isalnum() or sql_text[i - 1] == "_")):
                 return sql_text if i < floor else sql_text[:i]
-            while i < len(sql_text) and (sql_text[i].isalnum() or sql_text[i] == "_"):
+            while i < n and (sql_text[i].isalnum() or sql_text[i] == "_"):
                 i += 1
             continue
         i += 1

@@ -810,22 +810,14 @@ _GF_START_S = 1_704_412_800
 _GF_END_S = 1_705_017_600
 
 
-def q_events_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TimescaleDB-style time_bucket_gapfill + LOCF
-    (operators/rollup.py gapfill): hourly revenue-cents per event_type
-    densified to EVERY hour of an aligned week — 779 of 840 cells are
-    observed at sf0.01, so the fill path is genuinely exercised — with
-    holes carried forward per key. Scale shape: the dense grid is a
-    per-key sequence explode over rollup rows (|keys| x 168 here), the
-    fill window partitions by key, and the raw scan is date-pruned at
-    the parquet level via load_table's pushed bounds."""
-    from datafusion_uba_spark.operators.rollup import gapfill
-
+def _gf_hourly_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared gapfill input: hourly revenue-cents per event_type
+    over the aligned week, date-pruned at the parquet scan."""
     ev = load_table(
         spark, sf_dir, "events",
         date_bounds={"ts": ("2024-01-05", "2024-01-12")},
     )
-    obs = (
+    return (
         ev.where(
             (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
             & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
@@ -842,6 +834,20 @@ def q_events_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def q_events_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB-style time_bucket_gapfill + LOCF
+    (operators/rollup.py gapfill): hourly revenue-cents per event_type
+    densified to EVERY hour of an aligned week — 779 of 840 cells are
+    observed at sf0.01, so the fill path is genuinely exercised — with
+    holes carried forward per key. Scale shape: the dense grid is a
+    per-key sequence explode over rollup rows (|keys| x 168 here), the
+    fill window partitions by key, and the raw scan is date-pruned at
+    the parquet level via load_table's pushed bounds."""
+    from datafusion_uba_spark.operators.rollup import gapfill
+
+    obs = _gf_hourly_obs(spark, sf_dir)
     return gapfill(
         obs,
         _GF_START_S,
@@ -863,27 +869,7 @@ def q_events_gapfilled_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     value. Before-first/after-last buckets stay NULL."""
     from datafusion_uba_spark.operators.rollup import gapfill
 
-    ev = load_table(
-        spark, sf_dir, "events",
-        date_bounds={"ts": ("2024-01-05", "2024-01-12")},
-    )
-    obs = (
-        ev.where(
-            (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
-            & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
-        )
-        .groupBy(
-            F.expr("(unix_micros(ts) DIV 1000000 DIV 3600) * 3600").alias(
-                "bucket_s"
-            ),
-            F.col("event_type"),
-        )
-        .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
-                "value_cents"
-            )
-        )
-    )
+    obs = _gf_hourly_obs(spark, sf_dir)
     return gapfill(
         obs,
         _GF_START_S,

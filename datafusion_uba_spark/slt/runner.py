@@ -257,10 +257,10 @@ class SparkEngine:
         self.spark = spark
 
     def statement(self, sql: str) -> None:
-        self.spark.sql(expand_macros(rewrite_statement(sql)))
+        self.spark.sql(expand_macros(rewrite_statement(sql), self.spark))
 
     def query(self, sql: str) -> tuple[list[tuple], str]:
-        df = self.spark.sql(expand_macros(sql))
+        df = self.spark.sql(expand_macros(sql, self.spark))
         types = "".join(type_code(t) for _, t in df.dtypes)
         return [tuple(r) for r in df.collect()], types
 

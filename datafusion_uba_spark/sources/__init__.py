@@ -322,7 +322,24 @@ def staged_swap_tables(spark: SparkSession, builds) -> None:
         if cand is not None and not _orphan_looks_live(cand):
             shutil.rmtree(cand, ignore_errors=True)
     for stage, live in reversed(staged):
-        spark.sql(f"ALTER TABLE {stage} RENAME TO {live}")
+        try:
+            spark.sql(f"ALTER TABLE {stage} RENAME TO {live}")
+        except Exception as exc:
+            # Phase 2 failed AFTER the live tables were dropped — the
+            # data is safe but stranded under staging names (r10 review
+            # finding: don't leave the operator guessing). Nothing is
+            # deleted here; name the recovery explicitly.
+            remaining = [
+                f"ALTER TABLE {s} RENAME TO {l}"
+                for s, l in reversed(staged)
+                if spark.catalog.tableExists(s)
+            ]
+            raise RuntimeError(
+                f"staged_swap_tables: rename {stage!r} -> {live!r} failed "
+                f"after the previous live tables were dropped; the NEW "
+                f"data is intact under its staging name(s). Finish the "
+                f"swap manually: {'; '.join(remaining)}"
+            ) from exc
 
 
 def write_bucketed(

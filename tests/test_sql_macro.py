@@ -274,3 +274,42 @@ def test_strip_trailing_order_limit_unit():
     # clause before the last substitution end (floor): unchanged
     s = "SELECT a FROM t ORDER BY b"
     assert strip(s, len(s)) == s
+
+
+def test_strip_trailing_order_limit_comment_blind():
+    # r10 review finding: comments must not defeat the strip (an
+    # apostrophe in a -- comment flipped the string state) nor become
+    # clause starts themselves
+    from datafusion_uba_spark.plans.sql_macro import (
+        _strip_trailing_order_limit as strip,
+    )
+
+    s = "SELECT a FROM t -- user's note\nORDER BY a LIMIT 1"
+    assert strip(s, 8) == "SELECT a FROM t -- user's note\n"
+    s = "SELECT a /* order matters */ FROM t WHERE x = 1"
+    assert strip(s, 0) == s
+    s = "SELECT a FROM t /* note */ LIMIT 2"
+    assert strip(s, 8) == "SELECT a FROM t /* note */ "
+    # unterminated block comment: leave the text untouched
+    s = "SELECT a FROM t /* oops LIMIT 2"
+    assert strip(s, 0) == s
+
+
+def test_slt_runner_probes_standalone_sum(spark):
+    # r10 review finding: the slt engine must pass its session so a
+    # standalone retention_sum in a script probes instead of raising
+    from datafusion_uba_spark.slt.runner import SparkEngine
+
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW slt_probe_stats AS
+        SELECT * FROM VALUES
+          (1, array(array(1Y, 1Y), array(1Y, 0Y)))
+        AS t(distinct_id, stats)
+        """
+    )
+    eng = SparkEngine(spark)
+    rows, _types = eng.query(
+        "SELECT retention_sum(stats) AS r FROM slt_probe_stats"
+    )
+    assert len(rows) == 1

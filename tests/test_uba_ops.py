@@ -544,3 +544,20 @@ def test_scd2_apply_table_sequential_folds(spark):
         ]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_dq_checks_empty_input_reports_zero(spark):
+    """r10 review finding: SUM over zero rows is NULL — empty input
+    must still report violations == 0 (the pass state), not NULL."""
+    from datafusion_uba_spark.operators import quality
+
+    empty = spark.createDataFrame([], "event_id long, user_id long")
+    r = quality.check_rows(
+        empty, [("user_null", F.col("user_id").isNull())]
+    ).collect()[0]
+    assert (r["violations"], r["total"]) == (0, 0)
+    u = quality.unique_check(empty, ["event_id"], "dup").collect()[0]
+    assert (u["violations"], u["total"]) == (0, 0)
+    parent = spark.createDataFrame([(1,)], "pk long")
+    f = quality.fk_check(empty, "user_id", parent, "pk", "fk").collect()[0]
+    assert (f["violations"], f["total"]) == (0, 0)
