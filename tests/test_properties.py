@@ -475,3 +475,140 @@ def test_rollup_cascade_matches_model(spark, rows):
         for (b, k), (n, v) in agg.items():
             want.add((tier, b, k, n, v))
     assert got == want
+
+
+# --- gapfill vs pure-Python fill model -------------------------------------
+
+_gf_obs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),   # bucket index (x100)
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+def _gapfill_model(obs, start, end, step, fill):
+    """Naive per-key fill over the dense grid."""
+    by_key = {}
+    for b, k, v in obs:
+        by_key.setdefault(k, {})[b * step] = v
+    out = {}
+    for k, vals in by_key.items():
+        for b in range(start, end, step):
+            if b in vals:
+                out[(k, b)] = vals[b]
+            elif fill == "zero":
+                out[(k, b)] = 0
+            elif fill == "null":
+                out[(k, b)] = None
+            elif fill == "locf":
+                prior = [t for t in vals if t <= b]
+                out[(k, b)] = vals[max(prior)] if prior else None
+            elif fill == "linear":
+                prior = [t for t in vals if t <= b]
+                nxt = [t for t in vals if t > b]
+                if prior and nxt:
+                    pb, nb = max(prior), min(nxt)
+                    pv, nv = vals[pb], vals[nb]
+                    # truncating division, matching Spark DIV
+                    num = (nv - pv) * 1_000_000 * (b - pb)
+                    q = num // (nb - pb)
+                    if num % (nb - pb) != 0 and (num < 0):
+                        q += 1  # Python floors; DIV truncates toward 0
+                    out[(k, b)] = pv * 1_000_000 + q
+                else:
+                    out[(k, b)] = None
+    # linear mode scales observed values to micro-units too
+    if fill == "linear":
+        for key, val in list(out.items()):
+            k, b = key
+            if b in by_key[k] and val is not None:
+                out[key] = by_key[k][b] * 1_000_000
+    return out
+
+
+@given(obs=_gf_obs_strategy, fill=st.sampled_from(["null", "zero", "locf", "linear"]))
+@settings(**_SETTINGS)
+def test_gapfill_matches_model(spark, obs, fill):
+    from datafusion_uba_spark.operators.rollup import gapfill
+
+    df = spark.createDataFrame(
+        [(b * 100, k, v) for b, k, v in obs],
+        "bucket_s long, key string, value long",
+    )
+    got = {
+        (r["key"], r["bucket_s"]): r[2]
+        for r in gapfill(df, 0, 1000, 100, fill=fill).collect()
+    }
+    want = _gapfill_model(obs, 0, 1000, 100, fill)
+    assert got == want
+
+
+# --- scd2_apply vs dict fold model -----------------------------------------
+
+_scd_current = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),      # key
+        st.sampled_from(["a", "b", "c"]),           # attr
+    ),
+    min_size=0,
+    max_size=5,
+    unique_by=lambda t: t[0],
+)
+_scd_changes = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=7),
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=100, max_value=103),  # effective
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+def _scd2_model(current, changes):
+    """Naive fold: latest change per key (ties -> smallest attr), then
+    classify against the open rows."""
+    latest = {}
+    for k, a, eff in changes:
+        cur = latest.get(k)
+        if cur is None or eff > cur[1] or (eff == cur[1] and a < cur[0]):
+            latest[k] = (a, eff)
+    rows = set()
+    open_keys = {}
+    for k, a in current:
+        open_keys[k] = a
+    for k, a in current:
+        ch = latest.get(k)
+        if ch is None or ch[0] == a:
+            rows.add((k, a, 0, None))
+        else:
+            rows.add((k, a, 0, ch[1]))
+            rows.add((k, ch[0], ch[1], None))
+    for k, (a, eff) in latest.items():
+        if k not in open_keys:
+            rows.add((k, a, eff, None))
+    return rows
+
+
+@given(current=_scd_current, changes=_scd_changes)
+@settings(**_SETTINGS)
+def test_scd2_matches_model(spark, current, changes):
+    from datafusion_uba_spark.operators import scd
+
+    cur_df = spark.createDataFrame(
+        [(k, a, 0, None) for k, a in current],
+        "k long, seg string, valid_from long, valid_to long",
+    )
+    chg_df = spark.createDataFrame(
+        changes, "k long, seg string, effective_s long"
+    )
+    got = {
+        (r["k"], r["seg"], r["valid_from"], r["valid_to"])
+        for r in scd.scd2_apply(cur_df, chg_df, ["k"], ["seg"]).collect()
+    }
+    assert got == _scd2_model(current, changes)
