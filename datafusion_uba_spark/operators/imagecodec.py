@@ -190,3 +190,42 @@ def decode_image(data: bytes) -> tuple[str, np.ndarray]:
     if data[:2] == b"P6":
         return "ppm", decode_ppm(data)
     raise ValueError(f"unrecognized image magic {data[:2]!r}")
+
+
+def encode_ppm_stream(frames: list[np.ndarray]) -> bytes:
+    """Encode a frame sequence as a concatenated binary-PPM stream —
+    back-to-back P6 images, the netpbm video convention (what
+    ffmpeg's image2pipe emits/consumes). No container header: each
+    frame is self-describing."""
+    if not frames:
+        raise ValueError("encode_ppm_stream: need at least one frame")
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def decode_ppm_stream(data: bytes) -> list[np.ndarray]:
+    """Decode a concatenated-P6 stream into its frames by parsing
+    successive self-describing headers — real sequential parsing, not
+    fixed-stride splitting (frames may differ in size)."""
+    frames: list[np.ndarray] = []
+    i = 0
+    while i < len(data):
+        if data[i : i + 2] != b"P6":
+            raise ValueError(
+                f"ppm stream: expected P6 magic at offset {i}, "
+                f"got {data[i : i + 2]!r}"
+            )
+        (w, h, maxval), off = _ppm_tokens(data, 3, i + 2)
+        if maxval != 255:
+            raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
+        end = off + w * h * 3
+        if len(data) < end:
+            raise ValueError(
+                f"truncated PPM stream: frame {len(frames)} needs "
+                f"{end - i} bytes, have {len(data) - i}"
+            )
+        px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=off)
+        frames.append(np.ascontiguousarray(px.reshape(h, w, 3)))
+        i = end
+    if not frames:
+        raise ValueError("ppm stream: empty payload")
+    return frames

@@ -409,6 +409,129 @@ def resize_image_payloads(df: DataFrame, max_side: int = 256) -> DataFrame:
     )
 
 
+VIDEO_FRAMES_BASE, VIDEO_FRAMES_MOD = 2, 7  # 2..8 frames per doc
+
+
+def _synth_video_frames(doc_id: int) -> list:
+    """Deterministic frame sequence: the image raster with a per-frame
+    +17*f term, so each frame's channel sums stay closed-form."""
+    import numpy as np
+
+    n = VIDEO_FRAMES_BASE + doc_id % VIDEO_FRAMES_MOD
+    w = IMG_W_BASE + doc_id % IMG_W_MOD
+    h = IMG_H_BASE + doc_id % IMG_H_MOD
+    x = np.arange(w, dtype=np.int64)
+    out = []
+    for f in range(n):
+        row = (
+            (doc_id * 7 + 13 * x[:, None] + 11 * np.arange(3)[None, :] + 17 * f)
+            % 256
+        ).astype("uint8")
+        out.append(np.broadcast_to(row, (h, w, 3)))
+    return out
+
+
+def attach_video_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Render each doc's deterministic frame sequence and encode it as
+    a REAL concatenated-PPM stream (the netpbm video convention,
+    ffmpeg image2pipe's format) — replacing the round-≤9 stub
+    frame-count arithmetic with an actual multi-frame container."""
+    import pandas as pd
+
+    from datafusion_uba_spark.operators import imagecodec
+
+    def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                frames = _synth_video_frames(did)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "payload": imagecodec.encode_ppm_stream(frames),
+                        "meta": {
+                            "modality": "video",
+                            "width": frames[0].shape[1],
+                            "height": frames[0].shape[0],
+                            "codec": "ppm-stream",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    return df.select(id_col).mapInPandas(render, IMAGE_PAYLOAD_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def frame_sample_stats(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: parse the concatenated-PPM stream's
+    self-describing headers frame by frame, keep every ``every_n``-th
+    frame (0, n, 2n, ... — the ffmpeg select='not(mod(n\\,k))'
+    convention), and emit exact per-frame channel sums. Only sampled
+    frames pay the pixel reduction; the stream walk itself is
+    header-arithmetic per frame."""
+    import pandas as pd
+
+    from datafusion_uba_spark.operators import imagecodec
+
+    if every_n <= 0:
+        raise ValueError(f"every_n must be positive, got {every_n}")
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = imagecodec.decode_ppm_stream(bytes(payload))
+                for f, arr in enumerate(frames):
+                    if f % every_n != 0:
+                        continue
+                    sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    rows.append(
+                        {
+                            "doc_id": int(did),
+                            "frame_idx": f,
+                            "n_frames": len(frames),
+                            "width": arr.shape[1],
+                            "height": arr.shape[0],
+                            "sum_r": int(sums[0]),
+                            "sum_g": int(sums[1]),
+                            "sum_b": int(sums[2]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_STATS_SCHEMA.fields]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        sample, FRAME_STATS_SCHEMA
+    )
+
+
+def video_frame_roundtrip(
+    df: DataFrame, every_n: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """render → encode (concatenated PPM) → parse stream → sample every
+    n-th frame → exact channel sums: the full real video-ish pipeline,
+    closed-form-oracle-checkable like the image paths."""
+    return frame_sample_stats(attach_video_payload(df, id_col), every_n)
+
+
 def image_resize_roundtrip(
     df: DataFrame, max_side: int = 32, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1303,6 +1303,62 @@ GROUP BY doc_id, nw, nh
 """
 
 
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real frame sampling (round 10): each doc renders a deterministic
+    multi-frame sequence, encodes it as a genuine concatenated-PPM
+    stream (netpbm video / ffmpeg image2pipe), then the sampler parses
+    the self-describing headers frame by frame, keeps every 2nd frame,
+    and emits exact channel sums. The oracle replays the per-frame
+    pixel generator in closed form — a mis-parsed frame boundary or a
+    wrong sampling index hashes red."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.video_frame_roundtrip(docs, every_n=2)
+
+
+def _oracle_video_frames() -> str:
+    from datafusion_uba_spark.operators.multimodal import (
+        IMG_H_BASE,
+        IMG_H_MOD,
+        IMG_W_BASE,
+        IMG_W_MOD,
+        VIDEO_FRAMES_BASE,
+        VIDEO_FRAMES_MOD,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         ({IMG_W_BASE} + doc_id % {IMG_W_MOD}) AS w,
+         ({IMG_H_BASE} + doc_id % {IMG_H_MOD}) AS h,
+         ({VIDEO_FRAMES_BASE} + doc_id % {VIDEO_FRAMES_MOD}) AS nf
+  FROM documents
+),
+fr AS (
+  SELECT d.doc_id, d.w, d.h, d.nf, f.f
+  FROM d CROSS JOIN
+       generate_series(0, {VIDEO_FRAMES_BASE + VIDEO_FRAMES_MOD - 2}) f(f)
+  WHERE f.f < d.nf AND f.f % 2 = 0
+),
+px AS (
+  SELECT fr.doc_id, fr.f, fr.nf, fr.w, fr.h, x.x
+  FROM fr CROSS JOIN generate_series(0, {IMG_W_BASE + IMG_W_MOD - 2}) x(x)
+  WHERE x.x < fr.w
+)
+SELECT doc_id,
+  CAST(f AS BIGINT) AS frame_idx,
+  CAST(nf AS BIGINT) AS n_frames,
+  CAST(w AS BIGINT) AS width,
+  CAST(h AS BIGINT) AS height,
+  CAST(h * SUM((doc_id * 7 + 13 * x + 17 * f) % 256) AS BIGINT) AS sum_r,
+  CAST(h * SUM((doc_id * 7 + 13 * x + 11 + 17 * f) % 256) AS BIGINT)
+    AS sum_g,
+  CAST(h * SUM((doc_id * 7 + 13 * x + 22 + 17 * f) % 256) AS BIGINT)
+    AS sum_b
+FROM px
+GROUP BY doc_id, f, nf, w, h
+"""
+
+
 _ORACLE_MULTIMODAL = """
 SELECT doc_id,
   octet_length(CAST(text AS BLOB)) AS n_bytes,
@@ -1576,4 +1632,5 @@ LLM_REGISTRY: dict = {
     "image_decode_stats": (q_image_decode_stats, _oracle_image_decode()),
     "image_resize_stats": (q_image_resize_stats, _oracle_image_resize()),
     "dedup_fuzzy_prefix": (q_dedup_fuzzy_prefix, _ORACLE_DEDUP_FUZZY),
+    "video_frame_stats": (q_video_frame_stats, _oracle_video_frames()),
 }

@@ -150,3 +150,22 @@ def test_resize_then_reencode_roundtrip():
     out = ic.resize_nearest(a, 16)
     assert np.array_equal(ic.decode_bmp(ic.encode_bmp(out)), out)
     assert np.array_equal(ic.decode_ppm(ic.encode_ppm(out)), out)
+
+
+def test_ppm_stream_roundtrip_mixed_sizes():
+    frames = [_arr(2, 3, seed=1), _arr(4, 2, seed=2), _arr(1, 5, seed=3)]
+    out = ic.decode_ppm_stream(ic.encode_ppm_stream(frames))
+    assert len(out) == 3
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+
+
+def test_ppm_stream_rejects_malformed():
+    frames = [_arr(2, 2, seed=4)]
+    raw = ic.encode_ppm_stream(frames)
+    with pytest.raises(ValueError, match="truncated"):
+        ic.decode_ppm_stream(raw[:-2])
+    with pytest.raises(ValueError, match="magic"):
+        ic.decode_ppm_stream(raw + b"XX" + raw)
+    with pytest.raises(ValueError, match="empty"):
+        ic.decode_ppm_stream(b"")
