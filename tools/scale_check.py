@@ -87,6 +87,7 @@ HEAVY = [
     "user_top_event",
     "scd2_customer_versions",
     "events_segment_asof",
+    "video_frame_stats",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
