@@ -21,9 +21,13 @@ from datafusion_uba_spark.operators.retention import (
 )
 from datafusion_uba_spark.operators import (  # noqa: F401
     dedup,
+    imagecodec,
     multimodal,
     packing,
+    quality,
+    rollup,
     sampling,
+    scd,
     similarity,
     sketches,
     text,
@@ -38,8 +42,12 @@ __all__ = [
     "similarity",
     "text",
     "multimodal",
+    "imagecodec",
     "packing",
+    "quality",
+    "rollup",
     "sampling",
+    "scd",
     "sketches",
 ]
 
