@@ -1588,6 +1588,105 @@ LIMIT 20
 """
 
 
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — the nested-aggregation
+    share-of-total class (conditional sum over total sum per year),
+    promoted from the slt corpus to the driver hash gate in exact
+    basis points (share_bp = nation_cents * 10000 DIV total_cents; no
+    DECIMAL rendering, no float division deciding a digit).
+
+    Plan at scale: region→nation→customer folds to an ASIA-customer
+    key set (broadcast), orders prune on the date at the scan and
+    semi-reduce on that set, lineitem joins orders on l_orderkey — the
+    ONE big shuffle — and supplier broadcasts for the nation tag. The
+    adapted share has no part filter, so the reference's p_partkey FK
+    join is a no-op and is omitted rather than paying a 100 TB shuffle
+    to prove referential integrity (dq_audit's fk_check is the honest
+    home for that)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(
+        spark, sf_dir, "orders",
+        date_bounds={"o_orderdate": ("1995-01-01", "1997-01-01")},
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia_cust = cust.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region.where(F.col("r_name") == "ASIA")),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+        ),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey")
+    ord_f = orders.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).join(
+        F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    vol = (
+        li.join(ord_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "o_year",
+            "s_nationkey",
+            _cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("__c"),
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("s_nationkey") == 3, F.col("__c")).otherwise(0)
+            ).alias("nation3_cents"),
+            F.sum("__c").alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "nation3_cents",
+            "total_cents",
+            F.expr("(nation3_cents * 10000) DIV total_cents")
+            .cast("long")
+            .alias("share_bp"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_ORACLE_NATION_MARKET_SHARE = """
+SELECT o_year,
+       CAST(sum(CASE WHEN nationkey = 3 THEN c ELSE 0 END) AS BIGINT)
+         AS nation3_cents,
+       CAST(sum(c) AS BIGINT) AS total_cents,
+       CAST(CAST(sum(CASE WHEN nationkey = 3 THEN c ELSE 0 END) AS BIGINT)
+            * 10000 // CAST(sum(c) AS BIGINT) AS BIGINT) AS share_bp
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS c,
+         s_nationkey AS nationkey
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= DATE '1995-01-01'
+    AND o_orderdate < DATE '1997-01-01'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: the correlated-scalar-MIN class — for each
     size-15 part, the European supplier(s) who shipped it at that
@@ -1945,6 +2044,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q2": (q_min_cost_supplier, _ORACLE_MIN_COST_SUPPLIER),
     "tpch_q15": (q_top_revenue_supplier, _ORACLE_TOP_REVENUE_SUPPLIER),
     "tpch_q22": (q_idle_rich_customers, _ORACLE_IDLE_RICH),
+    "tpch_q8": (q_nation_market_share, _ORACLE_NATION_MARKET_SHARE),
 }
 
 # LLM-training-data-pipeline inventory (dedup / similarity / text /
