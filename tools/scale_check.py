@@ -88,6 +88,7 @@ HEAVY = [
     "scd2_customer_versions",
     "events_segment_asof",
     "video_frame_stats",
+    "tpch_q8",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
