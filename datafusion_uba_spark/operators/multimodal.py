@@ -131,9 +131,13 @@ def decode_payload(df: DataFrame) -> DataFrame:
 def frame_sample(
     df: DataFrame, every_n: int = 2
 ) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: explode decoded
-    frame indices and keep every ``every_n``-th — all built-ins on top
-    of the decoded table."""
+    """Frame-sampling plumbing over the GENERIC stub decoder's frame
+    counts: explode decoded frame indices and keep every ``every_n``-th
+    — all built-ins on top of the decoded table. For REAL frame
+    sampling over an actual multi-frame payload use
+    ``frame_sample_stats`` below, which parses a concatenated-PPM
+    stream's self-describing headers frame by frame (no stub in that
+    path)."""
     decoded = decode_payload(df)
     return (
         decoded.where(F.col("modality") == "video")
