@@ -48,7 +48,8 @@ def check_rows(
     # unpivot the single aggregate row into (check_name, violations, total)
     # with a stack() — still one job, no collect
     pairs = ", ".join(
-        f"'{name}', __c{i}" for i, (name, _) in enumerate(checks)
+        "'{}', __c{}".format(name.replace("'", "''"), i)
+        for i, (name, _) in enumerate(checks)
     )
     return row.selectExpr(
         f"stack({len(checks)}, {pairs}) AS (check_name, violations)", "__total"

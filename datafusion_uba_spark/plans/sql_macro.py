@@ -66,7 +66,9 @@ def _split_args(argstr: str) -> list[str]:
     while i < len(argstr):
         c = argstr[i]
         if in_str:
-            if c == in_str:
+            if c == "\\" and in_str in ("'", '"'):
+                i += 1  # Spark default escapedStringLiterals=false: \' stays in-string
+            elif c == in_str:
                 in_str = None
         elif c in ("'", '"'):
             in_str = c
@@ -94,7 +96,9 @@ def _find_calls(sql_text: str) -> list[tuple[str, int, int, list[str]]]:
         while i < len(sql_text) and depth > 0:
             c = sql_text[i]
             if in_str:
-                if c == in_str:
+                if c == "\\" and in_str in ("'", '"'):
+                    i += 1  # skip escaped char ('it\'s' does not end the literal)
+                elif c == in_str:
                     in_str = None
             elif c in ("'", '"'):
                 in_str = c
@@ -272,7 +276,9 @@ def _strip_trailing_order_limit(sql_text: str, floor: int) -> str:
     while i < n:
         c = sql_text[i]
         if in_str:
-            if c == in_str:
+            if c == "\\" and in_str in ("'", '"'):
+                i += 1  # backslash escape inside a string literal (r10 advice)
+            elif c == in_str:
                 in_str = None
         elif c == "-" and sql_text[i : i + 2] == "--":
             # line comment: skip to EOL — an apostrophe inside must not

@@ -1918,7 +1918,8 @@ WHERE cents * n > s
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = seg.c_custkey
                     AND o.o_orderpriority = '1-URGENT'
-                    AND o.o_orderdate >= DATE '2000-01-01')
+                    AND o.o_orderdate >= DATE '2000-01-01'
+                    AND o.o_orderdate < DATE '2002-01-01')
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """

@@ -295,6 +295,33 @@ def test_strip_trailing_order_limit_comment_blind():
     assert strip(s, 0) == s
 
 
+def test_strip_trailing_order_limit_backslash_escape():
+    # r10 advice: a backslash-escaped quote ('it\'s') must not end the
+    # string literal — otherwise the scanner desynchronizes and a
+    # trailing LIMIT survives into the probe (silent width truncation)
+    from datafusion_uba_spark.plans.sql_macro import (
+        _strip_trailing_order_limit as strip,
+    )
+
+    s = "SELECT a FROM t WHERE x = 'it\\'s' LIMIT 3"
+    assert strip(s, 8) == "SELECT a FROM t WHERE x = 'it\\'s' "
+    # keyword INSIDE the escaped literal is not a clause start
+    s = "SELECT a FROM t WHERE x = 'don\\'t LIMIT me'"
+    assert strip(s, 8) == s
+    # double-quoted variant
+    s = 'SELECT a FROM t WHERE x = "say \\" ORDER" LIMIT 1'
+    assert strip(s, 8) == 'SELECT a FROM t WHERE x = "say \\" ORDER" '
+    # backslash inside backticks is literal, not an escape
+    s = "SELECT `a\\` FROM t LIMIT 2"
+    assert strip(s, 8) == "SELECT `a\\` FROM t "
+
+
+def test_split_args_backslash_escape():
+    from datafusion_uba_spark.plans.sql_macro import _split_args
+
+    assert _split_args("'it\\'s, not', x") == ["'it\\'s, not'", "x"]
+
+
 def test_slt_runner_probes_standalone_sum(spark):
     # r10 review finding: the slt engine must pass its session so a
     # standalone retention_sum in a script probes instead of raising

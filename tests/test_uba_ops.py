@@ -396,6 +396,19 @@ def test_dq_check_rows_single_pass(spark):
     assert plan.count("Scan") <= 1 or "ExistingRDD" in plan
 
 
+def test_dq_check_rows_quoted_name(spark):
+    """r10 advice: a check name containing a single quote must not break
+    (or inject into) the generated stack() expression."""
+    from datafusion_uba_spark.operators import quality
+
+    ev = spark.range(10).selectExpr("id", "id % 2 AS v")
+    rows = quality.check_rows(
+        ev, [("user's check", F.col("v") == 1)]
+    ).collect()
+    assert rows[0]["check_name"] == "user's check"
+    assert rows[0]["violations"] == 5 and rows[0]["total"] == 10
+
+
 # --- M4 downsampling + time-weighted average -------------------------------
 
 
