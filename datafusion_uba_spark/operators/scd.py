@@ -12,9 +12,20 @@ no-ops, and closed history is immutable.
 
 Everything is joins + unions on the KEY — one shuffle each for the
 open rows and the change batch; closed history passes through
-untouched (at 100 TB, partition the stored table by open/closed so
-the apply never rewrites history — same discipline as
-rollup_refresh's dynamic partition overwrite).
+untouched.
+
+The PERSISTED store (scd2_init / scd2_apply_table) is partitioned by
+a ``close_b`` batch column: ``'open'`` for every live row, and the
+identifier of the apply batch that closed it for every closed row.
+An apply therefore reads ONLY the (partition-pruned) open partition,
+and writes ONE dynamic-partition-overwrite job whose output
+partitions are exactly ``{'open', '<this batch>'}`` — the open
+partition is replaced, the newly-closed rows land in a brand-new
+partition, and every prior batch's files are never read or written
+(at 100 TB an apply touches |live keys| + |batch| rows, not years of
+history — same discipline as rollup_refresh's dynamic partition
+overwrite). The single-job commit is also the crash story: a failure
+before commit leaves the table byte-identical.
 """
 
 from __future__ import annotations
@@ -129,17 +140,25 @@ def scd2_init(
     table: str,
     from_col: str = "valid_from",
     to_col: str = "valid_to",
+    batch_col: str = "close_b",
 ) -> None:
     """Materialize the initial version table (``dim`` must already
-    carry valid_from/valid_to) as a catalog parquet table."""
+    carry valid_from/valid_to) as a catalog parquet table partitioned
+    by ``batch_col``: open rows under ``'open'``, any seed closed
+    history under ``'b0'``."""
     spark = dim.sparkSession
     from datafusion_uba_spark.sources import save_table_recovering_orphan
 
+    part = F.when(F.col(to_col).isNull(), F.lit("open")).otherwise(
+        F.lit("b0")
+    )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     save_table_recovering_orphan(
-        lambda: dim.write.mode("overwrite").format("parquet").saveAsTable(
-            table
-        ),
+        lambda: dim.withColumn(batch_col, part)
+        .write.mode("overwrite")
+        .format("parquet")
+        .partitionBy(batch_col)
+        .saveAsTable(table),
         spark,
         table,
     )
@@ -154,38 +173,70 @@ def scd2_apply_table(
     effective_col: str = "effective_s",
     from_col: str = "valid_from",
     to_col: str = "valid_to",
-) -> None:
-    """Apply a change batch to a PERSISTED version table in place.
+    batch_col: str = "close_b",
+    batch_id: str | None = None,
+) -> str | None:
+    """Apply a change batch to a PERSISTED version table in place,
+    rewriting ONLY the open partition.
 
-    A plan that reads ``table`` cannot overwrite it in the same job
-    (Spark refuses the self-overwrite, and a failure mid-write would
-    destroy the only copy), so the new version table is built under a
-    staging name and swapped in by rename via
-    sources.staged_swap_tables — the same crash-safety contract as the
-    ANN index builds: any failure leaves the previous versions live.
+    Reads the partition-pruned ``close_b='open'`` slice (closed
+    history is never an input — an apply depends only on the open
+    rows and the change batch), folds the batch with scd2_apply, and
+    writes the result back in ONE dynamic-partition-overwrite job:
+    surviving/new open rows replace the ``'open'`` partition; rows
+    closed by this batch land in the brand-new ``close_b=<batch_id>``
+    partition. Prior batches' partition files are untouched (pinned
+    byte-for-byte in tests/test_uba_ops.py). The single job is the
+    crash contract: dynamic overwrite commits partition swaps at job
+    commit, so any failure leaves the previous versions live — no
+    staging table needed.
+
+    ``batch_id`` defaults to the next free ``b<N>``; an explicit id
+    colliding with an existing batch partition (or ``'open'``) raises
+    instead of silently replacing history. Returns the batch id used,
+    or None if the batch closed no rows (no new partition created).
     """
-    from datafusion_uba_spark.sources import (
-        save_table_recovering_orphan,
-        staged_swap_tables,
-    )
-
-    current = spark.table(table)
+    existing = {
+        r[0].split("=", 1)[1]
+        for r in spark.sql(f"SHOW PARTITIONS {table}").collect()
+    }
+    if batch_id is None:
+        n = len(existing - {"open"})
+        batch_id = f"b{n}"
+        while batch_id in existing:
+            n += 1
+            batch_id = f"b{n}"
+    elif batch_id == "open" or batch_id in existing:
+        raise ValueError(
+            f"scd2_apply_table: batch_id {batch_id!r} already exists in "
+            f"{table} — reusing it would overwrite closed history"
+        )
+    current_open = spark.table(table).where(
+        F.col(batch_col) == "open"
+    ).drop(batch_col)
     new_versions = scd2_apply(
-        current, changes, key_cols, attr_cols, effective_col, from_col, to_col
+        current_open, changes, key_cols, attr_cols, effective_col,
+        from_col, to_col,
     )
-    new_versions.schema  # analyze before anything destructive
-    staged_swap_tables(
-        spark,
-        [
-            (
-                table,
-                lambda t: save_table_recovering_orphan(
-                    lambda: new_versions.write.mode("overwrite")
-                    .format("parquet")
-                    .saveAsTable(t),
-                    spark,
-                    t,
-                ),
-            )
-        ],
+    out = new_versions.withColumn(
+        batch_col,
+        F.when(F.col(to_col).isNull(), F.lit("open")).otherwise(
+            F.lit(batch_id)
+        ),
+    ).select(*spark.table(table).columns)  # insertInto is positional
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
     )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # dynamic mode: overwrite replaces ONLY the partitions present
+        # in `out` — 'open' plus (if any rows closed) this batch
+        out.write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # metastore-only check (no extra Spark job): did this batch close rows?
+    after = {
+        r[0].split("=", 1)[1]
+        for r in spark.sql(f"SHOW PARTITIONS {table}").collect()
+    }
+    return batch_id if batch_id in after else None
