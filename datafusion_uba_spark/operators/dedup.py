@@ -682,79 +682,127 @@ def neardup_components(
     (reference analog: the canonical-id window in exact_dedup,
     dedup.py:47, lifted from equality groups to similarity graphs).
 
-    Algorithm: min-label propagation to fixpoint. Labels start as
-    self; each round every node takes the min of its own and its
-    neighbors' labels — one equi-join + one groupBy(min) shuffle per
-    round, all built-ins, no driver-side graph. Rounds needed = graph
-    diameter; duplicate components in practice are dense template
-    families (diameter 2-4), so 2-3 rounds typical. Each round
-    localCheckpoints the (id, comp) frame — two longs per node — so
-    round N's plan does not replay rounds 1..N-1; at cluster scale use
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    O(log^2 n)-round edge-rewriting formulation, so convergence does
+    NOT depend on graph diameter (min-label propagation, the r8-r10
+    implementation, needed diameter rounds and raised on long chains).
+    Per round, on the canonical big->small edge set:
+
+    - large-star: every node connects its strictly-LARGER neighbors to
+      the minimum of its closed neighborhood — one symmetrize + one
+      groupBy(min) + one equi-join;
+    - small-star: every node connects its smaller neighbors and itself
+      to its minimum neighbor — one groupBy(min) + one equi-join.
+
+    Both preserve connectivity and only ever lower endpoints; the
+    fixpoint is a disjoint union of stars centered at each component's
+    MINIMUM id, which is exactly the canonical-id contract. All
+    built-ins, no driver-side graph; each round localCheckpoints the
+    edge frame — two longs per surviving edge — so round N's plan does
+    not replay rounds 1..N-1 (at cluster scale use
     spark.sparkContext.setCheckpointDir + .checkpoint() for fault
-    tolerance instead. Convergence is detected by the per-round label
-    sum: min-propagation only ever lowers labels, so an unchanged sum
-    (exact DECIMAL(38,0) aggregate, no long overflow at any scale)
-    means fixpoint; worst-case chain graphs exceeding ``max_iter``
-    diameter raise rather than return wrong labels (the O(log n)
-    large-star/small-star variant is the known fix if that case ever
-    matters; near-dup corpora don't produce million-hop chains).
+    tolerance instead). Convergence check is two-stage to keep the
+    steady-state cost at one tiny aggregate per round: a (count,
+    sum(a), sum(b)) DECIMAL(38,0) fingerprint gates an exact
+    exceptAll-both-ways set comparison, so the exact check runs only
+    when the fingerprint says "possibly converged" (sound: equality is
+    only ever declared by the exact comparison).
 
     Deterministic: min over an undirected edge set — no seed, no
     partition sensitivity. The DuckDB oracle replays it as a recursive
     transitive closure + min-over-reachable.
     """
-    # the edge list participates in EVERY round's join: localCheckpoint
-    # it once so the (possibly expensive) pair-generation pipeline runs
-    # one time, not once per round — measured 6.9 s -> ~pairs-cost at
-    # sf0.1 for the dedup_clusters registry row
+    a0, b0 = F.col(id_a), F.col(id_b)
+    # localCheckpoint the RAW pair list first so the (possibly
+    # expensive) pair-generation pipeline runs exactly ONCE — both the
+    # node set and the edge set derive from the checkpointed frame
+    # (measured: materializing them independently re-ran the whole
+    # ngram-Jaccard pipeline a second time, doubling the registry row)
+    p0 = pairs.select(a0.alias("pa"), b0.alias("pb")).localCheckpoint()
+    # every doc appearing in >= 1 pair gets a label, even self-pairs
+    nodes = (
+        p0.select(F.col("pa").alias("id"))
+        .union(p0.select(F.col("pb").alias("id")))
+        .distinct()
+    )
+    # canonical (a > b) edges, iterated every round
     e = (
-        pairs.select(
-            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-        )
-        .union(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        p0.where(F.col("pa") != F.col("pb"))
+        .select(
+            F.greatest("pa", "pb").alias("a"),
+            F.least("pa", "pb").alias("b"),
         )
         .distinct()
         .localCheckpoint()
     )
-    lab = (
-        e.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("comp"))
-        .localCheckpoint()
-    )
-    prev_sum = None
+
+    def _fingerprint(edges: DataFrame):
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+            F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
+        ).collect()[0]
+        return (row["n"], row["sa"], row["sb"])
+
+    converged = False
+    fp = _fingerprint(e)
+    if fp[0] == 0:  # no non-self edges: every node is its own star
+        converged = True
     for _ in range(max_iter):
-        nmin = (
-            e.join(lab, e.src == lab.id)
-            .groupBy("dst")
-            .agg(F.min("comp").alias("__nmin"))
-        )
-        lab = (
-            lab.join(nmin, lab.id == nmin.dst, "left")
+        if converged:
+            break
+        # large-star: for each u, emit (v, min(N+(u))) for neighbors v > u
+        sym = e.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).union(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        mn = sym.groupBy("u").agg(F.min("v").alias("__mn"))
+        # no distinct here: the v > u filter keeps exactly one row per
+        # undirected edge (|large| <= |e|), and small-star's aggregates
+        # + final distinct absorb any (v, m) repeats — skipping the
+        # dedup saves one full shuffle per round
+        large = (
+            sym.join(mn, "u")
+            .where(F.col("v") > F.col("u"))
             .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("__nmin"), F.col("comp"))
-                ).alias("comp"),
+                F.col("v").alias("a"),
+                F.least(F.col("__mn"), F.col("u")).alias("b"),
             )
+        )
+        if fp[0] > 1_000_000:
+            # big graph: materialize large-star once so small-star's two
+            # consumers (groupBy + join) don't recompute it
+            large = large.localCheckpoint()
+        # small graph: the duplicated subplan is cheaper than a
+        # materialization job — per-round job count dominates wall time
+        # on duplicate-family graphs (hundreds of edges, 2-4 rounds)
+        # small-star on canonical edges (all neighbors of a are < a):
+        # connect each smaller neighbor, and a itself, to min neighbor
+        mn2 = large.groupBy("a").agg(F.min("b").alias("__mn"))
+        new_e = (
+            large.join(mn2, "a")
+            .select(F.col("b").alias("a"), F.col("__mn").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .union(mn2.select("a", F.col("__mn").alias("b")))
+            .distinct()
             .localCheckpoint()
         )
-        cur_sum = lab.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        # sum of an empty frame is NULL: an empty pair list is already
-        # at fixpoint (no components to label)
-        if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
-            return lab.select(
-                F.col("id").alias("doc_id"),
-                F.col("comp").alias("canonical_id"),
+        new_fp = _fingerprint(new_e)
+        if new_fp == fp:
+            # fingerprint matched: confirm with the exact set compare
+            converged = (
+                new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty()
             )
-        prev_sum = cur_sum
-    raise RuntimeError(
-        f"neardup_components: no fixpoint after {max_iter} rounds — "
-        "component diameter exceeds max_iter; raise it or switch to a "
-        "large-star/small-star formulation"
+        e, fp = new_e, new_fp
+    if not converged:
+        raise RuntimeError(
+            f"neardup_components: no fixpoint after {max_iter} rounds — "
+            "star-contraction needs O(log^2 n) rounds, so raise max_iter"
+        )
+    stars = e.select(F.col("a").alias("id"), F.col("b").alias("comp"))
+    return nodes.join(stars, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce(F.col("comp"), F.col("id")).alias("canonical_id"),
     )
 
 

@@ -9,15 +9,18 @@ built-in JVM expressions; actual decode/feature-extraction runs as
 Arrow-batched ``mapInPandas`` so bytes cross the Python boundary once
 per batch, never per row.
 
-The container has no image/audio codec LIBRARIES, so the generic
-``decode_payload`` ships a deterministic STUB decoder (documented
-below) behind the real Spark plumbing — schema, batching, partitioning
-are production-shaped; swap ``_decode_bytes`` for a real codec
-(PIL/ffmpeg) to go live. Since round 10 the IMAGE path is no longer a
-stub at all: ``attach_image_payload`` / ``decode_image_stats`` encode
-and decode real 24-bit BMP and binary PPM files with the
-dependency-free numpy codecs in operators.imagecodec — real headers,
-row padding, bottom-up/BGR order — inside the same Arrow boundary.
+All three modalities now run REAL dependency-free codecs inside the
+same Arrow boundary: images as 24-bit BMP / binary PPM
+(``attach_image_payload`` / ``decode_image_stats``,
+operators.imagecodec, r10), video as concatenated-PPM streams
+(``attach_video_payload`` / ``frame_sample_stats``, r10), and audio as
+16-bit PCM WAV with a full RIFF chunk walk (``attach_audio_payload`` /
+``audio_decode_stats``, operators.audiocodec, r11) — real headers,
+padding, channel interleaving, signedness. The generic
+``decode_payload`` below keeps a deterministic byte-level fake ONLY as
+the extension template for codecs the container genuinely lacks
+(JPEG/MP4 need external libraries); its Spark plumbing — schema,
+batching, partitioning — is the production shape either way.
 """
 
 from __future__ import annotations
@@ -82,9 +85,12 @@ DECODED_SCHEMA = T.StructType(
 
 
 def _decode_bytes(payload: bytes, modality: str) -> dict:
-    """STUB decoder. Deterministic fake: real deployments replace this
-    with PIL/torchaudio/ffmpeg. The Spark-side contract (Arrow batch
-    in, flat decoded rows out) is the production one."""
+    """Deterministic byte-level fake for the GENERIC decode template —
+    the extension point for codecs the container lacks (JPEG/MP4 via
+    PIL/ffmpeg). The real in-repo decode paths are decode_image_stats
+    (BMP/PPM), frame_sample_stats (PPM stream), and audio_decode_stats
+    (WAV); the Spark-side contract here (Arrow batch in, flat decoded
+    rows out) is the same production shape they use."""
     byte_sum = sum(payload)
     frames = 1 if modality == "image" else 1 + len(payload) % 8
     feature = [
@@ -547,3 +553,137 @@ def image_resize_roundtrip(
     return decode_image_stats(
         resize_image_payloads(attach_image_payload(df, id_col), max_side)
     )
+
+
+# --- real audio: 16-bit PCM WAV (operators.audiocodec) ---------------------
+# Deterministic per-doc PCM so the DuckDB oracle replays the decoded
+# sums in closed form: n_samples/channels/rate from the id, sample at
+# frame i, channel c is ((doc_id*31 + 7*i + 5*c) mod 4096) - 2048 —
+# well inside int16, sign-bearing so a u16/i16 confusion hashes red.
+AUDIO_N_BASE, AUDIO_N_MOD = 256, 401  # 256..656 frames per doc
+AUDIO_RATES = (8000, 16000, 24000)
+
+AUDIO_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("modality", T.StringType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_channels", T.IntegerType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _synth_audio_samples(doc_id: int):
+    """The deterministic PCM signal for ``doc_id`` (module constants)."""
+    import numpy as np
+
+    n = AUDIO_N_BASE + doc_id % AUDIO_N_MOD
+    ch = 1 + doc_id % 2
+    i = np.arange(n, dtype=np.int64)[:, None]
+    c = np.arange(ch, dtype=np.int64)[None, :]
+    return (((doc_id * 31 + 7 * i + 5 * c) % 4096) - 2048).astype("int16")
+
+
+def attach_audio_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Render each doc's deterministic PCM signal and encode it as a
+    REAL 16-bit PCM WAV file (RIFF + fmt + data, operators.audiocodec)
+    — the audio leg of the codec family, replacing the last stubbed
+    decode path."""
+    import pandas as pd
+
+    from datafusion_uba_spark.operators import audiocodec
+
+    def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                samples = _synth_audio_samples(did)
+                rate = AUDIO_RATES[did % len(AUDIO_RATES)]
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "payload": audiocodec.encode_wav(samples, rate),
+                        "meta": {
+                            "modality": "audio",
+                            "sample_rate": rate,
+                            "n_channels": samples.shape[1],
+                            "codec": "pcm_s16le",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    return df.select(id_col).mapInPandas(render, AUDIO_PAYLOAD_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("sum_ch0", T.LongType()),
+        T.StructField("sum_all", T.LongType()),
+        T.StructField("abs_sum_all", T.LongType()),
+    ]
+)
+
+
+def audio_decode_stats(df: DataFrame) -> DataFrame:
+    """REAL audio decode: parse each payload's RIFF chunk walk + fmt +
+    interleaved int16 frames (operators.audiocodec.decode_wav) and
+    emit exact integer stats — frame count, truncating-integer
+    duration in microseconds (n * 1_000_000 // rate, matching DuckDB's
+    ``//``), per-channel and total sample sums, and the total absolute
+    sum (all int64, no floats anywhere). The fmt fields come from the
+    DECODED header, not the metadata struct, so a header/payload
+    mismatch surfaces as a hash break."""
+    import pandas as pd
+
+    from datafusion_uba_spark.operators import audiocodec
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, arr = audiocodec.decode_wav(bytes(payload))
+                wide = arr.astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "sample_rate": rate,
+                        "n_channels": arr.shape[1],
+                        "n_samples": arr.shape[0],
+                        "duration_us": arr.shape[0] * 1_000_000 // rate,
+                        "sum_ch0": int(wide[:, 0].sum()),
+                        "sum_all": int(wide.sum()),
+                        "abs_sum_all": int(np.abs(wide).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        decode, AUDIO_STATS_SCHEMA
+    )
+
+
+def audio_decode_roundtrip(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """synthesize PCM → encode WAV → chunk-walk decode → exact integer
+    stats: the full real audio pipeline, closed-form-oracle-checkable
+    like the image and video paths."""
+    return audio_decode_stats(attach_audio_payload(df, id_col))

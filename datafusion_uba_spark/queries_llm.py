@@ -1359,6 +1359,59 @@ GROUP BY doc_id, f, nf, w, h
 """
 
 
+def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode (round 11): each doc synthesizes a
+    deterministic int16 PCM signal, encodes it as a genuine RIFF WAV
+    file (operators.audiocodec), then the decoder chunk-walks the
+    container, parses fmt, reinterprets the interleaved little-endian
+    frames, and emits exact integer stats. The oracle replays the
+    sample generator in closed form — a signedness, interleave, or
+    chunk-offset mistake hashes red."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.audio_decode_roundtrip(docs)
+
+
+def _oracle_audio_decode() -> str:
+    from datafusion_uba_spark.operators.multimodal import (
+        AUDIO_N_BASE,
+        AUDIO_N_MOD,
+        AUDIO_RATES,
+    )
+
+    rates = ", ".join(str(r) for r in AUDIO_RATES)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         ({AUDIO_N_BASE} + doc_id % {AUDIO_N_MOD}) AS n,
+         (1 + doc_id % 2) AS ch,
+         ([{rates}])[CAST(doc_id % {len(AUDIO_RATES)} + 1 AS INT)] AS rate
+  FROM documents
+),
+fr AS (
+  SELECT d.doc_id, d.n, d.ch, d.rate, i.i
+  FROM d CROSS JOIN
+       generate_series(0, {AUDIO_N_BASE + AUDIO_N_MOD - 2}) i(i)
+  WHERE i.i < d.n
+),
+sm AS (
+  SELECT fr.doc_id, fr.n, fr.ch, fr.rate, c.c,
+         (fr.doc_id * 31 + 7 * fr.i + 5 * c.c) % 4096 - 2048 AS v
+  FROM fr CROSS JOIN generate_series(0, 1) c(c)
+  WHERE c.c < fr.ch
+)
+SELECT doc_id,
+  CAST(rate AS BIGINT) AS sample_rate,
+  CAST(ch AS BIGINT) AS n_channels,
+  CAST(n AS BIGINT) AS n_samples,
+  CAST(n * 1000000 // rate AS BIGINT) AS duration_us,
+  CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_ch0,
+  CAST(SUM(v) AS BIGINT) AS sum_all,
+  CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum_all
+FROM sm
+GROUP BY doc_id, rate, ch, n
+"""
+
+
 _ORACLE_MULTIMODAL = """
 SELECT doc_id,
   octet_length(CAST(text AS BLOB)) AS n_bytes,
@@ -1633,4 +1686,5 @@ LLM_REGISTRY: dict = {
     "image_resize_stats": (q_image_resize_stats, _oracle_image_resize()),
     "dedup_fuzzy_prefix": (q_dedup_fuzzy_prefix, _ORACLE_DEDUP_FUZZY),
     "video_frame_stats": (q_video_frame_stats, _oracle_video_frames()),
+    "audio_decode_stats": (q_audio_decode_stats, _oracle_audio_decode()),
 }

@@ -181,6 +181,22 @@ def test_neardup_components_crafted(spark):
         dedup.neardup_components(pairs, max_iter=1)
 
 
+def test_neardup_components_long_chain(spark):
+    """r10 verdict #3: star-contraction converges in O(log^2 n) rounds
+    regardless of diameter — a 64-hop path (which the old min-label
+    propagation could not finish inside 20 rounds) resolves with the
+    default max_iter."""
+    n = 65
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.canonical_id)
+        for r in dedup.neardup_components(pairs).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+
+
 def test_neardup_components_vs_union_find(spark):
     """Seeded random graph vs a driver-side union-find model."""
     import random
