@@ -1925,6 +1925,194 @@ ORDER BY c_mktsegment
 """
 
 
+def q_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by (supplier nation, order
+    year) — the largest join tree in the corpus: lineitem ⋈ orders is
+    the one genuine big-big shuffle join (both sides huge at 100 TB,
+    equi-key o_orderkey), while part (name-filtered), supplier, and
+    nation all broadcast. The testdata has no partsupp, so supply cost
+    is the part's retail price per unit (profit = revenue − retail
+    cost), keeping Q9's arithmetic shape: an expression over columns
+    of THREE joined tables inside one aggregate. Exact integer cents
+    throughout — revenue cents minus retail-cents × quantity.
+
+    Scale shape: the p_name filter broadcasts into lineitem first, so
+    the fact table reduces scan-side before its one shuffle against
+    orders; AQE picks the shuffle-join side sizes at runtime. Group-by
+    cardinality is |nations| × |years| — tiny final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    gparts = part.where(F.col("p_name").like("%g%")).select(
+        "p_partkey", _cents(F.col("p_retailprice")).alias("__rp_cents")
+    )
+    profit = (
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        - F.col("__rp_cents") * F.col("l_quantity").cast("long")
+    )
+    return (
+        li.join(F.broadcast(gparts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(
+                supp.join(
+                    F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", "n_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit.alias("__p"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("__p").alias("sum_profit_cents"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_ORACLE_PART_PROFIT = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+         - CAST(round(p_retailprice * 100) AS BIGINT)
+           * CAST(l_quantity AS BIGINT)
+       ) AS BIGINT) AS sum_profit_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%g%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: 'important stock' — per-part value held by ONE
+    nation's suppliers, kept only where it exceeds a fixed fraction of
+    that nation's total (the HAVING-against-scalar-subquery class).
+    The testdata has no partsupp, so value is lineitem net revenue by
+    supplying part (same aggregate-vs-global-aggregate shape), and the
+    fraction is MEAN-relative — keep parts worth more than 2× the
+    mean part value — because a fixed fraction of the total empties as
+    the part count grows with SF (TPC-H itself scales Q11's fraction
+    by 1/SF for exactly this reason). The scalar (total, count) is a
+    one-row broadcast joined back (never a collect), and the compare
+    is cross-multiplied to exact cents (value × n_parts > 2 × total ⟺
+    value > 2 × mean) so both engines decide boundary parts
+    identically.
+
+    Scale shape: the 4-supplier nation dim broadcasts into lineitem,
+    so the fact table reduces scan-side; ONE hash aggregate on
+    l_partkey; the one-row total broadcasts back. ORDER BY is total
+    (value desc, partkey) so the output order is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nat_supp = supp.join(
+        F.broadcast(nation.where(F.col("n_name") == "NATION_8")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            _cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("__c"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("__c").alias("value_cents"))
+    )
+    total = per_part.agg(
+        F.sum("value_cents").alias("__total"),
+        F.count(F.lit(1)).alias("__np"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value_cents") * F.col("__np") > 2 * F.col("__total"))
+        .select(F.col("l_partkey").alias("part_key"), "value_cents")
+        .orderBy(F.desc("value_cents"), "part_key")
+    )
+
+
+_ORACLE_IMPORTANT_PARTS = """
+WITH pv AS (
+  SELECT l_partkey AS part_key,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_8'
+  GROUP BY l_partkey
+)
+SELECT part_key, value_cents
+FROM pv, (SELECT CAST(sum(value_cents) AS BIGINT) AS t,
+                 CAST(count(*) AS BIGINT) AS np FROM pv)
+WHERE value_cents * np > 2 * t
+ORDER BY value_cents DESC, part_key
+"""
+
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: order-priority counts by ship class over a
+    one-year window — the conditional two-way count after a big-big
+    join. The testdata has no l_shipmode/commitdate/receiptdate, so
+    the ship class is l_returnflag and the 'late delivery' predicate
+    is l_shipdate > o_orderdate (shipped after the order was placed —
+    the same cross-table date comparison Q12 pins). Both CASE counts
+    ride in ONE hash aggregate.
+
+    Scale shape: the date window is pushed into the lineitem scan
+    (load_table date_bounds → PushedFilters, row-group pruning); the
+    join against orders is the equi-key shuffle join, with the
+    cross-column date predicate evaluated as the join residual; the
+    final aggregate is 3 groups."""
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        date_bounds={"l_shipdate": ("1997-01-01", "1998-01-01")},
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_SHIPMODE_PRIORITY = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1997-01-01'
+  AND l_shipdate < DATE '1998-01-01'
+  AND l_shipdate > o_orderdate
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout keys: the Morton key every event would be
     laid out by under ``zorder_layout(events, [user_id, cents])``
@@ -2046,6 +2234,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q15": (q_top_revenue_supplier, _ORACLE_TOP_REVENUE_SUPPLIER),
     "tpch_q22": (q_idle_rich_customers, _ORACLE_IDLE_RICH),
     "tpch_q8": (q_nation_market_share, _ORACLE_NATION_MARKET_SHARE),
+    "tpch_q9": (q_part_profit, _ORACLE_PART_PROFIT),
+    "tpch_q11": (q_important_parts, _ORACLE_IMPORTANT_PARTS),
+    "tpch_q12": (q_shipmode_priority, _ORACLE_SHIPMODE_PRIORITY),
 }
 
 # LLM-training-data-pipeline inventory (dedup / similarity / text /

@@ -41,6 +41,10 @@ _NLJ_ALLOWED = {
     # customer dim — a 1-row inner side makes the NLJ O(|customers|),
     # exactly how Spark plans a scalar subquery itself
     "tpch_q22",
+    # same scalar-subquery shape (TPC-H Q11's HAVING-vs-total): the
+    # ONE-ROW (total, count) aggregate broadcast back against the
+    # per-part values — NLJ cost O(|parts| x 1)
+    "tpch_q11",
 }
 
 _REGISTRY = queries()
