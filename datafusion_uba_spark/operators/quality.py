@@ -21,7 +21,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["check_rows", "null_checks", "unique_check", "fk_check", "dq_union"]
+__all__ = [
+    "check_rows",
+    "null_checks",
+    "unique_check",
+    "fk_check",
+    "dq_union",
+    "check_rows_with_unique",
+    "fk_check_with_parent_rows",
+]
 
 
 def _count_if(cond: Column) -> Column:
@@ -104,6 +112,123 @@ def fk_check(
         _count_if(F.col("__pk").isNull()).alias("violations"),
         F.count(F.lit(1)).cast("long").alias("total"),
     ).select(F.lit(name).alias("check_name"), "violations", "total")
+
+
+def _stack_report(
+    row: DataFrame, entries: list[tuple[str, str, str]]
+) -> DataFrame:
+    """Unpivot a one-row aggregate into (check_name, violations, total)
+    rows via stack() — still one job, no collect. ``entries`` is
+    (name, violations_col, total_col); names are quote-escaped."""
+    triples = ", ".join(
+        "'{}', {}, {}".format(name.replace("'", "''"), v, t)
+        for name, v, t in entries
+    )
+    return row.selectExpr(
+        f"stack({len(entries)}, {triples}) AS (check_name, violations, total)"
+    )
+
+
+def check_rows_with_unique(
+    df: DataFrame,
+    checks: list[tuple[str, Column]],
+    key_cols: list[str],
+    unique_name: str,
+) -> DataFrame:
+    """Row-predicate checks AND key-uniqueness in ONE scan of ``df``:
+    a single hash aggregate on the key carries the per-key row count
+    plus a conditional count per predicate (map-side partial combine,
+    so the shuffle moves |keys| rows of a few longs); a tiny final
+    aggregate then yields every row-check total (sum of per-key
+    counts) and the duplicate occupancy (sum of n where n > 1) — the
+    exact values ``check_rows`` + ``unique_check`` produce in two
+    scans. The key shuffle was already the price of the uniqueness
+    check alone; the row predicates ride it for free."""
+    if not checks:
+        raise ValueError("check_rows_with_unique: need at least one check")
+    per_key = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"__c{i}")
+            for i, (_, cond) in enumerate(checks)
+        ],
+    )
+    row = per_key.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("__total"),
+        F.coalesce(
+            F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__dup"),
+        *[
+            F.coalesce(F.sum(f"__c{i}"), F.lit(0))
+            .cast("long")
+            .alias(f"__v{i}")
+            for i in range(len(checks))
+        ],
+    )
+    entries = [
+        (name, f"__v{i}", "__total") for i, (name, _) in enumerate(checks)
+    ] + [(unique_name, "__dup", "__total")]
+    return _stack_report(row, entries)
+
+
+def fk_check_with_parent_rows(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    fk_name: str,
+    parent_checks: list[tuple[str, Column]],
+) -> DataFrame:
+    """Referential integrity AND the parent's row-predicate checks in
+    ONE scan of each table: both sides pre-aggregate per key (child →
+    row count; parent → row count + a conditional count per
+    predicate), FULL OUTER join on the key, then ONE aggregate reads
+    off the orphan occupancy (child groups with no parent — NULL child
+    keys never equi-match, so they count as orphans, matching
+    ``fk_check``), the child total, the parent total, and every parent
+    check total. Same values as ``fk_check`` + ``check_rows``; the two
+    per-key shuffles were already the price of the FK join alone."""
+    if not parent_checks:
+        raise ValueError("fk_check_with_parent_rows: need parent checks")
+    child_keys = child.groupBy(
+        F.col(child_key).alias("__fk")
+    ).agg(F.count(F.lit(1)).alias("__cn"))
+    parent_keys = parent.groupBy(
+        F.col(parent_key).alias("__pk")
+    ).agg(
+        F.count(F.lit(1)).alias("__pn"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"__c{i}")
+            for i, (_, cond) in enumerate(parent_checks)
+        ],
+    )
+    joined = child_keys.join(
+        parent_keys, F.col("__fk") == F.col("__pk"), "full_outer"
+    )
+    row = joined.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__pk").isNull(), F.col("__cn")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__orphans"),
+        F.coalesce(F.sum("__cn"), F.lit(0)).cast("long").alias("__ctotal"),
+        F.coalesce(F.sum("__pn"), F.lit(0)).cast("long").alias("__ptotal"),
+        *[
+            F.coalesce(F.sum(f"__c{i}"), F.lit(0))
+            .cast("long")
+            .alias(f"__v{i}")
+            for i in range(len(parent_checks))
+        ],
+    )
+    entries = [(fk_name, "__orphans", "__ctotal")] + [
+        (name, f"__v{i}", "__ptotal")
+        for i, (name, _) in enumerate(parent_checks)
+    ]
+    return _stack_report(row, entries)
 
 
 def dq_union(*audits: DataFrame) -> DataFrame:

@@ -664,24 +664,24 @@ WHERE rn = 1
 
 
 def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality audit (operators/quality.py, deequ-style): all the
-    row-predicate checks on a table fold into ONE conditional-
-    aggregate pass over one scan; uniqueness is one hash aggregate on
-    the key; referential integrity is one left-join conditional
-    aggregate against the parent's distinct-key projection. Output is
-    the tiny (check_name, violations, total) report a pipeline gates
-    on. Seven checks in FIVE scans: the three
-    row-predicate groups are one scan each, but events is scanned a
-    second time for the uniqueness key aggregate and orders a second
-    time for the FK parent keys — still O(checks/scan) folding, and
-    each scan is column-pruned to what its checks read."""
+    """Data-quality audit (operators/quality.py, deequ-style): seven
+    checks in THREE scans — one FileScan per table (r11; was five).
+    Events' three row predicates ride the uniqueness check's PK hash
+    aggregate as extra conditional counts (check_rows_with_unique);
+    orders' two row predicates ride the FK join's parent-side per-key
+    aggregate, and the orphan count, child total, and parent totals
+    all come off ONE aggregate over the full-outer key join
+    (fk_check_with_parent_rows). Each scan is column-pruned to what
+    its checks read; the key shuffles were already the price of the
+    uniqueness/FK checks alone. Output is the tiny (check_name,
+    violations, total) report a pipeline gates on."""
     from datafusion_uba_spark.operators import quality
 
     ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return quality.dq_union(
-        quality.check_rows(
+        quality.check_rows_with_unique(
             ev,
             [
                 ("events_user_id_null", F.col("user_id").isNull()),
@@ -690,13 +690,15 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "click", "view", "purchase", "signup", "error"
                 )),
             ],
+            ["event_id"],
+            "events_event_id_dup",
         ),
-        quality.unique_check(ev, ["event_id"], "events_event_id_dup"),
-        quality.fk_check(
-            li, "l_orderkey", orders, "o_orderkey", "lineitem_order_orphan"
-        ),
-        quality.check_rows(
+        quality.fk_check_with_parent_rows(
+            li,
+            "l_orderkey",
             orders,
+            "o_orderkey",
+            "lineitem_order_orphan",
             [
                 ("orders_totalprice_nonpositive", F.col("o_totalprice") <= 0),
                 ("orders_status_unknown", ~F.col("o_orderstatus").isin(

@@ -661,3 +661,76 @@ def test_dq_checks_empty_input_reports_zero(spark):
     parent = spark.createDataFrame([(1,)], "pk long")
     f = quality.fk_check(empty, "user_id", parent, "pk", "fk").collect()[0]
     assert (f["violations"], f["total"]) == (0, 0)
+
+
+def test_dq_folded_operators_match_two_pass_values(spark):
+    """r11: check_rows_with_unique and fk_check_with_parent_rows must
+    produce the exact (check_name, violations, total) rows the
+    two-pass primitives produce, on dirty data exercising every edge:
+    duplicate keys, NULL foreign keys, NULL parent keys, predicate
+    violations on duplicated and orphaned rows."""
+    from datafusion_uba_spark.operators import quality
+
+    ev = spark.createDataFrame(
+        [(1, 10, 5.0), (2, None, -1.0), (3, 11, 2.0), (3, None, -0.5)],
+        "event_id long, user_id long, value double",
+    )
+    folded = {
+        r["check_name"]: (r["violations"], r["total"])
+        for r in quality.check_rows_with_unique(
+            ev,
+            [
+                ("user_null", F.col("user_id").isNull()),
+                ("value_neg", F.col("value") < 0),
+            ],
+            ["event_id"],
+            "id_dup",
+        ).collect()
+    }
+    assert folded == {
+        "user_null": (2, 4),
+        "value_neg": (2, 4),
+        "id_dup": (2, 4),  # occupancy of duplicated keys
+    }
+
+    # child: one NULL fk (orphan), one unmatched fk, two matched rows
+    child = spark.createDataFrame(
+        [(None,), (99,), (10,), (10,)], "fk long"
+    )
+    # parent: a NULL key (never a join target), a duplicate key, and
+    # predicate violations
+    parent = spark.createDataFrame(
+        [(10, -1.0), (10, 2.0), (None, -3.0), (20, 1.0)],
+        "pk long, v double",
+    )
+    folded = {
+        r["check_name"]: (r["violations"], r["total"])
+        for r in quality.fk_check_with_parent_rows(
+            child, "fk", parent, "pk", "orphan",
+            [("v_neg", F.col("v") < 0)],
+        ).collect()
+    }
+    assert folded == {
+        "orphan": (2, 4),  # NULL fk + unmatched 99; total = child rows
+        "v_neg": (2, 4),   # parent rows incl. NULL-key row; total = parent
+    }
+
+
+def test_dq_audit_one_filescan_per_table(spark, sf_dir):
+    """r11 fold pin: the seven-check audit must plan exactly ONE
+    FileScan per table (events, orders, lineitem) — the uniqueness
+    and FK checks share their tables' row-predicate scans."""
+    from datafusion_uba_spark.queries import q_dq_audit
+
+    plan = (
+        q_dq_audit(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scans) == 3, scans
+    # identify each scan by a column only that table carries (plan
+    # paths are truncated in toString, so match on the read schema)
+    for col in ("event_id", "l_orderkey", "o_orderkey"):
+        assert sum(col in s for s in scans) == 1, (col, scans)
