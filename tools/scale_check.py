@@ -89,6 +89,10 @@ HEAVY = [
     "events_segment_asof",
     "video_frame_stats",
     "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "audio_decode_stats",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
