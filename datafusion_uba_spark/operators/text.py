@@ -681,6 +681,101 @@ def boilerplate_stats(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document within-document repetition signals — the Gopher
+    repetition filters (Rae et al. 2021, "Scaling Language Models",
+    A1.1: documents dominated by repeated lines/paragraphs/n-grams are
+    low-quality crawl artifacts and removed before training), adapted
+    to token n-grams since the corpus' unit of repetition is the word:
+
+    - ``dup_token_bp`` / ``dup_bigram_bp``: fraction of token (bigram)
+      occurrences that are repeats of an earlier occurrence, i.e.
+      (total - distinct) / total — the duplicate-n-gram fraction.
+    - ``top_token_bp`` / ``top_bigram_bp``: fraction claimed by the
+      single most frequent token (bigram) — the top-n-gram fraction.
+
+    All fractions are exact integer basis points (floor), so the row
+    hashes identically across engines. Docs need >= 2 tokens (a
+    bigram must exist for the signals to be defined).
+
+    Plan shape at 100 TB: ONE scan; tokens and bigrams ride a single
+    explode as tagged (n, gram) structs, so both granularities share
+    one shuffle to the (id, n, gram) count, one re-aggregate to
+    (id, n), and a ≤2-rows-per-doc conditional-max pivot back to one
+    row — a narrow map + two hash aggregates, never a window over raw
+    occurrences."""
+    s0 = df.select(
+        F.col(id_col).alias("__id"), normalize_text(text_col).alias("__norm")
+    )
+    s1 = s0.select(
+        "__id", tokens_from_norm(F.col("__norm")).alias("__toks")
+    ).where(F.size("__toks") >= 2)
+    tagged = s1.select(
+        "__id",
+        F.concat(
+            F.transform(
+                "__toks", lambda t: F.struct(F.lit(1).alias("n"), t.alias("g"))
+            ),
+            # every bigram OCCURRENCE (shingles_from_tokens dedupes,
+            # which is right for Jaccard but wrong for repetition)
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - 1),
+                lambda i: F.struct(
+                    F.lit(2).alias("n"),
+                    F.concat_ws(" ", F.slice("__toks", i, 2)).alias("g"),
+                ),
+            ),
+        ).alias("__tagged"),
+    )
+    # explode_outer + null guard: the module's optimizer-substitution
+    # dodge (inner explode infers a size()>0 filter and inlines the
+    # whole token chain into a pre-shuffle Filter)
+    occ = tagged.select(
+        "__id", F.explode_outer("__tagged").alias("__e")
+    ).where(F.col("__e").isNotNull())
+    per_gram = occ.groupBy(
+        "__id", F.col("__e.n").alias("__n"), F.col("__e.g").alias("__g")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    per_n = per_gram.groupBy("__id", "__n").agg(
+        F.sum("__c").alias("__total"),
+        F.count(F.lit(1)).alias("__distinct"),
+        F.max("__c").alias("__top"),
+    )
+
+    def _pick(n: int, col: str) -> Column:
+        return F.max(F.when(F.col("__n") == n, F.col(col)))
+
+    out = per_n.groupBy("__id").agg(
+        _pick(1, "__total").alias("__t1"),
+        _pick(1, "__distinct").alias("__d1"),
+        _pick(1, "__top").alias("__m1"),
+        _pick(2, "__total").alias("__t2"),
+        _pick(2, "__distinct").alias("__d2"),
+        _pick(2, "__top").alias("__m2"),
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("__t1").cast("long").alias("n_tokens"),
+        F.floor((F.col("__t1") - F.col("__d1")) * 10000 / F.col("__t1"))
+        .cast("long")
+        .alias("dup_token_bp"),
+        F.floor(F.col("__m1") * 10000 / F.col("__t1"))
+        .cast("long")
+        .alias("top_token_bp"),
+        F.col("__t2").cast("long").alias("n_bigrams"),
+        F.floor((F.col("__t2") - F.col("__d2")) * 10000 / F.col("__t2"))
+        .cast("long")
+        .alias("dup_bigram_bp"),
+        F.floor(F.col("__m2") * 10000 / F.col("__t2"))
+        .cast("long")
+        .alias("top_bigram_bp"),
+    )
+
+
 # --- context-window chunking ------------------------------------------------
 
 

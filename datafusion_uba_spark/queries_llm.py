@@ -357,6 +357,49 @@ FROM per
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (operators/
+    text.py repetition_stats): duplicate-token / duplicate-bigram /
+    top-token / top-bigram fractions in exact basis points — the
+    published crawl-quality filter class (Rae et al. 2021 A1.1),
+    adapted to token n-grams. One scan; tokens and bigrams share a
+    single tagged explode and two hash aggregates."""
+    docs = _docs(spark, sf_dir)
+    return text_ops.repetition_stats(docs)
+
+
+_ORACLE_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+occ AS (
+  SELECT doc_id, 1 AS n, unnest(toks) AS g FROM t2
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[CAST(i AS INT)] || ' ' ||
+                     toks[CAST(i AS INT) + 1])) AS g
+  FROM t2
+),
+pg AS (SELECT doc_id, n, g, count(*) AS c FROM occ GROUP BY 1, 2, 3),
+pn AS (SELECT doc_id, n, sum(c) AS total, count(*) AS dist, max(c) AS top
+       FROM pg GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(max(CASE WHEN n = 1 THEN total END) AS BIGINT) AS n_tokens,
+       CAST(floor(max(CASE WHEN n = 1 THEN (total - dist) * 10000 / total END))
+            AS BIGINT) AS dup_token_bp,
+       CAST(floor(max(CASE WHEN n = 1 THEN top * 10000 / total END))
+            AS BIGINT) AS top_token_bp,
+       CAST(max(CASE WHEN n = 2 THEN total END) AS BIGINT) AS n_bigrams,
+       CAST(floor(max(CASE WHEN n = 2 THEN (total - dist) * 10000 / total END))
+            AS BIGINT) AS dup_bigram_bp,
+       CAST(floor(max(CASE WHEN n = 2 THEN top * 10000 / total END))
+            AS BIGINT) AS top_bigram_bp
+FROM pn GROUP BY doc_id
+"""
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return text_ops.redact_pii(docs)
@@ -1658,6 +1701,7 @@ LLM_REGISTRY: dict = {
     "length_quantiles_approx": (q_length_quantiles_approx, None),
     "redact_pii": (q_redact_pii, _oracle_redact_pii()),
     "boilerplate_stats": (q_boilerplate_stats, _ORACLE_BOILERPLATE),
+    "repetition_stats": (q_repetition_stats, _ORACLE_REPETITION),
     "chunk_documents": (q_chunk_documents, _oracle_chunk_documents()),
     "stratified_sample": (q_stratified_sample, _ORACLE_STRATIFIED_SAMPLE),
     "doc_embedding_enrich": (q_doc_embedding_enrich, _ORACLE_DOC_EMB_ENRICH),

@@ -1163,3 +1163,39 @@ def test_fuzzy_prefix_pairs_golden(spark):
     assert got.get((1, 7)) == 0 and got.get((1, 8)) == 0
     assert (7, 8) not in got
     assert (2, 7) not in got and (3, 7) not in got
+
+
+def test_repetition_stats_crafted(spark):
+    """r11 Gopher-style repetition signals: hand-computed fractions on
+    crafted docs — a clean doc, a doc dominated by one repeated
+    token, a doc with a repeated bigram, and gates for short docs."""
+    from datafusion_uba_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            # 4 distinct tokens, 3 distinct bigrams: zero repetition
+            (1, "alpha beta gamma delta"),
+            # "spam" x5: tokens 5 total / 1 distinct -> dup 8000 bp,
+            # top 10000 bp; bigrams 4/1 -> dup 7500, top 10000
+            (2, "spam spam spam spam spam"),
+            # "a b a b a": tokens 5 total/2 distinct -> dup 6000,
+            # top("a" x3) 6000; bigrams [a b, b a, a b, b a] 4/2 ->
+            # dup 5000, top 5000
+            (3, "a b a b a"),
+            (4, "solo"),       # 1 token: gated out
+            (5, ""),           # empty: gated out
+            (6, None),         # null: gated out
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["dup_token_bp"], r["top_token_bp"],
+            r["n_bigrams"], r["dup_bigram_bp"], r["top_bigram_bp"],
+        )
+        for r in text_ops.repetition_stats(docs).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (4, 0, 2500, 3, 0, 3333)
+    assert got[2] == (5, 8000, 10000, 4, 7500, 10000)
+    assert got[3] == (5, 6000, 6000, 4, 5000, 5000)

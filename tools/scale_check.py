@@ -93,6 +93,7 @@ HEAVY = [
     "tpch_q11",
     "tpch_q12",
     "audio_decode_stats",
+    "repetition_stats",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
