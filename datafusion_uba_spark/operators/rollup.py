@@ -32,6 +32,7 @@ __all__ = [
     "rollup_refresh",
     "m4_downsample",
     "time_weighted_avg",
+    "counter_increase",
     "TIER_SECONDS",
 ]
 
@@ -470,5 +471,78 @@ def time_weighted_avg(
             F.expr("(weighted_sum * 1000000) DIV covered_s").alias(
                 "twa_micro"
             ),
+        )
+    )
+
+
+def counter_increase(
+    series: DataFrame,
+    bucket_s: int,
+    ts_col: str = "ts_s",
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Reset-aware counter delta per (key, bucket) — the TimescaleDB
+    ``counter_agg``/PromQL ``increase`` semantics for monotonic
+    counters that occasionally restart (process restarts, device
+    reboots): consecutive samples normally contribute ``cur - prev``;
+    a sample BELOW its predecessor is a reset, contributing the
+    post-reset reading itself (the counter restarted near zero, so the
+    whole new reading is growth since the reset; negative readings
+    clamp to 0). The first sample of a key contributes nothing — there
+    is no interval to measure yet.
+
+    Determinism contract: samples order by (t, value) per key, so ties
+    at the same timestamp diff identically in any engine; a boundary-
+    crossing interval attributes to the bucket of its LATER sample
+    (the row that carries the diff).
+
+    Plan shape at 100 TB: ONE shuffle (partition by key for the lag
+    window — at real scale partition by (key, coarse time range) to
+    bound per-task state), then a hash aggregate onto the (key,
+    bucket) grid whose cardinality is |keys| x |buckets|, independent
+    of sample volume. Output: (key, bucket_s, n_samples, resets,
+    increase) — exact integers throughout."""
+    if bucket_s <= 0:
+        raise ValueError("counter_increase: bucket_s must be positive")
+    obs = series.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).cast("long").alias("__t"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    w = Window.partitionBy("__k").orderBy("__t", "__v")
+    stepped = obs.select(
+        "__k",
+        "__t",
+        "__v",
+        F.lag("__v", 1).over(w).alias("__prev"),
+    )
+    contrib = (
+        F.when(F.col("__prev").isNull(), F.lit(0))
+        .when(F.col("__v") >= F.col("__prev"), F.col("__v") - F.col("__prev"))
+        .otherwise(F.greatest(F.col("__v"), F.lit(0)))
+    )
+    reset = (
+        F.col("__prev").isNotNull() & (F.col("__v") < F.col("__prev"))
+    ).cast("long")
+    return (
+        stepped.select(
+            "__k",
+            _bucket("__t", bucket_s).alias("__b"),
+            contrib.alias("__inc"),
+            reset.alias("__r"),
+        )
+        .groupBy("__k", "__b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.sum("__r").cast("long").alias("resets"),
+            F.sum("__inc").cast("long").alias("increase"),
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__b").cast("long").alias("bucket_s"),
+            "n_samples",
+            "resets",
+            "increase",
         )
     )

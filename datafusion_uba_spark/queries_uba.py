@@ -1017,6 +1017,58 @@ FROM s GROUP BY k
 """
 
 
+def q_events_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter delta (operators/rollup.py counter_increase,
+    the TimescaleDB counter_agg / PromQL increase semantics): per
+    event_type the cents value stream is read as a restarting counter
+    — consecutive-sample diffs, resets contribute the post-reset
+    reading — aggregated to daily buckets. One key-partition window +
+    one hash aggregate onto the |types| x |days| grid."""
+    from datafusion_uba_spark.operators.rollup import counter_increase
+
+    ev = load_table(
+        spark, sf_dir, "events",
+        date_bounds={"ts": ("2024-01-05", "2024-01-12")},
+    )
+    series = ev.select(
+        F.col("event_type"),
+        F.expr("unix_micros(ts) DIV 1000000").alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("value"),
+    ).where(
+        (F.col("ts_s") >= _GF_START_S) & (F.col("ts_s") < _GF_END_S)
+    )
+    return counter_increase(
+        series, 86400,
+        ts_col="ts_s", key_col="event_type", value_col="value",
+    )
+
+
+_ORACLE_COUNTER_INCREASE = f"""
+WITH o AS (
+  SELECT event_type AS k,
+         (epoch_us(ts) // 1000000) AS t,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE (epoch_us(ts) // 1000000) >= {_GF_START_S}
+    AND (epoch_us(ts) // 1000000) < {_GF_END_S}
+),
+s AS (
+  SELECT k, t, v,
+         lag(v) OVER (PARTITION BY k ORDER BY t, v) AS prev
+  FROM o
+)
+SELECT k AS event_type,
+       CAST((t // 86400) * 86400 AS BIGINT) AS bucket_s,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND v < prev
+                THEN 1 ELSE 0 END) AS BIGINT) AS resets,
+       CAST(sum(CASE WHEN prev IS NULL THEN 0
+                     WHEN v >= prev THEN v - prev
+                     ELSE greatest(v, 0) END) AS BIGINT) AS increase
+FROM s GROUP BY k, (t // 86400) * 86400
+"""
+
+
 # SCD2 change effective mid-window: events before it attribute to the
 # original segment, events after to the upgraded one
 _SCD_MID_S = 1_704_672_000  # 2024-01-08 UTC
@@ -1151,6 +1203,7 @@ UBA_REGISTRY: dict = {
     ),
     "events_m4": (q_events_m4, _ORACLE_EVENTS_M4),
     "events_twa": (q_events_twa, _ORACLE_EVENTS_TWA),
+    "events_counter_increase": (q_events_counter_increase, _ORACLE_COUNTER_INCREASE),
     "events_segment_asof": (
         q_events_segment_asof,
         _ORACLE_EVENTS_SEGMENT_ASOF,

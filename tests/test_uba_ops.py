@@ -734,3 +734,42 @@ def test_dq_audit_one_filescan_per_table(spark, sf_dir):
     # paths are truncated in toString, so match on the read schema)
     for col in ("event_id", "l_orderkey", "o_orderkey"):
         assert sum(col in s for s in scans) == 1, (col, scans)
+
+
+def test_counter_increase_crafted(spark):
+    """r11 reset-aware counter delta: hand-computed increase/resets on
+    a crafted stream — normal growth, a reset, a negative post-reset
+    reading (clamps to 0), a boundary-crossing diff attributed to the
+    later sample's bucket, and a same-timestamp tie ordered by
+    value."""
+    from datafusion_uba_spark.operators.rollup import counter_increase
+
+    rows = [
+        # key a, bucket 0 [0,100): 10 -> 25 -> 40 (+30), then reset
+        # to 5 (+5, 1 reset)
+        ("a", 1, 10), ("a", 2, 25), ("a", 3, 40), ("a", 4, 5),
+        # key a, bucket 100: first sample in the NEW bucket diffs
+        # against the last of the old one (5 -> 50 = +45 attributed
+        # to bucket 100)
+        ("a", 101, 50),
+        # key b: negative post-reset reading clamps to 0; the
+        # follow-up diffs from the negative value
+        ("b", 1, 100), ("b", 2, -20), ("b", 3, -10),
+        # key c: same-timestamp tie -> ordered by value (7 then 9)
+        ("c", 5, 9), ("c", 5, 7),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts_s long, value long")
+    got = {
+        (r["key"], r["bucket_s"]): (r["n_samples"], r["resets"], r["increase"])
+        for r in counter_increase(df, 100).collect()
+    }
+    assert got[("a", 0)] == (4, 1, 35)     # +15 +15, reset -> +5
+    assert got[("a", 100)] == (1, 0, 45)   # 5 -> 50
+    # b: 100 -> -20 reset (clamp 0), -20 -> -10 is growth (+10)
+    assert got[("b", 0)] == (3, 1, 10)
+    # c: first sample 7 contributes 0; 7 -> 9 = +2
+    assert got[("c", 0)] == (2, 0, 2)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        counter_increase(df, 0)

@@ -94,6 +94,7 @@ HEAVY = [
     "tpch_q12",
     "audio_decode_stats",
     "repetition_stats",
+    "events_counter_increase",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
