@@ -15,7 +15,7 @@ corpus-mix primitive.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datafusion_uba_spark.operators.similarity import topk_per_key
@@ -51,3 +51,74 @@ def stratified_sample(
         tagged, "__stratum", order, n_per_stratum, salt_col=id_col
     )
     return top.withColumnRenamed("rank", "sample_rank").drop("__stratum")
+
+
+def temperature_quota_sample(
+    df: DataFrame,
+    source_col: str,
+    total_n: int,
+    id_col: str = "doc_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Temperature-flattened source mixture — the standard
+    training-mix rebalance (GPT-3's dataset weights; the multilingual
+    alpha-sampling of mBERT/XLM-R, p_s proportional to n_s^alpha with
+    alpha < 1): small sources are UP-weighted relative to their share
+    so the mix isn't dominated by the largest crawl. alpha is fixed at
+    1/2 and the whole quota computation is engine-exact integer math:
+    weight_s = floor(sqrt(n_s)) (sqrt is IEEE correctly-rounded and
+    counts < 2^53 are exact doubles, so both engines get the same
+    integer), quota_s = (total_n * weight_s) DIV sum(weights). Floor
+    rationing means sum(quota) <= total_n — quotas never oversubscribe.
+
+    Within each source the picks are the first quota_s rows of the
+    fixed (md5(id), id) permutation (the module's no-RNG-state
+    contract: reproducible, append-stable, no seed to version).
+
+    Plan shape at 100 TB: the quota table is |sources| rows — one hash
+    aggregate, a global window over those few rows (never the data),
+    and a broadcast join back; ranking is the salted two-stage of
+    ``stratified_sample`` (no single reducer sorts a hot source), with
+    per-source variable k applied by filter instead of a scalar k.
+
+    Output: input columns + sample_rank (1-based within source) +
+    quota (that source's allocation)."""
+    if total_n < 1:
+        raise ValueError("temperature_quota_sample: total_n must be >= 1")
+    counts = df.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count(F.lit(1)).alias("__ns")
+    )
+    weighted = counts.select(
+        "__src",
+        F.floor(F.sqrt(F.col("__ns").cast("double")))
+        .cast("long")
+        .alias("__w"),
+    )
+    # global window over the |sources|-row table (NOT the data): the
+    # single-partition WindowExec is fine at this cardinality and
+    # avoids a one-row nested-loop join for the scalar sum
+    quota = weighted.select(
+        "__src",
+        F.expr(f"({total_n} * __w) DIV sum(__w) OVER ()").alias("__quota"),
+    ).where(F.col("__quota") >= 1)
+    tagged = df.join(
+        F.broadcast(quota), F.col(source_col) == F.col("__src")
+    ).drop("__src")
+    order = [
+        F.md5(F.col(id_col).cast("string")).asc(),
+        F.col(id_col).asc(),
+    ]
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(F.col(source_col), salt).orderBy(*order)
+    pruned = (
+        tagged.withColumn("__rn1", F.row_number().over(w1))
+        .where(F.col("__rn1") <= F.col("__quota"))
+        .drop("__rn1")
+    )
+    w2 = Window.partitionBy(source_col).orderBy(*order)
+    return (
+        pruned.withColumn("sample_rank", F.row_number().over(w2))
+        .where(F.col("sample_rank") <= F.col("__quota"))
+        .withColumn("quota", F.col("__quota").cast("long"))
+        .drop("__quota")
+    )

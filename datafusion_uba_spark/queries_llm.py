@@ -446,6 +446,41 @@ SELECT doc_id, lang, source, sample_rank FROM (
 """
 
 
+def q_source_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (operators/sampling.py
+    temperature_quota_sample, alpha = 1/2): per-source quotas
+    proportional to floor(sqrt(n_s)) rationed out of 200 total by
+    exact integer floor division, picks under the fixed (md5(id), id)
+    permutation. The up-weighting of small sources vs their raw share
+    is the standard training-mix rebalance (GPT-3 dataset weights /
+    multilingual alpha-sampling)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return sampling.temperature_quota_sample(docs, "source", 200)
+
+
+_ORACLE_TEMPERATURE_SAMPLE = """
+WITH n AS (
+  SELECT source, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, (200 * w) // (SELECT sum(w) FROM n) AS quota FROM n
+),
+r AS (
+  SELECT doc_id, lang, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INT) AS sample_rank
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.source, r.sample_rank,
+       CAST(q.quota AS BIGINT) AS quota
+FROM r JOIN q ON r.source = q.source
+WHERE q.quota >= 1 AND r.sample_rank <= q.quota
+"""
+
+
 def q_doc_embedding_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-source enrichment join: text-side features (documents) with
     vector-side features (embeddings) on the shared id — the 'attach
@@ -1704,6 +1739,10 @@ LLM_REGISTRY: dict = {
     "repetition_stats": (q_repetition_stats, _ORACLE_REPETITION),
     "chunk_documents": (q_chunk_documents, _oracle_chunk_documents()),
     "stratified_sample": (q_stratified_sample, _ORACLE_STRATIFIED_SAMPLE),
+    "source_temperature_sample": (
+        q_source_temperature_sample,
+        _ORACLE_TEMPERATURE_SAMPLE,
+    ),
     "doc_embedding_enrich": (q_doc_embedding_enrich, _ORACLE_DOC_EMB_ENRICH),
     "corpus_filter": (q_corpus_filter, _ORACLE_CORPUS_FILTER),
     "winnow_fingerprints": (q_winnow_fingerprints, _ORACLE_WINNOW),

@@ -1199,3 +1199,40 @@ def test_repetition_stats_crafted(spark):
     assert got[1] == (4, 0, 2500, 3, 0, 3333)
     assert got[2] == (5, 8000, 10000, 4, 7500, 10000)
     assert got[3] == (5, 6000, 6000, 4, 5000, 5000)
+
+
+def test_temperature_quota_sample_crafted(spark):
+    """r11 temperature mixture: exact integer quota math on a skewed
+    corpus — weights floor(sqrt(n)), floor-rationed so quotas never
+    oversubscribe; small sources up-weighted vs their raw share;
+    picks reproducible and append-stable under the (md5, id)
+    permutation."""
+    from datafusion_uba_spark.operators import sampling
+
+    rows = [(i, "big") for i in range(100)] + [
+        (100 + i, "small") for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    # weights: sqrt(100)=10, sqrt(4)=2 -> quotas of 24: 20 and 4
+    got = sampling.temperature_quota_sample(docs, "source", 24)
+    per = {
+        r["source"]: (r["quota"])
+        for r in got.select("source", "quota").distinct().collect()
+    }
+    assert per == {"big": 20, "small": 4}
+    counts = {
+        r["source"]: r["n"]
+        for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # small got 4/104 of the corpus but 4/24 of the mix (up-weighted)
+    assert counts == {"big": 20, "small": 4}
+    # determinism + append stability: adding rows to an UNSAMPLED
+    # region of the permutation can shift ranks, but the same input
+    # always yields the same picks
+    again = sampling.temperature_quota_sample(docs, "source", 24)
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sampling.temperature_quota_sample(docs, "source", 0)

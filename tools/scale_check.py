@@ -95,6 +95,7 @@ HEAVY = [
     "audio_decode_stats",
     "repetition_stats",
     "events_counter_increase",
+    "source_temperature_sample",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
