@@ -1069,6 +1069,41 @@ FROM s GROUP BY k, (t // 86400) * 86400
 """
 
 
+def q_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval attribution join (streaming/attribution_join run on its
+    batch twin): every (view, purchase) pair of the same user with the
+    purchase within one hour at-or-after the view, over one day of
+    events. The SAME expression tree is the module's watermarked
+    stream-stream join (the canonical bounded-state shape from the
+    structured-streaming guide); parity between the two runs is pinned
+    in tests/test_streaming.py."""
+    from datafusion_uba_spark.streaming import attribution_join
+
+    ev = load_table(
+        spark, sf_dir, "events",
+        date_bounds={"ts": ("2024-01-05", "2024-01-06")},
+    )
+    views = ev.where(F.col("event_type") == "view")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return attribution_join(views, purchases, window_s=3600)
+
+
+_ORACLE_ATTRIBUTION = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
+         AS delay_s
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 3600 SECONDS
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+  AND v.ts >= TIMESTAMP '2024-01-05' AND v.ts < TIMESTAMP '2024-01-06'
+  AND p.ts >= TIMESTAMP '2024-01-05' AND p.ts < TIMESTAMP '2024-01-06'
+"""
+
+
 # SCD2 change effective mid-window: events before it attribute to the
 # original segment, events after to the upgraded one
 _SCD_MID_S = 1_704_672_000  # 2024-01-08 UTC
@@ -1204,6 +1239,10 @@ UBA_REGISTRY: dict = {
     "events_m4": (q_events_m4, _ORACLE_EVENTS_M4),
     "events_twa": (q_events_twa, _ORACLE_EVENTS_TWA),
     "events_counter_increase": (q_events_counter_increase, _ORACLE_COUNTER_INCREASE),
+    "view_purchase_attribution": (
+        q_view_purchase_attribution,
+        _ORACLE_ATTRIBUTION,
+    ),
     "events_segment_asof": (
         q_events_segment_asof,
         _ORACLE_EVENTS_SEGMENT_ASOF,

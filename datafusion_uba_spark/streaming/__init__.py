@@ -39,6 +39,7 @@ __all__ = [
     "sessionize",
     "streaming_user_day_flags",
     "streaming_funnel_flags",
+    "attribution_join",
     "streaming_exact_dedup",
     "streaming_minhash_dedup_against",
     "streaming_rollup_refresh",
@@ -406,6 +407,72 @@ def streaming_funnel_flags(
             if evict
             else GroupStateTimeout.NoTimeout
         ),
+    )
+
+
+def attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    window_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """View -> purchase attribution via a stream-stream INTERVAL join:
+    every (view, purchase) pair of the same user where the purchase
+    lands within ``window_s`` seconds at-or-after the view. This is
+    Spark's canonical bounded-state stream-stream join shape
+    (structured-streaming guide, "inner joins with ... time range
+    condition"): BOTH sides are watermarked and the range condition
+    bounds how long a buffered row can still find a partner, so each
+    side's join state evicts at watermark - window instead of growing
+    forever.
+
+    Batch: the IDENTICAL expression tree is a plain equi-join on
+    user_id with the range residual (withWatermark is a no-op on batch
+    inputs) — the module's batch-twin design rule, pinned by parity
+    tests.
+
+    Emits ALL qualifying pairs (multi-touch attribution); callers
+    wanting last-touch reduce downstream by min(delay). Output:
+    (user_id, view_id, purchase_id, delay_s) — delay in whole seconds,
+    exact integer micros difference DIV 1e6.
+
+    Scale shape: one shuffle of each side on user_id; per-user state
+    bounded by rate x window. A hot user (bot traffic) concentrates
+    one task — pre-filter or salt upstream if a key exceeds executor
+    memory."""
+    if window_s <= 0:
+        raise ValueError("attribution_join: window_s must be positive")
+    v = views.select(
+        F.col("user_id").alias("__vu"),
+        F.col("ts").alias("__vts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("__pu"),
+        F.col("ts").alias("__pts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if v.isStreaming:
+        v = v.withWatermark("__vts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("__pts", watermark)
+    joined = v.join(
+        p,
+        (F.col("__vu") == F.col("__pu"))
+        & (F.col("__pts") >= F.col("__vts"))
+        & (
+            F.col("__pts")
+            <= F.col("__vts") + F.expr(f"INTERVAL {window_s} SECONDS")
+        ),
+        "inner",
+    )
+    return joined.select(
+        F.col("__vu").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.expr("(unix_micros(__pts) - unix_micros(__vts)) DIV 1000000")
+        .cast("long")
+        .alias("delay_s"),
     )
 
 

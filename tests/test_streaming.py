@@ -701,3 +701,67 @@ def test_streaming_rollup_refresh_parity(spark, batch_events, tmp_path):
         assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_attribution_join_parity(spark, batch_events):
+    """r11 stream-stream interval join: the watermarked view->purchase
+    attribution over the file stream must emit exactly the batch
+    twin's pairs (inner-join results emit as matched; the watermark
+    only bounds state, so a finite file set yields the full answer)."""
+    from datafusion_uba_spark.streaming import attribution_join
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "view"),
+            df.where(F.col("event_type") == "purchase"),
+        )
+
+    sv, sp = split(_stream(spark))
+    out = attribution_join(sv, sp, window_s=1800)
+    assert out.isStreaming
+    run_to_memory(out, "attr_parity", output_mode="append")
+    got = _rows(
+        spark.table("attr_parity"), "user_id", "view_id", "purchase_id"
+    )
+    bv, bp = split(batch_events)
+    want = _rows(
+        attribution_join(bv, bp, window_s=1800),
+        "user_id", "view_id", "purchase_id",
+    )
+    assert got == want and len(got) > 0
+    # every delay inside the window, none negative
+    assert all(0 <= r[3] <= 1800 for r in got)
+
+
+def test_attribution_join_crafted_window_edges(spark):
+    """Window boundary pins: a purchase exactly AT the view instant
+    and exactly AT view + window both match; one microsecond past
+    does not; an earlier purchase never matches a later view."""
+    from datafusion_uba_spark.streaming import attribution_join
+
+    import pytest as _pt
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(i, u, t) for i, (u, t) in enumerate(rows)],
+            "event_id long, user_id long, ts string",
+        ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+
+    views = ev([(1, "2024-01-01 00:00:00")])
+    purchases = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-01 00:00:00"),         # at the view: match
+            (101, 1, "2024-01-01 01:00:00"),         # at +window: match
+            (102, 1, "2024-01-01 01:00:00.000001"),  # 1 us past: no
+            (103, 1, "2023-12-31 23:59:59"),         # before: no
+            (104, 2, "2024-01-01 00:30:00"),         # other user: no
+        ],
+        "event_id long, user_id long, ts string",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    got = {
+        (r["purchase_id"], r["delay_s"])
+        for r in attribution_join(views, purchases, window_s=3600).collect()
+    }
+    assert got == {(100, 0), (101, 3600)}
+    with _pt.raises(ValueError):
+        attribution_join(views, purchases, window_s=0)

@@ -96,6 +96,7 @@ HEAVY = [
     "repetition_stats",
     "events_counter_increase",
     "source_temperature_sample",
+    "view_purchase_attribution",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
