@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -773,6 +773,72 @@ def repetition_stats(
         F.floor(F.col("__m2") * 10000 / F.col("__t2"))
         .cast("long")
         .alias("top_bigram_bp"),
+    )
+
+
+def trigram_typicality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-LM typicality score — the CCNet-style language-model
+    quality filter (Wenzek et al. 2020 score CommonCrawl by KenLM
+    perplexity and keep the head of the distribution; GPT-3's quality
+    classifier plays the same role): here the LM is the corpus' own
+    char-trigram frequency table, so the score needs no external model
+    and stays ENGINE-EXACT — every per-trigram probability is floored
+    to integer parts-per-billion before summing (floats never cross an
+    aggregate), so both engines hash identically.
+
+    Score: typicality_ppb = (sum over the doc's trigram occurrences of
+    floor(count(g) * 1e9 / total_corpus_trigrams)) DIV n_doc_trigrams
+    — the average corpus frequency of the doc's trigrams. Gibberish,
+    wrong-language, and binary-ish text score orders of magnitude
+    below typical prose; filter the bottom tail.
+
+    Plan shape at 100 TB: the frequency table is bounded by charset^3
+    rows regardless of corpus size — ONE hash aggregate builds it, a
+    single-partition window attaches the total (charset^3 rows, never
+    the data), and it BROADCASTS into the per-occurrence join, so the
+    occurrence stream is never shuffled; one per-doc hash aggregate
+    finishes. Two scans of the text (build + score), both pruned to
+    (id, text)."""
+    s0 = df.select(
+        F.col(id_col).alias("__id"), normalize_text(text_col).alias("__norm")
+    ).where(F.length("__norm") >= 3)
+    occ = s0.select(
+        "__id",
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__norm") - 2),
+                lambda i: F.substring(F.col("__norm"), i, 3),
+            )
+        ).alias("__g"),
+    ).where(F.col("__g").isNotNull())
+    counts = occ.groupBy("__g").agg(F.count(F.lit(1)).alias("__c"))
+    total_w = Window.partitionBy()
+    ppb = counts.select(
+        "__g",
+        F.floor(
+            F.col("__c") * F.lit(1_000_000_000) / F.sum("__c").over(total_w)
+        )
+        .cast("long")
+        .alias("__ppb"),
+    )
+    return (
+        occ.join(F.broadcast(ppb), "__g")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("__ppb").alias("__sum_ppb"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_trigrams").cast("long").alias("n_trigrams"),
+            F.expr("__sum_ppb DIV n_trigrams")
+            .cast("long")
+            .alias("typicality_ppb"),
+        )
     )
 
 

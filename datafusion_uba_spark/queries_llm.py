@@ -400,6 +400,42 @@ FROM pn GROUP BY doc_id
 """
 
 
+def q_trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM typicality (operators/text.py trigram_typicality, the
+    CCNet-style perplexity-filter shape with the corpus' own
+    char-trigram table as the LM): per-doc average trigram corpus
+    frequency in exact integer ppb — per-trigram probabilities floored
+    BEFORE summing so no float crosses an aggregate. The charset^3-
+    bounded frequency table broadcasts; occurrences never shuffle."""
+    docs = _docs(spark, sf_dir)
+    return text_ops.trigram_typicality(docs)
+
+
+_ORACLE_TRIGRAM_TYPICALITY = f"""
+WITH t AS (
+  SELECT doc_id, {_NORM} AS norm FROM documents
+  WHERE length({_NORM}) >= 3
+),
+occ AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(norm) - 1),
+                i -> substring(norm, CAST(i AS INT), 3))) AS g
+  FROM t
+),
+c AS (SELECT g, count(*) AS cnt FROM occ GROUP BY g),
+p AS (
+  SELECT g, CAST(floor(cnt * 1000000000 / (SELECT sum(cnt) FROM c))
+                 AS BIGINT) AS ppb
+  FROM c
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(ppb) // count(*) AS BIGINT) AS typicality_ppb
+FROM occ JOIN p USING (g)
+GROUP BY doc_id
+"""
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return text_ops.redact_pii(docs)
@@ -1737,6 +1773,7 @@ LLM_REGISTRY: dict = {
     "redact_pii": (q_redact_pii, _oracle_redact_pii()),
     "boilerplate_stats": (q_boilerplate_stats, _ORACLE_BOILERPLATE),
     "repetition_stats": (q_repetition_stats, _ORACLE_REPETITION),
+    "trigram_typicality": (q_trigram_typicality, _ORACLE_TRIGRAM_TYPICALITY),
     "chunk_documents": (q_chunk_documents, _oracle_chunk_documents()),
     "stratified_sample": (q_stratified_sample, _ORACLE_STRATIFIED_SAMPLE),
     "source_temperature_sample": (

@@ -1236,3 +1236,37 @@ def test_temperature_quota_sample_crafted(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         sampling.temperature_quota_sample(docs, "source", 0)
+
+
+def test_trigram_typicality_crafted(spark):
+    """r11 corpus-LM filter: typical text must outscore gibberish on
+    the corpus' own trigram table, scores are exact integer ppb, and
+    short docs (< 3 chars after normalization) are gated out."""
+    from datafusion_uba_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the hat"),
+            (3, "zqxj wvkp qzzt"),   # gibberish: rare trigrams
+            (4, "ab"),               # too short: gated
+            (5, ""),                 # empty: gated
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_trigrams"], r["typicality_ppb"])
+        for r in text_ops.trigram_typicality(docs).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    # both prose docs share most trigrams -> far above the gibberish
+    assert rows[1][1] > 2 * rows[3][1]
+    assert rows[2][1] > 2 * rows[3][1]
+    # n_trigrams = len - 2 of the normalized text
+    assert rows[1][0] == len("the cat sat on the mat") - 2
+
+    # exact replay of the closed form on a tiny corpus: "aaaa" alone
+    # has trigrams [aaa, aaa] -> ppb(aaa) = 1e9, typicality 1e9
+    one = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    r = text_ops.trigram_typicality(one).collect()[0]
+    assert (r["n_trigrams"], r["typicality_ppb"]) == (2, 1_000_000_000)

@@ -97,6 +97,7 @@ HEAVY = [
     "events_counter_increase",
     "source_temperature_sample",
     "view_purchase_attribution",
+    "trigram_typicality",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
