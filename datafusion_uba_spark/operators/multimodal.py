@@ -542,6 +542,138 @@ def video_frame_roundtrip(
     return frame_sample_stats(attach_video_payload(df, id_col), every_n)
 
 
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("ahash_hi", T.LongType()),
+        T.StructField("ahash_lo", T.LongType()),
+        T.StructField("ahash_hex", T.StringType()),
+    ]
+)
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) of each decoded image — the
+    classic 64-bit image fingerprint (8x8 nearest-neighbor downsample,
+    integer gray, bit = gray >= mean) every image-dedup pipeline
+    starts from: near-identical renders land within a few Hamming
+    bits, so a banded join on the hash finds visual near-dups without
+    comparing pixels.
+
+    Engine-exact by construction: the sample grid is the same floor
+    map the resize op pins (sx = (x*w) DIV 8), gray is (r+g+b) DIV 3
+    in integers, and the threshold is cross-multiplied
+    (gray*64 >= sum of grays) so no division or float appears. Bits
+    pack row-major MSB-first into two 32-bit halves (hi = bits 0..31)
+    — kept as separate longs (XOR + bit_count for Hamming stays in
+    int64) plus the canonical 16-hex-digit string.
+
+    Scale shape: identical to decode_image_stats — (doc_id, payload)
+    cross the Arrow boundary once, numpy per batch, 5 scalars + a
+    16-char string out."""
+    import pandas as pd
+
+    from datafusion_uba_spark.operators import imagecodec
+
+    def hash_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, arr = imagecodec.decode_image(bytes(payload))
+                h, w = arr.shape[0], arr.shape[1]
+                sy = (np.arange(8, dtype=np.int64) * h) // 8
+                sx = (np.arange(8, dtype=np.int64) * w) // 8
+                patch = arr[sy][:, sx].astype(np.int64)
+                gray = patch.sum(axis=2) // 3  # (r+g+b) DIV 3
+                bits = (gray.reshape(-1) * 64 >= gray.sum()).astype(np.int64)
+                weights = 1 << np.arange(31, -1, -1, dtype=np.int64)
+                hi = int((bits[:32] * weights).sum())
+                lo = int((bits[32:] * weights).sum())
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "width": w,
+                        "height": h,
+                        "ahash_hi": hi,
+                        "ahash_lo": lo,
+                        "ahash_hex": f"{hi:08x}{lo:08x}",
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AHASH_SCHEMA.fields]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(hash_batch, AHASH_SCHEMA)
+
+
+def image_ahash_roundtrip(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """render + encode -> decode -> aHash: the oracle-checkable surface
+    (closed-form generator replay of the full 64-bit fingerprint)."""
+    return image_ahash(attach_image_payload(df, id_col))
+
+
+def ahash_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Visual near-dup pairs from aHash fingerprints: pigeonhole band
+    join (4 bands of 16 bits — a pair within ``max_hamming`` <= 15
+    bits must agree on at least one band exactly) then exact Hamming
+    verify via XOR + bit_count on the two int64 halves. Same
+    banded-never-all-pairs discipline as the SimHash dedup.
+
+    Output: (id1, id2, hamming), id1 < id2, deduped across bands."""
+    if not 0 <= max_hamming <= 15:
+        raise ValueError("ahash_pairs: need 0 <= max_hamming <= 15 "
+                         "(pigeonhole over 4 bands of 16 bits)")
+    h = hashes.select(
+        F.col("doc_id").alias("__id"),
+        F.col("ahash_hi").alias("__hi"),
+        F.col("ahash_lo").alias("__lo"),
+    )
+    bands = h.select(
+        "__id", "__hi", "__lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("b"),
+                        F.shiftrightunsigned(
+                            F.col("__hi") if i < 2 else F.col("__lo"),
+                            16 * (1 - i % 2),
+                        ).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("__band"),
+    ).select("__id", "__hi", "__lo",
+             F.col("__band.b").alias("__b"), F.col("__band.v").alias("__v"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col("a.__v") == F.col("b.__v"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id1"),
+            F.col("b.__id").alias("id2"),
+            (
+                F.bit_count(
+                    F.col("a.__hi").bitwiseXOR(F.col("b.__hi"))
+                )
+                + F.bit_count(F.col("a.__lo").bitwiseXOR(F.col("b.__lo")))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand
+
+
 def image_resize_roundtrip(
     df: DataFrame, max_side: int = 32, id_col: str = "doc_id"
 ) -> DataFrame:

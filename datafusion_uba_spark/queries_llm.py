@@ -1417,6 +1417,64 @@ GROUP BY doc_id, nw, nh
 """
 
 
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash of every rendered image (operators/
+    multimodal.py image_ahash): render + encode (real BMP/PPM codec)
+    -> decode -> 8x8 floor-map downsample -> integer gray ->
+    cross-multiplied mean threshold -> 64-bit fingerprint. The oracle
+    replays the full fingerprint in closed form from the generator, so
+    a wrong sample coordinate, gray rounding, bit order, or packing
+    hashes red."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.image_ahash_roundtrip(docs)
+
+
+def _oracle_image_ahash() -> str:
+    from datafusion_uba_spark.operators.multimodal import (
+        IMG_H_BASE,
+        IMG_H_MOD,
+        IMG_W_BASE,
+        IMG_W_MOD,
+    )
+
+    # the synthetic raster is constant down columns, so the 8x8 grid is
+    # one 8-value row repeated: each 32-bit half is the 8-bit row
+    # pattern B replicated four times (B * 0x01010101) — the same
+    # row-constancy closed form the channel-sum oracles use
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         ({IMG_W_BASE} + doc_id % {IMG_W_MOD}) AS w,
+         ({IMG_H_BASE} + doc_id % {IMG_H_MOD}) AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, s.x,
+         (doc_id * 7 + 13 * ((s.x * w) // 8)) AS a
+  FROM d CROSS JOIN generate_series(0, 7) s(x)
+),
+g AS (
+  SELECT doc_id, w, h, x,
+         ((a % 256) + ((a + 11) % 256) + ((a + 22) % 256)) // 3 AS gray
+  FROM px
+),
+t AS (SELECT doc_id, sum(gray) AS s8 FROM g GROUP BY doc_id),
+b AS (
+  SELECT g.doc_id, any_value(w) AS w, any_value(h) AS h,
+         CAST(sum(CASE WHEN gray * 8 >= s8
+                  THEN (1 << (7 - CAST(x AS INT))) ELSE 0 END)
+              AS BIGINT) AS pat
+  FROM g JOIN t USING (doc_id) GROUP BY g.doc_id
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(pat * 16843009 AS BIGINT) AS ahash_hi,
+       CAST(pat * 16843009 AS BIGINT) AS ahash_lo,
+       printf('%08x', pat * 16843009) ||
+       printf('%08x', pat * 16843009) AS ahash_hex
+FROM b
+"""
+
+
 def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real frame sampling (round 10): each doc renders a deterministic
     multi-frame sequence, encodes it as a genuine concatenated-PPM
@@ -1806,5 +1864,6 @@ LLM_REGISTRY: dict = {
     "image_resize_stats": (q_image_resize_stats, _oracle_image_resize()),
     "dedup_fuzzy_prefix": (q_dedup_fuzzy_prefix, _ORACLE_DEDUP_FUZZY),
     "video_frame_stats": (q_video_frame_stats, _oracle_video_frames()),
+    "image_ahash": (q_image_ahash, _oracle_image_ahash()),
     "audio_decode_stats": (q_audio_decode_stats, _oracle_audio_decode()),
 }

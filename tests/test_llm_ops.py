@@ -1270,3 +1270,42 @@ def test_trigram_typicality_crafted(spark):
     one = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
     r = text_ops.trigram_typicality(one).collect()[0]
     assert (r["n_trigrams"], r["typicality_ppb"]) == (2, 1_000_000_000)
+
+
+def test_image_ahash_pairs_crafted(spark):
+    """r11 perceptual-hash dedup: a lightly-noised copy of an image
+    must land within a few Hamming bits of the original and be found
+    by the banded pair join; a structurally different image must not.
+    Also pins Hamming symmetry in the int64 halves and the band-range
+    guard."""
+    import numpy as np
+    import pytest as _pt
+
+    from datafusion_uba_spark.operators import imagecodec, multimodal
+
+    rng_free = np.arange(48 * 64 * 3, dtype=np.int64)
+    base = ((rng_free * 37) % 256).reshape(48, 64, 3).astype("uint8")
+    noisy = base.copy()
+    noisy[5:8, 5:8, :] = 255            # small local perturbation
+    gradient = np.tile(
+        np.linspace(0, 255, 64, dtype=np.uint8)[None, :, None], (48, 1, 3)
+    )
+    payloads = [
+        (1, bytearray(imagecodec.encode_bmp(base))),
+        (2, bytearray(imagecodec.encode_ppm(noisy))),
+        (3, bytearray(imagecodec.encode_bmp(gradient))),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    hashes = multimodal.image_ahash(df)
+    rows = {r["doc_id"]: r for r in hashes.collect()}
+    # hex is the canonical packing of the halves
+    for r in rows.values():
+        assert r["ahash_hex"] == f"{r['ahash_hi']:08x}{r['ahash_lo']:08x}"
+    pairs = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in multimodal.ahash_pairs(hashes, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    with _pt.raises(ValueError):
+        multimodal.ahash_pairs(hashes, max_hamming=16)

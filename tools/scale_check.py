@@ -98,6 +98,7 @@ HEAVY = [
     "source_temperature_sample",
     "view_purchase_attribution",
     "trigram_typicality",
+    "image_ahash",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
