@@ -443,6 +443,70 @@ def q_daily_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.approx_distinct(day, ["day"], "user_id", out_col="dau_approx")
 
 
+def _day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("di"),
+        "user_id",
+    )
+
+
+def q_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact day-over-day returning users: |active(d) ∩ active(d+1)|
+    per consecutive day pair — the (day, user) distinct self-joined on
+    day+1. This is the exact anchor the HLL sketch-intersection twin
+    (`returning_users_hll`) is pinned against; at 100 TB the anchor
+    pays a (day, user) distinct + self-join, the twin answers from
+    4 KiB/day sketch arithmetic."""
+    du = _day_users(spark, sf_dir).distinct()
+    a, b = du.alias("a"), du.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.di") == F.col("a.di") + 1),
+        )
+        .groupBy(F.col("a.di").alias("di"))
+        .agg(F.count(F.lit(1)).alias("returning"))
+        .select("di", (F.col("di") + 1).alias("next_di"), "returning")
+    )
+
+
+_ORACLE_RETURNING = """
+WITH du AS (
+  SELECT DISTINCT
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS di,
+         user_id
+  FROM events
+)
+SELECT a.di, a.di + 1 AS next_di,
+       CAST(count(*) AS BIGINT) AS returning
+FROM du a JOIN du b ON b.user_id = a.user_id AND b.di = a.di + 1
+GROUP BY a.di
+"""
+
+
+def q_returning_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch-intersection twin (operators/sketches.py
+    approx_overlap_consecutive): per-day sketches built in ONE pass,
+    day-over-day overlap by inclusion-exclusion est(A) + est(B) -
+    est(A ∪ B) over 4 KiB blobs. Deterministic but not
+    DuckDB-replayable (DataSketches HLL), so rows-only here; the exact
+    anchor is `returning_users` and the error pin lives in
+    tests/test_uba_ops.py."""
+    from datafusion_uba_spark.operators import sketches
+
+    return sketches.approx_overlap_consecutive(
+        _day_users(spark, sf_dir), "di", "user_id"
+    )
+
+
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters (md5 verification family): build
     a 4x256 CMS over event user_ids, then estimate the exact top-20
@@ -1212,6 +1276,8 @@ FROM grid LEFT JOIN obs ON obs.k = grid.k AND obs.b = grid.b
 UBA_REGISTRY: dict = {
     "daily_active_users": (q_daily_active_users, _ORACLE_DAU),
     "daily_active_users_hll": (q_daily_active_users_hll, None),
+    "returning_users": (q_returning_users, _ORACLE_RETURNING),
+    "returning_users_hll": (q_returning_users_hll, None),
     "cohort_retention_weekly": (
         q_cohort_retention_weekly,
         _ORACLE_COHORT_RETENTION_WEEKLY,

@@ -773,3 +773,50 @@ def test_counter_increase_crafted(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         counter_increase(df, 0)
+
+
+def test_returning_users_hll_pinned_to_exact_anchor(spark):
+    """r11 sketch-intersection twin: same (day, next_day) keys as the
+    exact anchor and every inclusion-exclusion estimate within 5% of
+    the exact overlap (at this fixture's cardinalities the HLL is in
+    sparse mode and exact; the bound leaves room for the dense-mode
+    error regime at scale)."""
+    from datafusion_uba_spark.queries_uba import (
+        q_returning_users,
+        q_returning_users_hll,
+    )
+
+    exact = {
+        r["di"]: r["returning"]
+        for r in q_returning_users(spark, SF_DIR).collect()
+    }
+    approx = {
+        r["di"]: r["returning"]
+        for r in q_returning_users_hll(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) > 10
+    for d, n in exact.items():
+        assert abs(approx[d] - n) <= max(1, 0.05 * n), (d, n, approx[d])
+
+
+def test_approx_overlap_consecutive_guards_and_shape(spark):
+    """Operator contract: lgk range guard; disjoint consecutive keys
+    estimate ~0 returning; identical sets estimate ~full overlap."""
+    import pytest as _pt
+
+    from datafusion_uba_spark.operators.sketches import (
+        approx_overlap_consecutive,
+    )
+
+    rows = [(0, i) for i in range(500)] + [(1, i) for i in range(500)] + [
+        (2, 10_000 + i) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "di long, user_id long")
+    got = {
+        r["di"]: r["returning"]
+        for r in approx_overlap_consecutive(df, "di", "user_id").collect()
+    }
+    assert abs(got[0] - 500) <= 25      # identical day 0 -> day 1
+    assert got[1] <= 25                 # disjoint day 1 -> day 2
+    with _pt.raises(ValueError):
+        approx_overlap_consecutive(df, "di", "user_id", lgk=3)

@@ -99,6 +99,8 @@ HEAVY = [
     "view_purchase_attribution",
     "trigram_typicality",
     "image_ahash",
+    "returning_users",
+    "returning_users_hll",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
