@@ -63,6 +63,53 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session quality profile over the pinned sessionization:
+    session count, bounce count (single-event sessions — THE
+    engagement red flag), and exact integer per-session depth/duration
+    averages (milli-events and microseconds via DIV). Days key by the
+    session START day (a session straddling midnight counts once,
+    where it began). Composes the oracle-pinned gaps-and-islands
+    sessionize: one user-partition window + two hash aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, gap="30 minutes")
+    return (
+        sess.groupBy(
+            F.expr("session_start_us DIV 86400000000").alias("day_i")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long")).alias("bounces"),
+            F.sum("n_events").alias("total_events"),
+            F.sum("duration_us").alias("total_duration_us"),
+        )
+        .select(
+            "day_i",
+            "n_sessions",
+            "bounces",
+            F.expr("(total_events * 1000) DIV n_sessions").alias(
+                "events_per_session_milli"
+            ),
+            F.expr("total_duration_us DIV n_sessions").alias(
+                "avg_duration_us"
+            ),
+        )
+    )
+
+
+_ORACLE_SESSION_STATS = f"""
+WITH sess AS ({_ORACLE_SESSIONIZE})
+SELECT session_start_us // 86400000000 AS day_i,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS bounces,
+       CAST((sum(n_events) * 1000) // count(*) AS BIGINT)
+         AS events_per_session_milli,
+       CAST(sum(duration_us) // count(*) AS BIGINT) AS avg_duration_us
+FROM sess GROUP BY 1
+"""
+
+
 def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return hourly_event_counts(ev)
@@ -1278,6 +1325,7 @@ UBA_REGISTRY: dict = {
     "daily_active_users_hll": (q_daily_active_users_hll, None),
     "returning_users": (q_returning_users, _ORACLE_RETURNING),
     "returning_users_hll": (q_returning_users_hll, None),
+    "session_stats": (q_session_stats, _ORACLE_SESSION_STATS),
     "cohort_retention_weekly": (
         q_cohort_retention_weekly,
         _ORACLE_COHORT_RETENTION_WEEKLY,

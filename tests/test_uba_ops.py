@@ -820,3 +820,44 @@ def test_approx_overlap_consecutive_guards_and_shape(spark):
     assert got[1] <= 25                 # disjoint day 1 -> day 2
     with _pt.raises(ValueError):
         approx_overlap_consecutive(df, "di", "user_id", lgk=3)
+
+
+def test_session_stats_crafted_bounces(spark):
+    """r11 session profile: hand-computed bounce/depth/duration math —
+    one two-event session, one bounce, on separate days; integer DIV
+    averages."""
+    from datafusion_uba_spark.queries_uba import q_session_stats  # noqa: F401
+    from datafusion_uba_spark.streaming import sessionize
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00"),
+            (2, 10, "2024-01-01 00:10:00"),   # same session (gap 10m)
+            (3, 11, "2024-01-02 09:00:00"),   # bounce
+        ],
+        "event_id long, user_id long, ts string",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    sess = sessionize(ev, gap="30 minutes")
+    got = {
+        r["day_i"]: (
+            r["n_sessions"], r["bounces"],
+            r["events_per_session_milli"], r["avg_duration_us"],
+        )
+        for r in sess.groupBy(
+            F.expr("session_start_us DIV 86400000000").alias("day_i")
+        ).agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long")).alias("bounces"),
+            F.sum("n_events").alias("total_events"),
+            F.sum("duration_us").alias("total_duration_us"),
+        ).select(
+            "day_i", "n_sessions", "bounces",
+            F.expr("(total_events * 1000) DIV n_sessions").alias(
+                "events_per_session_milli"),
+            F.expr("total_duration_us DIV n_sessions").alias(
+                "avg_duration_us"),
+        ).collect()
+    }
+    d1 = 19723  # 2024-01-01 in days since epoch
+    assert got[d1] == (1, 0, 2000, 600_000_000)
+    assert got[d1 + 1] == (1, 1, 1000, 0)

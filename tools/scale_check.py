@@ -101,6 +101,7 @@ HEAVY = [
     "image_ahash",
     "returning_users",
     "returning_users_hll",
+    "session_stats",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
