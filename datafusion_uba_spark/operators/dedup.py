@@ -285,6 +285,123 @@ def ngram_jaccard_pairs(
     ).where(F.col("jaccard_bp") >= tau_bp)
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL near-dup pairs by n-gram set containment
+    C(A -> B) = |A ∩ B| / |A| — the asymmetric signal Jaccard misses: a
+    short document quoted wholesale inside a long one has tiny Jaccard
+    (the union is the long doc) but containment ~1. The standard
+    dedup-pipeline use is dropping documents mostly contained in
+    another (licenses, quoted articles, boilerplate-wrapped reposts).
+
+    Candidate generation is the asymmetric prefix filter: only the
+    PROBE side (the contained candidate A) is cut to its first
+    ``|A| - ceil(tau*|A|) + 1`` shingles in the global (df asc,
+    shingle asc) order — if A shares >= ceil(tau*|A|) shingles with B,
+    at least one must land in that prefix (pigeonhole over the ordered
+    set), so joining prefix(A) against B's FULL index misses nothing.
+    The container side cannot be prefixed (a superset B must be
+    findable however common its shingles), which is exactly why
+    ``max_df`` matters more here than for Jaccard: a df-capped shingle
+    drops out of BOTH sides and pairs supported only by such shingles
+    are missed (documented lossy guard; None = exact semantics).
+    Verification on the full shingle arrays kills every false
+    positive. Same integer-exact arithmetic as ngram_jaccard_pairs.
+
+    Output: (doc_inner, doc_outer, common_shingles, containment_bp)
+    with doc_inner != doc_outer; containment_bp =
+    floor(|A ∩ B| * 10000 / |A|) where A = doc_inner's shingle set.
+    Both directions can appear for mutually-similar docs — the signal
+    is directional by design."""
+    tau_bp = int(round(threshold * 10000))
+    sh = _shingle_df(df, text_col, id_col, n)
+    inv = (
+        sh.select("__id", F.explode_outer("__sh").alias("__s"))
+        .where(F.col("__s").isNotNull())
+    )
+    freq = inv.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    if max_df is not None:
+        freq = freq.where(F.col("__df") <= max_df)
+    # probe side: df-ordered prefix per doc (same integer prefix math
+    # as ngram_jaccard_pairs)
+    per_doc = (
+        inv.join(freq, "__s")
+        .groupBy("__id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__df", "__s"))
+            ).alias("__ord"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    p = (
+        F.col("__n")
+        - F.floor((F.col("__n") * tau_bp + 9999) / 10000).cast("long")
+        + 1
+    )
+    probe = per_doc.select(
+        "__id",
+        F.explode(
+            F.slice(
+                F.transform(F.col("__ord"), lambda x: x["__s"]),
+                F.lit(1),
+                p.cast("int"),
+            )
+        ).alias("__s"),
+    )
+    index = (
+        inv.join(freq.select("__s"), "__s").select("__id", "__s")
+        if max_df is not None
+        else inv
+    )
+    a, b = probe.alias("a"), index.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col("a.__id") != F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("doc_inner"),
+            F.col("b.__id").alias("doc_outer"),
+        )
+        .distinct()
+    )
+    sh_a = sh.select(
+        F.col("__id").alias("doc_inner"), F.col("__sh").alias("__sha")
+    )
+    sh_b = sh.select(
+        F.col("__id").alias("doc_outer"), F.col("__sh").alias("__shb")
+    )
+    counted = (
+        cand.join(sh_a, "doc_inner")
+        .join(sh_b, "doc_outer")
+        .select(
+            "doc_inner",
+            "doc_outer",
+            F.size(F.array_intersect("__sha", "__shb"))
+            .cast("long")
+            .alias("common_shingles"),
+            F.size("__sha").alias("__na"),
+        )
+    )
+    cont_bp = F.floor(
+        (F.col("common_shingles") * 10000) / F.col("__na")
+    ).cast("long")
+    return counted.select(
+        "doc_inner",
+        "doc_outer",
+        "common_shingles",
+        cont_bp.alias("containment_bp"),
+    ).where(F.col("containment_bp") >= tau_bp)
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 
 

@@ -650,6 +650,39 @@ ORDER BY n_occurrences DESC, token ASC LIMIT 100
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dups (operators/dedup.py
+    containment_pairs): pairs where >= 80% of the inner doc's
+    3-shingles appear in the outer doc — the quoted-inside /
+    boilerplate-wrapped case Jaccard's union denominator hides.
+    Asymmetric prefix filter on the probe side only (at tau = 0.8 the
+    probe indexes ~20% of each doc's shingles — the knob that keeps
+    the un-prefixable container side affordable); exact verification;
+    integer basis points."""
+    docs = _docs(spark, sf_dir)
+    return dedup.containment_pairs(docs, threshold=0.8)
+
+
+_ORACLE_CONTAINMENT = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS s FROM documents
+  WHERE len({_SHINGLES}) > 0
+),
+inv AS (SELECT id, unnest(s) AS shingle FROM sh),
+common AS (
+  SELECT a.id AS doc_inner, b.id AS doc_outer, count(*) AS common_shingles
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id <> b.id
+  GROUP BY a.id, b.id
+),
+sizes AS (SELECT id, len(s) AS n FROM sh)
+SELECT doc_inner, doc_outer, common_shingles,
+       CAST(floor((common_shingles * 10000) / sa.n) AS BIGINT)
+         AS containment_bp
+FROM common JOIN sizes sa ON sa.id = doc_inner
+WHERE CAST(floor((common_shingles * 10000) / sa.n) AS BIGINT) >= 8000
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair generation (the verified exact ngram-Jaccard query) composed
     # with min-label connected components: the canonicalization step a
@@ -1844,6 +1877,7 @@ LLM_REGISTRY: dict = {
     "dedup_winnow": (q_dedup_winnow, _ORACLE_DEDUP_WINNOW),
     "dedup_exact": (q_dedup_exact, _ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _ORACLE_NGRAM_JACCARD),
+    "dedup_containment": (q_dedup_containment, _ORACLE_CONTAINMENT),
     "dedup_clusters": (q_dedup_clusters, _ORACLE_DEDUP_CLUSTERS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
     "dedup_minhash_md5": (q_dedup_minhash_md5, _ORACLE_MINHASH_MD5),

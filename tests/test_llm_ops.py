@@ -1309,3 +1309,39 @@ def test_image_ahash_pairs_crafted(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
     with _pt.raises(ValueError):
         multimodal.ahash_pairs(hashes, max_hamming=16)
+
+
+def test_containment_pairs_crafted(spark):
+    """r11 directional containment: a short doc quoted inside a long
+    one is found inner->outer but NOT outer->inner (Jaccard would
+    miss it entirely at this threshold); identical docs contain each
+    other both ways; the df-cap documented-lossy guard drops pairs
+    supported only by hot shingles."""
+    from datafusion_uba_spark.operators import dedup
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    long_doc = (
+        "intro words here now "
+        + quote
+        + " and a very long tail of unrelated filler content keeps "
+          "going with many extra tokens that dilute the union badly"
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, quote), (4, "completely different "
+          "text about spark catalyst optimizer internals and shuffles")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_inner"], r["doc_outer"]): r["containment_bp"]
+        for r in dedup.containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert got[(1, 2)] >= 8000          # quote contained in long doc
+    assert (2, 1) not in got            # long doc NOT contained in quote
+    assert got[(1, 3)] == 10000 and got[(3, 1)] == 10000  # exact dup: both
+    assert not any(4 in pair for pair in got)
+    # Jaccard at the same threshold misses the quote-inside pair
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert (1, 2) not in jac

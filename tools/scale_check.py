@@ -102,6 +102,7 @@ HEAVY = [
     "returning_users",
     "returning_users_hll",
     "session_stats",
+    "dedup_containment",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
