@@ -29,6 +29,8 @@ __all__ = [
     "dq_union",
     "check_rows_with_unique",
     "fk_check_with_parent_rows",
+    "equi_depth_histogram",
+    "table_diff",
 ]
 
 
@@ -238,3 +240,135 @@ def dq_union(*audits: DataFrame) -> DataFrame:
     for a in audits[1:]:
         out = out.unionByName(a)
     return out.orderBy("check_name")
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Equi-depth (equal-height) histogram per group — the statistic
+    query optimizers actually keep (equal-WIDTH buckets collapse under
+    skew; equal-depth buckets adapt so every bucket carries ~n/k rows
+    and quantile boundaries fall out of the bucket edges). One
+    hash-partitioned sort per group (ntile over the total order
+    (value, tiebreak)), one hash aggregate to (group, bucket) — output
+    cardinality |groups| x k regardless of row count.
+
+    The total order makes every bucket boundary engine-deterministic:
+    SQL-standard ntile (first n mod k buckets get one extra row) over
+    identical orders yields identical bucket membership everywhere.
+
+    Output: (group, bucket 1..k, n_rows, lo, hi) — lo/hi are the
+    bucket's min/max value (exact, same unit as ``value_col``)."""
+    if n_buckets < 1:
+        raise ValueError("equi_depth_histogram: n_buckets must be >= 1")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col, tiebreak_col)
+    bucketed = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).alias("__v"),
+        F.ntile(n_buckets).over(w).alias("__b"),
+    )
+    return (
+        bucketed.groupBy("__g", "__b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__b").cast("long").alias("bucket"),
+            "n_rows",
+            "lo",
+            "hi",
+        )
+    )
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Key-based diff of two same-schema tables — the CDC/migration
+    validation primitive ("did the backfill change anything it
+    shouldn't?"): emits one row per key that differs, tagged
+    ``only_a`` / ``only_b`` / ``changed``; unchanged keys (the 100 TB
+    bulk) are dropped before anything wide moves. NULL-safe compare
+    (<=>), so NULL -> value and value -> NULL both read as changed.
+
+    Plan: each side shuffles ONCE on the key into a full-outer join;
+    the verdict is a projection. Callers diffing by content rather
+    than column set can pass a single hash column as ``compare_cols``.
+
+    Duplicate keys raise in-plan (a diff keyed on a non-key is
+    meaningless): each side is counted per key first — the aggregate
+    rides the same shuffle the join needs, so the guard is free.
+
+    Output: key columns + diff_status."""
+    if not key_cols:
+        raise ValueError("table_diff: need at least one key column")
+    compare_cols = compare_cols or [
+        c for c in a.columns if c not in key_cols
+    ]
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        g = df.groupBy(
+            *[F.col(k).alias(f"__{side}_{k}") for k in key_cols]
+        ).agg(
+            F.count(F.lit(1)).alias(f"__{side}_n"),
+            *[
+                F.first(c).alias(f"__{side}_{c}")
+                for c in compare_cols
+            ],
+        )
+        return g.withColumn(
+            f"__{side}_n",
+            F.when(
+                F.col(f"__{side}_n") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"table_diff: duplicate key in {side}: "),
+                        F.concat_ws(
+                            ",",
+                            *[F.col(f"__{side}_{k}").cast("string")
+                              for k in key_cols],
+                        ),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col(f"__{side}_n")),
+        )
+
+    pa, pb = prep(a, "a"), prep(b, "b")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__a_{k}") == F.col(f"__b_{k}")
+        cond = c if cond is None else cond & c
+    joined = pa.join(pb, cond, "full_outer")
+    in_a = F.col("__a_n").isNotNull()
+    in_b = F.col("__b_n").isNotNull()
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+        same = eq if same is None else same & eq
+    status = (
+        F.when(in_a & ~in_b, "only_a")
+        .when(~in_a & in_b, "only_b")
+        .when(~same, "changed")
+    )
+    return (
+        joined.select(
+            *[
+                F.coalesce(F.col(f"__a_{k}"), F.col(f"__b_{k}")).alias(k)
+                for k in key_cols
+            ],
+            status.alias("diff_status"),
+        )
+        .where(F.col("diff_status").isNotNull())
+    )

@@ -2115,6 +2115,106 @@ ORDER BY l_returnflag
 """
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (operators/quality.py
+    equi_depth_histogram): 8 equal-height buckets of the cents value
+    per event type — the optimizer-statistics form that survives skew
+    where equal-width collapses. Total order (value, event_id) makes
+    every bucket boundary engine-deterministic; output is |types| x 8
+    rows regardless of event volume."""
+    from datafusion_uba_spark.operators import quality
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        _cents(F.col("value")).alias("v_cents"),
+        "event_id",
+    )
+    return quality.equi_depth_histogram(
+        base, "event_type", "v_cents", "event_id", n_buckets=8
+    )
+
+
+_ORACLE_VALUE_HISTOGRAM = """
+WITH b AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         ntile(8) OVER (PARTITION BY event_type
+                        ORDER BY CAST(round(value * 100) AS BIGINT),
+                                 event_id) AS bucket
+  FROM events
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(v) AS lo, max(v) AS hi
+FROM b GROUP BY event_type, bucket
+"""
+
+
+def q_customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-based table diff (operators/quality.py table_diff — the
+    CDC/migration validation primitive) between the customer dim and a
+    deterministically simulated next snapshot: every 89th key deleted,
+    every 97th key's balance bumped one dollar, every 101st key
+    re-inserted under a shifted key. Unchanged keys (the bulk) never
+    leave the join; duplicate keys would raise in-plan. Output: the
+    delta keys tagged only_a / only_b / changed."""
+    from datafusion_uba_spark.operators import quality
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _cents(F.col("c_acctbal")).alias("bal_cents"),
+        "c_mktsegment",
+    )
+    changed = cust.where(F.col("c_custkey") % 89 != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 97 == 0, F.col("bal_cents") + 100
+        )
+        .otherwise(F.col("bal_cents"))
+        .alias("bal_cents"),
+        "c_mktsegment",
+    )
+    inserted = cust.where(F.col("c_custkey") % 101 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        "bal_cents",
+        "c_mktsegment",
+    )
+    snapshot = changed.unionByName(inserted)
+    return quality.table_diff(
+        cust, snapshot, ["c_custkey"], ["bal_cents", "c_mktsegment"]
+    )
+
+
+_ORACLE_CUSTOMER_DIFF = """
+WITH old AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+         c_mktsegment AS seg
+  FROM customer
+),
+new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 97 = 0 THEN bal + 100 ELSE bal END AS bal,
+         seg
+  FROM old WHERE c_custkey % 89 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, bal, seg FROM old WHERE c_custkey % 101 = 0
+)
+SELECT coalesce(old.c_custkey, new.c_custkey) AS c_custkey,
+       CASE WHEN new.c_custkey IS NULL THEN 'only_a'
+            WHEN old.c_custkey IS NULL THEN 'only_b'
+            WHEN old.bal IS DISTINCT FROM new.bal
+                 OR old.seg IS DISTINCT FROM new.seg THEN 'changed'
+       END AS diff_status
+FROM old FULL OUTER JOIN new ON old.c_custkey = new.c_custkey
+WHERE CASE WHEN new.c_custkey IS NULL THEN 'only_a'
+           WHEN old.c_custkey IS NULL THEN 'only_b'
+           WHEN old.bal IS DISTINCT FROM new.bal
+                OR old.seg IS DISTINCT FROM new.seg THEN 'changed'
+      END IS NOT NULL
+"""
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout keys: the Morton key every event would be
     laid out by under ``zorder_layout(events, [user_id, cents])``
@@ -2239,6 +2339,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q9": (q_part_profit, _ORACLE_PART_PROFIT),
     "tpch_q11": (q_important_parts, _ORACLE_IMPORTANT_PARTS),
     "tpch_q12": (q_shipmode_priority, _ORACLE_SHIPMODE_PRIORITY),
+    "value_histogram": (q_value_histogram, _ORACLE_VALUE_HISTOGRAM),
+    "customer_snapshot_diff": (
+        q_customer_snapshot_diff,
+        _ORACLE_CUSTOMER_DIFF,
+    ),
 }
 
 # LLM-training-data-pipeline inventory (dedup / similarity / text /

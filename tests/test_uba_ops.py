@@ -861,3 +861,62 @@ def test_session_stats_crafted_bounces(spark):
     d1 = 19723  # 2024-01-01 in days since epoch
     assert got[d1] == (1, 0, 2000, 600_000_000)
     assert got[d1 + 1] == (1, 1, 1000, 0)
+
+
+def test_equi_depth_histogram_crafted(spark):
+    """r11 optimizer-statistics histogram: skewed values — equal-depth
+    buckets stay balanced (SQL-standard ntile remainder rule: first
+    n mod k buckets get the extra row); bucket edges are exact
+    mins/maxes; n_buckets guard."""
+    import pytest as _pt
+
+    from datafusion_uba_spark.operators.quality import equi_depth_histogram
+
+    # 10 rows, heavily skewed: eight 1s then 50, 100
+    rows = [("a", 1, i) for i in range(8)] + [("a", 50, 8), ("a", 100, 9)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    got = {
+        r["bucket"]: (r["n_rows"], r["lo"], r["hi"])
+        for r in equi_depth_histogram(df, "g", "v", "id", 4).collect()
+    }
+    # 10 rows / 4 buckets: sizes 3,3,2,2 over the (v, id) order
+    assert got == {
+        1: (3, 1, 1),
+        2: (3, 1, 1),
+        3: (2, 1, 1),
+        4: (2, 50, 100),
+    }
+    with _pt.raises(ValueError):
+        equi_depth_histogram(df, "g", "v", "id", 0)
+
+
+def test_table_diff_crafted(spark):
+    """r11 CDC diff: only_a / only_b / changed classification,
+    NULL-safe compare both directions, unchanged keys dropped, and
+    the in-plan duplicate-key guard."""
+    import pytest as _pt
+    from pyspark.errors import SparkRuntimeException
+
+    from datafusion_uba_spark.operators.quality import table_diff
+
+    a = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, None), (3, 30, "z"), (4, None, "w")],
+        "k long, v long, s string",
+    )
+    b = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "now"), (4, 40, "w"), (5, 50, "new")],
+        "k long, v long, s string",
+    )
+    got = {
+        r["k"]: r["diff_status"] for r in table_diff(a, b, ["k"]).collect()
+    }
+    # 1 unchanged -> absent; 2 NULL->value changed; 3 deleted;
+    # 4 NULL->40 changed; 5 inserted
+    assert got == {2: "changed", 3: "only_a", 4: "changed", 5: "only_b"}
+
+    dup = spark.createDataFrame([(1, 1, "a"), (1, 2, "b")],
+                                "k long, v long, s string")
+    with _pt.raises(SparkRuntimeException, match="duplicate key"):
+        table_diff(dup, b, ["k"]).collect()
+    with _pt.raises(ValueError):
+        table_diff(a, b, [])

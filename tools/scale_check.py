@@ -103,6 +103,8 @@ HEAVY = [
     "returning_users_hll",
     "session_stats",
     "dedup_containment",
+    "value_histogram",
+    "customer_snapshot_diff",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
