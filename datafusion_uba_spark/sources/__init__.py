@@ -376,6 +376,78 @@ def write_bucketed(
     save_table_recovering_orphan(lambda: w.saveAsTable(table), spark, table)
 
 
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    sort_within_by: list[str] | None = None,
+) -> dict:
+    """Bin-pack a parquet directory's small files into ~``target_mb``
+    outputs — the recurring maintenance job every streaming/incremental
+    sink needs (a per-trigger file stream or dynamic-partition refresh
+    leaves thousands of KB-sized files; at 100 TB the NameNode/listing
+    pressure and per-file open cost dominate scans long before the
+    bytes do).
+
+    The output file count is sized from the directory's ACTUAL bytes
+    (sum of data-file sizes, not a row-count guess), then written with
+    ``coalesce`` — a narrow, shuffle-free repack; pass
+    ``sort_within_by`` to additionally sortWithinPartitions for
+    row-group skipping locality (that path repartitions, paying one
+    shuffle for long-term scan pruning).
+
+    Crash safety: the repack writes under ``<path>.__stage`` and swaps
+    by rename only after the write lands (previous data stays live
+    under ``<path>.__old`` until the swap completes, then is removed)
+    — a failed build leaves the original directory untouched, the
+    staged-swap discipline of the index builders.
+
+    Returns {"files_before", "files_after", "bytes", "rows"}.
+    """
+    import math
+    import os
+    import shutil
+
+    def data_files(p: str) -> list[str]:
+        out = []
+        for root, _, names in os.walk(p):
+            for n in names:
+                if not n.startswith(("_", ".")) and not n.endswith(".crc"):
+                    out.append(os.path.join(root, n))
+        return out
+
+    before = data_files(path)
+    if not before:
+        raise ValueError(f"compact_parquet_dir: no data files under {path}")
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    rows = df.count()
+    stage, old = f"{path}.__stage", f"{path}.__old"
+    shutil.rmtree(stage, ignore_errors=True)
+    if sort_within_by:
+        w = df.repartition(n_out).sortWithinPartitions(*sort_within_by)
+    else:
+        w = df.coalesce(n_out)
+    w.write.mode("overwrite").parquet(stage)
+    # verify the repack before touching the live directory
+    if spark.read.parquet(stage).count() != rows:
+        raise RuntimeError(
+            f"compact_parquet_dir: staged repack of {path} row-count "
+            "mismatch; original left untouched, stage kept for inspection"
+        )
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(data_files(path)),
+        "bytes": total,
+        "rows": rows,
+    }
+
+
 def _utc_nanos(date_str: str) -> int:
     """Epoch nanos of a UTC midnight date string."""
     from datetime import datetime, timezone

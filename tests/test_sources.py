@@ -362,3 +362,50 @@ def test_orphan_recovery_stale_vs_live(spark, tmp_path):
 
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    """r11 small-file compaction: many tiny files repack into the
+    byte-sized output count, rows and values survive exactly, a
+    sort_within_by pass clusters rows, and the staged swap never
+    leaves a half-written live directory (failure keeps the original,
+    empty input raises)."""
+    import os
+
+    import pytest as _pt
+
+    from datafusion_uba_spark.sources import compact_parquet_dir
+
+    p = str(tmp_path / "many")
+    spark.range(10_000).selectExpr("id", "id % 7 AS k").repartition(
+        40
+    ).write.parquet(p)
+
+    def files(d):
+        return [
+            n
+            for n in os.listdir(d)
+            if not n.startswith(("_", ".")) and not n.endswith(".crc")
+        ]
+
+    assert len(files(p)) == 40
+    before = spark.read.parquet(p).groupBy("k").count().collect()
+    stats = compact_parquet_dir(spark, p, target_mb=128)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1  # tiny data: one 128 MB bin
+    assert stats["rows"] == 10_000
+    assert len(files(p)) == 1
+    after = spark.read.parquet(p).groupBy("k").count().collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    assert not os.path.exists(p + ".__stage")
+    assert not os.path.exists(p + ".__old")
+
+    # sorted repack clusters k: min/max of k per row-group-ish file
+    compact_parquet_dir(spark, p, target_mb=128, sort_within_by=["k"])
+    vals = [r["k"] for r in spark.read.parquet(p).collect()]
+    assert vals == sorted(vals)
+
+    with _pt.raises(ValueError, match="no data files"):
+        empty = str(tmp_path / "empty")
+        os.makedirs(empty)
+        compact_parquet_dir(spark, empty)
