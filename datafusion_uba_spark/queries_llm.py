@@ -1709,6 +1709,85 @@ LEFT JOIN per USING (doc_id)
 """
 
 
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-mix build, composed as one declarative
+    plan — the pipeline the whole LLM-data family exists for:
+    (1) clean the crawl (corpus_filter: canonical copy, English,
+    quality bar, length floor), (2) drop benchmark-contaminated docs
+    (8-gram overlap against the broadcast eval split), (3) rebalance
+    sources with temperature quotas (alpha = 1/2) and take the
+    deterministic per-source sample. Every stage is an already
+    oracle-pinned operator; this row pins their COMPOSITION — the
+    joins between stages are where column drift or dedup/contamination
+    ordering bugs would hide.
+
+    Scale shape: stages (1) and (2) are one documents scan each plus
+    narrow shuffles; stage (3) is quota arithmetic over |sources| rows
+    and the salted two-stage rank over survivors only."""
+    from datafusion_uba_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    kept = q_corpus_filter(spark, sf_dir).select("doc_id")
+    corpus = docs.where(F.col("doc_id") % 19 != 0)
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    contaminated = (
+        text_ops.contamination_stats(corpus, bench, n=8)
+        .where(F.col("contaminated"))
+        .select("doc_id")
+    )
+    eligible = (
+        docs.where(F.col("doc_id") % 19 != 0)
+        .join(kept, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source")
+    )
+    return sampling.temperature_quota_sample(eligible, "source", 100)
+
+
+_ORACLE_TRAINING_MIX = f"""
+WITH kept AS ({_ORACLE_CORPUS_FILTER}),
+t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE {_NORM} <> ''
+),
+g8 AS (SELECT doc_id, {_ddb_shingles_n('toks', 8)} AS gs FROM t),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM g8 WHERE doc_id % 19 = 0
+),
+cont AS (
+  SELECT DISTINCT i.doc_id
+  FROM (SELECT doc_id, unnest(gs) AS gram FROM g8
+        WHERE doc_id % 19 <> 0) i
+  JOIN bench b USING (gram)
+),
+elig AS (
+  SELECT d.doc_id, d.source
+  FROM documents d
+  JOIN kept ON kept.doc_id = d.doc_id
+  WHERE d.doc_id % 19 <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+),
+n AS (
+  SELECT source, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+  FROM elig GROUP BY source
+),
+q AS (
+  SELECT source, (100 * w) // (SELECT sum(w) FROM n) AS quota FROM n
+),
+r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INT) AS sample_rank
+  FROM elig
+)
+SELECT r.doc_id, r.source, r.sample_rank,
+       CAST(q.quota AS BIGINT) AS quota
+FROM r JOIN q ON r.source = q.source
+WHERE q.quota >= 1 AND r.sample_rank <= q.quota
+"""
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return text_ops.tfidf_topk(docs, k=3)
@@ -1873,6 +1952,7 @@ LLM_REGISTRY: dict = {
     ),
     "doc_embedding_enrich": (q_doc_embedding_enrich, _ORACLE_DOC_EMB_ENRICH),
     "corpus_filter": (q_corpus_filter, _ORACLE_CORPUS_FILTER),
+    "training_mix": (q_training_mix, _ORACLE_TRAINING_MIX),
     "winnow_fingerprints": (q_winnow_fingerprints, _ORACLE_WINNOW),
     "dedup_winnow": (q_dedup_winnow, _ORACLE_DEDUP_WINNOW),
     "dedup_exact": (q_dedup_exact, _ORACLE_DEDUP_EXACT),

@@ -105,6 +105,7 @@ HEAVY = [
     "dedup_containment",
     "value_histogram",
     "customer_snapshot_diff",
+    "training_mix",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
