@@ -777,6 +777,141 @@ def simhash_pairs(
     )
 
 
+def _sim_chunk_array(sim_col: str, bits: int, n_chunks: int) -> Column:
+    """(chunk_id, chunk_val) structs of a SimHash signature column —
+    the pigeonhole decomposition shared by within-batch and
+    cross-batch SimHash dedup."""
+    chunk_bits = bits // n_chunks
+
+    def chunk(i: int) -> Column:
+        width = (
+            bits - chunk_bits * (n_chunks - 1)
+            if i == n_chunks - 1
+            else chunk_bits
+        )
+        mask = (1 << width) - 1
+        return F.shiftrightunsigned(sim_col, chunk_bits * i).bitwiseAND(
+            F.lit(mask)
+        )
+
+    return F.array(
+        *[
+            F.struct(F.lit(i).alias("chunk_id"), chunk(i).alias("chunk_val"))
+            for i in range(n_chunks)
+        ]
+    )
+
+
+def simhash_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_hamming: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Persistable SimHash index of a corpus: one (doc_id, signature,
+    chunk_id, chunk_val) row per pigeonhole chunk — max_hamming + 1
+    rows per doc, NO text. Unlike the MinHash band index, SimHash
+    verification is pure signature arithmetic (Hamming via XOR +
+    bit_count), so a probe against this index never reads corpus text
+    at all: the index IS the whole corpus-side state. Build once,
+    persist (sources.write_bucketed on (chunk_id, chunk_val) for a
+    co-located probe join), probe every ingest."""
+    n_chunks = max_hamming + 1
+    bits = 60 if hash_family == "md5" else 64
+    sh = _shingle_df(corpus, text_col, id_col, n)
+    sig = sh.select(
+        "__id", simhash(F.col("__sh"), bits, hash_family).alias("__sim")
+    )
+    return sig.select(
+        F.col("__id").alias("corpus_id"),
+        F.col("__sim").alias("corpus_sim"),
+        F.explode(_sim_chunk_array("__sim", bits, n_chunks)).alias("__c"),
+    ).select(
+        "corpus_id",
+        "corpus_sim",
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.col("__c.chunk_val").alias("chunk_val"),
+    )
+
+
+def simhash_dedup_against(
+    increment: DataFrame,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_hamming: int = 3,
+    hash_family: str = "xxhash64",
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental SimHash near-dup: which documents of a new batch
+    land within ``max_hamming`` signature bits of an EXISTING corpus?
+    The cross-batch companion of simhash_pairs and the SimHash twin of
+    minhash_dedup_against — with a stronger scale story: the corpus
+    side needs ONLY the persisted chunk index (one long per chunk),
+    never the text, because verification is Hamming arithmetic on the
+    signatures the index already carries.
+
+    Plan at 100 TB: the increment is shingled/signed fresh (one narrow
+    map), candidates come from the (chunk_id, chunk_val) equi-join
+    against the index, verification is XOR + bit_count in the join
+    projection. The corpus is touched zero times.
+
+    ``corpus_index`` must have been built with the SAME (n,
+    max_hamming, hash_family) — mismatches silently produce garbage
+    (the same metadata footgun as the MinHash/IVF indexes; persist
+    params beside the index). Exactly one of ``corpus`` /
+    ``corpus_index`` is required.
+
+    Output: (doc_id, dup_of, hamming) — every increment doc within
+    budget of some corpus doc; the genuinely-new set is the increment
+    anti-joined on doc_id."""
+    if (corpus is None) == (corpus_index is None):
+        raise ValueError(
+            "simhash_dedup_against: pass exactly one of corpus / "
+            "corpus_index"
+        )
+    n_chunks = max_hamming + 1
+    bits = 60 if hash_family == "md5" else 64
+    if corpus_index is None:
+        corpus_index = simhash_index(
+            corpus, text_col, id_col, n, max_hamming, hash_family
+        )
+    sh = _shingle_df(increment, text_col, id_col, n)
+    sig = sh.select(
+        "__id", simhash(F.col("__sh"), bits, hash_family).alias("__sim")
+    )
+    inc = sig.select(
+        F.col("__id").alias("__inc_id"),
+        F.col("__sim").alias("__inc_sim"),
+        F.explode(_sim_chunk_array("__sim", bits, n_chunks)).alias("__c"),
+    ).select(
+        "__inc_id",
+        "__inc_sim",
+        F.col("__c.chunk_id").alias("__inc_chunk"),
+        F.col("__c.chunk_val").alias("__inc_val"),
+    )
+    ham = F.bit_count(
+        F.col("__inc_sim").bitwiseXOR(F.col("corpus_sim"))
+    )
+    return (
+        inc.join(
+            corpus_index,
+            (F.col("__inc_chunk") == F.col("chunk_id"))
+            & (F.col("__inc_val") == F.col("chunk_val")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("__inc_id").alias("doc_id"),
+            F.col("corpus_id").alias("dup_of"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 # --- duplicate-cluster canonicalization ------------------------------------
 
 

@@ -881,6 +881,63 @@ WHERE bit_count(xor(a.g, b.g)) <= 3
 """
 
 
+def q_dedup_simhash_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash near-dup, production path (xxhash64; see
+    the md5 twin for full DuckDB hash verification): even doc_ids play
+    the existing corpus, odd doc_ids the day-N+1 increment. The corpus
+    side is the persisted chunk index ONLY — verification is signature
+    arithmetic, the corpus text is touched zero times
+    (operators/dedup.py:simhash_dedup_against)."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    inc = docs.where(F.col("doc_id") % 2 == 1)
+    return dedup.simhash_dedup_against(inc, corpus, max_hamming=3)
+
+
+def q_dedup_simhash_against_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-hash twin of dedup_simhash_against (the same role
+    dedup_minhash_against's md5 family plays): the whole
+    sign->chunk->probe->Hamming pipeline replays in DuckDB and is
+    hash-gated."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    inc = docs.where(F.col("doc_id") % 2 == 1)
+    return dedup.simhash_dedup_against(
+        inc, corpus, max_hamming=3, hash_family="md5"
+    )
+
+
+_ORACLE_SIMHASH_AGAINST_MD5 = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS s FROM documents
+  WHERE len({_SHINGLES}) > 0
+),
+hs AS (
+  SELECT id, list_transform(s, x ->
+    CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS h
+  FROM sh
+),
+sig AS (
+  SELECT id, CAST(list_sum(list_transform(range(0, 60), k ->
+    CASE WHEN list_sum(list_transform(h, v ->
+      CASE WHEN (v >> k) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+    THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS g
+  FROM hs
+),
+chunked AS (
+  SELECT id, g, c.chunk_id,
+         (g >> CAST(15 * c.chunk_id AS INT)) & 32767 AS chunk_val
+  FROM sig, (SELECT unnest(range(0, 4)) AS chunk_id) c
+)
+SELECT DISTINCT i.id AS doc_id, c.id AS dup_of,
+  CAST(bit_count(xor(i.g, c.g)) AS INTEGER) AS hamming
+FROM chunked i JOIN chunked c
+  ON i.chunk_id = c.chunk_id AND i.chunk_val = c.chunk_val
+ AND i.id % 2 = 1 AND c.id % 2 = 0
+WHERE bit_count(xor(i.g, c.g)) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -1967,6 +2024,11 @@ LLM_REGISTRY: dict = {
     ),
     "dedup_simhash": (q_dedup_simhash, None),
     "dedup_simhash_md5": (q_dedup_simhash_md5, _ORACLE_SIMHASH_MD5),
+    "dedup_simhash_against": (q_dedup_simhash_against, None),
+    "dedup_simhash_against_md5": (
+        q_dedup_simhash_against_md5,
+        _ORACLE_SIMHASH_AGAINST_MD5,
+    ),
     "ann_topk": (q_ann_topk, _ORACLE_ANN_TOPK),
     "ann_topk_lsh": (q_ann_topk_lsh, _oracle_ann_topk_lsh()),
     "ann_topk_ivf": (q_ann_topk_ivf, _oracle_ann_topk_ivf()),

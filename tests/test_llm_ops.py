@@ -1345,3 +1345,49 @@ def test_containment_pairs_crafted(spark):
         for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
     }
     assert (1, 2) not in jac
+
+
+def test_simhash_dedup_against_index_and_guards(spark):
+    """r11 incremental SimHash: probing a PRE-BUILT chunk index gives
+    the same pairs as passing the corpus (and the index carries no
+    text); a near-dup increment doc is matched, a distant one is not;
+    exactly-one-of corpus/index is enforced."""
+    import pytest as _pt
+
+    from datafusion_uba_spark.operators import dedup
+
+    # long docs: SimHash majority votes need many shared shingles for
+    # a small edit to stay within a small Hamming budget
+    base = " ".join(f"token{i} word{i} item{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "completely unrelated catalyst shuffle text "
+                        "with many different words entirely")],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        [(1, base.replace("word7", "changed")), (3, "nothing alike at "
+          "all zebra quantum plasma xylophone")],
+        "doc_id long, text string",
+    )
+    direct = {
+        (r["doc_id"], r["dup_of"]): r["hamming"]
+        for r in dedup.simhash_dedup_against(
+            inc, corpus, max_hamming=10
+        ).collect()
+    }
+    assert (1, 0) in direct and (3, 0) not in direct and (3, 2) not in direct
+
+    idx = dedup.simhash_index(corpus, max_hamming=10)
+    assert "text" not in idx.columns  # signature-only corpus state
+    via_index = {
+        (r["doc_id"], r["dup_of"]): r["hamming"]
+        for r in dedup.simhash_dedup_against(
+            inc, corpus_index=idx, max_hamming=10
+        ).collect()
+    }
+    assert via_index == direct
+
+    with _pt.raises(ValueError, match="exactly one"):
+        dedup.simhash_dedup_against(inc, corpus, corpus_index=idx)
+    with _pt.raises(ValueError, match="exactly one"):
+        dedup.simhash_dedup_against(inc)

@@ -106,6 +106,7 @@ HEAVY = [
     "value_histogram",
     "customer_snapshot_diff",
     "training_mix",
+    "dedup_simhash_against",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
