@@ -20,6 +20,7 @@ from datafusion_uba_spark.operators.retention import (
     retention_sum,
 )
 from datafusion_uba_spark.operators import (  # noqa: F401
+    audiocodec,
     dedup,
     imagecodec,
     multimodal,
@@ -49,6 +50,7 @@ __all__ = [
     "sampling",
     "scd",
     "sketches",
+    "audiocodec",
 ]
 
 __version__ = "0.1.0"
