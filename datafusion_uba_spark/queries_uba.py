@@ -1215,6 +1215,49 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 """
 
 
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution on top of the interval join: each
+    purchase credits exactly ONE view — the nearest preceding one
+    (minimum delay; earliest view_id breaks exact ties, so the credit
+    is engine-deterministic). One row_number window over the pair
+    stream, partitioned by purchase — the multi-touch pair set is
+    bounded by rate x window per user, so the window input is already
+    small."""
+    from pyspark.sql import Window
+
+    pairs = q_view_purchase_attribution(spark, sf_dir)
+    w = Window.partitionBy("purchase_id").orderBy("delay_s", "view_id")
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "purchase_id", "view_id", "delay_s")
+    )
+
+
+_ORACLE_LAST_TOUCH = """
+WITH pairs AS (
+  SELECT v.user_id,
+         v.event_id AS view_id,
+         p.event_id AS purchase_id,
+         CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
+           AS delay_s
+  FROM events v JOIN events p
+    ON v.user_id = p.user_id
+   AND p.ts >= v.ts
+   AND p.ts <= v.ts + INTERVAL 3600 SECONDS
+  WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    AND v.ts >= TIMESTAMP '2024-01-05' AND v.ts < TIMESTAMP '2024-01-06'
+    AND p.ts >= TIMESTAMP '2024-01-05' AND p.ts < TIMESTAMP '2024-01-06'
+)
+SELECT user_id, purchase_id, view_id, delay_s FROM (
+  SELECT pairs.*,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY delay_s, view_id) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""
+
+
 # SCD2 change effective mid-window: events before it attribute to the
 # original segment, events after to the upgraded one
 _SCD_MID_S = 1_704_672_000  # 2024-01-08 UTC
@@ -1356,6 +1399,10 @@ UBA_REGISTRY: dict = {
     "view_purchase_attribution": (
         q_view_purchase_attribution,
         _ORACLE_ATTRIBUTION,
+    ),
+    "attribution_last_touch": (
+        q_attribution_last_touch,
+        _ORACLE_LAST_TOUCH,
     ),
     "events_segment_asof": (
         q_events_segment_asof,
