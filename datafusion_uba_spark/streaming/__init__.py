@@ -40,6 +40,7 @@ __all__ = [
     "streaming_user_day_flags",
     "streaming_funnel_flags",
     "attribution_join",
+    "streaming_counter_increase",
     "streaming_exact_dedup",
     "streaming_minhash_dedup_against",
     "streaming_rollup_refresh",
@@ -473,6 +474,149 @@ def attribution_join(
         F.expr("(unix_micros(__pts) - unix_micros(__vts)) DIV 1000000")
         .cast("long")
         .alias("delay_s"),
+    )
+
+
+def streaming_counter_increase(
+    events: DataFrame,
+    bucket_s: int = 86400,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming twin of rollup.counter_increase (reset-aware counter
+    deltas) — the module's second ``applyInPandasWithState`` operator:
+    the consecutive-sample diff depends on the PREVIOUS sample, which
+    no windowed aggregate can carry across micro-batches, so per-key
+    state persists exactly (last_t, last_v) — two longs per key, never
+    an event list.
+
+    Each micro-batch sorts its rows per key by (t, v) (the batch
+    twin's tie order), seeds the diff chain with the carried last
+    sample, and emits PARTIAL (key, bucket, n_samples, resets,
+    increase) rows in update mode; downstream sums partials per
+    (key, bucket) — partial sums equal the batch answer because the
+    diff chain is associative once the seed is carried.
+
+    Ordering contract (same discipline as streaming_funnel_flags): a
+    row at-or-below the key's event-time high-water mark would fold
+    the diff chain in the wrong order, so it is DROPPED and counted in
+    ``late_dropped`` — observable, never silently reordered. Ties
+    split across batches are likewise dropped (within one batch they
+    sort (t, v) like the batch twin).
+
+    State eviction: with ``watermark`` set, a key idle past the
+    watermark can be evicted — its diff chain re-seeds from scratch
+    (first row after eviction contributes 0, exactly the batch twin's
+    first-sample rule for a fresh key).
+
+    The key is emitted as STRING (static output schema over a generic
+    key column); join back on the cast if the caller keys by number.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if bucket_s <= 0:
+        raise ValueError("streaming_counter_increase: bucket_s must be > 0")
+    evict = watermark is not None and events.isStreaming
+    if evict:
+        events = events.withWatermark(ts_col, watermark)
+    base = events.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(ts_col),
+        F.unix_micros(F.col(ts_col)).alias("tus"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("bucket_s", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("resets", T.LongType()),
+            T.StructField("increase", T.LongType()),
+            T.StructField("late_dropped", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_t", T.LongType()),
+            T.StructField("last_v", T.LongType()),
+        ]
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        import numpy as np
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        has_prev = state.exists
+        if has_prev:
+            last_t, last_v = int(state.get[0]), int(state.get[1])
+        else:
+            last_t, last_v = -(1 << 62), 0
+        pdf = pd.concat(list(pdf_iter)).sort_values(
+            ["tus", "v"], kind="stable"
+        )
+        n_in = len(pdf)
+        pdf = pdf[pdf["tus"] > last_t]
+        late = n_in - len(pdf)
+        if not len(pdf):
+            if late:
+                yield pd.DataFrame(
+                    {
+                        "k": [key[0]], "bucket_s": [-1], "n_samples": [0],
+                        "resets": [0], "increase": [0], "late_dropped": [late],
+                    }
+                )
+            return
+        t = pdf["tus"].to_numpy(dtype="int64") // 1_000_000
+        v = pdf["v"].to_numpy(dtype="int64")
+        prev = np.concatenate(([last_v], v[:-1]))
+        diff = v - prev
+        contrib = np.where(diff >= 0, diff, np.maximum(v, 0))
+        reset = (diff < 0).astype("int64")
+        if not has_prev:
+            # first-ever sample: no interval to measure (batch twin's
+            # NULL-lag rule)
+            contrib[0] = 0
+            reset[0] = 0
+        bucket = (t // bucket_s) * bucket_s
+        out = (
+            pd.DataFrame(
+                {
+                    "bucket_s": bucket,
+                    "n_samples": 1,
+                    "resets": reset,
+                    "increase": contrib,
+                }
+            )
+            .groupby("bucket_s", as_index=False)
+            .sum()
+        )
+        out.insert(0, "k", key[0])
+        out["late_dropped"] = 0
+        if late:
+            out.loc[out.index[0], "late_dropped"] = late
+        state.update((int(pdf["tus"].max()), int(v[-1])))
+        if evict:
+            state.setTimeoutTimestamp(int(pdf["tus"].max()) // 1000 + 1)
+        yield out[
+            ["k", "bucket_s", "n_samples", "resets", "increase",
+             "late_dropped"]
+        ]
+
+    return base.groupBy("k").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evict
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

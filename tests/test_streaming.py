@@ -765,3 +765,118 @@ def test_attribution_join_crafted_window_edges(spark):
     assert got == {(100, 0), (101, 3600)}
     with _pt.raises(ValueError):
         attribution_join(views, purchases, window_s=0)
+
+
+def _counter_batch_want(batch_events):
+    from datafusion_uba_spark.operators.rollup import counter_increase
+
+    series = batch_events.select(
+        F.col("event_type").alias("k"),
+        F.expr("unix_micros(ts) DIV 1000000").alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("value"),
+    )
+    return {
+        (r["k"], r["bucket_s"]): (r["n_samples"], r["resets"], r["increase"])
+        for r in counter_increase(
+            series, 86400, ts_col="ts_s", key_col="k", value_col="value"
+        ).collect()
+    }
+
+
+def _counter_stream_got(spark, table):
+    agg = (
+        spark.table(table)
+        .where(F.col("bucket_s") >= 0)
+        .groupBy("k", "bucket_s")
+        .agg(
+            F.sum("n_samples").alias("n"),
+            F.sum("resets").alias("r"),
+            F.sum("increase").alias("i"),
+        )
+    )
+    return {
+        (r["k"], r["bucket_s"]): (r["n"], r["r"], r["i"])
+        for r in agg.collect()
+    }
+
+
+def test_streaming_counter_increase_parity(spark, batch_events):
+    """r11 second custom stateful operator: single-batch streamed
+    partials summed per (key, bucket) must equal the batch twin
+    exactly (cents values as the counter stream)."""
+    from datafusion_uba_spark.streaming import streaming_counter_increase
+
+    sdf = streaming_counter_increase(
+        _stream(spark).withColumn(
+            "value", F.round(F.col("value") * 100).cast("long")
+        )
+    )
+    assert sdf.isStreaming
+    run_to_memory(sdf, "counter_parity", output_mode="update")
+    got = _counter_stream_got(spark, "counter_parity")
+    assert got == _counter_batch_want(batch_events) and len(got) > 0
+
+
+def test_streaming_counter_increase_multi_batch_and_late(
+    spark, batch_events, tmp_path
+):
+    """Cross-batch diff-chain state: time-ordered files streamed one
+    per micro-batch must seed each batch's first diff with the carried
+    last sample and still sum to the batch answer; then a
+    contract-violating (unordered) split must DROP the out-of-order
+    rows and count them in late_dropped, never silently reorder."""
+    import os
+    import shutil
+
+    from datafusion_uba_spark.streaming import streaming_counter_increase
+
+    src = str(tmp_path / "ev_ctr")
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate(
+        [("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"),
+         ("2024-01-21", "2024-02-01")]
+    ):
+        stage = str(tmp_path / f"cstage{i}")
+        (
+            batch_events.where(F.to_date("ts") >= lo)
+            .where(F.to_date("ts") < hi)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(
+            os.path.join(stage, part), os.path.join(src, f"{i:02d}.parquet")
+        )
+    sdf = streaming_counter_increase(
+        stream_events(spark, src, max_files_per_trigger=1,
+                      path_glob_filter="*.parquet").withColumn(
+            "value", F.round(F.col("value") * 100).cast("long")
+        )
+    )
+    q = run_to_memory(sdf, "counter_incr_mb", output_mode="update")
+    assert len(q.recentProgress) >= 3
+    got = _counter_stream_got(spark, "counter_incr_mb")
+    assert got == _counter_batch_want(batch_events)
+    late = spark.table("counter_incr_mb").agg(
+        F.sum("late_dropped")
+    ).collect()[0][0]
+    assert late == 0  # ordered split: nothing dropped
+
+    # violating split: reverse the file order -> older batches arrive
+    # after newer ones and must be dropped-and-counted
+    src2 = str(tmp_path / "ev_ctr_rev")
+    os.makedirs(src2)
+    for i, name in enumerate(sorted(os.listdir(src), reverse=True)):
+        shutil.copy(os.path.join(src, name), os.path.join(src2, f"{i:02d}.parquet"))
+    sdf2 = streaming_counter_increase(
+        stream_events(spark, src2, max_files_per_trigger=1,
+                      path_glob_filter="*.parquet").withColumn(
+            "value", F.round(F.col("value") * 100).cast("long")
+        )
+    )
+    run_to_memory(sdf2, "counter_incr_rev", output_mode="update")
+    late2 = spark.table("counter_incr_rev").agg(
+        F.sum("late_dropped")
+    ).collect()[0][0]
+    assert late2 > 0
