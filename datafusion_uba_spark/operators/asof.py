@@ -62,7 +62,9 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: every left row, plus the payload of its nearest
     right row per key (backward: latest right_ts <= left_ts; forward:
-    earliest right_ts >= left_ts). Unmatched left rows keep NULLs.
+    earliest right_ts >= left_ts; nearest: whichever of the two is
+    closer in time, ties to backward — pandas merge_asof's rule).
+    Unmatched left rows keep NULLs.
 
     ``right_cols`` are the payload columns (default: all right columns
     except key + timestamp); they appear in the output as
@@ -70,12 +72,14 @@ def asof_join(
     (in the timestamp's own units) nulls out matches farther than that
     from the left timestamp.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward', or 'nearest'"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
-    _check_reserved(left, ("__t", "__src", "__carried", "__m"))
-    _check_reserved(right, ("__t", "__src", "__carried", "__m"))
+    _check_reserved(left, ("__t", "__src", "__carried", "__m", "__mb", "__mf"))
+    _check_reserved(right, ("__t", "__src", "__carried", "__m", "__mb", "__mf"))
     payload = right_cols or [
         c for c in right.columns if c not in (*keys, rts)
     ]
@@ -126,37 +130,58 @@ def asof_join(
     # the LARGEST payload struct win ties symmetrically (a carried
     # DESC here would silently flip forward ties to smallest-wins —
     # caught by test_asof_forward_tie_determinism)
-    if direction == "backward":
-        order = [F.col("__t").asc(), F.col("__src").asc(),
-                 F.col("__carried").asc()]
-    else:
-        order = [F.col("__t").desc(), F.col("__src").asc(),
-                 F.col("__carried").asc()]
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = unioned.withColumn(
-        "__m", F.last("__carried", ignorenulls=True).over(w)
-    ).where(F.col("__src") == 1)
-    # A NULL left timestamp never matches (NULL comparisons are false
-    # in a join): under the forward direction's DESC ordering Spark
-    # sorts NULLs LAST, so without this a NULL-ts left row would sit
-    # after every right row and carry one.
-    matched = matched.withColumn(
-        "__m", F.when(F.col("__t").isNotNull(), F.col("__m"))
-    )
-
-    if tolerance is not None:
-        tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
-        gap = (
-            F.col("__t") - F.col("__m.__rts")
-            if direction == "backward"
-            else F.col("__m.__rts") - F.col("__t")
+    def one_dir(src: DataFrame, d: str, out: str) -> DataFrame:
+        if d == "backward":
+            order = [F.col("__t").asc(), F.col("__src").asc(),
+                     F.col("__carried").asc()]
+        else:
+            order = [F.col("__t").desc(), F.col("__src").asc(),
+                     F.col("__carried").asc()]
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        matched = matched.withColumn(
-            "__m", F.when(gap <= tol, F.col("__m"))
+        m = F.last("__carried", ignorenulls=True).over(w)
+        # A NULL left timestamp never matches (NULL comparisons are
+        # false in a join): under the forward direction's DESC
+        # ordering Spark sorts NULLs LAST, so without the guard a
+        # NULL-ts left row would sit after every right row and carry
+        # one.
+        m = F.when(F.col("__t").isNotNull(), m)
+        if tolerance is not None:
+            tol = (
+                tolerance
+                if isinstance(tolerance, Column)
+                else F.lit(tolerance)
+            )
+            gap = (
+                F.col("__t") - m["__rts"]
+                if d == "backward"
+                else m["__rts"] - F.col("__t")
+            )
+            m = F.when(gap <= tol, m)
+        return src.withColumn(out, m)
+
+    if direction in ("backward", "forward"):
+        matched = one_dir(unioned, direction, "__m").where(
+            F.col("__src") == 1
+        )
+    else:
+        # nearest: BOTH direction passes over the same union — one
+        # shuffle (same key partitioning), two in-partition sorts —
+        # then pick the closer match, ties to backward (pandas
+        # merge_asof's rule)
+        both = one_dir(one_dir(unioned, "backward", "__mb"),
+                       "forward", "__mf").where(F.col("__src") == 1)
+        gap_b = F.col("__t") - F.col("__mb.__rts")
+        gap_f = F.col("__mf.__rts") - F.col("__t")
+        matched = both.withColumn(
+            "__m",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(gap_b <= gap_f, F.col("__mb"))
+            .otherwise(F.col("__mf")),
         )
 
     out_cols = [F.col(c) for c in l_cols]

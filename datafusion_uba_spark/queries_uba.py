@@ -280,6 +280,86 @@ FROM p ASOF LEFT JOIN v
 """
 
 
+def q_asof_nearest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of (r11): every purchase joined to the
+    closest view in EITHER direction within 1 day, ties to backward
+    (pandas merge_asof's rule). DuckDB has no nearest ASOF, so the
+    oracle replays both directed extremes with windows over the
+    union-tagged stream and picks by distance — the same composition
+    the operator runs."""
+    from datafusion_uba_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_type",
+        "value",
+    )
+    purchases = base.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("tus").alias("purchase_us")
+    )
+    views = (
+        base.where(F.col("event_type") == "view")
+        .groupBy("user_id", "tus")
+        .agg(F.max("value").alias("view_value"))
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="purchase_us",
+        right_ts="tus",
+        right_cols=["view_value"],
+        direction="nearest",
+        tolerance=_ASOF_TOL_US,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "purchase_us",
+        F.col("tus_asof").alias("view_us"),
+        F.col("view_value_asof").alias("view_value"),
+    )
+
+
+_ORACLE_ASOF_NEAREST = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type, value
+  FROM events
+),
+p AS (SELECT event_id, user_id, tus AS purchase_us FROM e
+      WHERE event_type = 'purchase'),
+v AS (SELECT user_id, tus, max(value) AS view_value FROM e
+      WHERE event_type = 'view' GROUP BY user_id, tus),
+back AS (
+  SELECT p.event_id, v.tus AS bts, v.view_value AS bval,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY v.tus DESC) AS rn
+  FROM p JOIN v ON p.user_id = v.user_id AND v.tus <= p.purchase_us
+   AND p.purchase_us - v.tus <= {_ASOF_TOL_US}
+),
+fwd AS (
+  SELECT p.event_id, v.tus AS fts, v.view_value AS fval,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY v.tus ASC) AS rn
+  FROM p JOIN v ON p.user_id = v.user_id AND v.tus >= p.purchase_us
+   AND v.tus - p.purchase_us <= {_ASOF_TOL_US}
+)
+SELECT p.event_id, p.user_id, p.purchase_us,
+       CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL OR
+                 p.purchase_us - b.bts <= f.fts - p.purchase_us)
+            THEN b.bts ELSE f.fts END AS view_us,
+       CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL OR
+                 p.purchase_us - b.bts <= f.fts - p.purchase_us)
+            THEN b.bval ELSE f.fval END AS view_value
+FROM p
+LEFT JOIN (SELECT * FROM back WHERE rn = 1) b USING (event_id)
+LEFT JOIN (SELECT * FROM fwd WHERE rn = 1) f USING (event_id)
+"""
+
+
 _RJ_BUCKET_US = 30 * 60 * 1_000_000  # range-join bucket = the gap width
 
 
@@ -1369,6 +1449,7 @@ UBA_REGISTRY: dict = {
     "returning_users": (q_returning_users, _ORACLE_RETURNING),
     "returning_users_hll": (q_returning_users_hll, None),
     "session_stats": (q_session_stats, _ORACLE_SESSION_STATS),
+    "asof_nearest_value": (q_asof_nearest_value, _ORACLE_ASOF_NEAREST),
     "cohort_retention_weekly": (
         q_cohort_retention_weekly,
         _ORACLE_COHORT_RETENTION_WEEKLY,

@@ -157,3 +157,38 @@ def test_asof_matches_model(spark, left, right, direction):
         ).collect()
     }
     assert got == _model(set(left), set(right) or {(0, 0, 0)}, direction)
+
+
+def test_asof_nearest_ties_to_backward(spark):
+    """r11 nearest direction: equidistant right rows resolve to the
+    BACKWARD match (pandas merge_asof's rule); one-sided cases fall
+    back to whichever direction has a match; tolerance applies per
+    direction."""
+    from datafusion_uba_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 250), (3, 1, 400), (4, 2, 10)],
+        "id long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "b90"), (1, 110, "f110"),   # id1: 10 both ways -> b90
+         (1, 260, "f260"),                    # id2: fwd 10 vs back 140
+         (1, 390, "b390")],                   # id3: back 10 (no fwd)
+        "k long, ts long, tag string",
+    )
+    got = {
+        r["id"]: (r["ts_asof"], r["tag_asof"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["tag"], direction="nearest", tolerance=50,
+        ).collect()
+    }
+    assert got[1] == (90, "b90")      # tie -> backward
+    assert got[2] == (260, "f260")    # forward closer
+    assert got[3] == (390, "b390")    # only backward in tolerance
+    assert got[4] == (None, None)     # no right rows for key 2
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                  direction="sideways")
