@@ -107,6 +107,8 @@ HEAVY = [
     "customer_snapshot_diff",
     "training_mix",
     "dedup_simhash_against",
+    "attribution_last_touch",
+    "asof_nearest_value",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
