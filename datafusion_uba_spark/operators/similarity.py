@@ -1096,3 +1096,89 @@ def embedding_neardup_pairs(
         " AS BIGINT) AS cosine_u",
     )
     return cand.where(F.col("cosine_u") >= int(round(threshold * 1_000_000)))
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid profile in exact integer micro-units — the
+    labeled-corpus diagnostic behind IVF seeding, class-balance
+    checks, and embedding-drift monitors. Output is FLAT (one row per
+    (label, dim)): at 100 TB a flat (label, dim) grid aggregates in
+    one hash pass with map-side combine and needs no array
+    reassembly; consumers pivot the ≤ |labels| x dim result wherever
+    they need vectors.
+
+    Exactness: elements quantize to micro-units BEFORE summing (the
+    module's standard: integer sums are order-independent, float sums
+    are not), and the centroid is a truncating integer division.
+
+    Output: (label, dim, n_vecs, sum_q, centroid_q)."""
+    q = emb.select(
+        F.col(label_col).alias("__l"), quantize(vec_col).alias("__q")
+    )
+    exploded = q.select(
+        "__l", F.posexplode("__q").alias("dim", "__v")
+    )
+    return (
+        exploded.groupBy("__l", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("__v").alias("sum_q"),
+        )
+        .select(
+            F.col("__l").alias(label_col),
+            F.col("dim").cast("long").alias("dim"),
+            "n_vecs",
+            "sum_q",
+            F.expr("sum_q DIV n_vecs").alias("centroid_q"),
+        )
+    )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the evaluation harness as a first-class DataFrame operator, so
+    index-quality monitoring runs in the same engine as the index
+    (score a daily sample, alert when recall drifts below the floor).
+
+    Per query: hits = |approx ∩ exact| over each side's first k rows,
+    recall_bp = floor(hits * 10000 / k). One equi-join on
+    (query, id) + one hash aggregate; queries with NO approx rows
+    still report (0 hits) via the exact side's distinct query list.
+
+    Output: (query_id, hits, recall_bp)."""
+    if k < 1:
+        raise ValueError("recall_at_k: k must be >= 1")
+    ex = exact.where(F.col("rank") <= k).select(
+        F.col(query_col).alias("__qq"), F.col(id_col).alias("__id")
+    )
+    ap = approx.where(F.col("rank") <= k).select(
+        F.col(query_col).alias("__qq"), F.col(id_col).alias("__id")
+    )
+    hits = (
+        ex.join(ap, ["__qq", "__id"])
+        .groupBy("__qq")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    qs = ex.select("__qq").distinct()
+    return (
+        qs.join(hits, "__qq", "left")
+        .select(
+            F.col("__qq").alias(query_col),
+            F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),
+            F.floor(
+                F.coalesce(F.col("hits"), F.lit(0)) * 10000 / F.lit(k)
+            )
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )

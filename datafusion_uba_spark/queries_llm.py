@@ -990,6 +990,62 @@ FROM ranked WHERE rank <= {_TOPK}
 """
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid profile (operators/similarity.py
+    label_centroids): flat (label, dim) grid of exact micro-unit sums
+    and truncating-division centroids — one posexplode + one hash
+    aggregate with map-side combine, no array reassembly."""
+    emb = _emb(spark, sf_dir)
+    return similarity.label_centroids(emb)
+
+
+_ORACLE_LABEL_CENTROIDS = f"""
+WITH q AS (SELECT label, {_QUANT} AS v FROM embeddings),
+e AS (
+  SELECT label, CAST(t.i - 1 AS BIGINT) AS dim,
+         v[CAST(t.i AS INT)] AS val
+  FROM q, unnest(range(1, len(v) + 1)) AS t(i)
+)
+SELECT label, dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(val) AS BIGINT) AS sum_q,
+       CAST(CAST(sum(val) AS BIGINT) // count(*) AS BIGINT) AS centroid_q
+FROM e GROUP BY label, dim
+"""
+
+
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH index against brute force, computed as a
+    DataFrame operator (operators/similarity.py recall_at_k) — the
+    index-quality monitor running in the same engine as the index.
+    Both inputs and the metric replay exactly in DuckDB, so even this
+    evaluation row is hash-gated."""
+    emb = _emb(spark, sf_dir)
+    exact = similarity.cosine_topk(emb, _query_vectors(emb), k=_TOPK)
+    approx = q_ann_topk_lsh(spark, sf_dir)
+    return similarity.recall_at_k(approx, exact, k=_TOPK)
+
+
+def _oracle_ann_recall_lsh() -> str:
+    return f"""
+WITH flat AS ({_ORACLE_ANN_TOPK}),
+lsh AS ({_oracle_ann_topk_lsh()}),
+ex AS (SELECT query_id, vec_id FROM flat WHERE rank <= {_TOPK}),
+ap AS (SELECT query_id, vec_id FROM lsh WHERE rank <= {_TOPK}),
+h AS (
+  SELECT ex.query_id, count(*) AS hits
+  FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+  GROUP BY ex.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       CAST(floor(coalesce(h.hits, 0) * 10000 / {_TOPK}) AS BIGINT)
+         AS recall_bp
+FROM (SELECT DISTINCT query_id FROM ex) q
+LEFT JOIN h USING (query_id)
+"""
+
+
 def _plane_literal(plane: list[int]) -> str:
     return "[" + ", ".join(str(v) for v in plane) + "]"
 
@@ -2034,6 +2090,8 @@ LLM_REGISTRY: dict = {
     "ann_topk_ivf": (q_ann_topk_ivf, _oracle_ann_topk_ivf()),
     "ann_topk_pq": (q_ann_topk_pq, _oracle_ann_topk_pq()),
     "ann_topk_auto": (q_ann_topk_auto, _ORACLE_ANN_TOPK),
+    "label_centroids": (q_label_centroids, _ORACLE_LABEL_CENTROIDS),
+    "ann_recall_lsh": (q_ann_recall_lsh, _oracle_ann_recall_lsh()),
     "embedding_neardup": (q_embedding_neardup, _oracle_embedding_neardup()),
     "multimodal_stats": (q_multimodal_stats, _ORACLE_MULTIMODAL),
     "image_decode_stats": (q_image_decode_stats, _oracle_image_decode()),

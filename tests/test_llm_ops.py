@@ -1391,3 +1391,29 @@ def test_simhash_dedup_against_index_and_guards(spark):
         dedup.simhash_dedup_against(inc, corpus, corpus_index=idx)
     with _pt.raises(ValueError, match="exactly one"):
         dedup.simhash_dedup_against(inc)
+
+
+def test_recall_at_k_crafted(spark):
+    """r11 eval harness: hand-computed recall — full overlap, half
+    overlap, zero-approx-rows query reported as 0, k guard."""
+    import pytest as _pt
+
+    from datafusion_uba_spark.operators.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2),
+         (3, 30, 1), (3, 31, 2)],
+        "query_id long, vec_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2),    # q1: 2/2
+         (2, 20, 1), (2, 99, 2)],   # q2: 1/2; q3: no rows -> 0
+        "query_id long, vec_id long, rank int",
+    )
+    got = {
+        r["query_id"]: (r["hits"], r["recall_bp"])
+        for r in recall_at_k(approx, exact, k=2).collect()
+    }
+    assert got == {1: (2, 10000), 2: (1, 5000), 3: (0, 0)}
+    with _pt.raises(ValueError):
+        recall_at_k(approx, exact, k=0)

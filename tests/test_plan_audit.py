@@ -32,6 +32,9 @@ _NLJ_ALLOWED = {
     # the dispatcher in its flat regime IS ann_topk (same broadcast
     # scorer crossJoin)
     "ann_topk_auto",
+    # the recall monitor RUNS the brute-force scorer as its exact
+    # side, so it inherits ann_topk's designed broadcast crossJoin
+    "ann_recall_lsh",
     # the designed broadcast ADC scorer: compressed code rows x the
     # broadcast per-query LUT table (operators/pq.py pq_topk) — the
     # corpus side is ~8 bytes/row codes, never the vectors

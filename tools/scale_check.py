@@ -109,6 +109,8 @@ HEAVY = [
     "dedup_simhash_against",
     "attribution_last_touch",
     "asof_nearest_value",
+    "label_centroids",
+    "ann_recall_lsh",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
