@@ -23,7 +23,7 @@ strategy DuckDB's IEJoin-less engines and Spark's own
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -82,5 +82,80 @@ def range_join(
         .select(
             *points.columns,
             *[F.col(f"__ivl.{c}").alias(c) for c in ivl_payload],
+        )
+    )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str = "key",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key into maximal
+    islands — the classic gaps-and-islands reduction behind coverage
+    metrics (ad viewability, on-call coverage, machine uptime):
+    half-open [start, end) intervals that overlap OR touch
+    (next.start <= current max end) fuse; the output is the disjoint
+    island set.
+
+    Plan: one key-partition sort; island ids come from a running max
+    of end over (start, end) order — a new island starts exactly when
+    a start exceeds every previous end — then one hash aggregate per
+    island. Zero-or-negative-length intervals raise in-plan (a
+    silent end < start row would corrupt the running max).
+
+    Output: (key, island_start, island_end, n_intervals,
+    covered = island_end - island_start)."""
+    b = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(start_col).cast("long").alias("__s"),
+        F.col(end_col).cast("long").alias("__e"),
+    ).withColumn(
+        "__e",
+        F.when(
+            F.col("__e") <= F.col("__s"),
+            F.raise_error(
+                F.concat(
+                    F.lit("merge_intervals: empty or inverted interval ["),
+                    F.col("__s").cast("string"),
+                    F.lit(", "),
+                    F.col("__e").cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__e")),
+    )
+    w = Window.partitionBy("__k").orderBy("__s", "__e")
+    # running max of end over all PRIOR intervals (exclude current):
+    # a new island starts when this start exceeds it
+    prior_max = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = b.withColumn(
+        "__new",
+        F.when(
+            prior_max.isNull() | (F.col("__s") > prior_max), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "__island",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("__k", "__island")
+        .agg(
+            F.min("__s").alias("island_start"),
+            F.max("__e").alias("island_end"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            "island_start",
+            "island_end",
+            "n_intervals",
+            (F.col("island_end") - F.col("island_start")).alias("covered"),
         )
     )

@@ -360,6 +360,76 @@ LEFT JOIN (SELECT * FROM fwd WHERE rn = 1) f USING (event_id)
 """
 
 
+def q_user_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval merge / coverage (operators/interval.py
+    merge_intervals): each event opens a deterministic activity
+    interval (duration 60 + event_id % 600 seconds); overlapping or
+    touching intervals per user fuse into islands, and the per-user
+    report is island count, covered seconds, and the longest island —
+    the viewability/uptime reduction. One key-partition sort + two
+    hash aggregates."""
+    from datafusion_uba_spark.operators.interval import merge_intervals
+
+    ev = load_table(
+        spark, sf_dir, "events",
+        date_bounds={"ts": ("2024-01-05", "2024-01-06")},
+    )
+    iv = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 1000000").alias("start"),
+        (
+            F.expr("unix_micros(ts) DIV 1000000")
+            + 60 + F.col("event_id") % 600
+        ).alias("end"),
+    )
+    islands = merge_intervals(iv, "user_id", "start", "end")
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("covered").alias("covered_s"),
+        F.max("covered").alias("longest_s"),
+        F.sum("n_intervals").alias("n_intervals"),
+    )
+
+
+_ORACLE_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id,
+         (epoch_us(ts) // 1000000) AS s,
+         (epoch_us(ts) // 1000000) + 60 + event_id % 600 AS e
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, island, min(s) AS i_start, max(e) AS i_end,
+         count(*) AS n_iv
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(i_end - i_start) AS BIGINT) AS covered_s,
+       CAST(max(i_end - i_start) AS BIGINT) AS longest_s,
+       CAST(sum(n_iv) AS BIGINT) AS n_intervals
+FROM merged GROUP BY user_id
+"""
+
+
 _RJ_BUCKET_US = 30 * 60 * 1_000_000  # range-join bucket = the gap width
 
 
@@ -1450,6 +1520,10 @@ UBA_REGISTRY: dict = {
     "returning_users_hll": (q_returning_users_hll, None),
     "session_stats": (q_session_stats, _ORACLE_SESSION_STATS),
     "asof_nearest_value": (q_asof_nearest_value, _ORACLE_ASOF_NEAREST),
+    "user_interval_coverage": (
+        q_user_interval_coverage,
+        _ORACLE_INTERVAL_COVERAGE,
+    ),
     "cohort_retention_weekly": (
         q_cohort_retention_weekly,
         _ORACLE_COHORT_RETENTION_WEEKLY,

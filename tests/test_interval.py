@@ -83,3 +83,37 @@ def test_range_join_matches_model(spark, pts, ivls, width):
     }
     want = _model(pts, ivls) if ivls else set()
     assert got == want
+
+
+def test_merge_intervals_crafted(spark):
+    """r11 gaps-and-islands merge: overlap fuses, touching fuses
+    (half-open), a gap splits, containment collapses; empty/inverted
+    intervals raise in-plan."""
+    import pytest as _pt
+    from pyspark.errors import SparkRuntimeException
+
+    from datafusion_uba_spark.operators.interval import merge_intervals
+
+    rows = [
+        ("a", 0, 10), ("a", 5, 20),    # overlap -> [0, 20)
+        ("a", 20, 30),                 # touches -> fuses to [0, 30)
+        ("a", 40, 50),                 # gap -> new island
+        ("a", 41, 45),                 # contained -> same island
+        ("b", 100, 101),
+    ]
+    df = spark.createDataFrame(rows, "key string, start long, end long")
+    got = {
+        (r["key"], r["island_start"]): (
+            r["island_end"], r["n_intervals"], r["covered"]
+        )
+        for r in merge_intervals(df).collect()
+    }
+    assert got == {
+        ("a", 0): (30, 3, 30),
+        ("a", 40): (50, 2, 10),
+        ("b", 100): (101, 1, 1),
+    }
+
+    bad = spark.createDataFrame([("a", 5, 5)], "key string, start long, end long")
+    with _pt.raises(SparkRuntimeException, match="empty or inverted"):
+        merge_intervals(bad).collect()

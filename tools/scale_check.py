@@ -111,6 +111,7 @@ HEAVY = [
     "asof_nearest_value",
     "label_centroids",
     "ann_recall_lsh",
+    "user_interval_coverage",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
