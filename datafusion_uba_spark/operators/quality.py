@@ -31,6 +31,7 @@ __all__ = [
     "fk_check_with_parent_rows",
     "equi_depth_histogram",
     "table_diff",
+    "key_skew_profile",
 ]
 
 
@@ -371,4 +372,67 @@ def table_diff(
             status.alias("diff_status"),
         )
         .where(F.col("diff_status").isNotNull())
+    )
+
+
+def key_skew_profile(
+    df: DataFrame, key_cols: list[str], top_n: int = 10
+) -> DataFrame:
+    """Skew diagnostic for a prospective join/aggregation key — the
+    question to ask BEFORE shipping a shuffle at 100 TB: how much of
+    the table lands on the hottest reducer? One row per profiled key
+    column set: total rows, distinct keys, and the occupancy of the
+    top-1 and top-``top_n`` keys in exact basis points. top1_bp near
+    10000/n_partitions is healthy; top1_bp in the thousands means the
+    hottest key alone saturates one task — salt it or let AQE's skew
+    join split it.
+
+    Plan: one hash aggregate to per-key counts; the totals (sum,
+    count, max) ride ONE aggregate over that frame, and the top-n
+    slice is a TakeOrderedAndProject (sort+limit — never a global
+    sort of the key space); the two one-row partials combine by union,
+    so no one-row join appears anywhere.
+
+    Output: (key, n_rows, n_distinct, top1_bp, topn_bp)."""
+    if not key_cols:
+        raise ValueError("key_skew_profile: need at least one key column")
+    if top_n < 1:
+        raise ValueError("key_skew_profile: top_n must be >= 1")
+    per_key = df.groupBy(
+        *[F.col(k) for k in key_cols]
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    totals = per_key.agg(
+        F.sum("__n").cast("long").alias("__rows"),
+        F.count(F.lit(1)).cast("long").alias("__distinct"),
+        F.max("__n").cast("long").alias("__top1"),
+        F.lit(0).cast("long").alias("__topn"),
+    )
+    topn = (
+        per_key.orderBy(
+            F.col("__n").desc(), *[F.col(k).asc() for k in key_cols]
+        )
+        .limit(top_n)
+        .agg(
+            F.lit(0).cast("long").alias("__rows"),
+            F.lit(0).cast("long").alias("__distinct"),
+            F.lit(0).cast("long").alias("__top1"),
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("__topn"),
+        )
+    )
+    combined = totals.unionByName(topn).agg(
+        F.sum("__rows").alias("n_rows"),
+        F.sum("__distinct").alias("n_distinct"),
+        F.sum("__top1").alias("__top1"),
+        F.sum("__topn").alias("__topn"),
+    )
+    return combined.select(
+        F.lit("+".join(key_cols)).alias("key"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.floor(F.col("__top1") * 10000 / F.col("n_rows"))
+        .cast("long")
+        .alias("top1_bp"),
+        F.floor(F.col("__topn") * 10000 / F.col("n_rows"))
+        .cast("long")
+        .alias("topn_bp"),
     )

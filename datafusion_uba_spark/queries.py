@@ -2215,6 +2215,41 @@ WHERE CASE WHEN new.c_custkey IS NULL THEN 'only_a'
 """
 
 
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics (operators/quality.py
+    key_skew_profile) for the two keys every UBA shuffle rides:
+    events.user_id and events.event_type. One hash aggregate per key
+    set; top-n via TakeOrderedAndProject; partials combine by union —
+    no global sort, no one-row join."""
+    from datafusion_uba_spark.operators import quality
+
+    ev = load_table(spark, sf_dir, "events")
+    return quality.key_skew_profile(
+        ev, ["user_id"], top_n=10
+    ).unionByName(quality.key_skew_profile(ev, ["event_type"], top_n=10))
+
+
+_ORACLE_KEY_SKEW = """
+WITH u AS (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1),
+t AS (SELECT event_type AS k, count(*) AS n FROM events GROUP BY 1),
+utop AS (SELECT sum(n) AS s FROM (SELECT n FROM u ORDER BY n DESC, k LIMIT 10)),
+ttop AS (SELECT sum(n) AS s FROM (SELECT n FROM t ORDER BY n DESC, k LIMIT 10))
+SELECT 'user_id' AS key,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(floor(max(n) * 10000 / sum(n)) AS BIGINT) AS top1_bp,
+       CAST(floor((SELECT s FROM utop) * 10000 / sum(n)) AS BIGINT)
+         AS topn_bp
+FROM u
+UNION ALL
+SELECT 'event_type',
+       CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(floor(max(n) * 10000 / sum(n)) AS BIGINT),
+       CAST(floor((SELECT s FROM ttop) * 10000 / sum(n)) AS BIGINT)
+FROM t
+"""
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout keys: the Morton key every event would be
     laid out by under ``zorder_layout(events, [user_id, cents])``
@@ -2344,6 +2379,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         q_customer_snapshot_diff,
         _ORACLE_CUSTOMER_DIFF,
     ),
+    "key_skew_profile": (q_key_skew_profile, _ORACLE_KEY_SKEW),
 }
 
 # LLM-training-data-pipeline inventory (dedup / similarity / text /

@@ -920,3 +920,30 @@ def test_table_diff_crafted(spark):
         table_diff(dup, b, ["k"]).collect()
     with _pt.raises(ValueError):
         table_diff(a, b, [])
+
+
+def test_key_skew_profile_crafted(spark):
+    """r11 skew diagnostic: hand-computed occupancies on a crafted
+    skew (one key holds 80%), no global sort in the plan (top-n is
+    TakeOrderedAndProject), guards."""
+    import pytest as _pt
+
+    from datafusion_uba_spark.operators.quality import key_skew_profile
+
+    rows = [("hot",)] * 80 + [(f"k{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_profile(df, ["k"], top_n=5).collect()[0]
+    assert (r["key"], r["n_rows"], r["n_distinct"]) == ("k", 100, 21)
+    assert r["top1_bp"] == 8000          # hot = 80/100
+    assert r["topn_bp"] == 8400          # hot + 4 singletons
+    plan = (
+        key_skew_profile(df, ["k"], top_n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    with _pt.raises(ValueError):
+        key_skew_profile(df, [], top_n=5)
+    with _pt.raises(ValueError):
+        key_skew_profile(df, ["k"], top_n=0)

@@ -112,6 +112,7 @@ HEAVY = [
     "label_centroids",
     "ann_recall_lsh",
     "user_interval_coverage",
+    "key_skew_profile",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
