@@ -880,3 +880,65 @@ def test_streaming_counter_increase_multi_batch_and_late(
         F.sum("late_dropped")
     ).collect()[0][0]
     assert late2 > 0
+
+
+def test_streaming_counter_increase_evicts_state(spark, tmp_path):
+    """r11 eviction: with a watermark, a key idle past the watermark
+    is removed via event-time timeout, and its next sample re-seeds
+    the diff chain (contributes 0, the fresh-key rule) instead of
+    diffing against the evicted value — pinned by crafted values
+    where the two behaviors differ."""
+    import os
+
+    import pandas as pd
+
+    from datafusion_uba_spark.streaming import streaming_counter_increase
+
+    src = str(tmp_path / "ev_evict")
+    os.makedirs(src)
+
+    def write(i, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                          "event_type", "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        stage = str(tmp_path / f"estage{i}")
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        import shutil
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, part),
+                    os.path.join(src, f"{i:02d}.parquet"))
+
+    # batch 1: key A counts 100 -> 150 (+50)
+    write(0, [(1, 1, "A", "2024-01-01 00:00:00", 100),
+              (2, 1, "A", "2024-01-01 00:10:00", 150)])
+    # batch 2: key B far ahead — after this batch the watermark
+    # advances hours past A's last event + timeout
+    write(1, [(3, 1, "B", "2024-01-01 06:00:00", 7)])
+    # batch 3: B again — timeouts are evaluated for IDLE keys at the
+    # start of a batch using the PREVIOUS batch's watermark, so THIS
+    # batch is where A's state actually times out and is removed
+    write(2, [(4, 1, "B", "2024-01-01 06:30:00", 9)])
+    # batch 4: A returns BELOW its old value: with carried state this
+    # would be a reset (+30 clamped); with eviction it re-seeds (+0)
+    write(3, [(5, 1, "A", "2024-01-01 07:00:00", 30),
+              (6, 1, "A", "2024-01-01 07:05:00", 40)])
+
+    sdf = streaming_counter_increase(
+        stream_events(spark, src, max_files_per_trigger=1,
+                      path_glob_filter="*.parquet"),
+        bucket_s=86400,
+        watermark="1 hour",
+    )
+    run_to_memory(sdf, "counter_evict", output_mode="update")
+    agg = (
+        spark.table("counter_evict")
+        .groupBy("k")
+        .agg(F.sum("increase").alias("inc"), F.sum("resets").alias("r"))
+    )
+    got = {r["k"]: (r["inc"], r["r"]) for r in agg.collect()}
+    # A: +50 in batch 1; after eviction batch 4 re-seeds (30
+    # contributes 0) then +10 — carried state would read (90, 1)
+    assert got["A"] == (60, 0), got
+    assert got["B"] == (2, 0)  # 7 -> 9
