@@ -60,19 +60,35 @@ def _admitted(path: str, box) -> tuple[int, int]:
 def test_zorder_prunes_2d_box_better_than_linear_sort(spark, grid, tmp_path):
     lin_path = str(tmp_path / "linear")
     z_path = str(tmp_path / "zorder")
-    (
-        grid.repartitionByRange(N_FILES, "x")
-        .sortWithinPartitions("x")
-        .write.parquet(lin_path)
+    # the comparison is statistical (range-partitioner boundaries come
+    # from reservoir samples); 10x the default sample size tightens
+    # both layouts' file boundaries so the >= 2x pruning margin holds
+    # under any executor scheduling (one in-suite flake observed at
+    # the default 100 samples/partition)
+    prev = spark.conf.get(
+        "spark.sql.execution.rangeExchange.sampleSizePerPartition", "100"
     )
-    zdf = layout.zorder_layout(
-        grid,
-        ["x", "y"],
-        bits=BITS,
-        n_files=N_FILES,
-        bounds={"x": (0, 255), "y": (0, 255)},
+    spark.conf.set(
+        "spark.sql.execution.rangeExchange.sampleSizePerPartition", "1000"
     )
-    zdf.drop("__z").write.parquet(z_path)
+    try:
+        (
+            grid.repartitionByRange(N_FILES, "x")
+            .sortWithinPartitions("x")
+            .write.parquet(lin_path)
+        )
+        zdf = layout.zorder_layout(
+            grid,
+            ["x", "y"],
+            bits=BITS,
+            n_files=N_FILES,
+            bounds={"x": (0, 255), "y": (0, 255)},
+        )
+        zdf.drop("__z").write.parquet(z_path)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.rangeExchange.sampleSizePerPartition", prev
+        )
 
     lin_adm, lin_tot = _admitted(lin_path, BOX)
     z_adm, z_tot = _admitted(z_path, BOX)
