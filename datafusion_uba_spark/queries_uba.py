@@ -600,6 +600,93 @@ FROM c GROUP BY 1, 2
 """
 
 
+def q_cohort_ltv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort LTV curve (r11) — the revenue twin of the
+    retention triangle: for each signup-cohort week (a user's first
+    ACTIVE week, same cohort definition as cohort_retention_weekly)
+    and each week offset, the purchase revenue that cohort generated
+    that week, how many of its users paid, and the CUMULATIVE revenue
+    through that offset — the curve product/finance actually reads
+    ("how much has the January cohort earned by week 6?").
+
+    Plan: one (user, week) hash aggregate carrying the conditional
+    revenue sum, the cohort week as a window min over the same user
+    key (AQE reuses the layout), a (cohort, offset) rollup, and the
+    cumulative sum as a window over the tiny triangle itself. Exact
+    integer cents throughout."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("__c"),
+    )
+    per_uw = base.groupBy("user_id", "week").agg(
+        F.sum("__c").alias("__c")
+    )
+    w = Window.partitionBy("user_id")
+    r = per_uw.withColumn("cohort_week", F.min("week").over(w))
+    tri = (
+        r.groupBy(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            F.expr("CAST(datediff(week, cohort_week) div 7 AS INT)").alias(
+                "week_offset"
+            ),
+        )
+        .agg(
+            F.sum("__c").alias("revenue_cents"),
+            F.sum((F.col("__c") > 0).cast("long")).alias("n_payers"),
+        )
+    )
+    cw = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tri.withColumn(
+        "cum_revenue_cents", F.sum("revenue_cents").over(cw)
+    )
+
+
+_ORACLE_COHORT_LTV = """
+WITH base AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS c
+  FROM events
+),
+per_uw AS (
+  SELECT user_id, week, CAST(sum(c) AS BIGINT) AS c
+  FROM base GROUP BY user_id, week
+),
+r AS (
+  SELECT user_id, week, c,
+         min(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM per_uw
+),
+tri AS (
+  SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+         CAST((week - cohort_week) // 7 AS INT) AS week_offset,
+         CAST(sum(c) AS BIGINT) AS revenue_cents,
+         CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_payers
+  FROM r GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, revenue_cents, n_payers,
+       CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week
+                                     ORDER BY week_offset
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_revenue_cents
+FROM tri
+"""
+
+
 def q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DAU: per-day distinct users + event volume. The exact
     COUNT(DISTINCT) is the two-shuffle plan (partial distinct on
@@ -1519,6 +1606,7 @@ UBA_REGISTRY: dict = {
     "returning_users": (q_returning_users, _ORACLE_RETURNING),
     "returning_users_hll": (q_returning_users_hll, None),
     "session_stats": (q_session_stats, _ORACLE_SESSION_STATS),
+    "cohort_ltv_weekly": (q_cohort_ltv_weekly, _ORACLE_COHORT_LTV),
     "asof_nearest_value": (q_asof_nearest_value, _ORACLE_ASOF_NEAREST),
     "user_interval_coverage": (
         q_user_interval_coverage,

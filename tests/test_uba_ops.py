@@ -947,3 +947,55 @@ def test_key_skew_profile_crafted(spark):
         key_skew_profile(df, [], top_n=5)
     with _pt.raises(ValueError):
         key_skew_profile(df, ["k"], top_n=0)
+
+
+def test_cohort_ltv_crafted(spark):
+    """r11 LTV triangle: hand-computed revenue/cumulative math — a
+    cohort with purchases in weeks 0 and 2, an active-but-unpaying
+    week 1 present with zero revenue, and cumulative sums running
+    through it."""
+    from datafusion_uba_spark.queries_uba import q_cohort_ltv_weekly  # noqa: F401
+    from pyspark.sql import Window
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "purchase", "2024-01-01 10:00:00", 5.0),
+            (2, 10, "view", "2024-01-08 10:00:00", 0.0),
+            (3, 10, "purchase", "2024-01-15 10:00:00", 2.5),
+            (4, 11, "purchase", "2024-01-01 11:00:00", 1.0),
+        ],
+        "event_id long, user_id long, event_type string, ts string, value double",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"), "value",
+    )
+    base = ev.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100).cast("long"))
+        .otherwise(F.lit(0).cast("long")).alias("c"),
+    )
+    per_uw = base.groupBy("user_id", "week").agg(F.sum("c").alias("c"))
+    r = per_uw.withColumn(
+        "cohort_week", F.min("week").over(Window.partitionBy("user_id"))
+    )
+    tri = r.groupBy(
+        F.col("cohort_week").cast("string").alias("cw"),
+        F.expr("CAST(datediff(week, cohort_week) div 7 AS INT)").alias("off"),
+    ).agg(
+        F.sum("c").alias("rev"),
+        F.sum((F.col("c") > 0).cast("long")).alias("payers"),
+    )
+    cum = tri.withColumn(
+        "cum",
+        F.sum("rev").over(
+            Window.partitionBy("cw").orderBy("off")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    got = {r["off"]: (r["rev"], r["payers"], r["cum"]) for r in cum.collect()}
+    # both users share the 2024-01-01 cohort week
+    assert got[0] == (600, 2, 600)   # 5.00 + 1.00
+    assert got[1] == (0, 0, 600)     # active, no revenue; cum holds
+    assert got[2] == (250, 1, 850)

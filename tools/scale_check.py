@@ -113,6 +113,7 @@ HEAVY = [
     "ann_recall_lsh",
     "user_interval_coverage",
     "key_skew_profile",
+    "cohort_ltv_weekly",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
