@@ -600,6 +600,93 @@ FROM c GROUP BY 1, 2
 """
 
 
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel velocity (r11): for each step beyond the anchor, the
+    distribution of time-to-convert (seconds from the user's anchor
+    to their earliest valid step-k event) over converting users —
+    count, min, max, truncating-mean, and the exact LOWER MEDIAN
+    picked by row position ((n+1) DIV 2 over the delay order; ties
+    share a value, so the pick is engine-deterministic). Exact
+    integers end to end; reuses the oracle-pinned funnel_user_times
+    chain. The per-step delay sets are |converters|-sized, so the
+    rank window is over small partitions."""
+    from datafusion_uba_spark.operators.funnel import funnel_user_times
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    times = funnel_user_times(
+        ev,
+        [(st, F.col("event_type") == st) for st in _FUNNEL_STEPS],
+        conversion_window_days=_FUNNEL_WINDOW_DAYS,
+    )
+    delays = None
+    for i, df in enumerate(times[1:], start=2):
+        d = df.select(
+            F.lit(i).alias("step"),
+            F.expr("(t_step - t1) DIV 1000000").alias("delay_s"),
+        )
+        delays = d if delays is None else delays.unionByName(d)
+    w_rank = Window.partitionBy("step").orderBy("delay_s")
+    w_all = Window.partitionBy("step")
+    ranked = delays.select(
+        "step",
+        "delay_s",
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    return ranked.groupBy("step").agg(
+        F.max("__n").cast("long").alias("n_converters"),
+        F.min("delay_s").alias("min_s"),
+        F.max("delay_s").alias("max_s"),
+        F.expr("sum(delay_s) DIV max(__n)").alias("mean_s"),
+        F.max(
+            F.when(F.expr("__rn = (__n + 1) DIV 2"), F.col("delay_s"))
+        ).alias("median_s"),
+    )
+
+
+_ORACLE_FUNNEL_TTC = f"""
+WITH e AS (SELECT user_id AS u, epoch_us(ts) AS tus, event_type FROM events),
+s1 AS (
+  SELECT u, min(tus) AS t1 FROM e
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY u
+),
+s2 AS (
+  SELECT e.u, min(tus) AS t2, min(t1) AS t1
+  FROM e JOIN s1 ON e.u = s1.u
+  WHERE event_type = '{_FUNNEL_STEPS[1]}'
+    AND tus >= t1 AND tus <= t1 + {_FUNNEL_WINDOW_US}
+  GROUP BY e.u
+),
+s3 AS (
+  SELECT e.u, min(tus) AS t3, min(s2.t1) AS t1
+  FROM e JOIN s2 ON e.u = s2.u
+  WHERE event_type = '{_FUNNEL_STEPS[2]}'
+    AND tus >= t2 AND tus <= s2.t1 + {_FUNNEL_WINDOW_US}
+  GROUP BY e.u
+),
+delays AS (
+  SELECT 2 AS step, (t2 - t1) // 1000000 AS delay_s FROM s2
+  UNION ALL
+  SELECT 3, (t3 - t1) // 1000000 FROM s3
+),
+ranked AS (
+  SELECT step, delay_s,
+         row_number() OVER (PARTITION BY step ORDER BY delay_s) AS rn,
+         count(*) OVER (PARTITION BY step) AS n
+  FROM delays
+)
+SELECT CAST(step AS INT) AS step,
+       CAST(max(n) AS BIGINT) AS n_converters,
+       CAST(min(delay_s) AS BIGINT) AS min_s,
+       CAST(max(delay_s) AS BIGINT) AS max_s,
+       CAST(sum(delay_s) // max(n) AS BIGINT) AS mean_s,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN delay_s END) AS BIGINT)
+         AS median_s
+FROM ranked GROUP BY step
+"""
+
+
 def q_cohort_ltv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly-cohort LTV curve (r11) — the revenue twin of the
     retention triangle: for each signup-cohort week (a user's first
@@ -1607,6 +1694,10 @@ UBA_REGISTRY: dict = {
     "returning_users_hll": (q_returning_users_hll, None),
     "session_stats": (q_session_stats, _ORACLE_SESSION_STATS),
     "cohort_ltv_weekly": (q_cohort_ltv_weekly, _ORACLE_COHORT_LTV),
+    "funnel_time_to_convert": (
+        q_funnel_time_to_convert,
+        _ORACLE_FUNNEL_TTC,
+    ),
     "asof_nearest_value": (q_asof_nearest_value, _ORACLE_ASOF_NEAREST),
     "user_interval_coverage": (
         q_user_interval_coverage,

@@ -999,3 +999,52 @@ def test_cohort_ltv_crafted(spark):
     assert got[0] == (600, 2, 600)   # 5.00 + 1.00
     assert got[1] == (0, 0, 600)     # active, no revenue; cum holds
     assert got[2] == (250, 1, 850)
+
+
+def test_funnel_time_to_convert_crafted(spark):
+    """r11 funnel velocity: hand-computed delays — anchored at each
+    user's first step-1 event, exact lower median over an even count,
+    truncating mean."""
+    from datafusion_uba_spark.queries_uba import _FUNNEL_STEPS  # noqa: F401
+    from datafusion_uba_spark.operators.funnel import funnel_user_times
+    from pyspark.sql import Window
+
+    rows = [
+        # u1: view@0, click@100s  -> delay 100
+        (1, 1, "view", "2024-01-01 00:00:00"),
+        (2, 1, "click", "2024-01-01 00:01:40"),
+        # u2: view@0, click@300s -> delay 300
+        (3, 2, "view", "2024-01-01 00:00:00"),
+        (4, 2, "click", "2024-01-01 00:05:00"),
+        # u3: click with no prior view: not a converter
+        (5, 3, "click", "2024-01-01 00:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).select("event_id", "user_id", "event_type",
+             F.col("ts").cast("timestamp").alias("ts"))
+    times = funnel_user_times(
+        ev, [(s, F.col("event_type") == s) for s in ("view", "click")],
+        conversion_window_days=7,
+    )
+    d = times[1].select(
+        F.expr("(t_step - t1) DIV 1000000").alias("delay_s")
+    )
+    w_rank = Window.orderBy("delay_s")
+    ranked = d.select(
+        "delay_s",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    r = ranked.agg(
+        F.max("n").alias("n"),
+        F.min("delay_s").alias("mn"),
+        F.max("delay_s").alias("mx"),
+        F.expr("sum(delay_s) DIV max(n)").alias("mean_s"),
+        F.max(F.when(F.expr("rn = (n + 1) DIV 2"),
+                     F.col("delay_s"))).alias("med"),
+    ).collect()[0]
+    # two converters: delays 100 and 300; lower median = 100
+    assert (r["n"], r["mn"], r["mx"], r["mean_s"], r["med"]) == (
+        2, 100, 300, 200, 100
+    )

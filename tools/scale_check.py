@@ -114,6 +114,7 @@ HEAVY = [
     "user_interval_coverage",
     "key_skew_profile",
     "cohort_ltv_weekly",
+    "funnel_time_to_convert",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
