@@ -600,6 +600,82 @@ FROM c GROUP BY 1, 2
 """
 
 
+def q_metric_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic metric anomaly detection (r11): per (event_type,
+    day), the deviation of the daily event count from the trailing
+    7-day MEDIAN in exact basis points, flagged above 2000 bp — the
+    robust day-over-day monitor (a median baseline shrugs off a
+    single spike day where a mean would chase it). The median of the
+    EXACTLY-7 ROWS window is the 4th smallest (sort_array over the
+    collected 7-element list — bounded, never data-sized), so every
+    value is integer-exact and engine-portable; days without a full
+    7-day baseline emit no row.
+
+    Plan: one (type, day) hash aggregate (|types| x |days| grid), then
+    per-type windows over that tiny grid."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("day_i"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day_i")
+        .rowsBetween(-7, -1)
+    )
+    with7 = daily.select(
+        "event_type",
+        "day_i",
+        "n_events",
+        F.collect_list("n_events").over(w7).alias("__base"),
+    ).where(F.size("__base") == 7)
+    med = F.element_at(F.sort_array("__base"), 4)
+    dev = F.floor(
+        F.abs(F.col("n_events") - med) * 10000 / med
+    ).cast("long")
+    return with7.select(
+        "event_type",
+        "day_i",
+        "n_events",
+        med.cast("long").alias("median7"),
+        dev.alias("deviation_bp"),
+        (dev > 2000).alias("flagged"),
+    )
+
+
+_ORACLE_ANOMALY = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+           AS day_i,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, day_i, n_events,
+         list(n_events) OVER (PARTITION BY event_type ORDER BY day_i
+                              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+           AS base
+  FROM daily
+)
+SELECT event_type, day_i, n_events,
+       CAST(list_sort(base)[4] AS BIGINT) AS median7,
+       CAST(floor(abs(n_events - list_sort(base)[4]) * 10000
+                  / list_sort(base)[4]) AS BIGINT) AS deviation_bp,
+       CAST(floor(abs(n_events - list_sort(base)[4]) * 10000
+                  / list_sort(base)[4]) AS BIGINT) > 2000 AS flagged
+FROM b WHERE len(base) = 7
+"""
+
+
 def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel velocity (r11): for each step beyond the anchor, the
     distribution of time-to-convert (seconds from the user's anchor
@@ -1697,6 +1773,10 @@ UBA_REGISTRY: dict = {
     "funnel_time_to_convert": (
         q_funnel_time_to_convert,
         _ORACLE_FUNNEL_TTC,
+    ),
+    "metric_anomaly_flags": (
+        q_metric_anomaly_flags,
+        _ORACLE_ANOMALY,
     ),
     "asof_nearest_value": (q_asof_nearest_value, _ORACLE_ASOF_NEAREST),
     "user_interval_coverage": (

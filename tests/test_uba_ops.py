@@ -1048,3 +1048,42 @@ def test_funnel_time_to_convert_crafted(spark):
     assert (r["n"], r["mn"], r["mx"], r["mean_s"], r["med"]) == (
         2, 100, 300, 200, 100
     )
+
+
+def test_metric_anomaly_flags_crafted(spark):
+    """r11 anomaly monitor: a crafted spike against a stable 7-day
+    baseline flags (deviation > 2000 bp); a normal day does not; the
+    first 7 days emit no row (no full baseline); the median baseline
+    ignores a single prior spike."""
+    from pyspark.sql import Window
+
+    rows = []
+    # type A: days 0..6 at 100; day 7 = 100 (normal); day 8 = 200
+    # (spike); day 9 = 105 (median baseline now includes the 200 but
+    # the MEDIAN stays 100 -> small deviation)
+    for d, n in [(0, 100), (1, 100), (2, 100), (3, 100), (4, 100),
+                 (5, 100), (6, 100), (7, 100), (8, 200), (9, 105)]:
+        rows.append(("A", d, n))
+    daily = spark.createDataFrame(
+        rows, "event_type string, day_i long, n_events long"
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day_i").rowsBetween(-7, -1)
+    )
+    with7 = daily.select(
+        "event_type", "day_i", "n_events",
+        F.collect_list("n_events").over(w7).alias("base"),
+    ).where(F.size("base") == 7)
+    med = F.element_at(F.sort_array("base"), 4)
+    dev = F.floor(F.abs(F.col("n_events") - med) * 10000 / med).cast("long")
+    got = {
+        r["day_i"]: (r["median7"], r["dev"], r["flag"])
+        for r in with7.select(
+            "day_i", med.cast("long").alias("median7"),
+            dev.alias("dev"), (dev > 2000).alias("flag"),
+        ).collect()
+    }
+    assert set(got) == {7, 8, 9}          # days 0-6 lack a baseline
+    assert got[7] == (100, 0, False)
+    assert got[8] == (100, 10000, True)   # 200 vs median 100
+    assert got[9] == (100, 500, False)    # median ignores the spike

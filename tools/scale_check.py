@@ -115,6 +115,7 @@ HEAVY = [
     "key_skew_profile",
     "cohort_ltv_weekly",
     "funnel_time_to_convert",
+    "metric_anomaly_flags",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
