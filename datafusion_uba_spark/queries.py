@@ -2321,6 +2321,135 @@ FROM bk
 _ORACLE_ZORDER_KEYS = _oracle_zorder_keys()
 
 
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (reference slt corpus class: count-distinct over
+    an anti-joined bridge): how many distinct suppliers can provide
+    each surviving (brand, type, size) bucket, excluding blocklisted
+    suppliers. The testdata has no partsupp, so the distinct
+    (l_partkey, l_suppkey) pairs of lineitem stand in for the bridge;
+    no s_comment either, so the 'Customer Complaints' blocklist is the
+    negative-balance suppliers (a NOT IN → anti-join, same shape).
+
+    Scale shape: the part predicate (brand/type/size conjunction)
+    reduces the dim FIRST and broadcasts into the fact, so lineitem
+    never shuffles at full width; the supplier blocklist is a tiny
+    broadcast anti-join; then ONE shuffle serves both the
+    (brand,type,size,suppkey) dedup and the count-distinct rollup
+    (Spark plans count(DISTINCT) as expand + two-phase agg on the
+    same partitioning). ORDER BY is total so the output is stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    sizes = [1, 9, 14, 19, 23, 36, 45, 49]
+    sel_part = part.where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    blocked = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(sel_part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(blocked),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_ORACLE_PART_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: the disjunctive join-predicate class — revenue
+    from three OR'd (brand, size-band, quantity-band) arms spanning
+    BOTH sides of the join. No l_shipmode/l_shipinstruct in the
+    testdata, so the arms are brand x p_size x l_quantity bands only;
+    grouped by brand so each arm lands in its own output row.
+
+    Scale shape: the classic Q19 plan problem is that a naive engine
+    evaluates the OR only post-join. Here each side's conjunctive
+    SUPERSET of the disjunction is pushed to its scan — part prunes to
+    (brand IN arms AND size <= widest band) and broadcasts; lineitem
+    prunes to the quantity envelope [1, 30] scan-side (PushedFilters) —
+    then the exact OR runs on the reduced join. At 100 TB the fact
+    scan skips every row-group outside the quantity envelope instead
+    of materializing the full join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    arms_part = part.where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    li_env = li.where(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li_env.join(
+            F.broadcast(arms_part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .where(arm)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_ORACLE_BRAND_BAND_REVENUE = """
+SELECT p_brand,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+GROUP BY 1
+ORDER BY p_brand
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2374,6 +2503,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q9": (q_part_profit, _ORACLE_PART_PROFIT),
     "tpch_q11": (q_important_parts, _ORACLE_IMPORTANT_PARTS),
     "tpch_q12": (q_shipmode_priority, _ORACLE_SHIPMODE_PRIORITY),
+    "tpch_q16": (q_part_supplier_counts, _ORACLE_PART_SUPPLIER_COUNTS),
+    "tpch_q19": (q_brand_band_revenue, _ORACLE_BRAND_BAND_REVENUE),
     "value_histogram": (q_value_histogram, _ORACLE_VALUE_HISTOGRAM),
     "customer_snapshot_diff": (
         q_customer_snapshot_diff,
