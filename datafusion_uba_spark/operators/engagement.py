@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["stickiness_wau", "stickiness_wau_hll", "weekly_churn"]
+__all__ = [
+    "growth_accounting",
+    "stickiness_wau",
+    "stickiness_wau_hll",
+    "weekly_churn",
+]
 
 
 def stickiness_wau(
@@ -121,6 +126,85 @@ def stickiness_wau_hll(
     ).selectExpr(
         "di", "dau", "wau",
         "CAST((dau * 1000) DIV wau AS BIGINT) AS stickiness_pm",
+    )
+
+
+def growth_accounting(
+    activity: DataFrame,
+    week_col: str = "wk",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Weekly growth accounting (the a16z/Amplitude MAU-accounting
+    decomposition): per activity week, every active user is exactly one
+    of **new** (first-ever active week), **retained** (also active the
+    previous week), or **resurrected** (active before, but not the
+    previous week); **churned** counts users active the PREVIOUS week
+    with no activity this week (the week-w negative flow, so
+    new + resurrected - churned = net change in weekly actives).
+    ``quick_ratio_pm`` is the integer milli-Quick-Ratio
+    ``(n_new + n_resurrected) * 1000 DIV n_churned`` (NULL when nothing
+    churned) — integer division, so engines agree bit-for-bit.
+
+    Classification needs no first-seen aggregate: after deduping to
+    (wk, user), ``lag(wk)`` over the per-user week sequence is NULL
+    exactly on the first-ever week, ``wk - 1`` exactly when retained,
+    anything else is a resurrection. Scale shape: ONE dedup shuffle of
+    the |weeks x users| frame, reused (lazy localCheckpoint — the
+    dedup must not rerun per consumer) by the user-partitioned lag
+    window, the per-week rollup, and the shifted churn anti-join — the
+    weekly_churn discipline. Only weeks present in the activity are
+    reported. ``activity`` is (integer week index, user id) rows,
+    duplicates welcome."""
+    from pyspark.sql import Window
+
+    au = (
+        activity.select(
+            F.col(week_col).cast("long").alias("wk"),
+            F.col(id_col).alias("__u"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    prev = F.lag("wk").over(Window.partitionBy("__u").orderBy("wk"))
+    per_wk = (
+        au.withColumn("__prev", prev)
+        .groupBy("wk")
+        .agg(
+            F.sum(
+                F.when(F.col("__prev").isNull(), 1).otherwise(0)
+            ).alias("n_new"),
+            F.sum(
+                F.when(F.col("__prev") == F.col("wk") - 1, 1).otherwise(0)
+            ).alias("n_retained"),
+            F.sum(
+                F.when(
+                    F.col("__prev").isNotNull()
+                    & (F.col("__prev") != F.col("wk") - 1),
+                    1,
+                ).otherwise(0)
+            ).alias("n_resurrected"),
+        )
+    )
+    shifted = au.select((F.col("wk") + 1).alias("wk"), "__u")
+    n_churned = (
+        shifted.join(au, ["wk", "__u"], "left_anti")
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        per_wk.join(n_churned, "wk", "left")
+        .select(
+            "wk",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+        .selectExpr(
+            "*",
+            "CASE WHEN n_churned > 0 THEN CAST((n_new + n_resurrected) "
+            "* 1000 DIV n_churned AS BIGINT) END AS quick_ratio_pm",
+        )
     )
 
 

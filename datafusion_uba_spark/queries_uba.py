@@ -1763,7 +1763,127 @@ FROM grid LEFT JOIN obs ON obs.k = grid.k AND obs.b = grid.b
 """
 
 
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting over events (operators/engagement.py
+    ``growth_accounting``): every active user classified
+    new/retained/resurrected per week via lag over the deduped
+    (wk, user) frame, churn as the shifted anti-join, Quick Ratio as
+    an exact integer milli-ratio. Week = days-since-2024-01-01 DIV 7,
+    the repo's calendar-free convention (churned_weekly)."""
+    from datafusion_uba_spark.operators.engagement import growth_accounting
+
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select(
+        F.expr(
+            "CAST(datediff(CAST(date_trunc('day', ts) AS DATE), "
+            "DATE '2024-01-01') DIV 7 AS BIGINT)"
+        ).alias("wk"),
+        "user_id",
+    )
+    return growth_accounting(au)
+
+
+_ORACLE_GROWTH_ACCOUNTING = """
+WITH au AS (
+  SELECT DISTINCT
+    CAST(datediff('day', DATE '2024-01-01',
+                  CAST(date_trunc('day', ts) AS DATE)) // 7 AS BIGINT) AS wk,
+    user_id
+  FROM events
+),
+cls AS (
+  SELECT wk, user_id,
+         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev
+  FROM au
+),
+per_wk AS (
+  SELECT wk,
+         CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(sum(CASE WHEN prev = wk - 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> wk - 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM cls GROUP BY wk
+),
+ch AS (
+  SELECT a.wk + 1 AS wk, CAST(count(*) AS BIGINT) AS n_churned
+  FROM au a
+  WHERE NOT EXISTS (SELECT 1 FROM au b
+                    WHERE b.user_id = a.user_id AND b.wk = a.wk + 1)
+  GROUP BY a.wk + 1
+)
+SELECT p.wk, p.n_new, p.n_retained, p.n_resurrected,
+       coalesce(c.n_churned, 0) AS n_churned,
+       CASE WHEN coalesce(c.n_churned, 0) > 0
+            THEN CAST((p.n_new + p.n_resurrected) * 1000
+                      // c.n_churned AS BIGINT) END AS quick_ratio_pm
+FROM per_wk p LEFT JOIN ch c USING (wk)
+"""
+
+
+def q_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user curve (the L28 histogram): over the first 28 days of
+    the data, how many users were active exactly d distinct days, and
+    the descending-cumulative 'at least d days' count the curve is
+    read by. Scale shape: dedup (user, day) rides one shuffle, the
+    per-user distinct-day count is a plain count on the deduped frame
+    (second shuffle on user), the 28-bucket histogram is a third,
+    trivial shuffle; the cumulative sum runs on <= 28 rows. Raw events
+    are scanned once with the day filter pushed down."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    di = F.expr(
+        "CAST(datediff(CAST(date_trunc('day', ts) AS DATE), "
+        "DATE '2024-01-01') AS BIGINT)"
+    )
+    per_user = (
+        ev.select("user_id", di.alias("di"))
+        .where((F.col("di") >= 0) & (F.col("di") < 28))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("days_active"))
+    )
+    hist = per_user.groupBy("days_active").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w = Window.orderBy(F.desc("days_active")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        "days_active",
+        "n_users",
+        F.sum("n_users").over(w).alias("n_users_at_least"),
+    )
+
+
+_ORACLE_POWER_USER_CURVE = """
+WITH du AS (
+  SELECT DISTINCT user_id,
+    CAST(datediff('day', DATE '2024-01-01',
+                  CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS di
+  FROM events
+),
+per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS days_active
+  FROM du WHERE di >= 0 AND di < 28 GROUP BY user_id
+),
+hist AS (
+  SELECT days_active, CAST(count(*) AS BIGINT) AS n_users
+  FROM per_user GROUP BY days_active
+)
+SELECT days_active, n_users,
+       CAST(sum(n_users) OVER (ORDER BY days_active DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_users_at_least
+FROM hist
+"""
+
+
 UBA_REGISTRY: dict = {
+    "growth_accounting": (q_growth_accounting, _ORACLE_GROWTH_ACCOUNTING),
+    "power_user_curve": (q_power_user_curve, _ORACLE_POWER_USER_CURVE),
     "daily_active_users": (q_daily_active_users, _ORACLE_DAU),
     "daily_active_users_hll": (q_daily_active_users_hll, None),
     "returning_users": (q_returning_users, _ORACLE_RETURNING),

@@ -430,6 +430,54 @@ def test_weekly_churn_matches_model(spark, pairs):
     assert got == want
 
 
+@given(pairs=st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 5)),  # (user, week)
+    min_size=1,
+    max_size=30,
+))
+@settings(**_SETTINGS)
+def test_growth_accounting_matches_model(spark, pairs):
+    """growth_accounting (lag-classified new/retained/resurrected +
+    shifted-anti-join churn) vs the naive per-user week-set model.
+    Every active user is exactly one of the three classes; churn for
+    week w counts users active in w-1 but not w; only active weeks
+    are reported."""
+    from datafusion_uba_spark.operators.engagement import growth_accounting
+
+    df = spark.createDataFrame(
+        [(u, w) for u, w in pairs], "user_id long, wk long"
+    )
+    got = {
+        (r.wk, r.n_new, r.n_retained, r.n_resurrected, r.n_churned,
+         r.quick_ratio_pm)
+        for r in growth_accounting(df).collect()
+    }
+    act = set(pairs)
+    weeks = {w for _, w in act}
+    user_weeks = {}
+    for u, w in act:
+        user_weeks.setdefault(u, set()).add(w)
+    want = set()
+    for w in sorted(weeks):
+        new = retained = resurrected = 0
+        for u, ws in user_weeks.items():
+            if w not in ws:
+                continue
+            if min(ws) == w:
+                new += 1
+            elif w - 1 in ws:
+                retained += 1
+            else:
+                resurrected += 1
+        churned = sum(
+            1 for u, ws in user_weeks.items()
+            if w - 1 in ws and w not in ws
+        )
+        qr = (new + resurrected) * 1000 // churned if churned else None
+        want.add((w, new, retained, resurrected, churned, qr))
+    assert got == want
+
+
 # --- rollup cascade vs direct-aggregation model -----------------------------
 
 
