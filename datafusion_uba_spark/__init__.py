@@ -23,6 +23,7 @@ from datafusion_uba_spark.operators import (  # noqa: F401
     audiocodec,
     dedup,
     imagecodec,
+    kmeans,
     multimodal,
     packing,
     quality,
@@ -44,6 +45,7 @@ __all__ = [
     "text",
     "multimodal",
     "imagecodec",
+    "kmeans",
     "packing",
     "quality",
     "rollup",

@@ -2043,7 +2043,64 @@ SELECT doc_id, fingerprint FROM (
 # registry
 # ---------------------------------------------------------------------------
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Lloyd's k-means (operators/kmeans.py): k=8 from
+    deterministic smallest-id seeds, 2 full rounds, every distance and
+    centroid on an integer grid so the assignment is hash-verifiable
+    against DuckDB replaying the identical pipeline relationally.
+    Assignment is shuffle-free (broadcast packed centroids +
+    array_min argmin); the centroid update is one map-combinable
+    (cluster, dim) hash aggregate."""
+    from datafusion_uba_spark.operators.kmeans import lloyd_rounds
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lloyd_rounds(emb, k=8, rounds=2)
+
+
+_ORACLE_KMEANS = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q
+  FROM v ORDER BY vec_id LIMIT 8
+),
+vu AS (SELECT vec_id, unnest(q) AS val, generate_subscripts(q, 1) AS i
+       FROM v),
+su AS (SELECT cid, unnest(q) AS cval, generate_subscripts(q, 1) AS i
+       FROM seeds),
+d1 AS (
+  SELECT vec_id, cid,
+         CAST(sum((val - cval) * (val - cval)) AS BIGINT) AS dist2
+  FROM vu JOIN su USING (i) GROUP BY vec_id, cid
+),
+a1 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d1) t WHERE rn = 1
+),
+c2 AS (
+  SELECT a1.cluster AS cid, i,
+         CAST(round(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+  FROM vu JOIN a1 USING (vec_id) GROUP BY a1.cluster, i
+),
+d2 AS (
+  SELECT vec_id, cid,
+         CAST(sum((val - cval) * (val - cval)) AS BIGINT) AS dist2
+  FROM vu JOIN c2 USING (i) GROUP BY vec_id, cid
+)
+SELECT vec_id, cid AS cluster, dist2 FROM (
+  SELECT vec_id, cid, dist2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+  FROM d2) t WHERE rn = 1
+"""
+
+
 LLM_REGISTRY: dict = {
+    "kmeans_assign": (q_kmeans_assign, _ORACLE_KMEANS),
     "dedup_incremental": (q_dedup_incremental, _ORACLE_DEDUP_INCREMENTAL),
     "sequence_packing": (q_sequence_packing, _ORACLE_SEQUENCE_PACKING),
     "dataset_split": (q_dataset_split, _ORACLE_DATASET_SPLIT),

@@ -1417,3 +1417,83 @@ def test_recall_at_k_crafted(spark):
     assert got == {1: (2, 10000), 2: (1, 5000), 3: (0, 0)}
     with _pt.raises(ValueError):
         recall_at_k(approx, exact, k=0)
+
+
+# --- exact-integer k-means (operators/kmeans.py) ---------------------------
+
+
+def test_kmeans_matches_python_model(spark):
+    """lloyd_rounds vs a literal Python replay of the contract: grid
+    quantization, smallest-id seeds, exact integer distances,
+    round(S/n) grid re-quantization, ties to lowest cid."""
+    import random
+
+    from datafusion_uba_spark.operators.kmeans import lloyd_rounds
+
+    rng = random.Random(7)
+    dim, n, k, rounds, scale = 5, 40, 3, 3, 1000
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(n)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: (r.cluster, r.dist2)
+        for r in lloyd_rounds(df, k=k, rounds=rounds, scale=scale).collect()
+    }
+
+    q = {
+        i: [int(round(x * scale)) for x in v] for i, v in vecs.items()
+    }
+    cents = {c: q[i] for c, i in enumerate(sorted(q)[:k])}
+
+    def nearest(v):
+        best = min(
+            (sum((a - b) * (a - b) for a, b in zip(v, cents[c])), c)
+            for c in cents
+        )
+        return best[1], best[0]
+
+    assign = {}
+    for rnd in range(rounds):
+        if rnd > 0:
+            new = {}
+            for c in set(cl for cl, _ in assign.values()):
+                members = [q[i] for i, (cl, _) in assign.items() if cl == c]
+                new[c] = [
+                    int(round(sum(col) / len(members)))
+                    for col in zip(*members)
+                ]
+            cents = new
+        assign = {i: nearest(v) for i, v in q.items()}
+    assert got == assign
+
+
+def test_kmeans_tie_breaks_to_lowest_cid(spark):
+    """A vector equidistant from two seeds lands on the lower cid."""
+    from datafusion_uba_spark.operators.kmeans import lloyd_rounds
+
+    df = spark.createDataFrame(
+        [(0, [0.0]), (1, [2.0]), (2, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.cluster for r in lloyd_rounds(df, k=2, rounds=1).collect()
+    }
+    assert got[2] == 0
+
+
+def test_kmeans_rejects_bad_params(spark):
+    import pytest
+
+    from datafusion_uba_spark.operators.kmeans import lloyd_rounds
+
+    df = spark.createDataFrame(
+        [(0, [0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        lloyd_rounds(df, k=0)
+    with pytest.raises(ValueError):
+        lloyd_rounds(df, rounds=0)

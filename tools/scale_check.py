@@ -116,6 +116,11 @@ HEAVY = [
     "cohort_ltv_weekly",
     "funnel_time_to_convert",
     "metric_anomaly_flags",
+    "tpch_q16",
+    "tpch_q19",
+    "growth_accounting",
+    "power_user_curve",
+    "kmeans_assign",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
