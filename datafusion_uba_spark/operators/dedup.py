@@ -1180,3 +1180,96 @@ def fuzzy_prefix_pairs(
         F.levenshtein("p1", "p2").cast("int").alias("edit_dist"),
     ).where(F.col("edit_dist") <= max_dist)
     return same.unionByName(cross)
+
+
+def repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_count: int = 3,
+    top: int = 100,
+) -> DataFrame:
+    """Exact repeated-span detection — the substring-level dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (arXiv:2107.06499): every ``width``-token window of every
+    document, reported when the identical window occurs at least
+    ``min_count`` times corpus-wide. Doc-level families above
+    (MinHash, SimHash, winnow) miss exactly this — a boilerplate
+    paragraph pasted into thousands of otherwise-distinct documents —
+    and memorization tracks these verbatim spans, not whole-doc
+    similarity.
+
+    Two phases, because at 100 TB the naive plan (explode every
+    window as a STRING and hash-aggregate) shuffles ~width x the
+    corpus bytes:
+
+    1. **Count 8-byte fingerprints, not strings**: windows explode to
+       ``xxhash64(span)`` only, so the one big shuffle moves fixed
+       8-byte keys and partial aggregation collapses repeats map-side.
+       Survivors (count >= min_count) are a tiny frame (duplication
+       is rare by volume — the paper's C4 figure is ~3% of tokens).
+    2. **Re-derive strings for survivors only**: a second scan
+       re-explodes windows, broadcast-semi-joins the surviving
+       fingerprints, and aggregates the (span text, n_occ, n_docs)
+       report — the wide strings ride only the ~survivor-sized
+       shuffle. Trading a second scan for a width-fold narrower
+       shuffle is the right side of the ledger on any real cluster.
+
+    The fingerprint is internal: output columns are the plain span
+    text and exact counts (a 64-bit collision would need ~4e9 distinct
+    spans in one corpus to matter; the DuckDB registry oracle groups
+    raw strings directly and hash-matches). Output: the ``top``
+    most-repeated spans, totally ordered (n_occ DESC, n_docs DESC,
+    span) so the cut is deterministic. Documents shorter than
+    ``width`` tokens contribute nothing (the sequence() guard — Spark
+    sequence(1, 0) would run DESCENDING, not empty)."""
+    if width < 1 or min_count < 1 or top < 1:
+        raise ValueError(
+            f"repeated_spans: width={width} min_count={min_count} "
+            f"top={top} must all be >= 1"
+        )
+    toks = F.split(F.col(text_col), " ")
+
+    def spans_of(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+            .where(F.size("__t") >= width)
+            .select(
+                "__id",
+                F.explode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.size("__t") - F.lit(width - 1)
+                        ),
+                        lambda i: F.array_join(
+                            F.slice("__t", i, width), " "
+                        ),
+                    )
+                ).alias("span"),
+            )
+        )
+
+    survivors = (
+        spans_of(docs)
+        .select(F.xxhash64("span").alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= min_count)
+        .select("__fp")
+    )
+    return (
+        spans_of(docs)
+        .join(
+            F.broadcast(survivors),
+            F.xxhash64("span") == F.col("__fp"),
+            "left_semi",
+        )
+        .groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("__id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occ"), F.desc("n_docs"), "span")
+        .limit(top)
+    )

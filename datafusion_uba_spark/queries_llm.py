@@ -2043,6 +2043,34 @@ SELECT doc_id, fingerprint FROM (
 # registry
 # ---------------------------------------------------------------------------
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated 8-token spans corpus-wide (operators/dedup.py
+    ``repeated_spans``, the Lee-et-al substring-dedup report): top 100
+    spans occurring >= 3 times, counted by 8-byte fingerprint first
+    and re-derived as strings for survivors only. The oracle groups
+    the raw strings directly — a hash match proves the two-phase
+    fingerprint plan loses nothing."""
+    from datafusion_uba_spark.operators.dedup import repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_spans(docs, width=8, min_count=3, top=100)
+
+
+_ORACLE_REPEATED_SPANS = """
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 7 + 1)) AS i FROM toks
+),
+spans AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS span FROM idx
+)
+SELECT span, count(*) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM spans GROUP BY span HAVING count(*) >= 3
+ORDER BY n_occ DESC, n_docs DESC, span LIMIT 100
+"""
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer Lloyd's k-means (operators/kmeans.py): k=8 from
     deterministic smallest-id seeds, 2 full rounds, every distance and
@@ -2101,6 +2129,7 @@ SELECT vec_id, cid AS cluster, dist2 FROM (
 
 LLM_REGISTRY: dict = {
     "kmeans_assign": (q_kmeans_assign, _ORACLE_KMEANS),
+    "repeated_spans": (q_repeated_spans, _ORACLE_REPEATED_SPANS),
     "dedup_incremental": (q_dedup_incremental, _ORACLE_DEDUP_INCREMENTAL),
     "sequence_packing": (q_sequence_packing, _ORACLE_SEQUENCE_PACKING),
     "dataset_split": (q_dataset_split, _ORACLE_DATASET_SPLIT),

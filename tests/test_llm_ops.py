@@ -1497,3 +1497,35 @@ def test_kmeans_rejects_bad_params(spark):
         lloyd_rounds(df, k=0)
     with pytest.raises(ValueError):
         lloyd_rounds(df, rounds=0)
+
+
+def test_repeated_spans_matches_model(spark):
+    """Planted repeated phrase is found with exact counts; docs
+    shorter than the window contribute nothing; the min_count gate
+    and (n_occ, n_docs, span) ordering hold."""
+    from datafusion_uba_spark.operators.dedup import repeated_spans
+
+    phrase = "x y z"
+    docs = [
+        (1, f"a b {phrase} c"),
+        (2, f"d {phrase} e f"),
+        (3, f"{phrase} {phrase}"),   # twice in one doc (overlap-free)
+        (4, "too short"),
+        (5, "p q r s t u"),          # unique spans only
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r.span, r.n_occ, r.n_docs)
+        for r in repeated_spans(
+            df, width=3, min_count=3, top=10
+        ).collect()
+    ]
+    # windows of width 3 containing the phrase: each doc contributes
+    # 'x y z' once per occurrence; doc 3 has it at positions 1 and 4,
+    # plus bridging windows ('y z x', 'z x y') that occur only once.
+    assert ("x y z", 4, 3) == got[0]
+    assert all(n >= 3 for _, n, _ in got)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        repeated_spans(df, width=0)

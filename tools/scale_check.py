@@ -121,6 +121,7 @@ HEAVY = [
     "growth_accounting",
     "power_user_curve",
     "kmeans_assign",
+    "repeated_spans",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
