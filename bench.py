@@ -95,7 +95,7 @@ def build_artifacts(
         # row — must not push the line past the driver's ~2 KB tail
         # capture, exactly when diagnosis matters most; r9 advice), the
         # total count, and full messages in the sidecar's errors map
-        headline["failed"] = sorted(errors)[:10]
+        headline["failed"] = sorted(errors)[:8]
         headline["nfailed"] = len(errors)
     # median alongside min: on a shared host with multi-second
     # contention spikes, min is the truest plan cost but median shows

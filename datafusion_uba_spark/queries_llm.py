@@ -2043,6 +2043,49 @@ SELECT doc_id, fingerprint FROM (
 # registry
 # ---------------------------------------------------------------------------
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: the confusion matrix of the stopword /
+    CJK heuristic classifier (operators/text.py language_id) against
+    the documents table's labeled ``lang`` — per (lang, lang_pred)
+    doc counts. The scores project in a staged layer below the argmax
+    (the r2 codegen lesson: feeding raw score expressions into the
+    argmax inlines the tokenize chain ~|langs| times); one narrow map
+    stage then one tiny (|langs|^2-row) aggregate."""
+    from datafusion_uba_spark.operators.text import (
+        LANG_PRIORITY,
+        lang_argmax,
+        lang_scores_from_tokens,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = docs.select("lang", tokens(F.col("text")).alias("__toks"))
+    scores = lang_scores_from_tokens(F.col("__toks"))
+    s2 = s1.select(
+        "lang",
+        *[scores[lang].alias(f"__sc_{lang}") for lang in LANG_PRIORITY],
+    )
+    s3 = s2.select(
+        "lang",
+        lang_argmax(
+            {lang: F.col(f"__sc_{lang}") for lang in LANG_PRIORITY}
+        ).alias("lang_pred"),
+    )
+    return s3.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _oracle_langid_confusion() -> str:
+    from datafusion_uba_spark.operators.text import language_id_oracle_sql
+
+    return f"""
+SELECT lang, {language_id_oracle_sql('text')} AS lang_pred,
+       count(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
 def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated 8-token spans corpus-wide (operators/dedup.py
     ``repeated_spans``, the Lee-et-al substring-dedup report): top 100
@@ -2130,6 +2173,7 @@ SELECT vec_id, cid AS cluster, dist2 FROM (
 LLM_REGISTRY: dict = {
     "kmeans_assign": (q_kmeans_assign, _ORACLE_KMEANS),
     "repeated_spans": (q_repeated_spans, _ORACLE_REPEATED_SPANS),
+    "langid_confusion": (q_langid_confusion, _oracle_langid_confusion()),
     "dedup_incremental": (q_dedup_incremental, _ORACLE_DEDUP_INCREMENTAL),
     "sequence_packing": (q_sequence_packing, _ORACLE_SEQUENCE_PACKING),
     "dataset_split": (q_dataset_split, _ORACLE_DATASET_SPLIT),

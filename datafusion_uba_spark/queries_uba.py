@@ -1763,6 +1763,104 @@ FROM grid LEFT JOIN obs ON obs.k = grid.k AND obs.b = grid.b
 """
 
 
+def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session landing/exit analysis: for every 30-minute-gap session,
+    the entry event type (first event by (ts, event_id)) and the exit
+    event type (last), rolled up to (entry_type, exit_type,
+    n_sessions) — the entry/exit-page report of web analytics. The
+    session boundary is the sessionize contract (a new session only
+    when the gap EXCEEDS 30 min), rebuilt inline as gaps-and-islands
+    so entry/exit ride the same user-partitioned sort: ONE shuffle on
+    user_id serves the lag, the boundary running sum, and both
+    first/last row_numbers; the (user, session) rollup and the tiny
+    (types x types) rollup follow. (ts, event_id) ordering makes
+    entry/exit deterministic under same-timestamp events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    e = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("tus"),
+    )
+    sess = (
+        e.withColumn("__prev", F.lag("tus").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("tus") - F.col("__prev") > _GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    ws = Window.partitionBy("user_id", "sid")
+    pair = (
+        sess.withColumn(
+            "__rn_a", F.row_number().over(ws.orderBy("tus", "event_id"))
+        )
+        .withColumn(
+            "__rn_d",
+            F.row_number().over(
+                ws.orderBy(F.desc("tus"), F.desc("event_id"))
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.max(
+                F.when(F.col("__rn_a") == 1, F.col("event_type"))
+            ).alias("entry_type"),
+            F.max(
+                F.when(F.col("__rn_d") == 1, F.col("event_type"))
+            ).alias("exit_type"),
+        )
+    )
+    return pair.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
+_ORACLE_SESSION_ENTRY_EXIT = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+),
+lagd AS (
+  SELECT *, lag(tus) OVER (PARTITION BY user_id
+                           ORDER BY tus, event_id) AS prev
+  FROM e
+),
+sess AS (
+  SELECT *, sum(CASE WHEN prev IS NULL OR tus - prev > {_GAP_US}
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY tus, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM lagd
+),
+rn AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY tus, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY tus DESC, event_id DESC) AS rn_d
+  FROM sess
+),
+pair AS (
+  SELECT user_id, sid,
+         max(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+         max(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type
+  FROM rn GROUP BY user_id, sid
+)
+SELECT entry_type, exit_type, count(*) AS n_sessions
+FROM pair GROUP BY 1, 2
+"""
+
+
 def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly growth accounting over events (operators/engagement.py
     ``growth_accounting``): every active user classified
@@ -1883,6 +1981,7 @@ FROM hist
 
 UBA_REGISTRY: dict = {
     "growth_accounting": (q_growth_accounting, _ORACLE_GROWTH_ACCOUNTING),
+    "session_entry_exit": (q_session_entry_exit, _ORACLE_SESSION_ENTRY_EXIT),
     "power_user_curve": (q_power_user_curve, _ORACLE_POWER_USER_CURVE),
     "daily_active_users": (q_daily_active_users, _ORACLE_DAU),
     "daily_active_users_hll": (q_daily_active_users_hll, None),

@@ -94,7 +94,7 @@ def test_headline_bounded_when_every_query_fails():
     headline, sidecar = build_artifacts({}, {}, errors, 3, 0.1)
     line = json.dumps(headline, separators=(",", ":"))
     assert len(line) < 1024, f"all-failed headline is {len(line)} bytes"
-    assert headline["failed"] == sorted(errors)[:10]
+    assert headline["failed"] == sorted(errors)[:8]
     assert headline["nfailed"] == len(names)
     assert set(sidecar["errors"]) == set(names)
 
@@ -153,23 +153,23 @@ def test_sidecar_carries_full_detail():
         assert best == sidecar["best"][n]
 
 
-def test_headline_guard_headroom_at_110_rows():
+def test_headline_guard_headroom_at_160_rows():
     """r11 (verdict #7): re-verify the guard's headroom as the registry
-    grows — a synthetic 110-row registry with realistically long names
+    grows — a synthetic 160-row registry with realistically long names
     (the longest real name is ~where these land) and pathological
     99-second times must still produce a < 1 KB headline, because the
     inline map is capped at the slowest 12 regardless of registry
     size. Failures bloat only by name, so a failed-heavy run is pinned
     too (the cap on the failed list is part of the r10 contract)."""
-    names = [f"synthetic_operator_row_number_{i:03d}" for i in range(110)]
+    names = [f"synthetic_operator_row_number_{i:03d}" for i in range(160)]
     per_query = {n: 99.1234 for n in names}
     per_runs = {n: [99.1234, 99.5, 99.9] for n in names}
     headline, sidecar = build_artifacts(per_query, per_runs, {}, 3, 0.1)
     line = json.dumps(headline, separators=(",", ":"))
-    assert len(line) < 1024, f"110-row headline is {len(line)} bytes"
-    assert headline["nqueries"] == 110
+    assert len(line) < 1024, f"160-row headline is {len(line)} bytes"
+    assert headline["nqueries"] == 160
     assert len(headline["queries"]) <= 12
-    assert len(sidecar["best"]) == 110
+    assert len(sidecar["best"]) == 160
     # failure-heavy variant: 40 failed rows with long error strings
     errors = {n: "x" * 500 for n in names[:40]}
     ok_q = {n: per_query[n] for n in names[40:]}
