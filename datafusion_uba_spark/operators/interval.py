@@ -159,3 +159,99 @@ def merge_intervals(
             (F.col("island_end") - F.col("island_start")).alias("covered"),
         )
     )
+
+
+def max_concurrency(
+    intervals: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_us: int = 3_600_000_000,
+    out_bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Peak interval concurrency per output bucket (default: max
+    concurrent sessions per day) — the sweep-line counter behind
+    "peak concurrent users" dashboards, done without a global time
+    sort.
+
+    The naive sweep (sort ALL +1/-1 boundary events by time, running
+    sum) needs one totally-ordered partition — a non-starter at 1e9
+    sessions/day. Here every inclusive [start, end] interval is
+    clipped to the fine buckets it covers (``sequence`` explode, one
+    clipped piece per covered hour), and the sweep runs per bucket: a
+    window partitioned by bucket whose input is bounded by the
+    intervals TOUCHING that hour, never the whole day. Peak-per-day is
+    then a max over its hours — exact, because every instant lies in
+    some hour and a clipped piece is active exactly where its parent
+    was. Tie rule: +1 sorts before -1 at the same microsecond, so
+    touching/point intervals (a single-event session has end ==
+    start) count as concurrent; both the operator and its DuckDB
+    oracle replay pin this ordering.
+
+    Cost: 2 x sum(hours covered) sweep rows, one shuffle on the fine
+    bucket, then a |buckets|-sized rollup. Inverted intervals (end <
+    start) raise in-plan; end == start is a valid point interval.
+    Output: (bucket_i, max_concurrent).
+    """
+    if bucket_us <= 0 or out_bucket_us % bucket_us != 0:
+        raise ValueError(
+            "max_concurrency: out_bucket_us must be a positive multiple "
+            f"of bucket_us, got {bucket_us} / {out_bucket_us}"
+        )
+    b = intervals.select(
+        F.col(start_col).cast("long").alias("__s"),
+        F.col(end_col).cast("long").alias("__e"),
+    ).withColumn(
+        "__e",
+        F.when(
+            F.col("__e") < F.col("__s"),
+            F.raise_error(
+                F.concat(
+                    F.lit("max_concurrency: inverted interval ["),
+                    F.col("__s").cast("string"),
+                    F.lit(", "),
+                    F.col("__e").cast("string"),
+                    F.lit("]"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__e")),
+    )
+    clipped = b.select(
+        "__s",
+        "__e",
+        F.expr(
+            f"explode(sequence(__s DIV {bucket_us}, __e DIV {bucket_us}))"
+        ).alias("__h"),
+    ).select(
+        "__h",
+        F.greatest(F.col("__s"), F.col("__h") * bucket_us).alias("__cs"),
+        F.least(
+            F.col("__e"), (F.col("__h") + 1) * bucket_us - 1
+        ).alias("__ce"),
+    )
+    evts = clipped.select(
+        "__h",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__cs").alias("t"), F.lit(1).alias("d")
+                ),
+                F.struct(
+                    F.col("__ce").alias("t"), F.lit(-1).alias("d")
+                ),
+            )
+        ).alias("__x"),
+    ).select("__h", F.col("__x.t").alias("__t"), F.col("__x.d").alias("__d"))
+    w = (
+        Window.partitionBy("__h")
+        .orderBy(F.col("__t"), F.col("__d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_bucket = (
+        evts.withColumn("__run", F.sum("__d").over(w))
+        .groupBy("__h")
+        .agg(F.max("__run").alias("__peak"))
+    )
+    ratio = out_bucket_us // bucket_us
+    return per_bucket.groupBy(
+        F.expr(f"__h DIV {ratio}").cast("long").alias("bucket_i")
+    ).agg(F.max("__peak").cast("long").alias("max_concurrent"))

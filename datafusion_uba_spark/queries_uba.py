@@ -1861,6 +1861,57 @@ FROM pair GROUP BY 1, 2
 """
 
 
+def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day (operators/interval.py
+    ``max_concurrency``): 30-min-gap sessions become inclusive
+    [start, last-event] intervals, clipped to the hours they cover,
+    then a per-hour sweep (+1 before -1 at the same microsecond) whose
+    window partitions are bounded by the sessions touching that hour —
+    never a global or per-day time sort. Day peak = max over its
+    hours. Single-event sessions are point intervals and count."""
+    from datafusion_uba_spark.operators.interval import max_concurrency
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, gap="30 minutes").select(
+        F.col("session_start_us").alias("s"),
+        (F.col("session_start_us") + F.col("duration_us")).alias("e"),
+    )
+    return max_concurrency(
+        sess, start_col="s", end_col="e"
+    ).withColumnRenamed("bucket_i", "day_i")
+
+
+_H_US = 3_600_000_000
+_ORACLE_CONCURRENT_SESSIONS = f"""
+WITH sess AS ({_ORACLE_SESSIONIZE}),
+iv AS (
+  SELECT session_start_us AS s,
+         session_start_us + duration_us AS e
+  FROM sess
+),
+clipped AS (
+  SELECT h,
+         greatest(s, h * {_H_US}) AS cs,
+         least(e, (h + 1) * {_H_US} - 1) AS ce
+  FROM iv, unnest(generate_series(s // {_H_US}, e // {_H_US})) AS g(h)
+),
+evt AS (
+  SELECT h, cs AS t, 1 AS d FROM clipped
+  UNION ALL
+  SELECT h, ce AS t, -1 AS d FROM clipped
+),
+run AS (
+  SELECT h, sum(d) OVER (PARTITION BY h ORDER BY t, d DESC
+                         ROWS UNBOUNDED PRECEDING) AS c
+  FROM evt
+),
+per_h AS (SELECT h, max(c) AS peak FROM run GROUP BY h)
+SELECT CAST(h // 24 AS BIGINT) AS day_i,
+       CAST(max(peak) AS BIGINT) AS max_concurrent
+FROM per_h GROUP BY 1
+"""
+
+
 def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly growth accounting over events (operators/engagement.py
     ``growth_accounting``): every active user classified
@@ -1982,6 +2033,10 @@ FROM hist
 UBA_REGISTRY: dict = {
     "growth_accounting": (q_growth_accounting, _ORACLE_GROWTH_ACCOUNTING),
     "session_entry_exit": (q_session_entry_exit, _ORACLE_SESSION_ENTRY_EXIT),
+    "concurrent_sessions": (
+        q_concurrent_sessions,
+        _ORACLE_CONCURRENT_SESSIONS,
+    ),
     "power_user_curve": (q_power_user_curve, _ORACLE_POWER_USER_CURVE),
     "daily_active_users": (q_daily_active_users, _ORACLE_DAU),
     "daily_active_users_hll": (q_daily_active_users_hll, None),

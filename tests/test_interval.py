@@ -117,3 +117,56 @@ def test_merge_intervals_crafted(spark):
     bad = spark.createDataFrame([("a", 5, 5)], "key string, start long, end long")
     with _pt.raises(SparkRuntimeException, match="empty or inverted"):
         merge_intervals(bad).collect()
+
+
+def test_max_concurrency_golden(spark):
+    """Crafted sweep cases with bucket=100us, day=1000us: overlap
+    inside a bucket, an interval spanning buckets (active across the
+    clip boundary), a point interval, and the +1-before--1 tie rule
+    (touching intervals count as concurrent)."""
+    from datafusion_uba_spark.operators.interval import max_concurrency
+
+    iv = spark.createDataFrame(
+        [
+            # day 0: three overlapping at t=150..160 (one spans buckets
+            # 0->1 and must stay counted after the clip at 100)
+            (50, 160),
+            (140, 260),
+            (150, 155),
+            # day 1: touching pair (end == next start) -> concurrent=2
+            (1100, 1200),
+            (1200, 1300),
+            # day 2: point interval alone + a disjoint later one
+            (2500, 2500),
+            (2700, 2750),
+        ],
+        "s long, e long",
+    )
+    got = {
+        (r.bucket_i, r.max_concurrent)
+        for r in max_concurrency(
+            iv, start_col="s", end_col="e", bucket_us=100,
+            out_bucket_us=1000,
+        ).collect()
+    }
+    assert got == {(0, 3), (1, 2), (2, 1)}
+
+
+def test_max_concurrency_inverted_raises(spark):
+    from datafusion_uba_spark.operators.interval import max_concurrency
+
+    iv = spark.createDataFrame([(10, 5)], "s long, e long")
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="inverted interval"):
+        max_concurrency(iv, start_col="s", end_col="e").collect()
+
+
+def test_max_concurrency_bad_bucket_ratio(spark):
+    from datafusion_uba_spark.operators.interval import max_concurrency
+
+    iv = spark.createDataFrame([(1, 2)], "s long, e long")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="multiple"):
+        max_concurrency(iv, start_col="s", end_col="e", bucket_us=7)

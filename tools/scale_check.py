@@ -122,6 +122,8 @@ HEAVY = [
     "power_user_curve",
     "kmeans_assign",
     "repeated_spans",
+    "langid_confusion",
+    "session_entry_exit",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
