@@ -28,11 +28,12 @@ tests/test_properties.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "growth_accounting",
+    "retention_bitmap",
     "stickiness_wau",
     "stickiness_wau_hll",
     "weekly_churn",
@@ -241,4 +242,74 @@ def weekly_churn(
             "n_active",
             F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
         )
+    )
+
+
+def retention_bitmap(
+    activity: DataFrame,
+    day_col: str = "di",
+    id_col: str = "user_id",
+    window: int = 28,
+) -> DataFrame:
+    """N-day retention from per-user int64 activity bitmaps — the
+    bitmap-index trick behind ClickHouse's retention() and Druid
+    theta-sketch retention, here with EXACT counts: each user's first
+    ``window`` days of activity (offsets from their own first active
+    day) fold into ONE 64-bit mask via ``bit_or(1 << offset)``, and
+    the whole retention curve is ``window`` bit-tests over |users|
+    single-long rows — no (born x target) pair explosion, no
+    per-offset self-joins, per-user state that never grows with
+    activity volume.
+
+    Plan: dedup (user, day) once, per-user first day via a user-
+    partitioned window, then the mask aggregate rides the SAME hash
+    partitioning (no second exchange); the curve is one explode of
+    ``window`` offsets over the mask frame plus a window-sized rollup.
+    Everyone is active at offset 0 by construction, so the k=0 row IS
+    the cohort size; retained_pm is the exact milli-ratio n_k*1000
+    DIV n_0 (a max-window over the ``window``-row result, not a data-
+    sized one).
+
+    Output: (day_offset, n_users, retained_pm), one row per offset
+    with at least one retained user. ``window`` is capped at 63 (the
+    sign bit of the long mask stays clear).
+    """
+    if not 1 <= window <= 63:
+        raise ValueError(
+            f"retention_bitmap: window must be in [1, 63], got {window}"
+        )
+    du = activity.select(
+        F.col(day_col).cast("long").alias("__di"),
+        F.col(id_col).alias("__u"),
+    ).distinct()
+    w = Window.partitionBy("__u")
+    masks = (
+        du.withColumn("__d0", F.min("__di").over(w))
+        .withColumn("__off", (F.col("__di") - F.col("__d0")).cast("int"))
+        .filter(F.col("__off") < window)
+        .groupBy("__u")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), __off)")
+            ).alias("__mask")
+        )
+    )
+    curve = (
+        masks.select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(window - 1))
+            ).alias("day_offset"),
+            "__mask",
+        )
+        .filter(F.expr("(shiftright(__mask, day_offset) & 1) = 1"))
+        .groupBy(F.col("day_offset").cast("long").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    cohort = F.max(
+        F.when(F.col("day_offset") == 0, F.col("n_users"))
+    ).over(Window.partitionBy())
+    return curve.withColumn("__cohort", cohort).selectExpr(
+        "day_offset",
+        "n_users",
+        "CAST(n_users * 1000 DIV __cohort AS BIGINT) AS retained_pm",
     )

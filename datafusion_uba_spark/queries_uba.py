@@ -1912,6 +1912,58 @@ FROM per_h GROUP BY 1
 """
 
 
+def q_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """28-day retention curve from per-user int64 activity bitmaps
+    (operators/engagement.py ``retention_bitmap``): offsets from each
+    user's own first active day fold into one long via
+    bit_or(1 << off); the curve is 28 bit-tests over |users| one-long
+    rows — no cohort x offset pair explosion. Day = days since
+    2024-01-01 (the repo's calendar-free convention)."""
+    from datafusion_uba_spark.operators.engagement import retention_bitmap
+
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select(
+        F.expr(
+            "CAST(datediff(CAST(date_trunc('day', ts) AS DATE), "
+            "DATE '2024-01-01') AS BIGINT)"
+        ).alias("di"),
+        "user_id",
+    )
+    return retention_bitmap(au, window=28)
+
+
+_ORACLE_RETENTION_BITMAP = """
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+                  - DATE '2024-01-01' AS di,
+         user_id
+  FROM events
+),
+offs AS (
+  SELECT user_id,
+         di - min(di) OVER (PARTITION BY user_id) AS off
+  FROM du
+),
+masks AS (
+  SELECT user_id,
+         bit_or(CAST(1 AS BIGINT) << CAST(off AS INT)) AS mask
+  FROM offs WHERE off < 28 GROUP BY user_id
+),
+curve AS (
+  SELECT CAST(g.k AS BIGINT) AS day_offset,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM masks, unnest(generate_series(0, 27)) AS g(k)
+  WHERE (mask >> CAST(g.k AS INT)) & 1 = 1
+  GROUP BY 1
+)
+SELECT day_offset, n_users,
+       CAST(n_users * 1000 //
+            max(CASE WHEN day_offset = 0 THEN n_users END) OVER ()
+            AS BIGINT) AS retained_pm
+FROM curve
+"""
+
+
 def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly growth accounting over events (operators/engagement.py
     ``growth_accounting``): every active user classified
@@ -2032,6 +2084,7 @@ FROM hist
 
 UBA_REGISTRY: dict = {
     "growth_accounting": (q_growth_accounting, _ORACLE_GROWTH_ACCOUNTING),
+    "retention_bitmap": (q_retention_bitmap, _ORACLE_RETENTION_BITMAP),
     "session_entry_exit": (q_session_entry_exit, _ORACLE_SESSION_ENTRY_EXIT),
     "concurrent_sessions": (
         q_concurrent_sessions,

@@ -1087,3 +1087,40 @@ def test_metric_anomaly_flags_crafted(spark):
     assert got[7] == (100, 0, False)
     assert got[8] == (100, 10000, True)   # 200 vs median 100
     assert got[9] == (100, 500, False)    # median ignores the spike
+
+
+def test_retention_bitmap_crafted(spark):
+    """Three users, window=7: u1 active offsets {0,2,6(+day 9 outside)},
+    u2 {0,1}, u3 {0} -> curve n_users 3/1/1/0/0/0/1 with exact milli
+    ratios; absolute day anchors differ per user (offsets are from
+    each user's OWN first day)."""
+    from datafusion_uba_spark.operators.engagement import retention_bitmap
+
+    rows = (
+        [(10, 1), (12, 1), (16, 1), (19, 1)]
+        + [(100, 2), (101, 2), (101, 2)]  # duplicate activity row
+        + [(55, 3)]
+    )
+    act = spark.createDataFrame(rows, "di long, user_id long")
+    got = {
+        r.day_offset: (r.n_users, r.retained_pm)
+        for r in retention_bitmap(act, window=7).collect()
+    }
+    assert got == {
+        0: (3, 1000),
+        1: (1, 333),
+        2: (1, 333),
+        6: (1, 333),
+    }
+
+
+def test_retention_bitmap_window_guard(spark):
+    from datafusion_uba_spark.operators.engagement import retention_bitmap
+
+    act = spark.createDataFrame([(0, 1)], "di long, user_id long")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window"):
+        retention_bitmap(act, window=64)
+    with _pt.raises(ValueError, match="window"):
+        retention_bitmap(act, window=0)
