@@ -1861,6 +1861,132 @@ FROM pair GROUP BY 1, 2
 """
 
 
+def q_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over session baskets: for every
+    unordered event-type pair, the number of 30-min-gap sessions
+    containing BOTH, and the lift in exact milli-units
+    (n_ab * 1000 * N DIV (n_a * n_b), > 1000 = positive association).
+    The basket frame is the deduped (user, sid, type) set — bounded by
+    sessions x |type vocabulary|, NOT raw events — and the pair join
+    is a self-equi-join on the session key it is already hash-
+    partitioned on; per-type supports and the session total broadcast
+    (|types| rows and 1 row). The milli basis keeps every product in
+    int64 at bench scale; the 100 TB upgrade is the same expression
+    over decimal(38,0). Output: (type_a, type_b, n_sessions_both,
+    lift_pm) for pairs co-occurring at least once, type_a < type_b."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    e = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("tus"),
+    )
+    sess = (
+        e.withColumn("__prev", F.lag("tus").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("tus") - F.col("__prev") > _GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    baskets = (
+        sess.select("user_id", "sid", "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # one O(1) driver scalar (the dedup.py fixpoint pattern) instead of
+    # a 1-row crossJoin that would plan a BroadcastNestedLoopJoin
+    n_total = (
+        baskets.select("user_id", "sid").distinct().count()
+    )
+    support = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__sup")
+    )
+    pairs = (
+        baskets.alias("a")
+        .join(baskets.alias("b"), ["user_id", "sid"])
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_sessions_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(support.withColumnRenamed("__sup", "__sup_a")),
+            pairs.type_a == support.event_type,
+        )
+        .drop("event_type")
+        .join(
+            F.broadcast(
+                support.withColumnRenamed("__sup", "__sup_b")
+            ).withColumnRenamed("event_type", "__et_b"),
+            F.col("type_b") == F.col("__et_b"),
+        )
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "n_sessions_both",
+            f"CAST(n_sessions_both * 1000 * {n_total}L "
+            "DIV (__sup_a * __sup_b) AS BIGINT) AS lift_pm",
+        )
+    )
+
+
+_ORACLE_SESSION_COOCCURRENCE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+),
+lagd AS (
+  SELECT user_id, event_id, event_type, tus,
+         lag(tus) OVER (PARTITION BY user_id
+                        ORDER BY tus, event_id) AS prev
+  FROM e
+),
+sess AS (
+  SELECT *, sum(CASE WHEN prev IS NULL OR tus - prev > {{gap}}
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY tus, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM lagd
+),
+baskets AS (
+  SELECT DISTINCT user_id, sid, event_type FROM sess
+),
+n_total AS (
+  SELECT count(*) AS n FROM (SELECT DISTINCT user_id, sid FROM baskets)
+),
+support AS (
+  SELECT event_type, count(*) AS sup FROM baskets GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_sessions_both
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.sid = b.sid
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_sessions_both,
+       CAST(n_sessions_both * 1000 * (SELECT n FROM n_total)
+            // (sa.sup * sb.sup) AS BIGINT) AS lift_pm
+FROM pairs
+JOIN support sa ON sa.event_type = pairs.type_a
+JOIN support sb ON sb.event_type = pairs.type_b
+""".replace("{gap}", str(_GAP_US))
+
+
 def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per day (operators/interval.py
     ``max_concurrency``): 30-min-gap sessions become inclusive
@@ -2089,6 +2215,10 @@ UBA_REGISTRY: dict = {
     "concurrent_sessions": (
         q_concurrent_sessions,
         _ORACLE_CONCURRENT_SESSIONS,
+    ),
+    "session_cooccurrence": (
+        q_session_cooccurrence,
+        _ORACLE_SESSION_COOCCURRENCE,
     ),
     "power_user_curve": (q_power_user_curve, _ORACLE_POWER_USER_CURVE),
     "daily_active_users": (q_daily_active_users, _ORACLE_DAU),

@@ -48,6 +48,11 @@ _NLJ_ALLOWED = {
     # ONE-ROW (total, count) aggregate broadcast back against the
     # per-part values — NLJ cost O(|parts| x 1)
     "tpch_q11",
+    # Lloyd's assignment step (operators/kmeans.py lloyd_rounds): the
+    # k centroids fold into ONE packed array-of-structs row broadcast
+    # against the vectors — the shuffle-free scorer, NLJ cost
+    # O(|vectors| x 1), same design as ann_topk
+    "kmeans_assign",
 }
 
 _REGISTRY = queries()
