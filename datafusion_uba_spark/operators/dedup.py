@@ -1273,3 +1273,75 @@ def repeated_spans(
         .orderBy(F.desc("n_occ"), F.desc("n_docs"), "span")
         .limit(top)
     )
+
+
+def cross_group_leakage(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    width: int = 8,
+) -> DataFrame:
+    """Contamination matrix between document groups: for every
+    unordered group pair (train/eval splits, crawl sources), the
+    number of DISTINCT ``width``-token spans occurring in both — the
+    span-level leakage check behind GPT-3/PaLM-style decontamination
+    reports, aggregated to the split level instead of flagging
+    individual documents (``decontaminate`` above does the per-doc
+    form against an explicit eval set).
+
+    Plan: every window folds to an md5 fingerprint immediately — md5,
+    not xxhash64, because this row's count must be replayable by an
+    external SQL oracle, and 16-byte fixed-width keys still shuffle
+    ~width-fold narrower than span strings. ONE hash shuffle groups
+    fingerprints; ``collect_set(group)`` bounds per-key state at the
+    group vocabulary (|sources|, not occurrences); pair expansion is
+    an array transform over each sorted set (a<b for free) and the
+    final matrix is at most C(|groups|, 2) rows. No span strings ever
+    move. Output: (group_a, group_b, n_shared_spans), pairs sharing at
+    least one span."""
+    if width < 1:
+        raise ValueError(f"cross_group_leakage: width must be >= 1, got {width}")
+    toks = F.split(F.col(text_col), " ")
+    spans = (
+        docs.select(F.col(group_col).alias("__g"), toks.alias("__t"))
+        .where(F.size("__t") >= width)
+        .select(
+            "__g",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size("__t") - F.lit(width - 1)
+                    ),
+                    lambda i: F.md5(
+                        F.array_join(F.slice("__t", i, width), " ")
+                    ),
+                )
+            ).alias("__fp"),
+        )
+    )
+    sets = spans.groupBy("__fp").agg(
+        F.sort_array(F.collect_set("__g")).alias("__gs")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__gs"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("__gs"),
+                            i + F.lit(2),
+                            F.size("__gs") - i - F.lit(1),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("group_a"), y.alias("group_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p")
+    )
+    return pairs.groupBy(
+        F.col("__p.group_a").alias("group_a"),
+        F.col("__p.group_b").alias("group_b"),
+    ).agg(F.count(F.lit(1)).alias("n_shared_spans"))

@@ -2114,6 +2114,36 @@ ORDER BY n_occ DESC, n_docs DESC, span LIMIT 100
 """
 
 
+def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level contamination matrix between sources
+    (operators/dedup.py ``cross_group_leakage``): distinct 8-token
+    spans shared by each unordered source pair — the split-level
+    decontamination report. Spans fold to md5 fingerprints before the
+    one hash shuffle; the oracle groups raw span strings, so a hash
+    match proves the fingerprint plan loses nothing."""
+    from datafusion_uba_spark.operators.dedup import cross_group_leakage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_group_leakage(docs, group_col="source", width=8)
+
+
+_ORACLE_CROSS_SOURCE_LEAKAGE = """
+WITH toks AS (SELECT source, str_split(text, ' ') AS t FROM documents),
+idx AS (
+  SELECT source, t, unnest(range(1, len(t) - 7 + 1)) AS i
+  FROM toks WHERE len(t) >= 8
+),
+d AS (
+  SELECT DISTINCT source, array_to_string(t[i:i+7], ' ') AS span
+  FROM idx
+)
+SELECT a.source AS group_a, b.source AS group_b,
+       CAST(count(*) AS BIGINT) AS n_shared_spans
+FROM d a JOIN d b ON a.span = b.span AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer Lloyd's k-means (operators/kmeans.py): k=8 from
     deterministic smallest-id seeds, 2 full rounds, every distance and
@@ -2173,6 +2203,10 @@ SELECT vec_id, cid AS cluster, dist2 FROM (
 LLM_REGISTRY: dict = {
     "kmeans_assign": (q_kmeans_assign, _ORACLE_KMEANS),
     "repeated_spans": (q_repeated_spans, _ORACLE_REPEATED_SPANS),
+    "cross_source_leakage": (
+        q_cross_source_leakage,
+        _ORACLE_CROSS_SOURCE_LEAKAGE,
+    ),
     "langid_confusion": (q_langid_confusion, _oracle_langid_confusion()),
     "dedup_incremental": (q_dedup_incremental, _ORACLE_DEDUP_INCREMENTAL),
     "sequence_packing": (q_sequence_packing, _ORACLE_SEQUENCE_PACKING),

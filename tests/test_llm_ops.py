@@ -1529,3 +1529,40 @@ def test_repeated_spans_matches_model(spark):
 
     with _pt.raises(ValueError):
         repeated_spans(df, width=0)
+
+
+def test_cross_group_leakage_crafted(spark):
+    """Shared span between groups A/B (one-way containment), a span in
+    three groups (contributes to all three pairs), and a group with no
+    overlap at all."""
+    from datafusion_uba_spark.operators.dedup import cross_group_leakage
+
+    common = "w1 w2 w3 w4 w5 w6 w7 w8"
+    tri = "t1 t2 t3 t4 t5 t6 t7 t8"
+    rows = [
+        (1, common + " a_tail_one two three four five six seven", "A"),
+        (2, common, "B"),
+        (3, tri, "A"),
+        (4, tri, "B"),
+        (5, tri + " pad", "C"),
+        (6, "lonely text with eight different words here ok", "D"),
+        (7, "short", "A"),  # < width tokens -> contributes nothing
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.group_a, r.group_b): r.n_shared_spans
+        for r in cross_group_leakage(docs, width=8).collect()
+    }
+    # A-B share `common` and `tri` (2 spans); tri+" pad" adds spans
+    # "t1..t8" and "t2..pad" to C, of which only the first is shared
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+
+
+def test_cross_group_leakage_width_guard(spark):
+    from datafusion_uba_spark.operators.dedup import cross_group_leakage
+
+    docs = spark.createDataFrame([(1, "x", "A")], "doc_id long, text string, source string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="width"):
+        cross_group_leakage(docs, width=0)
