@@ -22,7 +22,11 @@ from datafusion_uba_spark.operators.funnel import (
     funnel_steps_any_anchor,
 )
 from datafusion_uba_spark.sources import load_table
-from datafusion_uba_spark.streaming import hourly_event_counts, sessionize
+from datafusion_uba_spark.streaming import (
+    hourly_event_counts,
+    sessionize,
+    sliding_event_counts,
+)
 
 _GAP_US = 30 * 60 * 1_000_000  # sessionize gap: 30 minutes
 
@@ -120,6 +124,31 @@ _ORACLE_HOURLY = """
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
        event_type, count(*) AS n_events
 FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour event volume per type refreshed every 15 minutes
+    (streaming/__init__.py ``sliding_event_counts``, the same
+    expression runs watermarked under readStream): each event fans out
+    to its 4 covering epoch-aligned windows before the shuffle, so the
+    exchange carries (window, type) counters, never events."""
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_event_counts(ev)
+
+
+_SLIDE_US = 900_000_000
+_ORACLE_SLIDING = f"""
+WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events),
+fan AS (
+  SELECT ((t // {_SLIDE_US}) - g.j) * {_SLIDE_US} AS ws, event_type, t
+  FROM e, unnest(generate_series(0, 3)) AS g(j)
+)
+SELECT CAST(ws AS BIGINT) AS window_start_us, event_type,
+       count(*) AS n_events
+FROM fan
+WHERE t >= ws AND t < ws + {4 * _SLIDE_US}
+GROUP BY 1, 2
 """
 
 _FUNNEL_STEPS = ("view", "click", "purchase")
@@ -2246,6 +2275,7 @@ UBA_REGISTRY: dict = {
     ),
     "sessionize": (q_sessionize, _ORACLE_SESSIONIZE),
     "hourly_event_counts": (q_hourly_event_counts, _ORACLE_HOURLY),
+    "sliding_event_counts": (q_sliding_event_counts, _ORACLE_SLIDING),
     "funnel_steps": (q_funnel_steps, _ORACLE_FUNNEL),
     "funnel_steps_any": (q_funnel_steps_any, _ORACLE_FUNNEL_ANY),
     "asof_view_value": (q_asof_view_value, _ORACLE_ASOF),

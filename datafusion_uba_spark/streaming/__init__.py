@@ -35,6 +35,7 @@ from pyspark.sql.streaming import StreamingQuery
 __all__ = [
     "stream_events",
     "hourly_event_counts",
+    "sliding_event_counts",
     "daily_active_users",
     "sessionize",
     "streaming_user_day_flags",
@@ -118,6 +119,41 @@ def hourly_event_counts(
     return (
         events.groupBy(
             F.window("ts", window).alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    watermark: str | None = "2 hours",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Sliding-window event counts per type — the overlapping-window
+    rate monitor (trailing-hour volume refreshed every slide).
+
+    Spark's window(ts, window, slide) assigns each event to
+    window/slide epoch-aligned overlapping windows; the aggregate
+    state is window/slide counters per type, and a watermark closes
+    windows in append mode exactly as the tumbling form. Batch: the
+    identical expression is an internal explode + hash aggregate —
+    each event fans out to its covering windows BEFORE the shuffle, so
+    partial aggregation still collapses per (window, type) map-side
+    and the shuffle carries counters, not events. Output is flat
+    epoch-micros window starts (hash-stable); the DuckDB oracle
+    replays the fan-out with generate_series.
+    """
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(
+            F.window("ts", window, slide).alias("w"), F.col("event_type")
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from datafusion_uba_spark.sources import load_table
 from datafusion_uba_spark.streaming import (
     hourly_event_counts,
+    sliding_event_counts,
     run_to_memory,
     sessionize,
     stream_events,
@@ -109,6 +110,25 @@ def test_hourly_counts_parity(spark, batch_events):
         "event_type",
     )
     assert got == want and len(got) > 0
+
+
+def test_sliding_counts_parity(spark, batch_events):
+    """Streaming sliding windows == the batch twin, and each event
+    lands in exactly window/slide = 4 windows (sum of counts = 4x
+    event count)."""
+    sdf = sliding_event_counts(_stream(spark), watermark=None)
+    run_to_memory(sdf, "sliding_parity", output_mode="complete")
+    got = _rows(
+        spark.table("sliding_parity"), "window_start_us", "event_type"
+    )
+    want = _rows(
+        sliding_event_counts(batch_events, watermark=None),
+        "window_start_us",
+        "event_type",
+    )
+    assert got == want and len(got) > 0
+    total = sum(r[-1] for r in want)
+    assert total == 4 * batch_events.count()
 
 
 def test_sessionize_parity(spark, batch_events):

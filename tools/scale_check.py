@@ -124,6 +124,10 @@ HEAVY = [
     "repeated_spans",
     "langid_confusion",
     "session_entry_exit",
+    "concurrent_sessions",
+    "retention_bitmap",
+    "session_cooccurrence",
+    "cross_source_leakage",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
