@@ -25,7 +25,12 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "funnel_steps_any_anchor", "funnel_user_times"]
+__all__ = [
+    "funnel_steps",
+    "funnel_steps_any_anchor",
+    "funnel_steps_excluding",
+    "funnel_user_times",
+]
 
 
 def funnel_user_times(
@@ -182,3 +187,77 @@ def funnel_steps_any_anchor(
         ]
     )
     return counts.select(F.explode(out_rows).alias("r")).select("r.*")
+
+
+def funnel_steps_excluding(
+    events: DataFrame,
+    step_a: Column,
+    step_c: Column,
+    excluded: Column,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    conversion_window_days: int = 7,
+) -> DataFrame:
+    """Two-step funnel with an EXCLUSION step — "did A then C within
+    the window, with no B strictly in between" (Amplitude/Mixpanel's
+    "did not perform" clause): the organic-conversion question ("
+    purchased after a view without clicking the promo") that plain
+    funnels can't ask.
+
+    Semantics (single-anchor, matching funnel_steps): t_a = the user's
+    first A; t_c = their first C with t_a <= t_c <= t_a + window; the
+    conversion is CLEAN when no excluded event falls strictly inside
+    (t_a, t_c). Endpoints don't exclude — an excluded event at exactly
+    t_a or t_c is outside the open interval, pinned by the oracle and
+    the crafted goldens.
+
+    Plan: three filtered scans, each reduced per user before or right
+    after an equi-join on the user key — min-agg for A, windowed min
+    for C, then ONE anti-join against the excluded events (the
+    between-predicate rides as a join residual on co-partitioned user
+    keys). All
+    shuffles share the user key, so everything downstream of the first
+    exchange is co-partitioned; per-user state is two timestamps.
+    Output: (day_i of t_a, n_converted, n_clean) per cohort day —
+    days since 2024-01-01, the repo convention."""
+    window_us = conversion_window_days * 86_400 * 1_000_000
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col)).alias("tus"),
+        step_a.alias("__a"),
+        step_c.alias("__c"),
+        excluded.alias("__x"),
+    )
+    a = base.where("__a").groupBy("u").agg(F.min("tus").alias("t_a"))
+    c = (
+        base.where("__c")
+        .join(a, "u")
+        .where(
+            (F.col("tus") >= F.col("t_a"))
+            & (F.col("tus") <= F.col("t_a") + F.lit(window_us))
+        )
+        .groupBy("u")
+        .agg(F.min("tus").alias("t_c"), F.min("t_a").alias("t_a"))
+    )
+    x = base.where("__x").select(
+        F.col("u").alias("xu"), F.col("tus").alias("xt")
+    )
+    clean = c.join(
+        x,
+        (F.col("u") == F.col("xu"))
+        & (F.col("xt") > F.col("t_a"))
+        & (F.col("xt") < F.col("t_c")),
+        "left_anti",
+    )
+    day = "CAST(t_a DIV 86400000000 - 19723 AS BIGINT) AS day_i"
+    conv = c.selectExpr(day, "u").groupBy("day_i").agg(
+        F.count(F.lit(1)).alias("n_converted")
+    )
+    cln = clean.selectExpr(day, "u").groupBy("day_i").agg(
+        F.count(F.lit(1)).alias("n_clean")
+    )
+    return conv.join(cln, "day_i", "left").select(
+        "day_i",
+        "n_converted",
+        F.coalesce("n_clean", F.lit(0)).cast("long").alias("n_clean"),
+    )

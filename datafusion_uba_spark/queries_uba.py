@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from datafusion_uba_spark.operators.funnel import (
     funnel_steps,
     funnel_steps_any_anchor,
+    funnel_steps_excluding,
 )
 from datafusion_uba_spark.sources import load_table
 from datafusion_uba_spark.streaming import (
@@ -1890,6 +1891,61 @@ FROM pair GROUP BY 1, 2
 """
 
 
+def q_funnel_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclusion funnel (operators/funnel.py ``funnel_steps_excluding``):
+    per first-view cohort day, users who purchased within 7 days of
+    their first view, and how many of those did it with NO click
+    strictly between — the organic-conversion split a plain funnel
+    can't express. One anti-join carries the exclusion; every shuffle
+    shares the user key."""
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps_excluding(
+        ev,
+        step_a=F.col("event_type") == "view",
+        step_c=F.col("event_type") == "purchase",
+        excluded=F.col("event_type") == "click",
+        conversion_window_days=7,
+    )
+
+
+_ORACLE_FUNNEL_EXCLUSION = """
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS tus, event_type FROM events
+),
+a AS (
+  SELECT u, min(tus) AS t_a FROM e WHERE event_type = 'view' GROUP BY u
+),
+c AS (
+  SELECT e.u, min(e.tus) AS t_c, min(a.t_a) AS t_a
+  FROM e JOIN a ON a.u = e.u
+  WHERE e.event_type = 'purchase'
+    AND e.tus >= a.t_a AND e.tus <= a.t_a + 604800000000
+  GROUP BY e.u
+),
+clean AS (
+  SELECT c.* FROM c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e x
+    WHERE x.u = c.u AND x.event_type = 'click'
+      AND x.tus > c.t_a AND x.tus < c.t_c
+  )
+),
+conv AS (
+  SELECT t_a // 86400000000 - 19723 AS day_i,
+         CAST(count(*) AS BIGINT) AS n_converted
+  FROM c GROUP BY 1
+),
+cln AS (
+  SELECT t_a // 86400000000 - 19723 AS day_i,
+         CAST(count(*) AS BIGINT) AS n_clean
+  FROM clean GROUP BY 1
+)
+SELECT CAST(conv.day_i AS BIGINT) AS day_i, conv.n_converted,
+       CAST(coalesce(cln.n_clean, 0) AS BIGINT) AS n_clean
+FROM conv LEFT JOIN cln ON cln.day_i = conv.day_i
+"""
+
+
 def q_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association over session baskets: for every
     unordered event-type pair, the number of 30-min-gap sessions
@@ -2278,6 +2334,7 @@ UBA_REGISTRY: dict = {
     "sliding_event_counts": (q_sliding_event_counts, _ORACLE_SLIDING),
     "funnel_steps": (q_funnel_steps, _ORACLE_FUNNEL),
     "funnel_steps_any": (q_funnel_steps_any, _ORACLE_FUNNEL_ANY),
+    "funnel_exclusion": (q_funnel_exclusion, _ORACLE_FUNNEL_EXCLUSION),
     "asof_view_value": (q_asof_view_value, _ORACLE_ASOF),
     "session_of_event": (q_session_of_event, _ORACLE_SESSION_OF_EVENT),
     "user_rfm": (q_user_rfm, _ORACLE_USER_RFM),

@@ -277,3 +277,46 @@ def test_funnel_partition_invariance(spark, partitions):
     # cohort d1 (u2): u2 buys d1 (offset0) → [1,0]
     # cohort d2 (u3): u3 buys d2 same day, born row is 'add', buy row separate → target[2]=1 → [1]
     assert to_py(res["retention"]) == [[2, 1, 1], [0, 1, 2], [1, 0], [1]]
+
+
+def test_funnel_exclusion_boundaries(spark):
+    """Open-interval exclusion pins: a click at exactly t_a or exactly
+    t_c does NOT exclude; one strictly inside does; a click after t_c
+    or before t_a is irrelevant; a converter with no clicks at all is
+    clean."""
+    from datafusion_uba_spark.operators.funnel import funnel_steps_excluding
+
+    D0 = 1704067200_000_000  # 2024-01-01 epoch micros
+    MIN = 60_000_000
+
+    def ev(u, t, typ):
+        return (u, typ, t)
+
+    rows = [
+        # u1: view, click strictly between, purchase -> dirty
+        ev(1, D0, "view"), ev(1, D0 + MIN, "click"), ev(1, D0 + 2 * MIN, "purchase"),
+        # u2: click exactly at t_a -> clean
+        ev(2, D0, "view"), ev(2, D0, "click"), ev(2, D0 + MIN, "purchase"),
+        # u3: click exactly at t_c -> clean
+        ev(3, D0, "view"), ev(3, D0 + MIN, "purchase"), ev(3, D0 + MIN, "click"),
+        # u4: click after t_c -> clean
+        ev(4, D0, "view"), ev(4, D0 + MIN, "purchase"), ev(4, D0 + 5 * MIN, "click"),
+        # u5: no click -> clean
+        ev(5, D0, "view"), ev(5, D0 + 3 * MIN, "purchase"),
+        # u6: purchase outside 7-day window -> not converted at all
+        ev(6, D0, "view"), ev(6, D0 + 8 * 86400_000_000, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, typ, t) for u, typ, t in rows],
+        "user_id long, event_type string, tus long",
+    ).select("user_id", "event_type", F.timestamp_micros("tus").alias("ts"))
+    got = {
+        r.day_i: (r.n_converted, r.n_clean)
+        for r in funnel_steps_excluding(
+            df,
+            step_a=F.col("event_type") == "view",
+            step_c=F.col("event_type") == "purchase",
+            excluded=F.col("event_type") == "click",
+        ).collect()
+    }
+    assert got == {0: (5, 4)}
