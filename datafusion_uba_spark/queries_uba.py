@@ -533,6 +533,123 @@ FROM events GROUP BY user_id
 """
 
 
+def q_next_event_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine eval of the first-order Markov next-event model: per
+    prev_type, the argmax next_type (ties broken by type name, so the
+    model is deterministic) and its empirical top-1 accuracy in exact
+    milli-units. Everything after the one event-scale lag shuffle
+    happens on the |types|^2 transition matrix — the model fit, the
+    argmax, and the accuracy all fall out of the same tiny frame
+    (n_correct IS the argmax cell, total IS the row sum), so "train +
+    evaluate" adds zero extra passes over events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    t = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    matrix = (
+        t.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    ranked = matrix.withColumn(
+        "__total", F.sum("__n").over(wp)
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            wp.orderBy(F.desc("__n"), F.col("next_type"))
+        ),
+    )
+    return ranked.where(F.col("__rn") == 1).selectExpr(
+        "prev_type",
+        "next_type AS predicted_next",
+        "CAST(__total AS BIGINT) AS n_transitions",
+        "CAST(__n AS BIGINT) AS n_correct",
+        "CAST(__n * 1000 DIV __total AS BIGINT) AS accuracy_pm",
+    )
+
+
+_ORACLE_NEXT_EVENT_PREDICTION = """
+WITH o AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+),
+m AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+r AS (
+  SELECT *,
+         sum(n) OVER (PARTITION BY prev_type) AS total,
+         row_number() OVER (PARTITION BY prev_type
+                            ORDER BY n DESC, next_type) AS rn
+  FROM m
+)
+SELECT prev_type, next_type AS predicted_next,
+       CAST(total AS BIGINT) AS n_transitions,
+       CAST(n AS BIGINT) AS n_correct,
+       CAST(n * 1000 // total AS BIGINT) AS accuracy_pm
+FROM r WHERE rn = 1
+"""
+
+
+def q_dwell_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type dwell time: the gap to the user's next event,
+    counted only while the 30-min session is still open (the same gap
+    rule as sessionize, so "dwell" never spans a session boundary).
+    One user-partitioned window sort feeds the lead; the rollup is a
+    plain hash aggregate with exact integer micro averages."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    d = (
+        ev.select(
+            "user_id", "event_id", "event_type",
+            F.unix_micros("ts").alias("tus"),
+        )
+        .withColumn("__dwell", F.lead("tus").over(w) - F.col("tus"))
+        .where(
+            F.col("__dwell").isNotNull() & (F.col("__dwell") <= _GAP_US)
+        )
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_dwells"),
+        F.expr("CAST(sum(__dwell) DIV count(1) AS BIGINT)").alias(
+            "avg_dwell_us"
+        ),
+        F.max("__dwell").cast("long").alias("max_dwell_us"),
+    )
+
+
+_ORACLE_DWELL_TIME = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+),
+d AS (
+  SELECT event_type,
+         lead(tus) OVER (PARTITION BY user_id
+                         ORDER BY tus, event_id) - tus AS dwell
+  FROM e
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_dwells,
+       CAST(sum(dwell) // count(*) AS BIGINT) AS avg_dwell_us,
+       CAST(max(dwell) AS BIGINT) AS max_dwell_us
+FROM d WHERE dwell IS NOT NULL AND dwell <= {_GAP_US}
+GROUP BY 1
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition counts (the Markov matrix /
     Sankey-diagram source): per user, each event paired with its
@@ -2339,6 +2456,11 @@ UBA_REGISTRY: dict = {
     "session_of_event": (q_session_of_event, _ORACLE_SESSION_OF_EVENT),
     "user_rfm": (q_user_rfm, _ORACLE_USER_RFM),
     "event_transitions": (q_event_transitions, _ORACLE_EVENT_TRANSITIONS),
+    "next_event_prediction": (
+        q_next_event_prediction,
+        _ORACLE_NEXT_EVENT_PREDICTION,
+    ),
+    "dwell_time_stats": (q_dwell_time_stats, _ORACLE_DWELL_TIME),
     "heavy_hitters_cms": (q_heavy_hitters_cms, _ORACLE_HEAVY_HITTERS_CMS),
     "stickiness_wau": (q_stickiness_wau, _ORACLE_STICKINESS_WAU),
     "stickiness_wau_hll": (q_stickiness_wau_hll, None),
