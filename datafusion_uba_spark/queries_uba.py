@@ -509,6 +509,94 @@ FROM e JOIN sess s
 """
 
 
+def q_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-learning label builder run IN the engine — the
+    feature/label join every churn model consumes: cohort = users
+    active in the last fully-observed week W (max week - 1, a driver
+    scalar), features aggregated over all history <= W (event count,
+    distinct active weeks, last active week, integer cents), label
+    churned = no activity in W+1. The label's time cutoff and the
+    feature window share the same week arithmetic, so no leakage from
+    the future into the features by construction. One scan feeds the
+    feature aggregate and both week membership frames; all joins ride
+    the user key."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(CAST(date_trunc('day', ts) AS DATE), "
+            "DATE '2024-01-01') DIV 7 AS BIGINT)"
+        ).alias("wk"),
+        F.round(F.col("value") * 100).cast("long").alias("__cents"),
+    ).localCheckpoint(eager=False)
+    w_last = base.agg(F.max("wk")).collect()[0][0] - 1
+    feat = (
+        base.where(F.col("wk") <= w_last)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("wk").alias("active_weeks"),
+            F.max("wk").alias("last_active_wk"),
+            F.sum("__cents").alias("monetary_cents"),
+        )
+    )
+    cohort = base.where(F.col("wk") == w_last).select("user_id").distinct()
+    nxt = (
+        base.where(F.col("wk") == w_last + 1)
+        .select("user_id")
+        .distinct()
+        .withColumn("__alive", F.lit(1))
+    )
+    return (
+        feat.join(cohort, "user_id", "left_semi")
+        .join(nxt, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "active_weeks",
+            "last_active_wk",
+            "monetary_cents",
+            F.when(F.col("__alive").isNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("churned"),
+        )
+    )
+
+
+_ORACLE_CHURN_TRAINING_SET = """
+WITH base AS (
+  SELECT user_id,
+         (CAST(date_trunc('day', ts) AS DATE) - DATE '2024-01-01') // 7
+           AS wk,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+wl AS (SELECT max(wk) - 1 AS w FROM base),
+feat AS (
+  SELECT user_id,
+         count(*) AS n_events,
+         CAST(count(DISTINCT wk) AS BIGINT) AS active_weeks,
+         CAST(max(wk) AS BIGINT) AS last_active_wk,
+         CAST(sum(cents) AS BIGINT) AS monetary_cents
+  FROM base WHERE wk <= (SELECT w FROM wl) GROUP BY user_id
+),
+cohort AS (
+  SELECT DISTINCT user_id FROM base WHERE wk = (SELECT w FROM wl)
+),
+nxt AS (
+  SELECT DISTINCT user_id FROM base WHERE wk = (SELECT w FROM wl) + 1
+)
+SELECT f.user_id, f.n_events, f.active_weeks, f.last_active_wk,
+       f.monetary_cents,
+       CAST(CASE WHEN n.user_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS churned
+FROM feat f
+JOIN cohort c ON c.user_id = f.user_id
+LEFT JOIN nxt n ON n.user_id = f.user_id
+"""
+
+
 def q_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic RFM segmentation input: per-user Recency (last event
     time), Frequency (event count), Monetary (integer-cents sum of
@@ -2455,6 +2543,10 @@ UBA_REGISTRY: dict = {
     "asof_view_value": (q_asof_view_value, _ORACLE_ASOF),
     "session_of_event": (q_session_of_event, _ORACLE_SESSION_OF_EVENT),
     "user_rfm": (q_user_rfm, _ORACLE_USER_RFM),
+    "churn_training_set": (
+        q_churn_training_set,
+        _ORACLE_CHURN_TRAINING_SET,
+    ),
     "event_transitions": (q_event_transitions, _ORACLE_EVENT_TRANSITIONS),
     "next_event_prediction": (
         q_next_event_prediction,

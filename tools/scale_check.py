@@ -128,6 +128,10 @@ HEAVY = [
     "retention_bitmap",
     "session_cooccurrence",
     "cross_source_leakage",
+    "sliding_event_counts",
+    "funnel_exclusion",
+    "next_event_prediction",
+    "dwell_time_stats",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
