@@ -509,6 +509,68 @@ FROM e JOIN sess s
 """
 
 
+def q_ab_assignment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic experiment analysis in-engine: users split 50/50
+    into variants by the first hex nibble of md5(user_id) — the
+    stateless, rerun-stable assignment every experimentation platform
+    uses (no assignment table, no random()), md5 chosen over xxhash64
+    because the split must be replayable by the SQL oracle. Per
+    variant: exposed users, converters (>= 1 purchase), conversion and
+    exact integer cents-per-user. One scan -> per-user aggregate ->
+    2-row rollup; the variant expression is a pure projection so the
+    user aggregate still combines map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("__conv"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "__cents"
+        ),
+    )
+    tagged = per_user.withColumn(
+        "variant",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+            < "8",
+            F.lit("A"),
+        ).otherwise(F.lit("B")),
+    )
+    return tagged.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("__conv").cast("long").alias("n_converted"),
+        F.expr(
+            "CAST(sum(__conv) * 1000 DIV count(1) AS BIGINT)"
+        ).alias("conversion_pm"),
+        F.expr("CAST(sum(__cents) DIV count(1) AS BIGINT)").alias(
+            "cents_per_user"
+        ),
+    )
+
+
+_ORACLE_AB_ASSIGNMENT = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id
+),
+tagged AS (
+  SELECT *,
+         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS variant
+  FROM per_user
+)
+SELECT variant,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(conv) AS BIGINT) AS n_converted,
+       CAST(sum(conv) * 1000 // count(*) AS BIGINT) AS conversion_pm,
+       CAST(sum(cents) // count(*) AS BIGINT) AS cents_per_user
+FROM tagged GROUP BY 1
+"""
+
+
 def q_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supervised-learning label builder run IN the engine — the
     feature/label join every churn model consumes: cohort = users
@@ -2543,6 +2605,10 @@ UBA_REGISTRY: dict = {
     "asof_view_value": (q_asof_view_value, _ORACLE_ASOF),
     "session_of_event": (q_session_of_event, _ORACLE_SESSION_OF_EVENT),
     "user_rfm": (q_user_rfm, _ORACLE_USER_RFM),
+    "ab_assignment_report": (
+        q_ab_assignment_report,
+        _ORACLE_AB_ASSIGNMENT,
+    ),
     "churn_training_set": (
         q_churn_training_set,
         _ORACLE_CHURN_TRAINING_SET,
