@@ -26,12 +26,14 @@ from datafusion_uba_spark.operators import (  # noqa: F401
     kmeans,
     multimodal,
     packing,
+    pagerank,
     quality,
     rollup,
     sampling,
     scd,
     similarity,
     sketches,
+    survival,
     text,
 )
 
@@ -53,6 +55,8 @@ __all__ = [
     "scd",
     "sketches",
     "audiocodec",
+    "pagerank",
+    "survival",
 ]
 
 __version__ = "0.1.0"

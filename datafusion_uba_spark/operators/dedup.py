@@ -1345,3 +1345,120 @@ def cross_group_leakage(
         F.col("__p.group_a").alias("group_a"),
         F.col("__p.group_b").alias("group_b"),
     ).agg(F.count(F.lit(1)).alias("n_shared_spans"))
+
+
+def semantic_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    k: int | None = None,
+    rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means clusters
+    as the blocking structure, exact quantized cosine as the verify.
+
+    The third blocking discipline in the dedup family (after MinHash
+    bands and hyperplane-LSH buckets), following SemDeDup (Abbas et
+    al. 2023): embeddings are clustered (exact-integer Lloyd's,
+    operators/kmeans.py), and candidate pairs are generated ONLY
+    within a cluster — semantically unrelated documents never meet,
+    so the pair join is an equi-join on the cluster id, never
+    all-pairs. Each surviving pair is verified with the exact integer
+    cosine shared with embedding_neardup_pairs (micro-unit grid, one
+    IEEE division + sqrt — deterministic on any engine).
+
+    THE CLUSTER COUNT SIZES ITSELF WITH THE CORPUS via the same
+    sqrt-law helper as the IVF index (similarity.auto_n_cells): total
+    assignment work grows n^1.5 and expected cluster occupancy n^0.5,
+    the FAISS-nlist balance. At true 100 TB one would train centroids
+    on a sample and reuse them across batches (the trained-IVF path,
+    similarity.ivf_build_index_trained, is exactly that recipe);
+    ``k``/``n_rows`` are injectable for that composition and for
+    pinned-geometry oracle replay.
+
+    Output: (cluster, id_a, id_b, cosine_u) with id_a < id_b.
+    """
+    from datafusion_uba_spark.operators.kmeans import lloyd_rounds
+    from datafusion_uba_spark.operators.similarity import (
+        _with_quant,
+        auto_n_cells,
+        cosine_sql,
+    )
+
+    if k is None:
+        n = n_rows if n_rows is not None else emb.count()
+        k = auto_n_cells(n)
+    assigned = lloyd_rounds(
+        emb, k=k, rounds=rounds, vec_col=vec_col, id_col=id_col
+    ).select("vec_id", "cluster")
+    d = _with_quant(emb, vec_col, id_col, "vec", dim)
+    # ONE cluster-partitioned vector table feeds both sides of the
+    # self-join. Three measured lessons from 8x sf0.1 are baked into
+    # this shape:
+    # - the explicit repartition(n, cluster) pins the pair stage's
+    #   parallelism: AQE coalesces reducer partitions by BYTES, and
+    #   16k fat vector rows fit one partition — which would run the
+    #   |occupancy|^2 pair explosion AND every 64-term cosine
+    #   single-core (measured 43 s vs ~6 s for the same work spread);
+    # - the lazy checkpoint materializes the Lloyd lineage once (the
+    #   self-join would otherwise re-run the whole clustering per
+    #   side);
+    # - pair explosion, cosine, and the threshold filter FUSE into the
+    #   co-partitioned join stage, so the per-pair intermediate (2M
+    #   rows x two 64-long arrays at 8x) never serializes into a
+    #   shuffle — arrays move once per VECTOR, survivors leave the
+    #   stage already filtered (an earlier fetch-arrays-by-id variant
+    #   paid a single-core ~2 GB exchange write for the fat pair
+    #   stream).
+    spark = emb.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # ORDER MATTERS: checkpoint FIRST, repartition AFTER — a
+    # localCheckpoint erases the outgoing partitioning metadata, so a
+    # pre-checkpoint repartition would be invisible to the join
+    # planner, which then adds its own exchanges that AQE coalesces
+    # by bytes back to one partition (measured: the whole pair+score
+    # stage single-core again). Post-checkpoint, both self-join sides
+    # report HashPartitioning(cluster, n_parts) (alias-aware), the
+    # join adds no exchange, and the explicit partition count sticks.
+    v = (
+        assigned.join(d, "vec_id")
+        .localCheckpoint(eager=False)
+        .repartition(n_parts, "cluster")
+    )
+    a = v.select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("vec_q").alias("qa"),
+        F.col("vec_n").alias("na"),
+    )
+    b = v.select(
+        F.col("cluster").alias("__cb"),
+        F.col("vec_id").alias("id_b"),
+        F.col("vec_q").alias("qb"),
+        F.col("vec_n").alias("nb"),
+    )
+    scored = a.join(
+        b,
+        (F.col("cluster") == F.col("__cb"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).selectExpr(
+        "cluster",
+        "id_a",
+        "id_b",
+        f"CAST(floor({cosine_sql('qa', 'qb', 'na', 'nb', dim)} * 1000000)"
+        " AS BIGINT) AS cosine_u",
+    )
+    # barrier BEFORE the threshold filter (the dedup-family lesson,
+    # same as fuzzy_prefix_pairs): without it Catalyst pushes the
+    # 64-term cosine into the SortMergeJoin's residual condition,
+    # where it runs INTERPRETED per probe match and then AGAIN in the
+    # project (measured 74 s vs ~15 s at 8x sf0.1). The checkpoint
+    # materializes only the skinny (cluster, id_a, id_b, cosine_u)
+    # stream — arrays never leave the join stage.
+    scored = scored.localCheckpoint(eager=False)
+    return scored.where(
+        F.col("cosine_u") >= int(round(threshold * 1_000_000))
+    )

@@ -1,0 +1,116 @@
+"""Exact-integer weighted PageRank over an aggregated edge table.
+
+Graph centrality for event-flow analysis: which event types sit at the
+center of user journeys. The reference has no graph operator (its
+surface is the two retention UDAFs, src/retention/mod.rs:30-107); this
+extends the engine's UBA family — the ranking twin of
+``event_transitions`` (the Markov transition matrix), consuming the
+same consecutive-pair edge stream.
+
+Why exact integers: float PageRank sums contributions in shuffle order
+— non-deterministic last-ULP results that cannot be hash-verified. Here
+every quantity is a scaled int64 and every division truncates, so the
+power iteration replays bit-for-bit on any engine:
+
+- edge transition probability  p_ppm(u,v) = (w(u,v) * 10^6) div W(u)
+  with W(u) the node's total out-weight (exact int64 sums);
+- rank scale 10^12:            r_0(v) = 10^12 div N
+- per-iteration update:
+    r_{k+1}(v) = (15 * 10^12) div (100 * N)
+               + sum_u ( (85 * ((r_k(u) * p_ppm(u,v)) div 10^6)) div 100 )
+
+The inner product r * p_ppm <= 10^12 * 10^6 < 2^63 — overflow-free for
+ANY graph size because ranks are normalized (total mass <= 10^12).
+Truncation loses mass (standard integer-PageRank leak, ~N ULPs per
+round); dangling nodes likewise leak their damped mass — both are part
+of the pinned spec the DuckDB oracle replays exactly.
+
+Scale shape: the data-sized work is building the aggregated edge table
+(caller's one shuffle over event pairs). The iteration itself runs on
+the |node|^2-bounded edge table — O(event-type cardinality squared),
+tiny at any event volume — as ``iters`` chained broadcast-joined hash
+aggregates. No collect, no Python row work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["pagerank_integer", "RANK_SCALE", "PROB_SCALE"]
+
+RANK_SCALE = 10**12
+PROB_SCALE = 10**6
+DAMP_PCT = 85
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    iters: int = 10,
+) -> DataFrame:
+    """``iters`` exact-integer power-iteration rounds over weighted
+    edges (one row per (src, dst) with positive int64 weight).
+
+    Returns (node, rank_scaled) with rank on the 10^12 grid.
+    """
+    if iters < 1:
+        raise ValueError(f"pagerank_integer: iters={iters} must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    # Edge transition probabilities on the ppm grid; the window sum is
+    # over the already-aggregated edge table (|nodes|^2 rows max).
+    tot = Window.partitionBy("src")
+    ep = e.withColumn("_W", F.sum("w").over(tot)).select(
+        "src",
+        "dst",
+        F.expr(f"(w * {PROB_SCALE}) div _W").alias("p_ppm"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).alias("_N"))
+    nodes = nodes.crossJoin(F.broadcast(n_row)).localCheckpoint(eager=False)
+    ep = ep.localCheckpoint(eager=False)
+
+    ranks = nodes.select(
+        "node",
+        "_N",
+        F.expr(f"CAST({RANK_SCALE} AS BIGINT) div _N").alias("r"),
+    )
+    for _ in range(iters):
+        contrib = (
+            ep.join(F.broadcast(ranks.select("node", "r")),
+                    ep["src"] == F.col("node"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"({DAMP_PCT} * ((r * p_ppm) div {PROB_SCALE})) div 100"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                "_N",
+                (
+                    F.expr(
+                        f"CAST({100 - DAMP_PCT} * {RANK_SCALE} AS BIGINT)"
+                        " div (100 * _N)"
+                    )
+                    + F.coalesce(F.col("inflow"), F.lit(0).cast("long"))
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

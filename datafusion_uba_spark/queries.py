@@ -2525,6 +2525,12 @@ from datafusion_uba_spark.queries_uba import UBA_REGISTRY  # noqa: E402
 
 REGISTRY.update(UBA_REGISTRY)
 
+# Statistical-analytics inventory (survival / PageRank / autocorrelation
+# / chi-square) — defined in queries_stats.py, same (fn, oracle) contract.
+from datafusion_uba_spark.queries_stats import STATS_REGISTRY  # noqa: E402
+
+REGISTRY.update(STATS_REGISTRY)
+
 # Driver-verification priority order. The driver's per-round correctness
 # capture has historically recorded only the FIRST 50 dict entries
 # (CORRECTNESS_r07 stopped at exactly 50 of 62), so the registry is

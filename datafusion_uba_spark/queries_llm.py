@@ -1392,6 +1392,89 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMANTIC_THRESHOLD = 0.4
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-bounded semantic dedup (operators/
+    dedup.py semantic_pairs): exact-integer k-means clusters are the
+    blocking structure (k sized by the same sqrt-law as the IVF
+    index), candidate pairs meet only inside a cluster, and the exact
+    micro-unit cosine verifies — the third blocking discipline next
+    to MinHash bands and hyperplane LSH, hash-verifiable end to end
+    because both the clustering and the cosine are integer-exact."""
+    emb = _emb(spark, sf_dir)
+    return dedup.semantic_pairs(emb, threshold=_SEMANTIC_THRESHOLD)
+
+
+def _oracle_dedup_semantic() -> str:
+    """Replays the full pipeline: the 2-round integer Lloyd's from
+    smallest-id seeds on the 10^3 grid (the kmeans_assign oracle's
+    CTE chain, parametric k from the pinned correctness-corpus size),
+    then the within-cluster pair join verified with the 10^6-grid
+    exact cosine shared with embedding_neardup."""
+    k = similarity.auto_n_cells(_N_EMB_CORRECTNESS)
+    thr = int(round(_SEMANTIC_THRESHOLD * 1_000_000))
+    cos = (
+        f"CAST(floor(CAST({_ddb_dot('a.v', 'b.v')} AS DOUBLE)"
+        " / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))"
+        " * 1000000) AS BIGINT)"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q
+  FROM v ORDER BY vec_id LIMIT {k}
+),
+vu AS (SELECT vec_id, unnest(q) AS val, generate_subscripts(q, 1) AS i
+       FROM v),
+su AS (SELECT cid, unnest(q) AS cval, generate_subscripts(q, 1) AS i
+       FROM seeds),
+d1 AS (
+  SELECT vec_id, cid,
+         CAST(sum((val - cval) * (val - cval)) AS BIGINT) AS dist2
+  FROM vu JOIN su USING (i) GROUP BY vec_id, cid
+),
+a1 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d1) t WHERE rn = 1
+),
+c2 AS (
+  SELECT a1.cluster AS cid, i,
+         CAST(round(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+  FROM vu JOIN a1 USING (vec_id) GROUP BY a1.cluster, i
+),
+d2 AS (
+  SELECT vec_id, cid,
+         CAST(sum((val - cval) * (val - cval)) AS BIGINT) AS dist2
+  FROM vu JOIN c2 USING (i) GROUP BY vec_id, cid
+),
+a2 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d2) t WHERE rn = 1
+),
+qv AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+qn AS (SELECT vec_id, v, {_ddb_dot("v", "v")} AS n2 FROM qv),
+tagged AS (
+  SELECT a2.vec_id, a2.cluster, qn.v, qn.n2
+  FROM a2 JOIN qn USING (vec_id)
+)
+SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+       {cos} AS cosine_u
+FROM tagged a JOIN tagged b
+  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE {cos} >= {thr}
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -2321,6 +2404,7 @@ SELECT vec_id, cid AS cluster, dist2 FROM (
 
 
 LLM_REGISTRY: dict = {
+    "dedup_semantic": (q_dedup_semantic, _oracle_dedup_semantic()),
     "kmeans_assign": (q_kmeans_assign, _ORACLE_KMEANS),
     "repeated_spans": (q_repeated_spans, _ORACLE_REPEATED_SPANS),
     "cross_source_leakage": (

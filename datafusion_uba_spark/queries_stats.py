@@ -1,0 +1,498 @@
+"""Statistical-analytics inventory: survival analysis, graph
+centrality, time-series autocorrelation, and experiment significance.
+
+These extend the engine's UBA family (queries_uba.py) with the four
+standard *statistical* readouts a product-analytics deployment computes
+from the same event stream: how long users survive (Kaplan-Meier),
+which event types anchor user journeys (PageRank over the transition
+graph), how self-similar the revenue series is (lag-k autocorrelation),
+and whether an experiment moved a metric (chi-square). The reference
+has none of these (its surface is the two retention UDAFs,
+src/retention/mod.rs:30-107); they are driver-mandated extensions.
+
+Determinism contract (the registry's hash gate): every row is either
+pure int64 (survival, pagerank — truncating scaled-integer recurrences)
+or doubles derived from *exact integer moments* by IEEE-deterministic
+operations only (cast, +, -, *, /, sqrt — all correctly rounded per
+IEEE-754, unlike ln/exp), so Spark and DuckDB produce bit-identical
+values with no float tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_uba_spark.operators.pagerank import (
+    PROB_SCALE,
+    RANK_SCALE,
+    pagerank_integer,
+)
+from datafusion_uba_spark.operators.survival import km_curve
+from datafusion_uba_spark.sources import load_table
+
+_CENSOR_DAYS = 14  # lifetimes ending within 14d of corpus end are censored
+_N_LAGS = 7
+_CHI2_CRIT_95 = 3.841459  # chi-square df=1 alpha=0.05
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival over user lifetimes
+# ---------------------------------------------------------------------------
+
+
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn curve (operators/survival.py): a user's
+    lifetime is first-to-last active day; users still active within
+    the trailing censor window are right-censored. One hash aggregate
+    collapses users to the tiny |distinct lifetime| table; the exact
+    ppm recurrence folds it ordered. The corpus-end scalar rides a
+    1-row broadcast join (no global window over users)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"),
+        F.max(F.to_date("ts")).alias("ld"),
+    )
+    mx = ev.agg(F.max(F.to_date("ts")).alias("mx"))
+    life = per_user.crossJoin(F.broadcast(mx)).select(
+        F.datediff("ld", "fd").cast("long").alias("duration"),
+        (F.datediff("mx", "ld") >= F.lit(_CENSOR_DAYS))
+        .cast("long")
+        .alias("observed"),
+    )
+    return km_curve(life)
+
+
+_ORACLE_SURVIVAL = f"""
+WITH RECURSIVE per_user AS (
+  SELECT user_id,
+         min(CAST(ts AS DATE)) AS fd,
+         max(CAST(ts AS DATE)) AS ld
+  FROM events GROUP BY user_id
+),
+life AS (
+  SELECT date_diff('day', fd, ld) AS duration,
+         CASE WHEN date_diff(
+                'day', ld, (SELECT max(CAST(ts AS DATE)) FROM events)
+              ) >= {_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS observed
+  FROM per_user
+),
+tab AS (
+  SELECT CAST(duration AS BIGINT) AS t,
+         CAST(sum(observed) AS BIGINT) AS d,
+         CAST(sum(1 - observed) AS BIGINT) AS c
+  FROM life GROUP BY duration
+),
+ordered AS (
+  SELECT t, d, c, row_number() OVER (ORDER BY t) AS rn FROM tab
+),
+km AS (
+  SELECT o.rn, o.t, tot.n AS n_risk, o.d, o.c,
+         CAST((1000000 * (tot.n - o.d)) // tot.n AS BIGINT) AS s
+  FROM ordered o,
+       (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM tab) tot
+  WHERE o.rn = 1
+  UNION ALL
+  SELECT o.rn, o.t,
+         km.n_risk - km.d - km.c AS n_risk, o.d, o.c,
+         CAST((km.s * (km.n_risk - km.d - km.c - o.d))
+              // (km.n_risk - km.d - km.c) AS BIGINT) AS s
+  FROM km JOIN ordered o ON o.rn = km.rn + 1
+)
+SELECT t, n_risk, d AS n_events, c AS n_censored, s AS survival_ppm
+FROM km
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the event-type transition graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 10
+
+
+def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the same consecutive-pair stream as
+    event_transitions (identical (ts, event_id) total order), folded
+    to the |types|^2 edge table in one shuffle, then 10 exact-integer
+    power-iteration rounds (operators/pagerank.py) on that tiny table
+    — broadcast joins only, rank mass on the 10^12 grid."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    edges = (
+        pairs.where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank_integer(edges, iters=_PR_ITERS)
+    return ranks.select(
+        F.col("node").alias("event_type"), "rank_scaled"
+    )
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled power iteration (DuckDB recursive CTEs cannot aggregate
+    over the recursive reference, so each round is a plain CTE level —
+    the same chained-aggregate shape the Spark loop builds)."""
+    head = f"""
+WITH pairs AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS src,
+         event_type AS dst
+  FROM events
+),
+e AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM pairs WHERE src IS NOT NULL GROUP BY src, dst
+),
+ep AS (
+  SELECT src, dst,
+         CAST((w * {PROB_SCALE})
+              // (sum(w) OVER (PARTITION BY src)) AS BIGINT) AS p_ppm
+  FROM e
+),
+nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (
+  SELECT node, CAST({RANK_SCALE} // nn.n AS BIGINT) AS r
+  FROM nodes, nn
+)"""
+    levels = []
+    for k in range(1, iters + 1):
+        levels.append(f""",
+r{k} AS (
+  SELECT n2.node,
+         CAST(tp.t + COALESCE(cf.inflow, 0) AS BIGINT) AS r
+  FROM nodes n2
+  CROSS JOIN (SELECT (15 * {RANK_SCALE}) // (100 * n) AS t FROM nn) tp
+  LEFT JOIN (
+    SELECT ep.dst AS node,
+           SUM((85 * ((p.r * ep.p_ppm) // {PROB_SCALE})) // 100) AS inflow
+    FROM ep JOIN r{k - 1} p ON ep.src = p.node
+    GROUP BY ep.dst
+  ) cf ON cf.node = n2.node
+)"""
+        )
+    tail = f"""
+SELECT node AS event_type, r AS rank_scaled FROM r{iters}
+"""
+    return head + "".join(levels) + tail
+
+
+_ORACLE_PAGERANK = _pagerank_oracle(_PR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Lag-k autocorrelation of daily revenue
+# ---------------------------------------------------------------------------
+
+
+def q_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson autocorrelation of the zero-filled daily revenue-cents
+    series at lags 1..7. All five moments (n, sums, cross/ square
+    sums) are exact integers — cents summed as decimal(38,0), so the
+    moment sums cannot overflow at any corpus size — and the final r
+    is assembled from them with IEEE-deterministic double ops only
+    (cast / * / - / / / sqrt), bit-identical across engines. The lag
+    fan-out is an explode (no join against a lag table); pairing is
+    one equi-join of the tiny daily series with itself."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    spine = (
+        ev.agg(
+            F.min(F.to_date("ts")).alias("d0"),
+            F.max(F.to_date("ts")).alias("d1"),
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    series = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("cents", F.lit(0).cast("long")).alias("x")
+    )
+    fan = series.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_N_LAGS))).alias("lag"),
+        F.col("day"),
+        F.col("x").alias("xa"),
+    )
+    b = series.select(
+        F.col("day").alias("day_b"), F.col("x").alias("xb")
+    )
+    paired = fan.join(
+        b, F.expr("date_add(day, lag)") == F.col("day_b"), "inner"
+    )
+    dec = "decimal(38,0)"
+    m = paired.groupBy(F.col("lag").cast("long").alias("lag")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("xa").cast(dec)).alias("sx"),
+        F.sum(F.col("xb").cast(dec)).alias("sy"),
+        F.sum((F.col("xa").cast(dec) * F.col("xb").cast(dec))).alias("sxy"),
+        F.sum((F.col("xa").cast(dec) * F.col("xa").cast(dec))).alias("sxx"),
+        F.sum((F.col("xb").cast(dec) * F.col("xb").cast(dec))).alias("syy"),
+    )
+    return m.select(
+        "lag",
+        "n_pairs",
+        F.expr(
+            """
+            CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0.0
+                   OR (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0.0
+                 THEN NULL
+                 ELSE (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            END
+            """
+        ).alias("autocorr"),
+    )
+
+
+_ORACLE_AUTOCORR = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(
+           (SELECT min(CAST(ts AS DATE)) FROM events),
+           (SELECT max(CAST(ts AS DATE)) FROM events),
+           INTERVAL 1 DAY)) AS DATE) AS day
+),
+series AS (
+  SELECT s.day, COALESCE(d.cents, 0) AS x
+  FROM spine s LEFT JOIN daily d ON s.day = d.day
+),
+fan AS (
+  SELECT l.lag, s.day, s.x AS xa
+  FROM series s
+  CROSS JOIN (SELECT unnest(generate_series(1, {_N_LAGS})) AS lag) l
+),
+paired AS (
+  SELECT f.lag, f.xa, b.x AS xb
+  FROM fan f JOIN series b ON f.day + CAST(f.lag AS INTEGER) = b.day
+),
+m AS (
+  SELECT CAST(lag AS BIGINT) AS lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         sum(CAST(xa AS HUGEINT)) AS sx,
+         sum(CAST(xb AS HUGEINT)) AS sy,
+         sum(CAST(xa AS HUGEINT) * CAST(xb AS HUGEINT)) AS sxy,
+         sum(CAST(xa AS HUGEINT) * CAST(xa AS HUGEINT)) AS sxx,
+         sum(CAST(xb AS HUGEINT) * CAST(xb AS HUGEINT)) AS syy
+  FROM paired GROUP BY 1
+)
+SELECT lag, n_pairs,
+       CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0.0
+              OR (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0.0
+            THEN NULL
+            ELSE (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS autocorr
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chi-square A/B conversion significance
+# ---------------------------------------------------------------------------
+
+
+_CONV_WINDOW_DAYS = 7
+
+
+def q_ab_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 chi-square test per target event type, arms split by the
+    same stateless md5-nibble rule as ab_assignment_report (replayable
+    by the oracle, unlike xxhash64). Conversion = the user performed
+    the target event within 7 days of their own first activity (the
+    standard activation-window metric; "ever did X" is degenerate on a
+    long-lived corpus — every user eventually does everything). Counts
+    are exact longs from two hash aggregates (per-variant user totals;
+    per-(type, variant) converter counts over the distinct early
+    (user, type) projection); the chi-square statistic is assembled
+    from those integers with IEEE-deterministic double ops, so even
+    the significance boolean is hash-exact. No cross join: the 2-row
+    totals broadcast onto the per-type counts."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("f0"))
+    totals = (
+        firsts.select(variant.alias("variant"))
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    conv = (
+        ev.join(firsts, "user_id")
+        .where(
+            F.col("ts")
+            < F.col("f0") + F.expr(f"INTERVAL {_CONV_WINDOW_DAYS} DAYS")
+        )
+        .select("user_id", "event_type")
+        .distinct()
+        .select(variant.alias("variant"), "event_type")
+        .groupBy("event_type", "variant")
+        .agg(F.count(F.lit(1)).alias("n_conv"))
+    )
+    wide = (
+        conv.join(F.broadcast(totals), "variant")
+        .groupBy(F.col("event_type").alias("target_type"))
+        .agg(
+            F.max(F.when(F.col("variant") == "A", F.col("n_users")))
+            .cast("long")
+            .alias("a_users"),
+            F.coalesce(
+                F.max(F.when(F.col("variant") == "A", F.col("n_conv"))),
+                F.lit(0),
+            ).cast("long").alias("a_conv"),
+            F.max(F.when(F.col("variant") == "B", F.col("n_users")))
+            .cast("long")
+            .alias("b_users"),
+            F.coalesce(
+                F.max(F.when(F.col("variant") == "B", F.col("n_conv"))),
+                F.lit(0),
+            ).cast("long").alias("b_conv"),
+        )
+    )
+    chi2 = F.expr(
+        """
+        CASE WHEN (CAST(a_conv + b_conv AS DOUBLE)
+                   * CAST(a_users - a_conv + b_users - b_conv AS DOUBLE)
+                   * CAST(a_users AS DOUBLE) * CAST(b_users AS DOUBLE)) = 0.0
+             THEN NULL
+             ELSE (CAST(a_users + b_users AS DOUBLE)
+                   * (CAST(a_conv AS DOUBLE)
+                        * CAST(b_users - b_conv AS DOUBLE)
+                      - CAST(a_users - a_conv AS DOUBLE)
+                        * CAST(b_conv AS DOUBLE))
+                   * (CAST(a_conv AS DOUBLE)
+                        * CAST(b_users - b_conv AS DOUBLE)
+                      - CAST(a_users - a_conv AS DOUBLE)
+                        * CAST(b_conv AS DOUBLE)))
+                  / (CAST(a_conv + b_conv AS DOUBLE)
+                     * CAST(a_users - a_conv + b_users - b_conv AS DOUBLE)
+                     * CAST(a_users AS DOUBLE) * CAST(b_users AS DOUBLE))
+        END
+        """
+    )
+    return wide.select(
+        "target_type",
+        "a_users",
+        "a_conv",
+        "b_users",
+        "b_conv",
+        chi2.alias("chi2"),
+        F.coalesce(chi2 > F.lit(_CHI2_CRIT_95), F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+_ORACLE_AB_CHI2 = f"""
+WITH firsts AS (
+  SELECT user_id, min(ts) AS f0 FROM events GROUP BY user_id
+),
+tagged AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS variant,
+         f0
+  FROM firsts
+),
+totals AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_users
+  FROM tagged GROUP BY variant
+),
+conv AS (
+  SELECT t.variant, e.event_type, CAST(count(*) AS BIGINT) AS n_conv
+  FROM (
+    SELECT DISTINCT ev.user_id, ev.event_type
+    FROM events ev JOIN tagged tg ON ev.user_id = tg.user_id
+    WHERE ev.ts < tg.f0 + INTERVAL {_CONV_WINDOW_DAYS} DAY
+  ) e
+  JOIN tagged t ON e.user_id = t.user_id
+  GROUP BY t.variant, e.event_type
+),
+wide AS (
+  SELECT c.event_type AS target_type,
+         CAST(max(CASE WHEN c.variant = 'A' THEN t.n_users END)
+              AS BIGINT) AS a_users,
+         CAST(COALESCE(max(CASE WHEN c.variant = 'A' THEN c.n_conv END), 0)
+              AS BIGINT) AS a_conv,
+         CAST(max(CASE WHEN c.variant = 'B' THEN t.n_users END)
+              AS BIGINT) AS b_users,
+         CAST(COALESCE(max(CASE WHEN c.variant = 'B' THEN c.n_conv END), 0)
+              AS BIGINT) AS b_conv
+  FROM conv c JOIN totals t USING (variant)
+  GROUP BY c.event_type
+)
+SELECT target_type, a_users, a_conv, b_users, b_conv,
+       CASE WHEN (CAST(a_conv + b_conv AS DOUBLE)
+                  * CAST(a_users - a_conv + b_users - b_conv AS DOUBLE)
+                  * CAST(a_users AS DOUBLE) * CAST(b_users AS DOUBLE)) = 0.0
+            THEN NULL
+            ELSE (CAST(a_users + b_users AS DOUBLE)
+                  * (CAST(a_conv AS DOUBLE)
+                       * CAST(b_users - b_conv AS DOUBLE)
+                     - CAST(a_users - a_conv AS DOUBLE)
+                       * CAST(b_conv AS DOUBLE))
+                  * (CAST(a_conv AS DOUBLE)
+                       * CAST(b_users - b_conv AS DOUBLE)
+                     - CAST(a_users - a_conv AS DOUBLE)
+                       * CAST(b_conv AS DOUBLE)))
+                 / (CAST(a_conv + b_conv AS DOUBLE)
+                    * CAST(a_users - a_conv + b_users - b_conv AS DOUBLE)
+                    * CAST(a_users AS DOUBLE) * CAST(b_users AS DOUBLE))
+       END AS chi2,
+       COALESCE(CASE WHEN (CAST(a_conv + b_conv AS DOUBLE)
+                  * CAST(a_users - a_conv + b_users - b_conv AS DOUBLE)
+                  * CAST(a_users AS DOUBLE) * CAST(b_users AS DOUBLE)) = 0.0
+            THEN NULL
+            ELSE ((CAST(a_users + b_users AS DOUBLE)
+                  * (CAST(a_conv AS DOUBLE)
+                       * CAST(b_users - b_conv AS DOUBLE)
+                     - CAST(a_users - a_conv AS DOUBLE)
+                       * CAST(b_conv AS DOUBLE))
+                  * (CAST(a_conv AS DOUBLE)
+                       * CAST(b_users - b_conv AS DOUBLE)
+                     - CAST(a_users - a_conv AS DOUBLE)
+                       * CAST(b_conv AS DOUBLE)))
+                 / (CAST(a_conv + b_conv AS DOUBLE)
+                    * CAST(a_users - a_conv + b_users - b_conv AS DOUBLE)
+                    * CAST(a_users AS DOUBLE) * CAST(b_users AS DOUBLE)))
+                 > {_CHI2_CRIT_95}
+       END, FALSE) AS significant
+FROM wide
+"""
+
+
+STATS_REGISTRY: dict = {
+    "survival_curve": (q_survival_curve, _ORACLE_SURVIVAL),
+    "event_pagerank": (q_event_pagerank, _ORACLE_PAGERANK),
+    "daily_autocorr": (q_daily_autocorr, _ORACLE_AUTOCORR),
+    "ab_conversion_test": (q_ab_conversion_test, _ORACLE_AB_CHI2),
+}

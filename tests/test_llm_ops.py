@@ -1566,3 +1566,82 @@ def test_cross_group_leakage_width_guard(spark):
 
     with _pt.raises(ValueError, match="width"):
         cross_group_leakage(docs, width=0)
+
+
+def test_semantic_pairs_crafted(spark):
+    """Two well-separated directions, each with a near-identical twin
+    plus one orthogonal-ish outlier: semantic_pairs must (a) cluster
+    the twins together and report them as pairs with cosine ~ 1, (b)
+    never emit a cross-direction pair, (c) respect the threshold."""
+    import math
+
+    def unit(theta):
+        v = [0.0] * 64
+        v[0], v[1] = math.cos(theta), math.sin(theta)
+        return v
+
+    rows = [
+        (0, unit(0.00)),      # group X
+        (1, unit(0.02)),      # near-dup of 0 (cos ~ 0.9998)
+        (2, unit(1.5708)),    # group Y (90 degrees from X)
+        (3, unit(1.5908)),    # near-dup of 2
+        (4, unit(0.7854)),    # 45 degrees — inside threshold of nobody
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = dedup.semantic_pairs(emb, threshold=0.9, k=2, rounds=2).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) in got
+    assert (2, 3) in got
+    # no cross-direction pair survives the 0.9 threshold
+    for ia, ib in got:
+        assert {ia, ib} in ({0, 1}, {2, 3}) or all(
+            r["cosine_u"] >= 900000 for r in out
+        )
+    for r in out:
+        assert r["cosine_u"] >= 900000
+        assert r["id_a"] < r["id_b"]
+
+
+def test_semantic_pairs_matches_within_cluster_bruteforce(spark, sf_dir):
+    """Inside each cluster, semantic_pairs == brute-force cosine over
+    that cluster's members (the blocking only bounds candidates, the
+    verify is exact)."""
+    import itertools
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    from datafusion_uba_spark.operators.kmeans import lloyd_rounds
+    from datafusion_uba_spark.operators.similarity import auto_n_cells
+
+    n = emb.count()
+    k = auto_n_cells(n)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine_u"]
+        for r in dedup.semantic_pairs(emb, threshold=0.4).collect()
+    }
+    assigned = {
+        r["vec_id"]: r["cluster"]
+        for r in lloyd_rounds(emb, k=k, rounds=2).collect()
+    }
+    vecs = {
+        r["vec_id"]: [round(x * 1_000_000) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    expect = {}
+    by_cluster: dict = {}
+    for vid, c in assigned.items():
+        by_cluster.setdefault(c, []).append(vid)
+    for members in by_cluster.values():
+        for ia, ib in itertools.combinations(sorted(members), 2):
+            qa, qb = vecs[ia], vecs[ib]
+            dot = sum(x * y for x, y in zip(qa, qb))
+            na = sum(x * x for x in qa)
+            nb = sum(x * x for x in qb)
+            cos_u = math.floor(
+                float(dot) / math.sqrt(float(na) * float(nb)) * 1_000_000
+            )
+            if cos_u >= 400000:
+                expect[(ia, ib)] = cos_u
+    assert pairs == expect

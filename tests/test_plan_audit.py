@@ -53,6 +53,14 @@ _NLJ_ALLOWED = {
     # against the vectors — the shuffle-free scorer, NLJ cost
     # O(|vectors| x 1), same design as ann_topk
     "kmeans_assign",
+    # corpus-end scalar (ONE-ROW max-day aggregate) broadcast against
+    # the per-user lifetime table — the scalar-subquery shape again,
+    # NLJ cost O(|users| x 1) (queries_stats.q_survival_curve)
+    "survival_curve",
+    # node-count scalar (ONE-ROW count aggregate) broadcast against
+    # the |event-type| node table — O(|nodes| x 1)
+    # (operators/pagerank.py pagerank_integer)
+    "event_pagerank",
 }
 
 _REGISTRY = queries()

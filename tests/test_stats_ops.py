@@ -1,0 +1,169 @@
+"""Pins for the statistical operators (queries_stats.py) beyond what
+the DuckDB oracle parity covers: hand-computed goldens on crafted
+fixtures for the exact-integer recurrences, and the invariants (mass
+conservation, correlation bounds) the oracle replay would merely
+duplicate rather than check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_uba_spark.operators.pagerank import (
+    RANK_SCALE,
+    pagerank_integer,
+)
+from datafusion_uba_spark.operators.survival import km_curve
+from datafusion_uba_spark.queries_stats import (
+    q_ab_conversion_test,
+    q_daily_autocorr,
+    q_event_pagerank,
+    q_survival_curve,
+)
+
+# --- Kaplan-Meier ----------------------------------------------------------
+
+
+def test_km_curve_hand_computed(spark):
+    """Textbook 5-subject example, every quantity hand-derived:
+    t=1: n=5 d=1      -> S = 1e6*4//5          = 800000
+    t=2: n=4 d=0 c=1  -> S = 800000*4//4       = 800000
+    t=3: n=3 d=2      -> S = 800000*1//3       = 266666  (truncation)
+    t=4: n=1 d=0 c=1  -> S = 266666*1//1       = 266666
+    """
+    life = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0)],
+        "duration long, observed long",
+    )
+    rows = {
+        r["t"]: r
+        for r in km_curve(life).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    assert (rows[1]["n_risk"], rows[1]["n_events"], rows[1]["n_censored"],
+            rows[1]["survival_ppm"]) == (5, 1, 0, 800000)
+    assert (rows[2]["n_risk"], rows[2]["survival_ppm"]) == (4, 800000)
+    assert (rows[3]["n_risk"], rows[3]["n_events"],
+            rows[3]["survival_ppm"]) == (3, 2, 266666)
+    assert (rows[4]["n_risk"], rows[4]["n_censored"],
+            rows[4]["survival_ppm"]) == (1, 1, 266666)
+
+
+def test_km_curve_monotone_and_registry_shape(spark, sf_dir):
+    """Survival never increases; n_risk strictly decreases; the
+    registry row produces >= 1 row with all-long schema."""
+    out = q_survival_curve(spark, sf_dir).orderBy("t").collect()
+    assert len(out) >= 1
+    prev_s, prev_n = 10**6, None
+    for r in out:
+        assert r["survival_ppm"] <= prev_s
+        if prev_n is not None:
+            assert r["n_risk"] < prev_n
+        prev_s, prev_n = r["survival_ppm"], r["n_risk"]
+        assert r["n_events"] + r["n_censored"] >= 1
+
+
+def test_km_curve_all_censored(spark):
+    """No observed events: survival stays at the full 10^6 scale."""
+    life = spark.createDataFrame(
+        [(5, 0), (9, 0)], "duration long, observed long"
+    )
+    rows = km_curve(life).collect()
+    assert all(r["survival_ppm"] == 10**6 for r in rows)
+
+
+# --- PageRank --------------------------------------------------------------
+
+
+def test_pagerank_symmetric_two_cycle(spark):
+    """A <-> B with equal weights: by symmetry both ranks are equal,
+    and total mass stays within the documented truncation leak of the
+    full 10^12 scale (each of 10 rounds loses < 2 ULP-per-node to the
+    two truncating divisions)."""
+    edges = spark.createDataFrame(
+        [("a", "b", 7), ("b", "a", 7)], "src string, dst string, w long"
+    )
+    rows = {r["node"]: r["rank_scaled"]
+            for r in pagerank_integer(edges, iters=10).collect()}
+    assert rows["a"] == rows["b"]
+    total = rows["a"] + rows["b"]
+    assert RANK_SCALE - 200 <= total <= RANK_SCALE
+
+
+def test_pagerank_sink_prefers_heavier_inflow(spark):
+    """a->c has 9x the weight of a->b (same source, split out-mass);
+    c must outrank b."""
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 9), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    rows = {r["node"]: r["rank_scaled"]
+            for r in pagerank_integer(edges, iters=10).collect()}
+    assert rows["c"] > rows["b"]
+    assert rows["a"] > rows["c"]  # everything flows back through a
+
+
+def test_event_pagerank_registry_shape(spark, sf_dir):
+    out = q_event_pagerank(spark, sf_dir).collect()
+    assert len(out) >= 2
+    total = sum(r["rank_scaled"] for r in out)
+    # mass conservation up to the documented truncation/dangling leak
+    assert total <= RANK_SCALE
+    assert total >= RANK_SCALE * 95 // 100
+
+
+# --- autocorrelation -------------------------------------------------------
+
+
+def test_daily_autocorr_bounds(spark, sf_dir):
+    out = q_daily_autocorr(spark, sf_dir).collect()
+    assert {r["lag"] for r in out} == set(range(1, 8))
+    for r in out:
+        if r["autocorr"] is not None:
+            assert -1.0 <= r["autocorr"] <= 1.0
+        assert r["n_pairs"] >= 1
+
+
+# --- chi-square ------------------------------------------------------------
+
+
+def test_ab_conversion_test_shape(spark, sf_dir):
+    out = q_ab_conversion_test(spark, sf_dir).collect()
+    assert len(out) >= 1
+    for r in out:
+        assert r["a_conv"] <= r["a_users"]
+        assert r["b_conv"] <= r["b_users"]
+        assert r["significant"] is not None  # coalesced, never NULL
+        if r["chi2"] is not None:
+            assert r["chi2"] >= 0.0
+            assert r["significant"] == (r["chi2"] > 3.841459)
+
+
+def test_chi2_known_value(spark, tmp_path):
+    """Hand-checked 2x2: arms fixed by writing users whose md5 nibble
+    is known would be brittle — instead verify the algebra directly on
+    a crafted wide row by reusing the registry expression through a
+    tiny parquet events table is overkill; the oracle parity test
+    already locks Spark == DuckDB. Here: the classic textbook table
+    a=90/100 vs b=70/100 has chi2 = 200*(90*30-10*70)^2/(160*40*100*100)
+    = 12.5 — assert our formula reproduces it via a direct expression
+    evaluation."""
+    df = spark.createDataFrame(
+        [(100, 90, 100, 70)],
+        "a_users long, a_conv long, b_users long, b_conv long",
+    )
+    chi2 = df.select(
+        F.expr(
+            """
+            (CAST(a_users + b_users AS DOUBLE)
+             * (CAST(a_conv AS DOUBLE) * CAST(b_users - b_conv AS DOUBLE)
+                - CAST(a_users - a_conv AS DOUBLE) * CAST(b_conv AS DOUBLE))
+             * (CAST(a_conv AS DOUBLE) * CAST(b_users - b_conv AS DOUBLE)
+                - CAST(a_users - a_conv AS DOUBLE) * CAST(b_conv AS DOUBLE)))
+            / (CAST(a_conv + b_conv AS DOUBLE)
+               * CAST(a_users - a_conv + b_users - b_conv AS DOUBLE)
+               * CAST(a_users AS DOUBLE) * CAST(b_users AS DOUBLE))
+            """
+        ).alias("chi2")
+    ).collect()[0]["chi2"]
+    assert abs(chi2 - 12.5) < 1e-12

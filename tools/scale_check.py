@@ -132,6 +132,11 @@ HEAVY = [
     "funnel_exclusion",
     "next_event_prediction",
     "dwell_time_stats",
+    "survival_curve",
+    "event_pagerank",
+    "daily_autocorr",
+    "ab_conversion_test",
+    "dedup_semantic",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
