@@ -30,10 +30,10 @@ before commit leaves the table byte-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_apply", "scd2_init", "scd2_apply_table"]
+__all__ = ["scd2_apply", "scd2_init", "scd2_apply_table", "cdc_apply"]
 
 
 def scd2_apply(
@@ -240,3 +240,37 @@ def scd2_apply_table(
         for r in spark.sql(f"SHOW PARTITIONS {table}").collect()
     }
     return batch_id if batch_id in after else None
+
+
+def cdc_apply(
+    changelog: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Debezium-style changelog apply: collapse an (upsert|delete)
+    stream to the current snapshot under last-writer-wins.
+
+    For every key, the change with the highest ``seq_cols`` ordering
+    wins; if that winning change is a delete the key is absent from
+    the snapshot. This is the type-1 companion to the module's SCD2
+    history: same one-shuffle shape (a key-partitioned window
+    row_number), no history retained.
+
+    INCREMENTAL CONTRACT: applying is associative — keep the seq
+    columns in the stored snapshot and a new batch folds in as
+    ``cdc_apply(snapshot.unionByName(batch), ...)`` with the identical
+    result to replaying the full log (pinned by
+    tests/test_uba_ops.py::test_cdc_apply_incremental_associative).
+    At 100 TB the union's window only re-ranks keys present in the
+    new batch against their single stored row — the snapshot side
+    contributes one row per key, so the shuffle is bounded by
+    |snapshot| + |batch|, never the full historical log.
+    """
+    order = [F.col(c).desc() for c in seq_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    ranked = changelog.withColumn("__rn", F.row_number().over(w))
+    return ranked.where(
+        (F.col("__rn") == 1) & (F.col(op_col) != delete_op)
+    ).drop("__rn")

@@ -490,7 +490,71 @@ FROM wide
 """
 
 
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality profile
+# ---------------------------------------------------------------------------
+
+
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of revenue in exact ppm: for each
+    ISO weekday, total cents, per-day mean (truncating div), and the
+    seasonal index (dow mean / overall mean) on the 10^6 grid computed
+    entirely in decimal(38,0) integer arithmetic — overflow-free at
+    any corpus size. The grand totals come from an unpartitioned
+    window over the PER-DOW aggregate, which is always exactly <= 7
+    rows — a deliberate, size-bounded use of the global window (no
+    scalar cross join, no second scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    per = daily.groupBy(
+        (F.weekday("day") + F.lit(1)).cast("long").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").alias("cents_total"),
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "dow",
+        "n_days",
+        "cents_total",
+        F.expr("cents_total div n_days").alias("cents_per_day"),
+        F.expr(
+            "CAST(CAST(cents_total AS DECIMAL(38,0))"
+            " * CAST(sum(n_days) OVER () AS DECIMAL(38,0)) * 1000000"
+            " div (CAST(n_days AS DECIMAL(38,0))"
+            "      * CAST(sum(cents_total) OVER () AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("seasonal_ppm"),
+    )
+
+
+_ORACLE_DOW = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+per AS (
+  SELECT CAST(isodow(day) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(cents) AS BIGINT) AS cents_total
+  FROM daily GROUP BY 1
+)
+SELECT dow, n_days, cents_total,
+       cents_total // n_days AS cents_per_day,
+       CAST((CAST(cents_total AS HUGEINT)
+             * CAST(sum(n_days) OVER () AS HUGEINT) * 1000000)
+            // (CAST(n_days AS HUGEINT)
+                * CAST(sum(cents_total) OVER () AS HUGEINT))
+            AS BIGINT) AS seasonal_ppm
+FROM per
+"""
+
+
 STATS_REGISTRY: dict = {
+    "dow_seasonality": (q_dow_seasonality, _ORACLE_DOW),
     "survival_curve": (q_survival_curve, _ORACLE_SURVIVAL),
     "event_pagerank": (q_event_pagerank, _ORACLE_PAGERANK),
     "daily_autocorr": (q_daily_autocorr, _ORACLE_AUTOCORR),

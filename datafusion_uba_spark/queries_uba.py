@@ -2560,7 +2560,58 @@ FROM hist
 """
 
 
+def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-to-snapshot collapse (operators/scd.py cdc_apply):
+    the event stream read as a Debezium-style CDC feed — every event
+    upserts its user's current (type, value) state under the total
+    order (ts, event_id), an 'error' event deletes the user's state.
+    Last-writer-wins via ONE key-partitioned window; users whose
+    final change is a delete are absent. The incremental form
+    (snapshot union batch, re-apply) is associativity-pinned in
+    tests/test_uba_ops.py."""
+    from datafusion_uba_spark.operators.scd import cdc_apply
+
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    snap = cdc_apply(log, ["user_id"], ["ts", "event_id"], "op")
+    return snap.select(
+        "user_id",
+        F.unix_micros("ts").alias("last_us"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        "cents",
+    )
+
+
+_ORACLE_CDC_SNAPSHOT = """
+WITH ranked AS (
+  SELECT user_id,
+         epoch_us(ts) AS last_us,
+         event_id AS last_event_id,
+         event_type AS last_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, last_us, last_event_id, last_type, cents
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
 UBA_REGISTRY: dict = {
+    "cdc_snapshot": (q_cdc_snapshot, _ORACLE_CDC_SNAPSHOT),
     "growth_accounting": (q_growth_accounting, _ORACLE_GROWTH_ACCOUNTING),
     "retention_bitmap": (q_retention_bitmap, _ORACLE_RETENTION_BITMAP),
     "session_entry_exit": (q_session_entry_exit, _ORACLE_SESSION_ENTRY_EXIT),

@@ -167,3 +167,21 @@ def test_chi2_known_value(spark, tmp_path):
         ).alias("chi2")
     ).collect()[0]["chi2"]
     assert abs(chi2 - 12.5) < 1e-12
+
+
+# --- day-of-week seasonality -------------------------------------------------
+
+
+def test_dow_seasonality_shape(spark, sf_dir):
+    from datafusion_uba_spark.queries_stats import q_dow_seasonality
+
+    out = q_dow_seasonality(spark, sf_dir).collect()
+    assert 1 <= len(out) <= 7
+    assert all(1 <= r["dow"] <= 7 for r in out)
+    # seasonal indexes are ppm around 10^6; their n_days-weighted mean
+    # is 10^6 up to per-row truncation (<= 1 ppm each)
+    total_days = sum(r["n_days"] for r in out)
+    weighted = sum(r["seasonal_ppm"] * r["n_days"] for r in out)
+    assert abs(weighted / total_days - 1_000_000) < len(out)
+    for r in out:
+        assert r["cents_per_day"] == r["cents_total"] // r["n_days"]

@@ -1124,3 +1124,68 @@ def test_retention_bitmap_window_guard(spark):
         retention_bitmap(act, window=64)
     with _pt.raises(ValueError, match="window"):
         retention_bitmap(act, window=0)
+
+
+# --- CDC changelog apply ----------------------------------------------------
+
+
+def _cdc_log(spark):
+    rows = [
+        # (user, seq, op, payload)
+        (1, 1, "U", 10),
+        (1, 2, "U", 20),      # user 1 ends on an upsert: survives with 20
+        (2, 1, "U", 30),
+        (2, 2, "D", 0),       # user 2 ends on a delete: absent
+        (3, 1, "D", 0),
+        (3, 2, "U", 40),      # delete then re-insert: survives with 40
+        (4, 1, "U", 50),      # single upsert
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, seq long, op string, payload long"
+    )
+
+
+def test_cdc_apply_last_writer_wins_and_deletes(spark):
+    from datafusion_uba_spark.operators.scd import cdc_apply
+
+    snap = {
+        r["user_id"]: r["payload"]
+        for r in cdc_apply(
+            _cdc_log(spark), ["user_id"], ["seq"], "op"
+        ).collect()
+    }
+    assert snap == {1: 20, 3: 40, 4: 50}
+
+
+def test_cdc_apply_incremental_associative(spark):
+    """Applying the log in two chunks (snapshot union batch, re-apply)
+    must equal replaying the whole log — the incremental contract."""
+    from datafusion_uba_spark.operators.scd import cdc_apply
+
+    log = _cdc_log(spark)
+    full = cdc_apply(log, ["user_id"], ["seq"], "op")
+    first = cdc_apply(
+        log.where("seq = 1"), ["user_id"], ["seq"], "op"
+    )
+    incr = cdc_apply(
+        first.unionByName(log.where("seq = 2")),
+        ["user_id"],
+        ["seq"],
+        "op",
+    )
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, incr.collect()))
+    assert a == b
+
+
+def test_cdc_apply_seq_tiebreak_is_total(spark):
+    """Two changes with equal first seq key fall through to the second
+    seq column — the (ts, event_id) total order the registry row uses."""
+    from datafusion_uba_spark.operators.scd import cdc_apply
+
+    log = spark.createDataFrame(
+        [(1, 5, 1, "U", 100), (1, 5, 2, "U", 200)],
+        "user_id long, ts long, event_id long, op string, payload long",
+    )
+    out = cdc_apply(log, ["user_id"], ["ts", "event_id"], "op").collect()
+    assert len(out) == 1 and out[0]["payload"] == 200

@@ -137,6 +137,8 @@ HEAVY = [
     "daily_autocorr",
     "ab_conversion_test",
     "dedup_semantic",
+    "cdc_snapshot",
+    "dow_seasonality",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
