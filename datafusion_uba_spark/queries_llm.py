@@ -1392,6 +1392,81 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_readability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document in
+    exact milli-units — the classic corpus-quality readability filter
+    (Flesch 1948; Kincaid 1975), joining the length/punct/stopword
+    heuristics in the corpus_filter family. Counts are regexp counts
+    over the shared normalized text (words = non-space runs, sentence
+    marks = [.!?] runs, syllables ~ vowel-group runs incl. y — the
+    standard dependency-free approximation); both scores are pure
+    integer arithmetic with truncating div and max(,1) guards, so the
+    row is hash-exact. Zero shuffles: one staged narrow map, the
+    text_stats plan shape."""
+    docs = _docs(spark, sf_dir)
+    s0 = docs.select(
+        "doc_id", text_ops.normalize_text("text").alias("__norm")
+    )
+    s1 = s0.select(
+        "doc_id",
+        F.regexp_count(F.col("__norm"), F.lit(r"[^ ]+"))
+        .cast("long")
+        .alias("n_words"),
+        F.regexp_count(F.col("__norm"), F.lit(r"[.!?]+"))
+        .cast("long")
+        .alias("n_sentences"),
+        F.regexp_count(F.col("__norm"), F.lit(r"[aeiouy]+"))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    return s1.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "(1000 * n_words) div greatest(n_sentences, 1)"
+        ).alias("words_per_sentence_milli"),
+        F.expr(
+            "(1000 * n_syllables) div greatest(n_words, 1)"
+        ).alias("syllables_per_word_milli"),
+        F.expr(
+            "206835 - (1015 * n_words) div greatest(n_sentences, 1)"
+            " - (84600 * n_syllables) div greatest(n_words, 1)"
+        ).alias("flesch_milli"),
+        F.expr(
+            "(390 * n_words) div greatest(n_sentences, 1)"
+            " + (11800 * n_syllables) div greatest(n_words, 1) - 15590"
+        ).alias("fk_grade_milli"),
+    )
+
+
+_ORACLE_READABILITY = f"""
+WITH s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all({_NORM}, '[^ ]+')) AS BIGINT)
+           AS n_words,
+         CAST(len(regexp_extract_all({_NORM}, '[.!?]+')) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all({_NORM}, '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       (1000 * n_words) // greatest(n_sentences, 1)
+         AS words_per_sentence_milli,
+       (1000 * n_syllables) // greatest(n_words, 1)
+         AS syllables_per_word_milli,
+       206835 - (1015 * n_words) // greatest(n_sentences, 1)
+              - (84600 * n_syllables) // greatest(n_words, 1)
+         AS flesch_milli,
+       (390 * n_words) // greatest(n_sentences, 1)
+         + (11800 * n_syllables) // greatest(n_words, 1) - 15590
+         AS fk_grade_milli
+FROM s1
+"""
+
+
 _SEMANTIC_THRESHOLD = 0.4
 
 
@@ -2404,6 +2479,7 @@ SELECT vec_id, cid AS cluster, dist2 FROM (
 
 
 LLM_REGISTRY: dict = {
+    "readability_stats": (q_readability_stats, _ORACLE_READABILITY),
     "dedup_semantic": (q_dedup_semantic, _oracle_dedup_semantic()),
     "kmeans_assign": (q_kmeans_assign, _ORACLE_KMEANS),
     "repeated_spans": (q_repeated_spans, _ORACLE_REPEATED_SPANS),

@@ -553,7 +553,126 @@ FROM per
 """
 
 
+# ---------------------------------------------------------------------------
+# OLS trend per event type
+# ---------------------------------------------------------------------------
+
+_TREND_FINAL = """
+    CASE WHEN n_days < 2
+           OR (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0.0
+         THEN NULL
+         ELSE {expr}
+    END
+"""
+
+_TREND_SLOPE = (
+    "(CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_TREND_INTERCEPT = (
+    "(CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))"
+    " / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_TREND_R2 = (
+    "CASE WHEN (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)"
+    "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0.0"
+    " THEN NULL ELSE"
+    " ((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    "  * (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    " / ((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "    * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)"
+    "       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    " END"
+)
+
+
+def q_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of daily revenue cents: slope
+    (cents/day), intercept (cents at the type's first active day) and
+    r^2, each assembled from exact decimal(38,0) moments with
+    IEEE-deterministic double ops only — the daily_autocorr recipe
+    applied to regression. The day index is per-type (datediff from
+    the type's own min day via one window over the tiny daily table),
+    so no global scalar join is needed; OLS slope/r^2 are shift-
+    invariant and the intercept is defined at the type's first day."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("event_type")
+    dec = "decimal(38,0)"
+    idx = daily.select(
+        "event_type",
+        F.datediff("day", F.min("day").over(w)).cast("long").alias("di"),
+        "cents",
+    )
+    m = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("di").cast(dec)).alias("sx"),
+        F.sum(F.col("cents").cast(dec)).alias("sy"),
+        F.sum(F.col("di").cast(dec) * F.col("di").cast(dec)).alias("sxx"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents").cast(dec)).alias(
+            "syy"
+        ),
+        F.sum(F.col("di").cast(dec) * F.col("cents").cast(dec)).alias(
+            "sxy"
+        ),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.expr(_TREND_FINAL.format(expr=_TREND_SLOPE)).alias("slope"),
+        F.expr(_TREND_FINAL.format(expr=_TREND_INTERCEPT)).alias(
+            "intercept"
+        ),
+        F.expr(_TREND_FINAL.format(expr=_TREND_R2)).alias("r2"),
+    )
+
+
+_ORACLE_TREND = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type,
+         CAST(date_diff('day',
+                        min(day) OVER (PARTITION BY event_type),
+                        day) AS BIGINT) AS di,
+         cents
+  FROM daily
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         sum(CAST(di AS HUGEINT)) AS sx,
+         sum(CAST(cents AS HUGEINT)) AS sy,
+         sum(CAST(di AS HUGEINT) * CAST(di AS HUGEINT)) AS sxx,
+         sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS syy,
+         sum(CAST(di AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxy
+  FROM idx GROUP BY 1
+)
+SELECT event_type, n_days,
+       {_TREND_FINAL.format(expr=_TREND_SLOPE)} AS slope,
+       {_TREND_FINAL.format(expr=_TREND_INTERCEPT)} AS intercept,
+       {_TREND_FINAL.format(expr=_TREND_R2)} AS r2
+FROM m
+"""
+
+
 STATS_REGISTRY: dict = {
+    "revenue_trend": (q_revenue_trend, _ORACLE_TREND),
     "dow_seasonality": (q_dow_seasonality, _ORACLE_DOW),
     "survival_curve": (q_survival_curve, _ORACLE_SURVIVAL),
     "event_pagerank": (q_event_pagerank, _ORACLE_PAGERANK),

@@ -1645,3 +1645,46 @@ def test_semantic_pairs_matches_within_cluster_bruteforce(spark, sf_dir):
             if cos_u >= 400000:
                 expect[(ia, ib)] = cos_u
     assert pairs == expect
+
+
+def test_readability_stats_consistent(spark, sf_dir):
+    """The two scores must equal their integer closed forms recomputed
+    in Python from the returned counts (truncating div, max-1 guards),
+    and empty-ish docs must not div-0."""
+    from datafusion_uba_spark.queries_llm import q_readability_stats
+
+    rows = q_readability_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        w, s, y = r["n_words"], r["n_sentences"], r["n_syllables"]
+        assert r["flesch_milli"] == (
+            206835 - (1015 * w) // max(s, 1) - (84600 * y) // max(w, 1)
+        )
+        assert r["fk_grade_milli"] == (
+            (390 * w) // max(s, 1) + (11800 * y) // max(w, 1) - 15590
+        )
+        assert r["words_per_sentence_milli"] == (1000 * w) // max(s, 1)
+
+
+def test_readability_stats_empty_doc(spark):
+    from datafusion_uba_spark.operators import text as text_ops
+    from datafusion_uba_spark.queries_llm import q_readability_stats  # noqa: F401
+    import pyspark.sql.functions as FF
+
+    # drive the same expressions on a crafted frame via the operator
+    # path: empty and punctuation-only docs produce zero counts and
+    # the guarded scores, no division error
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "..."), (3, "aa bb. cc?")],
+        "doc_id long, text string",
+    )
+    s0 = docs.select("doc_id", text_ops.normalize_text("text").alias("__norm"))
+    out = s0.select(
+        "doc_id",
+        FF.regexp_count(FF.col("__norm"), FF.lit(r"[^ ]+")).alias("w"),
+        FF.regexp_count(FF.col("__norm"), FF.lit(r"[.!?]+")).alias("s"),
+    ).collect()
+    got = {r["doc_id"]: (r["w"], r["s"]) for r in out}
+    assert got[1] == (0, 0)
+    assert got[2] == (1, 1)
+    assert got[3] == (3, 2)

@@ -185,3 +185,56 @@ def test_dow_seasonality_shape(spark, sf_dir):
     assert abs(weighted / total_days - 1_000_000) < len(out)
     for r in out:
         assert r["cents_per_day"] == r["cents_total"] // r["n_days"]
+
+
+# --- OLS trend ---------------------------------------------------------------
+
+
+def test_trend_formula_perfect_line(spark):
+    """y = 2x + 3 over x=0,1,2: hand moments n=3 sx=3 sy=15 sxx=5
+    sxy=19 syy=83 -> slope=2, intercept=3, r2=1 exactly."""
+    from datafusion_uba_spark.queries_stats import (
+        _TREND_FINAL,
+        _TREND_INTERCEPT,
+        _TREND_R2,
+        _TREND_SLOPE,
+    )
+
+    df = spark.createDataFrame(
+        [(3, 3, 15, 5, 83, 19)],
+        "n_days long, sx long, sy long, sxx long, syy long, sxy long",
+    )
+    r = df.select(
+        F.expr(_TREND_FINAL.format(expr=_TREND_SLOPE)).alias("slope"),
+        F.expr(_TREND_FINAL.format(expr=_TREND_INTERCEPT)).alias("i"),
+        F.expr(_TREND_FINAL.format(expr=_TREND_R2)).alias("r2"),
+    ).collect()[0]
+    assert r["slope"] == 2.0 and r["i"] == 3.0 and r["r2"] == 1.0
+
+
+def test_revenue_trend_shape(spark, sf_dir):
+    from datafusion_uba_spark.queries_stats import q_revenue_trend
+
+    out = q_revenue_trend(spark, sf_dir).collect()
+    assert len(out) >= 1
+    for r in out:
+        if r["r2"] is not None:
+            assert 0.0 <= r["r2"] <= 1.0 + 1e-12
+        assert r["n_days"] >= 1
+
+
+def test_trend_degenerate_single_day(spark):
+    """One observation: every statistic must be NULL, not a div-0."""
+    from datafusion_uba_spark.queries_stats import (
+        _TREND_FINAL,
+        _TREND_SLOPE,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 7, 0, 49, 0)],
+        "n_days long, sx long, sy long, sxx long, syy long, sxy long",
+    )
+    r = df.select(
+        F.expr(_TREND_FINAL.format(expr=_TREND_SLOPE)).alias("slope")
+    ).collect()[0]
+    assert r["slope"] is None

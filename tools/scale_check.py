@@ -139,6 +139,8 @@ HEAVY = [
     "dedup_semantic",
     "cdc_snapshot",
     "dow_seasonality",
+    "revenue_trend",
+    "readability_stats",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
