@@ -33,7 +33,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_apply", "scd2_init", "scd2_apply_table", "cdc_apply"]
+__all__ = [
+    "scd2_apply",
+    "scd2_init",
+    "scd2_apply_table",
+    "cdc_apply",
+    "cdc_init",
+    "cdc_refresh",
+    "cdc_serve",
+]
 
 
 def scd2_apply(
@@ -248,6 +256,7 @@ def cdc_apply(
     seq_cols: list[str],
     op_col: str = "op",
     delete_op: str = "D",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Debezium-style changelog apply: collapse an (upsert|delete)
     stream to the current snapshot under last-writer-wins.
@@ -267,10 +276,116 @@ def cdc_apply(
     new batch against their single stored row — the snapshot side
     contributes one row per key, so the shuffle is bounded by
     |snapshot| + |batch|, never the full historical log.
+
+    ``keep_tombstones=True`` keeps the winning delete rows (with their
+    op) instead of dropping them — the PERSISTED-store form: a stored
+    tombstone keeps the fold associative even when a later batch
+    carries an OLDER change for a deleted key (the stored delete still
+    out-ranks it); dropping deletes would silently resurrect the key.
+    Serve-time filtering is ``op != delete_op`` (cdc_serve).
     """
     order = [F.col(c).desc() for c in seq_cols]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     ranked = changelog.withColumn("__rn", F.row_number().over(w))
-    return ranked.where(
-        (F.col("__rn") == 1) & (F.col(op_col) != delete_op)
-    ).drop("__rn")
+    winners = ranked.where(F.col("__rn") == 1).drop("__rn")
+    if keep_tombstones:
+        return winners
+    return winners.where(F.col(op_col) != delete_op)
+
+
+def _cdc_bucket(key_cols: list[str], n_buckets: int):
+    """Deterministic key-hash bucket for partition-pruned refreshes."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)
+    ).cast("int")
+
+
+def cdc_init(
+    changelog: DataFrame,
+    table: str,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the tombstone-carrying CDC snapshot as a catalog
+    parquet table PARTITIONED BY a key-hash bucket — the store
+    cdc_refresh maintains incrementally. Tombstones are retained
+    (keep_tombstones) so refreshes stay associative; read through
+    cdc_serve, which filters them. Same store discipline as
+    rollup_init / the SCD2 close-batch partitioning: partition layout
+    exists so a refresh never touches partitions its batch doesn't."""
+    snap = cdc_apply(
+        changelog, key_cols, seq_cols, op_col, keep_tombstones=True
+    ).withColumn("__bucket", _cdc_bucket(key_cols, n_buckets))
+    spark = changelog.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    from datafusion_uba_spark.sources import save_table_recovering_orphan
+
+    save_table_recovering_orphan(
+        lambda: snap.write.mode("overwrite")
+        .format("parquet")
+        .partitionBy("__bucket")
+        .saveAsTable(table),
+        spark,
+        table,
+    )
+
+
+def cdc_refresh(
+    batch: DataFrame,
+    table: str,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    n_buckets: int = 64,
+) -> list[int]:
+    """Fold a new changelog batch into the persisted snapshot, reading
+    and rewriting ONLY the key-hash buckets the batch touches — the
+    rollup_refresh discipline applied to type-1 state: collapse the
+    batch per key, union with the stored rows of the affected
+    (partition-pruned) buckets, re-apply last-writer-wins, and
+    dynamic-partition-overwrite those buckets. Untouched buckets'
+    files are never read or written — at 100 TB a refresh costs
+    O(batch + touched buckets), never the full key space. Returns the
+    affected bucket list (driver-side, bounded by n_buckets).
+
+    Correctness contract (pinned in tests/test_uba_ops.py): after any
+    sequence of refreshes, cdc_serve(table) equals cdc_apply over the
+    concatenation of all batches — including out-of-order batches
+    against deleted keys (stored tombstones out-rank older changes)."""
+    spark = batch.sparkSession
+    inc = cdc_apply(
+        batch, key_cols, seq_cols, op_col, keep_tombstones=True
+    ).withColumn("__bucket", _cdc_bucket(key_cols, n_buckets))
+    inc = inc.localCheckpoint(eager=False)
+    buckets = [r["__bucket"] for r in inc.select("__bucket").distinct().collect()]
+    if not buckets:
+        return []
+    stored = spark.table(table).where(F.col("__bucket").isin(buckets))
+    merged = cdc_apply(
+        stored.unionByName(inc),
+        key_cols,
+        seq_cols,
+        op_col,
+        keep_tombstones=True,
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").format("parquet").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return sorted(buckets)
+
+
+def cdc_serve(
+    spark, table: str, op_col: str = "op", delete_op: str = "D"
+) -> DataFrame:
+    """Current snapshot view of a cdc_init/cdc_refresh store: filters
+    the retained tombstones and hides the bucket column."""
+    return (
+        spark.table(table)
+        .where(F.col(op_col) != delete_op)
+        .drop("__bucket")
+    )

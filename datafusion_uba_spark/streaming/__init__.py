@@ -45,6 +45,7 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_minhash_dedup_against",
     "streaming_rollup_refresh",
+    "streaming_cdc_snapshot",
     "heavy_hitter_cells",
     "run_to_memory",
 ]
@@ -938,5 +939,57 @@ def run_to_memory(
         q.stop()
         raise TimeoutError(
             f"streaming query {name!r} still running after {timeout_sec}s"
+        )
+    return q
+
+
+def streaming_cdc_snapshot(
+    changes: DataFrame,
+    table: str,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    n_buckets: int = 64,
+    timeout_sec: int = 300,
+) -> StreamingQuery:
+    """STREAMING CDC snapshot maintenance: fold a changelog stream
+    (upserts + deletes) into the persisted last-writer-wins snapshot
+    (operators.scd.cdc_init store) one micro-batch at a time via
+    ``foreachBatch`` → ``cdc_refresh`` — the streaming face of type-1
+    state, sharing the batch merge verbatim so streaming and batch
+    apply are THE SAME code path (the streaming_rollup_refresh
+    pattern).
+
+    Scale/robustness properties inherited from the store design:
+    each micro-batch reads and rewrites ONLY the key-hash buckets it
+    touches (partition-pruned, dynamic partition overwrite), and the
+    store keeps TOMBSTONES, so micro-batch boundaries and cross-batch
+    ordering cannot change the result — a late batch carrying an older
+    change for a deleted key is out-ranked by the stored tombstone
+    (batch-parity pinned in tests/test_streaming.py). Exactly-once
+    caveat as for the rollup: replaying a batch after a crash between
+    write and checkpoint re-applies it — harmless HERE because
+    last-writer-wins apply is idempotent (re-merging the same rows
+    yields the same winners), a strictly stronger story than the
+    additive rollup's.
+
+    Runs with an availableNow trigger and raises TimeoutError on
+    overrun."""
+    from datafusion_uba_spark.operators.scd import cdc_refresh
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        cdc_refresh(batch, table, key_cols, seq_cols, op_col, n_buckets)
+
+    q = (
+        changes.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming cdc snapshot into {table!r} still running "
+            f"after {timeout_sec}s"
         )
     return q

@@ -962,3 +962,60 @@ def test_streaming_counter_increase_evicts_state(spark, tmp_path):
     # contributes 0) then +10 — carried state would read (90, 1)
     assert got["A"] == (60, 0), got
     assert got["B"] == (2, 0)  # 7 -> 9
+
+
+def test_streaming_cdc_snapshot_parity(spark, tmp_path):
+    """Streaming type-1 state: a changelog split into 3 files (the
+    third carrying an out-of-order change against a key deleted in an
+    earlier batch), folded into the persisted snapshot one file per
+    micro-batch via foreachBatch -> cdc_refresh. The served snapshot
+    must equal the one-shot batch apply over the whole log — pinning
+    that stored tombstones out-rank late older changes across
+    micro-batch boundaries."""
+    from datafusion_uba_spark.operators.scd import cdc_apply, cdc_init
+    from datafusion_uba_spark.operators.scd import cdc_serve
+    from datafusion_uba_spark.streaming import streaming_cdc_snapshot
+
+    schema = "user_id long, seq long, op string, payload long"
+    b1 = spark.createDataFrame(
+        [(1, 1, "U", 10), (2, 5, "D", 0), (3, 1, "U", 30)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, 2, "U", 11), (4, 1, "U", 40)], schema
+    )
+    b3 = spark.createDataFrame(
+        [(2, 3, "U", 99), (3, 9, "D", 0)], schema
+    )
+    src = str(tmp_path / "cdc_log")
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    b3.coalesce(1).write.mode("append").parquet(src)
+    table = "cdc_stream_store"
+    try:
+        cdc_init(b1.limit(0), table, ["user_id"], ["seq"], n_buckets=4)
+        sdf = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+        q = streaming_cdc_snapshot(
+            sdf, table, ["user_id"], ["seq"], n_buckets=4
+        )
+        n_batches = len(
+            [p for p in q.recentProgress if p["numInputRows"] > 0]
+        )
+        got = sorted(
+            (r["user_id"], r["seq"], r["payload"])
+            for r in cdc_serve(spark, table).collect()
+        )
+        full = b1.unionByName(b2).unionByName(b3)
+        want = sorted(
+            (r["user_id"], r["seq"], r["payload"])
+            for r in cdc_apply(full, ["user_id"], ["seq"], "op").collect()
+        )
+        assert got == want
+        assert got == [(1, 2, 11), (4, 1, 40)]
+        assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

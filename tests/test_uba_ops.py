@@ -1189,3 +1189,126 @@ def test_cdc_apply_seq_tiebreak_is_total(spark):
     )
     out = cdc_apply(log, ["user_id"], ["ts", "event_id"], "op").collect()
     assert len(out) == 1 and out[0]["payload"] == 200
+
+
+# --- persisted CDC store ----------------------------------------------------
+
+
+def _cdc_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, seq long, op string, payload long"
+    )
+
+
+def test_cdc_store_refresh_equals_full_replay(spark):
+    """cdc_init + refreshes == cdc_apply over the concatenated log,
+    including a cross-batch out-of-order change against a deleted key
+    (the stored tombstone must out-rank the older upsert)."""
+    from datafusion_uba_spark.operators.scd import (
+        cdc_apply,
+        cdc_init,
+        cdc_refresh,
+        cdc_serve,
+    )
+
+    b1 = _cdc_df(spark, [(1, 1, "U", 10), (2, 5, "D", 0), (3, 1, "U", 30)])
+    b2 = _cdc_df(
+        spark,
+        [
+            (1, 2, "U", 11),   # newer upsert wins
+            (2, 3, "U", 99),   # OLDER than the stored delete: must lose
+            (4, 1, "U", 40),   # new key
+        ],
+    )
+    table = "cdc_store_t1"
+    try:
+        cdc_init(b1, table, ["user_id"], ["seq"], n_buckets=8)
+        assert cdc_refresh(b2, table, ["user_id"], ["seq"], n_buckets=8)
+        got = sorted(
+            (r["user_id"], r["seq"], r["payload"])
+            for r in cdc_serve(spark, table).collect()
+        )
+        want = sorted(
+            (r["user_id"], r["seq"], r["payload"])
+            for r in cdc_apply(
+                b1.unionByName(b2), ["user_id"], ["seq"], "op"
+            ).collect()
+        )
+        assert got == want
+        assert got == [(1, 2, 11), (3, 1, 30), (4, 1, 40)]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_cdc_store_rewrites_only_affected_buckets(spark):
+    import os
+    from urllib.parse import urlparse
+
+    from datafusion_uba_spark.operators.scd import cdc_init, cdc_refresh
+
+    # many keys spread over buckets; the refresh touches ONE key
+    init = _cdc_df(spark, [(k, 1, "U", k * 10) for k in range(1, 21)])
+    table = "cdc_store_t2"
+    try:
+        cdc_init(init, table, ["user_id"], ["seq"], n_buckets=8)
+        loc_row = (
+            spark.sql(f"DESCRIBE FORMATTED {table}")
+            .where("col_name = 'Location'")
+            .collect()[0]
+        )
+        loc = urlparse(loc_row["data_type"]).path
+
+        def files():
+            out = {}
+            for d in os.listdir(loc):
+                if not d.startswith("__bucket="):
+                    continue
+                p = os.path.join(loc, d)
+                out[d] = {
+                    f: os.path.getmtime(os.path.join(p, f))
+                    for f in os.listdir(p)
+                    if not f.startswith(("_", "."))
+                }
+            return out
+
+        before = files()
+        affected = cdc_refresh(
+            _cdc_df(spark, [(7, 2, "U", 77)]),
+            table,
+            ["user_id"],
+            ["seq"],
+            n_buckets=8,
+        )
+        assert len(affected) == 1
+        after = files()
+        touched = f"__bucket={affected[0]}"
+        for d in before:
+            if d == touched:
+                assert after[d] != before[d]
+            else:
+                assert after[d] == before[d]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_cdc_store_empty_batch_noop(spark):
+    from datafusion_uba_spark.operators.scd import cdc_init, cdc_refresh
+
+    table = "cdc_store_t3"
+    try:
+        cdc_init(
+            _cdc_df(spark, [(1, 1, "U", 10)]),
+            table,
+            ["user_id"],
+            ["seq"],
+            n_buckets=4,
+        )
+        assert (
+            cdc_refresh(
+                _cdc_df(spark, []), table, ["user_id"], ["seq"], n_buckets=4
+            )
+            == []
+        )
+        assert spark.table(table).count() == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
