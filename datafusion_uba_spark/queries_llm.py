@@ -1392,6 +1392,85 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share (basis points) of a
+    doc's distinct 3-shingles whose FIRST corpus occurrence (min
+    doc_id — ingestion order) is this doc. The dedup-aware curation
+    signal: low-novelty docs add almost nothing the corpus doesn't
+    already have, even when no single pair crosses a near-dup
+    threshold. Plan: shingle inverted index -> min-owner aggregate ->
+    one equi-join back on the shingle key -> per-doc aggregate. Every
+    join is keyed on the shingle with ONE owner row per shingle, so
+    fan-out is linear in the posting lists — no pair explosion, no df
+    cap needed (unlike the pairwise dedups, a hot boilerplate shingle
+    costs |postings|, not |postings|^2). Zero-shingle docs report 0
+    novel of 0 with novelty_bp = 0 (documented vacuous case)."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            text_ops.shingles_from_tokens(
+                text_ops.tokens_from_norm(
+                    text_ops.normalize_text("text")
+                )
+            )
+        ).alias("shingle"),
+    )
+    owners = sh.groupBy("shingle").agg(F.min("doc_id").alias("owner"))
+    scored = (
+        sh.join(owners, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("doc_id") == F.col("owner")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    # left join back so zero-shingle docs still report a row
+    base = docs.select("doc_id")
+    return (
+        base.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0).cast("long")).alias(
+                "n_shingles"
+            ),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            "(10000 * n_novel) div greatest(n_shingles, 1) AS novelty_bp",
+        )
+    )
+
+
+_ORACLE_NOVELTY = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+),
+owners AS (
+  SELECT shingle, min(doc_id) AS owner FROM sh GROUP BY shingle
+),
+scored AS (
+  SELECT sh.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN sh.doc_id = o.owner THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM sh JOIN owners o USING (shingle)
+  GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_shingles, 0) AS n_shingles,
+       COALESCE(s.n_novel, 0) AS n_novel,
+       (10000 * COALESCE(s.n_novel, 0))
+         // greatest(COALESCE(s.n_shingles, 0), 1) AS novelty_bp
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def q_readability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease + Flesch-Kincaid grade per document in
     exact milli-units — the classic corpus-quality readability filter
@@ -2479,6 +2558,7 @@ SELECT vec_id, cid AS cluster, dist2 FROM (
 
 
 LLM_REGISTRY: dict = {
+    "ngram_novelty": (q_ngram_novelty, _ORACLE_NOVELTY),
     "readability_stats": (q_readability_stats, _ORACLE_READABILITY),
     "dedup_semantic": (q_dedup_semantic, _oracle_dedup_semantic()),
     "kmeans_assign": (q_kmeans_assign, _ORACLE_KMEANS),

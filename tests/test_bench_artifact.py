@@ -127,11 +127,25 @@ def test_never_verified_rows_inside_driver_correctness_capture():
         seen |= set(json.loads(art.read_text()))
     names = list(REGISTRY)
     prefix = set(names[:DRIVER_CORRECTNESS_CAPTURE])
-    outside = [n for n in names if n not in seen and n not in prefix]
-    assert not outside, (
-        f"rows never driver-verified fall outside the {DRIVER_CORRECTNESS_CAPTURE}"
-        f"-entry capture: {outside} — reorder _DRIVER_PRIORITY in queries.py"
-    )
+    never = [n for n in names if n not in seen]
+    if len(never) <= DRIVER_CORRECTNESS_CAPTURE:
+        outside = [n for n in never if n not in prefix]
+        assert not outside, (
+            f"rows never driver-verified fall outside the "
+            f"{DRIVER_CORRECTNESS_CAPTURE}-entry capture: {outside} — "
+            f"the staleness order in queries.py is broken"
+        )
+    else:
+        # a round that adds MORE new rows than one capture can hold
+        # cannot fit them all; the invariant that matters is that no
+        # already-verified row displaces a never-verified one from the
+        # prefix (the overflow rows sort first again next round)
+        displaced = [n for n in names[:DRIVER_CORRECTNESS_CAPTURE] if n in seen]
+        assert not displaced, (
+            f"{len(never)} never-verified rows exceed the "
+            f"{DRIVER_CORRECTNESS_CAPTURE}-entry capture, yet already-"
+            f"verified rows occupy prefix slots: {displaced}"
+        )
 
 
 def test_sidecar_carries_full_detail():

@@ -1688,3 +1688,33 @@ def test_readability_stats_empty_doc(spark):
     assert got[1] == (0, 0)
     assert got[2] == (1, 1)
     assert got[3] == (3, 2)
+
+
+def test_ngram_novelty_crafted(spark, tmp_path):
+    """First doc owns all its shingles (novelty 10000 bp); an exact
+    copy later owns none (0 bp); a half-overlapping doc gets the
+    fraction; a too-short doc reports the vacuous 0-of-0 row."""
+    from datafusion_uba_spark.queries_llm import q_ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # shingles: abc bcd cde -> all novel
+            (2, "a b c d e"),        # exact copy -> 0 novel
+            (3, "c d e f g"),        # cde (owned by 1), def, efg -> 2/3
+            (4, "x y"),              # < 3 tokens -> no shingles
+        ],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path / "novelty_sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_bp"])
+        for r in q_ngram_novelty(spark, sf).collect()
+    }
+    assert out[1] == (3, 3, 10000)
+    assert out[2] == (3, 0, 0)
+    assert out[3] == (3, 2, 6666)
+    assert out[4] == (0, 0, 0)

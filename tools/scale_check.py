@@ -141,6 +141,7 @@ HEAVY = [
     "dow_seasonality",
     "revenue_trend",
     "readability_stats",
+    "ngram_novelty",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
