@@ -917,6 +917,69 @@ def drop_ivf_index(spark, table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table}{_IVF_META_SUFFIX}")
 
 
+def ivf_index_upsert(
+    new_data: DataFrame,
+    table: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """FAISS-``add`` semantics for the persisted IVF index: assign
+    ONLY the new vectors against the index's STORED centroids (exact
+    geometry from ``<table>__ivf_meta`` — never retrained here) and
+    APPEND them to the bucketed cell table.
+
+    The incremental-ingest path the staged-swap rebuild deliberately
+    is not: cost is O(|batch| x n_cells) assignment dots plus one
+    bucketed append — the existing index files are never read or
+    rewritten, so a daily embedding drop folds in at batch cost.
+    Probes see the union immediately, and results EQUAL a full build
+    of the combined corpus with the same centroids (pinned by
+    tests/test_ann_clustered.py::test_ivf_index_upsert_equals_rebuild)
+    because cell assignment depends only on (vector, centroids).
+
+    Contracts: append-only — vec_ids must be new (an in-engine id
+    check would scan the whole index per batch; id hygiene belongs to
+    the ingest pipeline, same as FAISS). Centroid drift is the
+    documented trade: cells skew as the corpus outgrows the trained
+    distribution, and the retraining/rebuild cadence stays an offline
+    decision. Returns the number of rows appended.
+    """
+    import json
+
+    from datafusion_uba_spark.sources import write_bucketed
+
+    spark = new_data.sparkSession
+    meta_table = table + _IVF_META_SUFFIX
+    if not spark.catalog.tableExists(meta_table):
+        raise ValueError(
+            f"ivf_index_upsert: no metadata table {meta_table!r} — "
+            "upsert requires an ivf_build_index-built index (legacy "
+            "indexes without persisted centroids must be rebuilt)"
+        )
+    meta_rows = spark.table(meta_table).collect()
+    if not meta_rows:
+        raise ValueError(
+            f"ivf_index_upsert: metadata table {meta_table!r} is empty "
+            "(interrupted build?); rebuild with ivf_build_index"
+        )
+    m = meta_rows[0]
+    cents = json.loads(m["centroids_json"])
+    dc = _ivf_assign(
+        new_data, vec_col, id_col, m["dim"], cents
+    ).localCheckpoint(eager=False)
+    n_new = dc.count()
+    if n_new == 0:
+        return 0
+    nb_row = (
+        spark.sql(f"DESCRIBE FORMATTED {table}")
+        .where("col_name = 'Num Buckets'")
+        .collect()
+    )
+    n_buckets = int(nb_row[0]["data_type"]) if nb_row else m["n_cells"]
+    write_bucketed(dc, table, "__cell", n_buckets, mode="append")
+    return n_new
+
+
 def ivf_topk_from_index(
     spark,
     table: str,

@@ -1718,3 +1718,60 @@ def test_ngram_novelty_crafted(spark, tmp_path):
     assert out[2] == (3, 0, 0)
     assert out[3] == (3, 2, 6666)
     assert out[4] == (0, 0, 0)
+
+
+def test_ivf_index_upsert_equals_rebuild(spark, emb):
+    """FAISS-add semantics: build on half the corpus, upsert the other
+    half, probe — results must equal an index built on the FULL corpus
+    with the SAME centroids (assignment depends only on (vector,
+    centroids), so append composes exactly)."""
+    import json
+
+    old = emb.where("vec_id % 2 = 0")
+    new = emb.where("vec_id % 2 = 1")
+    q = emb.where("vec_id < 8")
+    try:
+        n_cells = similarity.ivf_build_index(old, "ivf_up_idx", n_cells=16)
+        cents = json.loads(
+            spark.table("ivf_up_idx__ivf_meta").collect()[0]["centroids_json"]
+        )
+        appended = similarity.ivf_index_upsert(new, "ivf_up_idx")
+        assert appended == new.count() and appended > 0
+        got = {
+            tuple(r)
+            for r in similarity.ivf_topk_from_index(
+                spark, "ivf_up_idx", q, k=10
+            ).collect()
+        }
+        similarity.ivf_build_index(
+            emb, "ivf_full_idx", n_cells=n_cells, centroids=cents
+        )
+        want = {
+            tuple(r)
+            for r in similarity.ivf_topk_from_index(
+                spark, "ivf_full_idx", q, k=10
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+        # the stored table now holds the whole corpus, still bucketed
+        assert spark.table("ivf_up_idx").count() == emb.count()
+    finally:
+        similarity.drop_ivf_index(spark, "ivf_up_idx")
+        similarity.drop_ivf_index(spark, "ivf_full_idx")
+
+
+def test_ivf_index_upsert_guards(spark, emb):
+    """No metadata table -> ValueError (legacy indexes must rebuild);
+    empty batch -> 0 appended, index untouched."""
+    import pytest
+
+    try:
+        similarity.ivf_build_index(emb, "ivf_up_g", n_cells=16)
+        n_before = spark.table("ivf_up_g").count()
+        assert similarity.ivf_index_upsert(emb.limit(0), "ivf_up_g") == 0
+        assert spark.table("ivf_up_g").count() == n_before
+        spark.sql("DROP TABLE IF EXISTS ivf_up_g__ivf_meta")
+        with pytest.raises(ValueError, match="no metadata table"):
+            similarity.ivf_index_upsert(emb.limit(2), "ivf_up_g")
+    finally:
+        similarity.drop_ivf_index(spark, "ivf_up_g")
