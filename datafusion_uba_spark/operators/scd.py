@@ -41,6 +41,7 @@ __all__ = [
     "cdc_init",
     "cdc_refresh",
     "cdc_serve",
+    "cdc_vacuum",
 ]
 
 
@@ -389,3 +390,67 @@ def cdc_serve(
         .where(F.col(op_col) != delete_op)
         .drop("__bucket")
     )
+
+
+def cdc_vacuum(
+    spark,
+    table: str,
+    seq_col: str,
+    horizon,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> dict:
+    """Garbage-collect stored tombstones older than ``horizon``.
+
+    Tombstones exist to out-rank late out-of-order changes
+    (cdc_apply keep_tombstones); once the ingest watermark guarantees
+    no change with ``seq < horizon`` can still arrive, those tombstones
+    are dead weight. This rewrites ONLY the buckets that hold such
+    tombstones (dynamic partition overwrite, the cdc_refresh
+    discipline) — live rows and younger tombstones pass through
+    untouched, other buckets' files are never written. Finding the
+    victims is one read-only filter scan of the snapshot (bounded by
+    the KEY space, not the log).
+
+    THE HORIZON IS A CONTRACT: vacuuming ahead of the true watermark
+    re-opens the resurrection window the tombstone closed. Returns
+    {"buckets": [...], "removed": n}.
+    """
+    t = spark.table(table)
+    dead = (F.col(op_col) == delete_op) & (F.col(seq_col) < F.lit(horizon))
+    victims = t.where(dead).localCheckpoint(eager=False)
+    buckets = [
+        r["__bucket"] for r in victims.select("__bucket").distinct().collect()
+    ]
+    if not buckets:
+        return {"buckets": [], "removed": 0}
+    removed = victims.count()
+    # EAGER checkpoint before the overwrite: the keep-set is read from
+    # the very table being rewritten, and a pure filter scan (no
+    # shuffle in between, unlike cdc_refresh's windowed merge) would
+    # otherwise still be reading the files the job replaces
+    keep = (
+        t.where(F.col("__bucket").isin(buckets))
+        .where(~dead)
+        .localCheckpoint()
+    )
+    # dynamic overwrite only replaces partitions PRESENT in the write —
+    # a bucket whose rows were all tombstones yields no output rows and
+    # would survive untouched; such buckets are dropped explicitly
+    written = {
+        r["__bucket"] for r in keep.select("__bucket").distinct().collect()
+    }
+    if written:
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            keep.write.mode("overwrite").format("parquet").insertInto(table)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for b in sorted(set(buckets) - written):
+        spark.sql(
+            f"ALTER TABLE {table} DROP IF EXISTS PARTITION (__bucket={b})"
+        )
+    return {"buckets": sorted(buckets), "removed": removed}

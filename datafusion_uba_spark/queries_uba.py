@@ -2560,6 +2560,103 @@ FROM hist
 """
 
 
+def q_daily_kpi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily KPI dashboard row — the end-to-end composition a UBA
+    deployment actually serves: per calendar day, event volume, exact
+    revenue cents, DAU, purchasers, sessions STARTED (gaps-and-islands
+    session starts attributed to their start day, same 30-min gap rule
+    as sessionize), and conversion per-mille (purchasers/DAU,
+    truncating). Two passes over events (one user-partitioned window
+    for session starts folded into the same per-day aggregate; one
+    (day, user)-level aggregate for DAU/purchasers) joined on the
+    |days|-row spine — no third scan, no cross join."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    flagged = ev.select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > F.lit(_GAP_US)
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("new_session"),
+    )
+    per_day = flagged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("revenue_cents"),
+        F.sum("new_session").alias("sessions_started"),
+    )
+    users = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            "user_id",
+            (F.col("event_type") == "purchase").cast("int").alias("__p"),
+        )
+        .groupBy("day", "user_id")
+        .agg(F.max("__p").alias("__purchased"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("dau"),
+            F.sum("__purchased").cast("long").alias("purchasers"),
+        )
+    )
+    return per_day.join(users, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "revenue_cents",
+        "dau",
+        "purchasers",
+        "sessions_started",
+        F.expr("(1000 * purchasers) div dau").alias("conversion_pm"),
+    )
+
+
+_ORACLE_DAILY_KPI = f"""
+WITH flagged AS (
+  SELECT CAST(ts AS DATE) AS day,
+         event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+per_day AS (
+  SELECT day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents,
+         CAST(sum(new_session) AS BIGINT) AS sessions_started
+  FROM flagged GROUP BY day
+),
+pu AS (
+  SELECT CAST(ts AS DATE) AS day, user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events GROUP BY 1, 2
+),
+users AS (
+  SELECT day,
+         CAST(count(*) AS BIGINT) AS dau,
+         CAST(sum(p) AS BIGINT) AS purchasers
+  FROM pu GROUP BY day
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       d.n_events, d.revenue_cents, u.dau, u.purchasers,
+       d.sessions_started,
+       (1000 * u.purchasers) // u.dau AS conversion_pm
+FROM per_day d JOIN users u USING (day)
+"""
+
+
 def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog-to-snapshot collapse (operators/scd.py cdc_apply):
     the event stream read as a Debezium-style CDC feed — every event
@@ -2611,6 +2708,7 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 
 
 UBA_REGISTRY: dict = {
+    "daily_kpi_report": (q_daily_kpi_report, _ORACLE_DAILY_KPI),
     "cdc_snapshot": (q_cdc_snapshot, _ORACLE_CDC_SNAPSHOT),
     "growth_accounting": (q_growth_accounting, _ORACLE_GROWTH_ACCOUNTING),
     "retention_bitmap": (q_retention_bitmap, _ORACLE_RETENTION_BITMAP),

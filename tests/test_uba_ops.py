@@ -1312,3 +1312,80 @@ def test_cdc_store_empty_batch_noop(spark):
         assert spark.table(table).count() == 1
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_cdc_vacuum_gc_semantics(spark):
+    """Vacuum removes ONLY tombstones below the horizon; live rows and
+    younger tombstones survive; buckets without victims keep their
+    files byte/mtime-identical; the served snapshot is unchanged."""
+    import os
+    from urllib.parse import urlparse
+
+    from datafusion_uba_spark.operators.scd import (
+        cdc_init,
+        cdc_serve,
+        cdc_vacuum,
+    )
+
+    log = _cdc_df(
+        spark,
+        [(1, 1, "U", 10), (2, 2, "D", 0), (3, 9, "D", 0), (4, 3, "U", 40)],
+    )
+    table = "cdc_vac_t1"
+    try:
+        cdc_init(log, table, ["user_id"], ["seq"], n_buckets=8)
+        loc = urlparse(
+            spark.sql(f"DESCRIBE FORMATTED {table}")
+            .where("col_name = 'Location'")
+            .collect()[0]["data_type"]
+        ).path
+
+        def files():
+            out = {}
+            for d in os.listdir(loc):
+                if d.startswith("__bucket="):
+                    p = os.path.join(loc, d)
+                    out[d] = {
+                        f: os.path.getmtime(os.path.join(p, f))
+                        for f in os.listdir(p)
+                        if not f.startswith(("_", "."))
+                    }
+            return out
+
+        before_serve = sorted(map(tuple, cdc_serve(spark, table).collect()))
+        before_files = files()
+        res = cdc_vacuum(spark, table, "seq", horizon=5)
+        # only user 2's tombstone (seq 2 < 5) is dead; user 3's (seq 9)
+        # survives
+        assert res["removed"] == 1 and len(res["buckets"]) == 1
+        stored = {
+            (r["user_id"], r["op"]) for r in spark.table(table).collect()
+        }
+        assert (2, "D") not in stored and (3, "D") in stored
+        assert sorted(
+            map(tuple, cdc_serve(spark, table).collect())
+        ) == before_serve
+        after_files = files()
+        touched = f"__bucket={res['buckets'][0]}"
+        # the touched bucket held ONLY the dead tombstone, so its
+        # partition is dropped outright
+        assert after_files.get(touched) != before_files[touched]
+        for d in before_files:
+            if d != touched:
+                assert after_files[d] == before_files[d]
+        # idempotent: a second vacuum at the same horizon is a noop
+        assert cdc_vacuum(spark, table, "seq", horizon=5) == {
+            "buckets": [],
+            "removed": 0,
+        }
+        # partial-bucket path: at horizon 10 user 3's tombstone (seq 9)
+        # dies but its bucket also holds user 4's live row — the bucket
+        # is REWRITTEN, not dropped
+        res2 = cdc_vacuum(spark, table, "seq", horizon=10)
+        assert res2["removed"] == 1
+        stored2 = {
+            (r["user_id"], r["op"]) for r in spark.table(table).collect()
+        }
+        assert (3, "D") not in stored2 and (4, "U") in stored2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -142,6 +142,7 @@ HEAVY = [
     "revenue_trend",
     "readability_stats",
     "ngram_novelty",
+    "daily_kpi_report",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
