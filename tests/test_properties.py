@@ -660,3 +660,98 @@ def test_scd2_matches_model(spark, current, changes):
         for r in scd.scd2_apply(cur_df, chg_df, ["k"], ["seg"]).collect()
     }
     assert got == _scd2_model(current, changes)
+
+
+# --- Kaplan-Meier vs a naive Python model -----------------------------------
+
+_life = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),   # duration
+        st.integers(min_value=0, max_value=1),    # observed
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _km_model(subjects):
+    """Naive integer KM replay: ordered event times, truncating ppm
+    recurrence, remaining-at-risk bookkeeping."""
+    from collections import Counter
+
+    d = Counter()
+    c = Counter()
+    for dur, obs in subjects:
+        (d if obs else c)[dur] += 1
+    rem = len(subjects)
+    s = 10**6
+    rows = {}
+    for t in sorted(set(d) | set(c)):
+        s = (s * (rem - d[t])) // rem
+        rows[t] = (rem, d[t], c[t], s)
+        rem -= d[t] + c[t]
+    return rows
+
+
+@given(subjects=_life)
+@settings(**_SETTINGS)
+def test_km_curve_matches_model(spark, subjects):
+    from datafusion_uba_spark.operators.survival import km_curve
+
+    life = spark.createDataFrame(
+        subjects, "duration long, observed long"
+    )
+    got = {
+        r["t"]: (
+            r["n_risk"],
+            r["n_events"],
+            r["n_censored"],
+            r["survival_ppm"],
+        )
+        for r in km_curve(life).collect()
+    }
+    assert got == _km_model(subjects)
+
+
+# --- CDC apply vs a dict model -----------------------------------------------
+
+_cdc = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),    # key
+        st.integers(min_value=0, max_value=20),   # seq (ties possible)
+        st.sampled_from(["U", "D"]),
+        st.integers(min_value=0, max_value=99),   # payload
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: (r[0], r[1]),  # (key, seq) unique = total order
+)
+
+
+def _cdc_model(rows, keep_tombstones):
+    best = {}
+    for k, seq, op, payload in rows:
+        if k not in best or seq > best[k][0]:
+            best[k] = (seq, op, payload)
+    out = {}
+    for k, (seq, op, payload) in best.items():
+        if keep_tombstones or op != "D":
+            out[k] = (seq, op, payload)
+    return out
+
+
+@given(rows=_cdc, keep=st.booleans())
+@settings(**_SETTINGS)
+def test_cdc_apply_matches_model(spark, rows, keep):
+    from datafusion_uba_spark.operators.scd import cdc_apply
+
+    log = spark.createDataFrame(
+        rows, "k long, seq long, op string, payload long"
+    )
+    got = {
+        r["k"]: (r["seq"], r["op"], r["payload"])
+        for r in cdc_apply(
+            log, ["k"], ["seq"], "op", keep_tombstones=keep
+        ).collect()
+    }
+    assert got == _cdc_model(rows, keep)
