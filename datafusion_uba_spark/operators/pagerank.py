@@ -51,11 +51,24 @@ def pagerank_integer(
     dst_col: str = "dst",
     weight_col: str = "w",
     iters: int = 10,
+    max_driver_nodes: int = 1024,
 ) -> DataFrame:
     """``iters`` exact-integer power-iteration rounds over weighted
     edges (one row per (src, dst) with positive int64 weight).
 
     Returns (node, rank_scaled) with rank on the 10^12 grid.
+
+    AUTO-DISPATCH on graph size (the ann_topk_auto pattern): the input
+    is the already-AGGREGATED edge table — O(|nodes|^2) rows, driver
+    metadata by the same O(cells) allowance as the k-means means
+    collect — so when the node count fits ``max_driver_nodes`` the
+    iteration runs as a driver loop over the collected cells (the 10
+    chained tiny join stages cost ~4 s of pure scheduling/codegen at
+    any data size, ~30x the arithmetic). Bigger graphs (user-level
+    follow graphs, not event-type graphs) take the distributed
+    broadcast-join loop. Both paths compute the identical integer
+    recurrence — dispatch can never change a result, pinned by
+    tests/test_stats_ops.py::test_pagerank_paths_agree.
     """
     if iters < 1:
         raise ValueError(f"pagerank_integer: iters={iters} must be >= 1")
@@ -64,6 +77,17 @@ def pagerank_integer(
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("long").alias("w"),
     )
+    if max_driver_nodes > 0:
+        cells = e.localCheckpoint(eager=False)
+        n_nodes = (
+            cells.select(F.col("src").alias("n"))
+            .union(cells.select(F.col("dst").alias("n")))
+            .distinct()
+            .count()
+        )
+        if n_nodes <= max_driver_nodes:
+            return _pagerank_driver(cells, iters)
+        e = cells
     # Edge transition probabilities on the ppm grid; the window sum is
     # over the already-aggregated edge table (|nodes|^2 rows max).
     tot = Window.partitionBy("src")
@@ -114,3 +138,36 @@ def pagerank_integer(
             )
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def _pagerank_driver(cells: DataFrame, iters: int) -> DataFrame:
+    """Driver replay of the identical integer recurrence over the
+    collected O(|nodes|^2) edge cells; results re-parallelize via
+    createDataFrame. Same truncating divisions, same ordering-free
+    integer sums — bit-equal to the distributed loop by construction."""
+    rows = cells.collect()
+    out_w: dict = {}
+    edges_list = []
+    nodes = set()
+    for r in rows:
+        s, d, w = r["src"], r["dst"], int(r["w"])
+        nodes.add(s)
+        nodes.add(d)
+        out_w[s] = out_w.get(s, 0) + w
+        edges_list.append((s, d, w))
+    p_ppm = [
+        (s, d, (w * PROB_SCALE) // out_w[s]) for s, d, w in edges_list
+    ]
+    n = len(nodes)
+    teleport = ((100 - DAMP_PCT) * RANK_SCALE) // (100 * n)
+    r = {v: RANK_SCALE // n for v in nodes}
+    for _ in range(iters):
+        nxt = {v: teleport for v in nodes}
+        for s, d, p in p_ppm:
+            nxt[d] += (DAMP_PCT * ((r[s] * p) // PROB_SCALE)) // 100
+        r = nxt
+    spark = cells.sparkSession
+    node_type = dict(cells.dtypes)["src"]
+    return spark.createDataFrame(
+        sorted(r.items()), f"node {node_type}, rank_scaled long"
+    )

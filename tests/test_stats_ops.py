@@ -238,3 +238,24 @@ def test_trend_degenerate_single_day(spark):
         F.expr(_TREND_FINAL.format(expr=_TREND_SLOPE)).alias("slope")
     ).collect()[0]
     assert r["slope"] is None
+
+
+def test_pagerank_paths_agree(spark):
+    """Driver-loop dispatch (small graph) and the distributed join loop
+    (forced via max_driver_nodes=0) must produce identical integer
+    ranks — dispatch can never change a result."""
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 2), ("c", "a", 5), ("a", "c", 1)],
+        "src string, dst string, w long",
+    )
+    drv = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_integer(edges, iters=10).collect()
+    }
+    dist = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_integer(
+            edges, iters=10, max_driver_nodes=0
+        ).collect()
+    }
+    assert drv == dist and len(drv) == 3
