@@ -671,7 +671,142 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# Behavioral diversity (Gini-Simpson) per user
+# ---------------------------------------------------------------------------
+
+
+def q_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity: the Gini-Simpson index
+    1 - sum(p_i^2) over the user's event-type distribution, in exact
+    ppm (equivalently 10^6 - Herfindahl concentration) — entropy's
+    exact-arithmetic stand-in (Shannon needs ln, which is not
+    correctly-rounded cross-engine; Simpson is pure integer rationals:
+    simpson_ppm = (10^6 * (C^2 - sum c_i^2)) div C^2). Two chained
+    hash aggregates on the user key, no window, no collect."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("c").alias("n_events"),
+            F.sum(F.col("c") * F.col("c")).alias("__ss"),
+        )
+        .selectExpr(
+            "user_id",
+            "n_types",
+            "n_events",
+            "(1000000 * (n_events * n_events - __ss))"
+            " div (n_events * n_events) AS simpson_ppm",
+        )
+    )
+
+
+_ORACLE_DIVERSITY = """
+WITH per_type AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       CAST((1000000 * (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)
+                        - CAST(sum(c * c) AS BIGINT)))
+            // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT))
+            AS BIGINT) AS simpson_ppm
+FROM per_type GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration (Gini) across users
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user revenue in exact ppm. Scalable
+    form: users fold to per-user cents (one hash agg), then users
+    GROUP BY their cents VALUE — the classic sorted-rank formula
+    sum((2i - n - 1) x_i) telescopes over a value group of size k at
+    cumulative offset c to v*(2*(c*k + k*(k+1)/2) - k*(n+1)), so the
+    only ordered pass is a running-sum window over the |distinct
+    values| table (bounded by the cents grid, not |users|; documented
+    single-partition window over that reduced table). Everything is
+    decimal(38,0) integer arithmetic; one output row."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    vals = per_user.groupBy("cents").agg(F.count(F.lit(1)).alias("k"))
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec = "decimal(38,0)"
+    cum = vals.select(
+        F.col("cents").cast(dec).alias("v"),
+        F.col("k").cast(dec).alias("k"),
+        (F.sum("k").over(w) - F.col("k")).cast(dec).alias("c"),
+    )
+    # the rank term needs n inside the sum; factor it out:
+    # sum(v*(2(ck + k(k+1)/2) - k(n+1))) = A - (n+1)*T with
+    # A = sum(v*2*(ck + k(k+1)/2)), T = sum(v*k), n = sum(k)
+    agg = cum.agg(
+        F.sum("k").alias("__n"),
+        F.sum(F.col("v") * F.col("k")).alias("__t"),
+        F.sum(
+            F.col("v")
+            * (
+                F.lit(2).cast(dec)
+                * (
+                    F.col("c") * F.col("k")
+                    + F.expr("(k * (k + 1)) div 2").cast(dec)
+                )
+            )
+        ).alias("__a"),
+    )
+    return agg.selectExpr(
+        "CAST(__n AS BIGINT) AS n_users",
+        "CAST(__t AS BIGINT) AS total_cents",
+        "CAST((1000000 * (__a - (__n + 1) * __t)) div (__n * __t)"
+        " AS BIGINT) AS gini_ppm",
+    )
+
+
+_ORACLE_GINI = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+),
+vals AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS k
+  FROM per_user GROUP BY cents
+),
+cum AS (
+  SELECT CAST(cents AS HUGEINT) AS v,
+         CAST(k AS HUGEINT) AS k,
+         CAST(sum(k) OVER (ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) - k AS HUGEINT) AS c
+  FROM vals
+),
+agg AS (
+  SELECT sum(k) AS n, sum(v * k) AS t,
+         sum(v * (2 * (c * k + (k * (k + 1)) // 2))) AS a
+  FROM cum
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(t AS BIGINT) AS total_cents,
+       CAST((1000000 * (a - (n + 1) * t)) // (n * t) AS BIGINT) AS gini_ppm
+FROM agg
+"""
+
+
 STATS_REGISTRY: dict = {
+    "user_diversity": (q_user_diversity, _ORACLE_DIVERSITY),
+    "revenue_gini": (q_revenue_gini, _ORACLE_GINI),
     "revenue_trend": (q_revenue_trend, _ORACLE_TREND),
     "dow_seasonality": (q_dow_seasonality, _ORACLE_DOW),
     "survival_curve": (q_survival_curve, _ORACLE_SURVIVAL),

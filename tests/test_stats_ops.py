@@ -259,3 +259,59 @@ def test_pagerank_paths_agree(spark):
         ).collect()
     }
     assert drv == dist and len(drv) == 3
+
+
+# --- diversity + concentration ------------------------------------------------
+
+
+def _events_sf(spark, tmp_path, rows):
+    """Write a minimal events parquet dir: rows = (event_id, user_id,
+    event_type, value), ts synthesized as distinct micros."""
+    df = spark.createDataFrame(
+        [
+            (eid, uid, et, float(v))
+            for eid, uid, et, v in rows
+        ],
+        "event_id long, user_id long, event_type string, value double",
+    ).selectExpr(
+        "event_id",
+        "timestamp_micros(1700000000000000 + event_id) AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "'{}' AS props",
+    )
+    sf = str(tmp_path / "stats_sf")
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    return sf
+
+
+def test_user_diversity_goldens(spark, tmp_path):
+    from datafusion_uba_spark.queries_stats import q_user_diversity
+
+    rows = [(i, 1, "click", 0) for i in range(10)]          # single type
+    rows += [(100 + i, 2, ["a", "b", "c", "d", "e"][i % 5], 0)
+             for i in range(10)]                             # uniform 5 types
+    sf = _events_sf(spark, tmp_path, rows)
+    out = {r["user_id"]: r for r in q_user_diversity(spark, sf).collect()}
+    assert out[1]["simpson_ppm"] == 0
+    # uniform over 5 types: 1 - 5*(2/10)^2 = 0.8
+    assert out[2]["simpson_ppm"] == 800000
+    assert out[2]["n_types"] == 5
+
+
+def test_revenue_gini_goldens(spark, tmp_path):
+    from datafusion_uba_spark.queries_stats import q_revenue_gini
+
+    # perfectly equal: 4 users x 1 event of 5.00 -> gini 0
+    rows = [(i, i, "purchase", 5.0) for i in range(1, 5)]
+    sf = _events_sf(spark, tmp_path, rows)
+    r = q_revenue_gini(spark, sf).collect()[0]
+    assert r["n_users"] == 4 and r["gini_ppm"] == 0
+    # extreme concentration: one of 5 users holds all revenue ->
+    # G = (n-1)/n = 0.8 exactly under the sorted-rank formula
+    rows = [(i, i, "view", 0.0) for i in range(1, 5)]
+    rows.append((5, 5, "purchase", 100.0))
+    sf = _events_sf(spark, tmp_path, rows)
+    r = q_revenue_gini(spark, sf).collect()[0]
+    assert r["n_users"] == 5 and r["gini_ppm"] == 800000

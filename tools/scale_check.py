@@ -143,6 +143,8 @@ HEAVY = [
     "readability_stats",
     "ngram_novelty",
     "daily_kpi_report",
+    "user_diversity",
+    "revenue_gini",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
