@@ -819,3 +819,118 @@ def audio_decode_roundtrip(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     stats: the full real audio pipeline, closed-form-oracle-checkable
     like the image and video paths."""
     return audio_decode_stats(attach_audio_payload(df, id_col))
+
+
+AUDIO_ENERGY_WIN = 128
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.LongType()),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+    ]
+)
+
+
+def audio_energy_windows(df: DataFrame, win: int = AUDIO_ENERGY_WIN) -> DataFrame:
+    """Windowed audio energy profile: frame the decoded PCM into
+    fixed ``win``-frame windows and emit, per (doc, window), the exact
+    integer energy (sum of squared samples across frames AND channels
+    — int16^2 * win * ch stays far under 2^63) and the peak absolute
+    sample. The silence-detection / loudness-segmentation primitive,
+    all integers so the row is hash-exact. Same Arrow mapInPandas
+    boundary as audio_decode_stats; numpy reduces each window."""
+    import pandas as pd
+
+    from datafusion_uba_spark.operators import audiocodec
+
+    if win <= 0:
+        raise ValueError(f"win must be positive, got {win}")
+
+    def fold(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, arr = audiocodec.decode_wav(bytes(payload))
+                wide = arr.astype(np.int64)
+                n = wide.shape[0]
+                for w0 in range(0, n, win):
+                    seg = wide[w0 : w0 + win]
+                    rows.append(
+                        {
+                            "doc_id": int(did),
+                            "win_idx": w0 // win,
+                            "n_values": int(seg.size),
+                            "energy": int((seg * seg).sum()),
+                            "peak_abs": int(np.abs(seg).max()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_ENERGY_SCHEMA.fields]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        fold, AUDIO_ENERGY_SCHEMA
+    )
+
+
+def audio_energy_roundtrip(
+    df: DataFrame, win: int = AUDIO_ENERGY_WIN, id_col: str = "doc_id"
+) -> DataFrame:
+    """synthesize PCM → encode WAV → decode → windowed exact energy."""
+    return audio_energy_windows(attach_audio_payload(df, id_col), win)
+
+
+MOTION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("motion_abs", T.LongType()),
+    ]
+)
+
+
+def video_motion_stats(df: DataFrame) -> DataFrame:
+    """Frame-delta motion profile: parse the concatenated-PPM stream
+    and emit, for every consecutive frame pair, the exact integer sum
+    of absolute per-pixel per-channel differences — the shot-boundary /
+    static-segment detector every video curation pipeline runs first.
+    A mis-parsed frame boundary shifts every delta and hashes red."""
+    import pandas as pd
+
+    from datafusion_uba_spark.operators import imagecodec
+
+    def fold(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = imagecodec.decode_ppm_stream(bytes(payload))
+                for f in range(1, len(frames)):
+                    a = frames[f].astype(np.int64)
+                    b = frames[f - 1].astype(np.int64)
+                    rows.append(
+                        {
+                            "doc_id": int(did),
+                            "frame_idx": f,
+                            "n_frames": len(frames),
+                            "motion_abs": int(np.abs(a - b).sum()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MOTION_SCHEMA.fields]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(fold, MOTION_SCHEMA)
+
+
+def video_motion_roundtrip(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """render frames → encode PPM stream → parse → exact frame-delta
+    motion sums."""
+    return video_motion_stats(attach_video_payload(df, id_col))

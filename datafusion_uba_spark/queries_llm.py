@@ -1967,6 +1967,108 @@ GROUP BY doc_id, rate, ch, n
 """
 
 
+def q_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy (multimodal.audio_energy_windows): the
+    decoded PCM framed into 128-frame windows, exact integer energy
+    (sum of squares over frames and channels) and peak |sample| per
+    window — the silence-detection primitive, hash-checked against the
+    closed-form sample generator."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.audio_energy_roundtrip(docs)
+
+
+def _oracle_audio_energy() -> str:
+    from datafusion_uba_spark.operators.multimodal import (
+        AUDIO_ENERGY_WIN,
+        AUDIO_N_BASE,
+        AUDIO_N_MOD,
+        AUDIO_RATES,
+    )
+
+    rates = ", ".join(str(r) for r in AUDIO_RATES)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         ({AUDIO_N_BASE} + doc_id % {AUDIO_N_MOD}) AS n,
+         (1 + doc_id % 2) AS ch,
+         ([{rates}])[CAST(doc_id % {len(AUDIO_RATES)} + 1 AS INT)] AS rate
+  FROM documents
+),
+fr AS (
+  SELECT d.doc_id, d.n, d.ch, i.i
+  FROM d CROSS JOIN
+       generate_series(0, {AUDIO_N_BASE + AUDIO_N_MOD - 2}) i(i)
+  WHERE i.i < d.n
+),
+sm AS (
+  SELECT fr.doc_id, fr.i,
+         (fr.doc_id * 31 + 7 * fr.i + 5 * c.c) % 4096 - 2048 AS v
+  FROM fr CROSS JOIN generate_series(0, 1) c(c)
+  WHERE c.c < fr.ch
+)
+SELECT doc_id,
+       CAST(i // {AUDIO_ENERGY_WIN} AS BIGINT) AS win_idx,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs
+FROM sm
+GROUP BY doc_id, i // {AUDIO_ENERGY_WIN}
+"""
+
+
+def q_video_motion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-delta motion profile (multimodal.video_motion_stats):
+    exact absolute pixel-difference sums for every consecutive frame
+    pair of the parsed PPM stream — shot-boundary detection; a
+    mis-parsed frame boundary shifts every delta and hashes red."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.video_motion_roundtrip(docs)
+
+
+def _oracle_video_motion() -> str:
+    from datafusion_uba_spark.operators.multimodal import (
+        IMG_H_BASE,
+        IMG_H_MOD,
+        IMG_W_BASE,
+        IMG_W_MOD,
+        VIDEO_FRAMES_BASE,
+        VIDEO_FRAMES_MOD,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         ({IMG_W_BASE} + doc_id % {IMG_W_MOD}) AS w,
+         ({IMG_H_BASE} + doc_id % {IMG_H_MOD}) AS h,
+         ({VIDEO_FRAMES_BASE} + doc_id % {VIDEO_FRAMES_MOD}) AS nf
+  FROM documents
+),
+fr AS (
+  SELECT d.doc_id, d.w, d.h, d.nf, f.f
+  FROM d CROSS JOIN
+       generate_series(1, {VIDEO_FRAMES_BASE + VIDEO_FRAMES_MOD - 2}) f(f)
+  WHERE f.f < d.nf
+),
+px AS (
+  SELECT fr.doc_id, fr.f, fr.nf, fr.h, fr.doc_id * 7 + 13 * x.x AS base
+  FROM fr CROSS JOIN generate_series(0, {IMG_W_BASE + IMG_W_MOD - 2}) x(x)
+  WHERE x.x < fr.w
+),
+ch AS (
+  SELECT doc_id, f, nf, h,
+         ABS((base + 11 * c.c + 17 * f) % 256
+             - (base + 11 * c.c + 17 * (f - 1)) % 256) AS dv
+  FROM px CROSS JOIN generate_series(0, 2) c(c)
+)
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(h * SUM(dv) AS BIGINT) AS motion_abs
+FROM ch
+GROUP BY doc_id, f, nf, h
+"""
+
+
 _ORACLE_MULTIMODAL = """
 SELECT doc_id,
   octet_length(CAST(text AS BLOB)) AS n_bytes,
@@ -2628,4 +2730,6 @@ LLM_REGISTRY: dict = {
     "video_frame_stats": (q_video_frame_stats, _oracle_video_frames()),
     "image_ahash": (q_image_ahash, _oracle_image_ahash()),
     "audio_decode_stats": (q_audio_decode_stats, _oracle_audio_decode()),
+    "audio_energy_windows": (q_audio_energy_windows, _oracle_audio_energy()),
+    "video_motion_stats": (q_video_motion_stats, _oracle_video_motion()),
 }

@@ -1775,3 +1775,67 @@ def test_ivf_index_upsert_guards(spark, emb):
             similarity.ivf_index_upsert(emb.limit(2), "ivf_up_g")
     finally:
         similarity.drop_ivf_index(spark, "ivf_up_g")
+
+
+def test_audio_energy_windows_model(spark):
+    """Windowed energy must equal the closed-form generator replayed
+    in numpy for a handful of docs: window framing, channel folding,
+    tail-window size, and peak all pinned."""
+    import numpy as np
+
+    from datafusion_uba_spark.operators.multimodal import (
+        AUDIO_ENERGY_WIN,
+        _synth_audio_samples,
+        audio_energy_roundtrip,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 1, 7, 400)], "doc_id long"
+    )
+    got = {
+        (r["doc_id"], r["win_idx"]): (
+            r["n_values"],
+            r["energy"],
+            r["peak_abs"],
+        )
+        for r in audio_energy_roundtrip(docs).collect()
+    }
+    want = {}
+    for did in (0, 1, 7, 400):
+        wide = _synth_audio_samples(did).astype(np.int64)
+        for w0 in range(0, wide.shape[0], AUDIO_ENERGY_WIN):
+            seg = wide[w0 : w0 + AUDIO_ENERGY_WIN]
+            want[(did, w0 // AUDIO_ENERGY_WIN)] = (
+                int(seg.size),
+                int((seg * seg).sum()),
+                int(np.abs(seg).max()),
+            )
+    assert got == want and len(got) > 4
+
+
+def test_video_motion_model(spark):
+    """Frame-delta sums must equal the synth generator's deltas; the
+    first frame emits no row; a doc's row count is n_frames - 1."""
+    import numpy as np
+
+    from datafusion_uba_spark.operators.multimodal import (
+        _synth_video_frames,
+        video_motion_roundtrip,
+    )
+
+    docs = spark.createDataFrame([(3,), (10,)], "doc_id long")
+    got = {
+        (r["doc_id"], r["frame_idx"]): (r["n_frames"], r["motion_abs"])
+        for r in video_motion_roundtrip(docs).collect()
+    }
+    want = {}
+    for did in (3, 10):
+        frames = _synth_video_frames(did)
+        for f in range(1, len(frames)):
+            a = frames[f].astype(np.int64)
+            b = frames[f - 1].astype(np.int64)
+            want[(did, f)] = (len(frames), int(np.abs(a - b).sum()))
+    assert got == want
+    for did in (3, 10):
+        n = len(_synth_video_frames(did))
+        assert sum(1 for k in got if k[0] == did) == n - 1

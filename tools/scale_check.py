@@ -145,6 +145,8 @@ HEAVY = [
     "daily_kpi_report",
     "user_diversity",
     "revenue_gini",
+    "audio_energy_windows",
+    "video_motion_stats",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
