@@ -122,3 +122,46 @@ def temperature_quota_sample(
         .withColumn("quota", F.col("__quota").cast("long"))
         .drop("__quota")
     )
+
+
+def pps_systematic(
+    df: DataFrame,
+    weight_col: str,
+    step: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: walk each
+    stratum in the fixed (md5(id), id) permutation, accumulate the
+    weight, and pick every document whose cumulative span crosses a
+    multiple of ``step`` — the classic PPS design (inclusion
+    probability = weight/step, documents heavier than ``step`` are
+    picked with multiplicity), fully deterministic with no RNG and
+    exact integer arithmetic throughout, so the oracle replays it.
+
+    Scale shape: one window per stratum (hash-partitioned cumulative
+    sum — the strata parallelize; within a stratum the running sum is
+    the same sequential pass every ordered sampler pays). Output:
+    (id, stratum, weight, picks) for picks >= 1, where
+    picks = floor(cw/step) - floor((cw-weight)/step).
+    """
+    if step <= 0:
+        raise ValueError(f"pps_systematic: step={step} must be positive")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    cum = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.col(weight_col).cast("long").alias("weight"),
+    ).withColumn("__cw", F.sum("weight").over(w))
+    return (
+        cum.selectExpr(
+            f"{id_col}",
+            f"{strata_col}",
+            "weight",
+            f"CAST(__cw div {step} - (__cw - weight) div {step} AS BIGINT)"
+            " AS picks",
+        )
+        .where(F.col("picks") >= 1)
+    )

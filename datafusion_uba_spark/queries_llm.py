@@ -1392,6 +1392,42 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPS_STEP = 4096  # cumulative chars per pick
+
+
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sample of documents weighted by length
+    (operators/sampling.py pps_systematic): inclusion probability
+    proportional to n_chars with a fixed pick every 4096 cumulative
+    chars along the per-source md5 permutation — the weighted
+    counterpart of the quota samplers, long docs can carry
+    multiplicity. Exact integers end to end; one per-source window."""
+    from datafusion_uba_spark.operators.sampling import pps_systematic
+
+    docs = _docs(spark, sf_dir)
+    return pps_systematic(
+        docs, "n_chars", _PPS_STEP, strata_col="source", id_col="doc_id"
+    )
+
+
+_ORACLE_PPS = f"""
+WITH cum AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+         CAST(sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS cw
+  FROM documents
+)
+SELECT doc_id, source, weight,
+       CAST(cw // {_PPS_STEP} - (cw - weight) // {_PPS_STEP} AS BIGINT)
+         AS picks
+FROM cum
+WHERE cw // {_PPS_STEP} - (cw - weight) // {_PPS_STEP} >= 1
+"""
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty: the share (basis points) of a
     doc's distinct 3-shingles whose FIRST corpus occurrence (min
@@ -2661,6 +2697,7 @@ SELECT vec_id, cid AS cluster, dist2 FROM (
 
 LLM_REGISTRY: dict = {
     "ngram_novelty": (q_ngram_novelty, _ORACLE_NOVELTY),
+    "pps_sample": (q_pps_sample, _ORACLE_PPS),
     "readability_stats": (q_readability_stats, _ORACLE_READABILITY),
     "dedup_semantic": (q_dedup_semantic, _oracle_dedup_semantic()),
     "kmeans_assign": (q_kmeans_assign, _ORACLE_KMEANS),

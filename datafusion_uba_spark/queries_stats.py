@@ -804,7 +804,80 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Seasonally-adjusted daily anomaly flags
+# ---------------------------------------------------------------------------
+
+_SEASONAL_DEV_PCT = 50  # flag when |x - LOO dow mean| > 50% of it
+
+
+def q_seasonal_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-aware anomaly flags: a day is anomalous when its
+    revenue deviates from its OWN weekday's leave-one-out mean by more
+    than 50% — the seasonal companion of metric_anomaly_flags'
+    trailing-median baseline (a strong-Monday pattern never flags
+    Mondays here). Leave-one-out keeps the tested day out of its own
+    baseline and stays exact: the comparison
+    |x*(n-1) - (sum-x)| * 100 > pct * (sum-x) is pure int64 (cents ~
+    1e7/day at sf0.1: products < 1e12; decimal upgrade documented for
+    extreme corpora). Days whose weekday has no other observation are
+    unflaggable (NULL baseline, is_anomaly false)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy(F.weekday("day"))
+    loo = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.weekday("day") + F.lit(1)).cast("long").alias("dow"),
+        "cents",
+        (F.sum("cents").over(w) - F.col("cents")).alias("__rest"),
+        (F.count(F.lit(1)).over(w) - F.lit(1)).cast("long").alias("__n1"),
+    )
+    return loo.selectExpr(
+        "day",
+        "dow",
+        "cents",
+        "CASE WHEN __n1 >= 1 THEN __rest div __n1 END AS loo_base_cents",
+        f"""
+        CASE WHEN __n1 >= 1
+             THEN abs(cents * __n1 - __rest) * 100
+                  > {_SEASONAL_DEV_PCT} * __rest
+             ELSE false END AS is_anomaly
+        """,
+    )
+
+
+_ORACLE_SEASONAL_ANOMALY = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+loo AS (
+  SELECT strftime(d, '%Y-%m-%d') AS day,
+         CAST(isodow(d) AS BIGINT) AS dow,
+         cents,
+         CAST(sum(cents) OVER (PARTITION BY isodow(d)) - cents
+              AS BIGINT) AS rest,
+         CAST(count(*) OVER (PARTITION BY isodow(d)) - 1
+              AS BIGINT) AS n1
+  FROM daily
+)
+SELECT day, dow, cents,
+       CASE WHEN n1 >= 1 THEN rest // n1 END AS loo_base_cents,
+       CASE WHEN n1 >= 1
+            THEN abs(cents * n1 - rest) * 100 > {_SEASONAL_DEV_PCT} * rest
+            ELSE false END AS is_anomaly
+FROM loo
+"""
+
+
 STATS_REGISTRY: dict = {
+    "seasonal_anomaly_flags": (
+        q_seasonal_anomaly_flags,
+        _ORACLE_SEASONAL_ANOMALY,
+    ),
     "user_diversity": (q_user_diversity, _ORACLE_DIVERSITY),
     "revenue_gini": (q_revenue_gini, _ORACLE_GINI),
     "revenue_trend": (q_revenue_trend, _ORACLE_TREND),

@@ -1839,3 +1839,30 @@ def test_video_motion_model(spark):
     for did in (3, 10):
         n = len(_synth_video_frames(did))
         assert sum(1 for k in got if k[0] == did) == n - 1
+
+
+def test_pps_systematic_properties(spark):
+    """Total picks == floor(total_weight/step) per stratum boundary
+    walk (systematic design invariant), and a doc heavier than the
+    step carries multiplicity."""
+    from datafusion_uba_spark.operators.sampling import pps_systematic
+
+    docs = spark.createDataFrame(
+        [(i, "s1", 100) for i in range(1, 41)]
+        + [(99, "s2", 950), (100, "s2", 40)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = pps_systematic(docs, "n_chars", 300, "source", "doc_id")
+    rows = out.collect()
+    picks_by_stratum: dict = {}
+    for r in rows:
+        picks_by_stratum[r["source"]] = (
+            picks_by_stratum.get(r["source"], 0) + r["picks"]
+        )
+        assert r["picks"] >= 1
+    # s1: 4000 total weight / 300 -> 13 boundary crossings
+    assert picks_by_stratum["s1"] == 13
+    # s2: 990 / 300 -> 3; the 950-char doc crosses >= 2 boundaries
+    assert picks_by_stratum["s2"] == 3
+    heavy = [r for r in rows if r["doc_id"] == 99]
+    assert heavy and heavy[0]["picks"] >= 2

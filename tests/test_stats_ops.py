@@ -315,3 +315,32 @@ def test_revenue_gini_goldens(spark, tmp_path):
     sf = _events_sf(spark, tmp_path, rows)
     r = q_revenue_gini(spark, sf).collect()[0]
     assert r["n_users"] == 5 and r["gini_ppm"] == 800000
+
+
+def test_seasonal_anomaly_loo_math(spark, sf_dir):
+    """Recompute the leave-one-out baseline and flag in Python from
+    the returned counts — exact integer agreement required."""
+    from collections import defaultdict
+
+    from datafusion_uba_spark.queries_stats import (
+        _SEASONAL_DEV_PCT,
+        q_seasonal_anomaly_flags,
+    )
+
+    rows = q_seasonal_anomaly_flags(spark, sf_dir).collect()
+    by_dow = defaultdict(list)
+    for r in rows:
+        by_dow[r["dow"]].append(r["cents"])
+    for r in rows:
+        peers = by_dow[r["dow"]]
+        n1 = len(peers) - 1
+        rest = sum(peers) - r["cents"]
+        if n1 >= 1:
+            assert r["loo_base_cents"] == rest // n1
+            assert r["is_anomaly"] == (
+                abs(r["cents"] * n1 - rest) * 100
+                > _SEASONAL_DEV_PCT * rest
+            )
+        else:
+            assert r["loo_base_cents"] is None
+            assert r["is_anomaly"] is False

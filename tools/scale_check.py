@@ -147,6 +147,8 @@ HEAVY = [
     "revenue_gini",
     "audio_energy_windows",
     "video_motion_stats",
+    "pps_sample",
+    "seasonal_anomaly_flags",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
