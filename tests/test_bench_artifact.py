@@ -167,23 +167,24 @@ def test_sidecar_carries_full_detail():
         assert best == sidecar["best"][n]
 
 
-def test_headline_guard_headroom_at_160_rows():
+def test_headline_guard_headroom_at_220_rows():
     """r11 (verdict #7): re-verify the guard's headroom as the registry
-    grows — a synthetic 160-row registry with realistically long names
+    grows — a synthetic 220-row registry (the real registry passed 160
+    this round) with realistically long names
     (the longest real name is ~where these land) and pathological
     99-second times must still produce a < 1 KB headline, because the
     inline map is capped at the slowest 12 regardless of registry
     size. Failures bloat only by name, so a failed-heavy run is pinned
     too (the cap on the failed list is part of the r10 contract)."""
-    names = [f"synthetic_operator_row_number_{i:03d}" for i in range(160)]
+    names = [f"synthetic_operator_row_number_{i:03d}" for i in range(220)]
     per_query = {n: 99.1234 for n in names}
     per_runs = {n: [99.1234, 99.5, 99.9] for n in names}
     headline, sidecar = build_artifacts(per_query, per_runs, {}, 3, 0.1)
     line = json.dumps(headline, separators=(",", ":"))
-    assert len(line) < 1024, f"160-row headline is {len(line)} bytes"
-    assert headline["nqueries"] == 160
+    assert len(line) < 1024, f"220-row headline is {len(line)} bytes"
+    assert headline["nqueries"] == 220
     assert len(headline["queries"]) <= 12
-    assert len(sidecar["best"]) == 160
+    assert len(sidecar["best"]) == 220
     # failure-heavy variant: 40 failed rows with long error strings
     errors = {n: "x" * 500 for n in names[:40]}
     ok_q = {n: per_query[n] for n in names[40:]}
