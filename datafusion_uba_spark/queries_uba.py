@@ -194,6 +194,82 @@ UNION ALL
 SELECT 3, '{_FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
 """
 
+def q_funnel_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment readout every growth team actually ships: the
+    ordered conversion funnel SPLIT BY experiment arm (same md5-nibble
+    assignment as ab_assignment_report, same single-anchor semantics
+    and steps as funnel_steps). Reuses funnel_user_times' per-step
+    (user, first-conversion) tables — per-variant counts are one extra
+    tiny hash aggregate per step on top of the shared funnel joins,
+    and step-over-step arm deltas drop out of the 6-row result.
+    Output: (step, step_name, variant, users)."""
+    from functools import reduce as _reduce
+
+    from datafusion_uba_spark.operators.funnel import funnel_user_times
+
+    ev = load_table(spark, sf_dir, "events")
+    per_step = funnel_user_times(
+        ev,
+        [(s, F.col("event_type") == s) for s in _FUNNEL_STEPS],
+        conversion_window_days=_FUNNEL_WINDOW_DAYS,
+    )
+    variant = F.when(
+        F.substring(F.md5(F.col("u").cast("string")), 1, 1) < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    rows = [
+        df.select(variant.alias("variant"))
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .select(
+            F.lit(i + 1).alias("step"),
+            F.lit(name).alias("step_name"),
+            "variant",
+            "users",
+        )
+        for i, (name, df) in enumerate(zip(_FUNNEL_STEPS, per_step))
+    ]
+    return _reduce(lambda a, b: a.unionAll(b), rows)
+
+
+_ORACLE_FUNNEL_BY_VARIANT = f"""
+WITH e AS (SELECT user_id AS u, epoch_us(ts) AS tus, event_type FROM events),
+v AS (
+  SELECT DISTINCT u,
+         CASE WHEN substr(md5(CAST(u AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS variant
+  FROM e
+),
+s1 AS (
+  SELECT u, min(tus) AS t1 FROM e
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY u
+),
+s2 AS (
+  SELECT e.u, min(tus) AS t2, min(t1) AS t1
+  FROM e JOIN s1 ON e.u = s1.u
+  WHERE event_type = '{_FUNNEL_STEPS[1]}'
+    AND tus >= t1 AND tus <= t1 + {_FUNNEL_WINDOW_US}
+  GROUP BY e.u
+),
+s3 AS (
+  SELECT e.u, min(tus) AS t3
+  FROM e JOIN s2 ON e.u = s2.u
+  WHERE event_type = '{_FUNNEL_STEPS[2]}'
+    AND tus >= t2 AND tus <= t1 + {_FUNNEL_WINDOW_US}
+  GROUP BY e.u
+)
+SELECT 1 AS step, '{_FUNNEL_STEPS[0]}' AS step_name, v.variant,
+       CAST(count(*) AS BIGINT) AS users
+FROM s1 JOIN v ON s1.u = v.u GROUP BY v.variant
+UNION ALL
+SELECT 2, '{_FUNNEL_STEPS[1]}', v.variant, CAST(count(*) AS BIGINT)
+FROM s2 JOIN v ON s2.u = v.u GROUP BY v.variant
+UNION ALL
+SELECT 3, '{_FUNNEL_STEPS[2]}', v.variant, CAST(count(*) AS BIGINT)
+FROM s3 JOIN v ON s3.u = v.u GROUP BY v.variant
+"""
+
+
 def q_funnel_steps_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return funnel_steps_any_anchor(
@@ -2749,6 +2825,7 @@ UBA_REGISTRY: dict = {
     "hourly_event_counts": (q_hourly_event_counts, _ORACLE_HOURLY),
     "sliding_event_counts": (q_sliding_event_counts, _ORACLE_SLIDING),
     "funnel_steps": (q_funnel_steps, _ORACLE_FUNNEL),
+    "funnel_by_variant": (q_funnel_by_variant, _ORACLE_FUNNEL_BY_VARIANT),
     "funnel_steps_any": (q_funnel_steps_any, _ORACLE_FUNNEL_ANY),
     "funnel_exclusion": (q_funnel_exclusion, _ORACLE_FUNNEL_EXCLUSION),
     "asof_view_value": (q_asof_view_value, _ORACLE_ASOF),

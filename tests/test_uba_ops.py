@@ -1389,3 +1389,28 @@ def test_cdc_vacuum_gc_semantics(spark):
         assert (3, "D") not in stored2 and (4, "U") in stored2
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_funnel_by_variant_consistent_with_funnel(spark, sf_dir):
+    """Per step, the arm counts must sum to funnel_steps' total, and
+    each arm's funnel is non-increasing step over step."""
+    from collections import defaultdict
+
+    from datafusion_uba_spark.queries_uba import (
+        q_funnel_by_variant,
+        q_funnel_steps,
+    )
+
+    by_arm = q_funnel_by_variant(spark, sf_dir).collect()
+    totals = {
+        r["step"]: r["users"] for r in q_funnel_steps(spark, sf_dir).collect()
+    }
+    per_step = defaultdict(int)
+    per_arm = defaultdict(dict)
+    for r in by_arm:
+        per_step[r["step"]] += r["users"]
+        per_arm[r["variant"]][r["step"]] = r["users"]
+    assert dict(per_step) == totals
+    for arm, steps in per_arm.items():
+        seq = [steps.get(i, 0) for i in sorted(steps)]
+        assert all(a >= b for a, b in zip(seq, seq[1:])), (arm, seq)

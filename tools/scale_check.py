@@ -149,6 +149,7 @@ HEAVY = [
     "video_motion_stats",
     "pps_sample",
     "seasonal_anomaly_flags",
+    "funnel_by_variant",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
