@@ -270,6 +270,68 @@ FROM s3 JOIN v ON s3.u = v.u GROUP BY v.variant
 """
 
 
+def q_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-between-purchases distribution — the repeat-purchase
+    latency curve retention pricing is built on: per user, consecutive
+    purchase gaps under the (ts, event_id) total order, truncated to
+    hour buckets, with exact cumulative share in ppm over the ordered
+    |buckets| table (bounded by the corpus time range, not by users
+    or purchases). One user-partitioned window + one hash aggregate +
+    one tiny ordered window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gaps = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    buckets = gaps.groupBy(
+        F.expr("gap_us div 3600000000").alias("gap_hours")
+    ).agg(F.count(F.lit(1)).alias("n_gaps"))
+    return buckets.select(
+        "gap_hours",
+        "n_gaps",
+        F.expr(
+            "CAST((1000000 * sum(n_gaps) OVER (ORDER BY gap_hours"
+            " ROWS UNBOUNDED PRECEDING)) div sum(n_gaps) OVER ()"
+            " AS BIGINT)"
+        ).alias("cum_ppm"),
+    )
+
+
+_ORACLE_REPURCHASE = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM events WHERE event_type = 'purchase'
+),
+g AS (
+  SELECT (tus - prev) // 3600000000 AS gap_hours
+  FROM p WHERE prev IS NOT NULL
+),
+b AS (
+  SELECT CAST(gap_hours AS BIGINT) AS gap_hours,
+         CAST(count(*) AS BIGINT) AS n_gaps
+  FROM g GROUP BY 1
+)
+SELECT gap_hours, n_gaps,
+       CAST((1000000 * sum(n_gaps) OVER (ORDER BY gap_hours
+                                         ROWS UNBOUNDED PRECEDING))
+            // sum(n_gaps) OVER () AS BIGINT) AS cum_ppm
+FROM b
+"""
+
+
 def q_funnel_steps_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return funnel_steps_any_anchor(
@@ -2826,6 +2888,7 @@ UBA_REGISTRY: dict = {
     "sliding_event_counts": (q_sliding_event_counts, _ORACLE_SLIDING),
     "funnel_steps": (q_funnel_steps, _ORACLE_FUNNEL),
     "funnel_by_variant": (q_funnel_by_variant, _ORACLE_FUNNEL_BY_VARIANT),
+    "repurchase_intervals": (q_repurchase_intervals, _ORACLE_REPURCHASE),
     "funnel_steps_any": (q_funnel_steps_any, _ORACLE_FUNNEL_ANY),
     "funnel_exclusion": (q_funnel_exclusion, _ORACLE_FUNNEL_EXCLUSION),
     "asof_view_value": (q_asof_view_value, _ORACLE_ASOF),

@@ -1414,3 +1414,30 @@ def test_funnel_by_variant_consistent_with_funnel(spark, sf_dir):
     for arm, steps in per_arm.items():
         seq = [steps.get(i, 0) for i in sorted(steps)]
         assert all(a >= b for a, b in zip(seq, seq[1:])), (arm, seq)
+
+
+def test_repurchase_intervals_distribution(spark, sf_dir=None):
+    """cum_ppm is non-decreasing, ends exactly at 10^6 minus final
+    truncation (== 1e6 at the last bucket since cum==total), and the
+    bucket n_gaps sum equals the raw gap count."""
+    from datafusion_uba_spark.queries_uba import q_repurchase_intervals
+    from datafusion_uba_spark.sources import load_table
+
+    sf = SF_DIR
+    rows = sorted(
+        q_repurchase_intervals(spark, sf).collect(),
+        key=lambda r: r["gap_hours"],
+    )
+    assert rows
+    prev = -1
+    for r in rows:
+        assert r["cum_ppm"] >= prev
+        prev = r["cum_ppm"]
+    assert rows[-1]["cum_ppm"] == 1_000_000
+    ev = load_table(spark, sf, "events")
+    n_purch = ev.where("event_type = 'purchase'").count()
+    n_users = (
+        ev.where("event_type = 'purchase'")
+        .select("user_id").distinct().count()
+    )
+    assert sum(r["n_gaps"] for r in rows) == n_purch - n_users

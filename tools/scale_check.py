@@ -150,6 +150,7 @@ HEAVY = [
     "pps_sample",
     "seasonal_anomaly_flags",
     "funnel_by_variant",
+    "repurchase_intervals",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
