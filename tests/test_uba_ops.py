@@ -1416,7 +1416,7 @@ def test_funnel_by_variant_consistent_with_funnel(spark, sf_dir):
         assert all(a >= b for a, b in zip(seq, seq[1:])), (arm, seq)
 
 
-def test_repurchase_intervals_distribution(spark, sf_dir=None):
+def test_repurchase_intervals_distribution(spark):
     """cum_ppm is non-decreasing, ends exactly at 10^6 minus final
     truncation (== 1e6 at the last bucket since cum==total), and the
     bucket n_gaps sum equals the raw gap count."""
