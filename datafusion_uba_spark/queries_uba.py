@@ -270,6 +270,76 @@ FROM s3 JOIN v ON s3.u = v.u GROUP BY v.variant
 """
 
 
+def q_revenue_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue split by NEW vs RETURNING users (new = the
+    revenue lands on the user's first-ever active day) — the
+    acquisition-vs-retention revenue mix every growth dashboard leads
+    with, and the revenue-side companion of growth_accounting's user
+    counts. Exact cents; the new-share is exact ppm with a zero-day
+    guard. One per-user min aggregate broadcast-joined back (users
+    shrink 60:1 from events at sf scale and the join key is the user
+    hash both sides)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd")
+    )
+    tagged = ev.join(firsts, "user_id").select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.when(F.to_date("ts") == F.col("fd"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        tagged.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("is_new") == 1, F.col("cents")).otherwise(0))
+            .alias("new_cents"),
+            F.sum(
+                F.when(F.col("is_new") == 0, F.col("cents")).otherwise(0)
+            ).alias("returning_cents"),
+        )
+        .selectExpr(
+            "day",
+            "new_cents",
+            "returning_cents",
+            """
+            CASE WHEN new_cents + returning_cents > 0
+                 THEN (1000000 * new_cents) div (new_cents + returning_cents)
+                 ELSE 0 END AS new_share_ppm
+            """,
+        )
+    )
+
+
+_ORACLE_NEW_VS_RETURNING = """
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS fd FROM events GROUP BY user_id
+),
+tagged AS (
+  SELECT strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS day,
+         CASE WHEN CAST(e.ts AS DATE) = f.fd THEN 1 ELSE 0 END AS is_new,
+         CAST(round(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT day,
+       CAST(sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END) AS BIGINT)
+         AS new_cents,
+       CAST(sum(CASE WHEN is_new = 0 THEN cents ELSE 0 END) AS BIGINT)
+         AS returning_cents,
+       CASE WHEN sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END)
+               + sum(CASE WHEN is_new = 0 THEN cents ELSE 0 END) > 0
+            THEN CAST((1000000
+                   * sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END))
+                  // (sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END)
+                      + sum(CASE WHEN is_new = 0 THEN cents ELSE 0 END))
+                 AS BIGINT)
+            ELSE 0 END AS new_share_ppm
+FROM tagged
+GROUP BY day
+"""
+
+
 def q_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-between-purchases distribution — the repeat-purchase
     latency curve retention pricing is built on: per user, consecutive
@@ -2889,6 +2959,10 @@ UBA_REGISTRY: dict = {
     "funnel_steps": (q_funnel_steps, _ORACLE_FUNNEL),
     "funnel_by_variant": (q_funnel_by_variant, _ORACLE_FUNNEL_BY_VARIANT),
     "repurchase_intervals": (q_repurchase_intervals, _ORACLE_REPURCHASE),
+    "revenue_new_vs_returning": (
+        q_revenue_new_vs_returning,
+        _ORACLE_NEW_VS_RETURNING,
+    ),
     "funnel_steps_any": (q_funnel_steps_any, _ORACLE_FUNNEL_ANY),
     "funnel_exclusion": (q_funnel_exclusion, _ORACLE_FUNNEL_EXCLUSION),
     "asof_view_value": (q_asof_view_value, _ORACLE_ASOF),

@@ -1441,3 +1441,29 @@ def test_repurchase_intervals_distribution(spark):
         .select("user_id").distinct().count()
     )
     assert sum(r["n_gaps"] for r in rows) == n_purch - n_users
+
+
+def test_revenue_new_vs_returning_conserves_total(spark):
+    """new + returning must equal total daily cents, the first day of
+    the corpus is 100% new, and shares stay in [0, 1e6]."""
+    from datafusion_uba_spark.queries_uba import q_revenue_new_vs_returning
+    from datafusion_uba_spark.sources import load_table
+
+    rows = sorted(
+        q_revenue_new_vs_returning(spark, SF_DIR).collect(),
+        key=lambda r: r["day"],
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    totals = {
+        r["day"]: r["cents"]
+        for r in ev.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .collect()
+    }
+    for r in rows:
+        assert r["new_cents"] + r["returning_cents"] == totals[r["day"]]
+        assert 0 <= r["new_share_ppm"] <= 1_000_000
+    assert rows[0]["returning_cents"] == 0
+    assert rows[0]["new_share_ppm"] == 1_000_000

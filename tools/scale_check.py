@@ -151,6 +151,7 @@ HEAVY = [
     "seasonal_anomaly_flags",
     "funnel_by_variant",
     "repurchase_intervals",
+    "revenue_new_vs_returning",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
