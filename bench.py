@@ -48,6 +48,14 @@ def _materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _py_worker_warmup(batches):
+    """Noop mapInPandas body: forces each Python worker to fork and
+    pay the numpy import before any timed query runs."""
+    import numpy as np  # noqa: F401 — the import IS the warmup
+
+    yield from batches
+
+
 def build_artifacts(
     per_query: dict[str, float],
     per_runs: dict[str, list[float]],
@@ -125,6 +133,17 @@ def main() -> None:
     spark = get_spark(app_name="uba-bench")
     # JVM/codegen warmup on a trivial plan so q1 isn't charged for it
     _materialize(spark.range(1_000_000).selectExpr("sum(id) AS s"))
+    # Python-worker-pool warmup (r11 verdict #1): the first Arrow
+    # mapInPandas job pays a fork + numpy/pandas import in EVERY one of
+    # the 32 workers (~40 s measured on the first multimodal row) —
+    # without this, whichever mapInPandas query runs first eats that
+    # cost and its MEDIAN reads as a fake 5-8x regression. One untimed
+    # noop pass with enough input partitions to fault in the full pool.
+    _materialize(
+        spark.range(0, 1 << 14, 1, 64).mapInPandas(
+            _py_worker_warmup, "id long"
+        )
+    )
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))

@@ -85,9 +85,15 @@ def pagerank_integer(
             .distinct()
             .count()
         )
+        if n_nodes == 0:
+            return _empty_ranks(e)
         if n_nodes <= max_driver_nodes:
             return _pagerank_driver(cells, iters)
         e = cells
+    elif e.isEmpty():
+        # The distributed recurrence divides by _N; an empty edge
+        # table must short-circuit to an empty result, not NULL ranks.
+        return _empty_ranks(e)
     # Edge transition probabilities on the ppm grid; the window sum is
     # over the already-aggregated edge table (|nodes|^2 rows max).
     tot = Window.partitionBy("src")
@@ -138,6 +144,14 @@ def pagerank_integer(
             )
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def _empty_ranks(e: DataFrame) -> DataFrame:
+    """Empty (node, rank_scaled) frame, node typed like the edge src."""
+    node_type = dict(e.dtypes)["src"]
+    return e.sparkSession.createDataFrame(
+        [], f"node {node_type}, rank_scaled long"
+    )
 
 
 def _pagerank_driver(cells: DataFrame, iters: int) -> DataFrame:

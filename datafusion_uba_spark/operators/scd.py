@@ -204,22 +204,47 @@ def scd2_apply_table(
     colliding with an existing batch partition (or ``'open'``) raises
     instead of silently replacing history. Returns the batch id used,
     or None if the batch closed no rows (no new partition created).
+
+    CATALOG-CALL BUDGET: exactly ONE metastore call per apply. An
+    explicit ``batch_id`` (the production path — date-stamped daily
+    applies) costs one partition-PRUNED ``SHOW PARTITIONS …
+    PARTITION(...)`` probe, O(1) at any partition count; only
+    auto-allocation (``batch_id=None``, a convenience for tests and
+    small stores) pays the full partition listing, which at 10^5
+    partitions is a driver stall — pass explicit ids there. Whether
+    the batch closed rows is read from an ``Observation`` metric on
+    the write job itself, not a second catalog walk.
     """
-    existing = {
-        r[0].split("=", 1)[1]
-        for r in spark.sql(f"SHOW PARTITIONS {table}").collect()
-    }
     if batch_id is None:
+        # full listing — needed to find the next free id; see budget
+        # note above (explicit batch_id avoids this walk entirely)
+        existing = {
+            r[0].split("=", 1)[1]
+            for r in spark.sql(f"SHOW PARTITIONS {table}").collect()
+        }
         n = len(existing - {"open"})
         batch_id = f"b{n}"
         while batch_id in existing:
             n += 1
             batch_id = f"b{n}"
-    elif batch_id == "open" or batch_id in existing:
-        raise ValueError(
-            f"scd2_apply_table: batch_id {batch_id!r} already exists in "
-            f"{table} — reusing it would overwrite closed history"
+    else:
+        safe = batch_id.replace("'", "")
+        if safe != batch_id:
+            raise ValueError(
+                f"scd2_apply_table: batch_id {batch_id!r} may not "
+                "contain quotes"
+            )
+        collision = batch_id == "open" or bool(
+            spark.sql(
+                f"SHOW PARTITIONS {table} "
+                f"PARTITION ({batch_col}='{safe}')"
+            ).collect()
         )
+        if collision:
+            raise ValueError(
+                f"scd2_apply_table: batch_id {batch_id!r} already exists "
+                f"in {table} — reusing it would overwrite closed history"
+            )
     current_open = spark.table(table).where(
         F.col(batch_col) == "open"
     ).drop(batch_col)
@@ -227,12 +252,24 @@ def scd2_apply_table(
         current_open, changes, key_cols, attr_cols, effective_col,
         from_col, to_col,
     )
+    from pyspark.sql import Observation
+
     out = new_versions.withColumn(
         batch_col,
         F.when(F.col(to_col).isNull(), F.lit("open")).otherwise(
             F.lit(batch_id)
         ),
     ).select(*spark.table(table).columns)  # insertInto is positional
+    # observed on the write job itself — no post-write catalog walk
+    obs = Observation()
+    out = out.observe(
+        obs,
+        F.sum(
+            F.when(F.col(batch_col) != "open", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("closed"),
+    )
     prev = spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static"
     )
@@ -243,12 +280,8 @@ def scd2_apply_table(
         out.write.mode("overwrite").insertInto(table)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    # metastore-only check (no extra Spark job): did this batch close rows?
-    after = {
-        r[0].split("=", 1)[1]
-        for r in spark.sql(f"SHOW PARTITIONS {table}").collect()
-    }
-    return batch_id if batch_id in after else None
+    closed = obs.get.get("closed")
+    return batch_id if closed else None
 
 
 def cdc_apply(
@@ -284,8 +317,26 @@ def cdc_apply(
     carries an OLDER change for a deleted key (the stored delete still
     out-ranks it); dropping deletes would silently resurrect the key.
     Serve-time filtering is ``op != delete_op`` (cdc_serve).
+
+    ORDERING CONTRACT: ``seq_cols`` should be a total order per key
+    (Debezium's (lsn) / (file, pos) / (ts, txid) all are). As a
+    safety net for sources that violate it, every remaining non-key
+    column is appended to the window ordering as a deterministic
+    final tiebreak — two changes tying on every seq column resolve by
+    row CONTENT, never by partition arrival order, so the incremental
+    fold stays associative (content-ties are identical rows, where the
+    winner is immaterial).
     """
     order = [F.col(c).desc() for c in seq_cols]
+    claimed = set(key_cols) | set(seq_cols)
+    dtypes = dict(changelog.dtypes)
+    order += [
+        F.col(c).desc_nulls_last()
+        for c in changelog.columns
+        # maps are unorderable in Spark; skip them (still deterministic
+        # for well-formed sources where seq_cols is a total order)
+        if c not in claimed and not dtypes[c].startswith("map<")
+    ]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     ranked = changelog.withColumn("__rn", F.row_number().over(w))
     winners = ranked.where(F.col("__rn") == 1).drop("__rn")

@@ -878,9 +878,13 @@ def ivf_build_index(
     )
 
     spark = data.sparkSession
+    # n_buckets is persisted too: upsert must append with the EXACT
+    # bucket spec the build used (an explicit n_buckets != n_cells
+    # inferred from DESCRIBE output was the r11 advisor finding)
     meta = spark.createDataFrame(
-        [(dim, seed, n_cells, json.dumps(cents))],
-        "dim int, seed int, n_cells int, centroids_json string",
+        [(dim, seed, n_cells, n_buckets or n_cells, json.dumps(cents))],
+        "dim int, seed int, n_cells int, n_buckets int, "
+        "centroids_json string",
     )
     # same staged discipline as pq_build_index (r9 ADVICE): analyze the
     # assignment plan first (catches bad columns/geometry with no job),
@@ -970,12 +974,18 @@ def ivf_index_upsert(
     n_new = dc.count()
     if n_new == 0:
         return 0
-    nb_row = (
-        spark.sql(f"DESCRIBE FORMATTED {table}")
-        .where("col_name = 'Num Buckets'")
-        .collect()
-    )
-    n_buckets = int(nb_row[0]["data_type"]) if nb_row else m["n_cells"]
+    if "n_buckets" in m.__fields__ and m["n_buckets"] is not None:
+        # authoritative: the bucket count the build actually wrote
+        n_buckets = int(m["n_buckets"])
+    else:
+        # legacy meta (pre-r12) without the column: fall back to the
+        # catalog's own bucket spec, then n_cells
+        nb_row = (
+            spark.sql(f"DESCRIBE FORMATTED {table}")
+            .where("col_name = 'Num Buckets'")
+            .collect()
+        )
+        n_buckets = int(nb_row[0]["data_type"]) if nb_row else m["n_cells"]
     write_bucketed(dc, table, "__cell", n_buckets, mode="append")
     return n_new
 

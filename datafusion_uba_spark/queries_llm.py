@@ -1594,7 +1594,14 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     to MinHash bands and hyperplane LSH, hash-verifiable end to end
     because both the clustering and the cosine are integer-exact."""
     emb = _emb(spark, sf_dir)
-    return dedup.semantic_pairs(emb, threshold=_SEMANTIC_THRESHOLD)
+    # n_rows pinned to the correctness-corpus constant (as the sibling
+    # kmeans/ANN rows do) so Spark's k matches the oracle's
+    # auto_n_cells(_N_EMB_CORRECTNESS) at ANY actual corpus size —
+    # without the pin a >=1024-row corpus would silently change the
+    # clustering geometry on one side only.
+    return dedup.semantic_pairs(
+        emb, threshold=_SEMANTIC_THRESHOLD, n_rows=_N_EMB_CORRECTNESS
+    )
 
 
 def _oracle_dedup_semantic() -> str:

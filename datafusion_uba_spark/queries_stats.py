@@ -358,24 +358,37 @@ def q_ab_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "variant")
         .agg(F.count(F.lit(1)).alias("n_conv"))
     )
+    # Cross the 2-row totals onto EVERY target type before pivoting:
+    # a type with zero converters in one arm must still contribute
+    # (n_users, 0) to that arm's 2x2 cell, otherwise the strongest
+    # one-sided effects (all conversions in one arm) get NULL totals
+    # and are silently reported non-significant.
+    grid = (
+        conv.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(totals))
+    )
+    cells = grid.join(conv, ["event_type", "variant"], "left").select(
+        "event_type",
+        "variant",
+        "n_users",
+        F.coalesce("n_conv", F.lit(0)).alias("n_conv"),
+    )
     wide = (
-        conv.join(F.broadcast(totals), "variant")
-        .groupBy(F.col("event_type").alias("target_type"))
+        cells.groupBy(F.col("event_type").alias("target_type"))
         .agg(
             F.max(F.when(F.col("variant") == "A", F.col("n_users")))
             .cast("long")
             .alias("a_users"),
-            F.coalesce(
-                F.max(F.when(F.col("variant") == "A", F.col("n_conv"))),
-                F.lit(0),
-            ).cast("long").alias("a_conv"),
+            F.max(F.when(F.col("variant") == "A", F.col("n_conv")))
+            .cast("long")
+            .alias("a_conv"),
             F.max(F.when(F.col("variant") == "B", F.col("n_users")))
             .cast("long")
             .alias("b_users"),
-            F.coalesce(
-                F.max(F.when(F.col("variant") == "B", F.col("n_conv"))),
-                F.lit(0),
-            ).cast("long").alias("b_conv"),
+            F.max(F.when(F.col("variant") == "B", F.col("n_conv")))
+            .cast("long")
+            .alias("b_conv"),
         )
     )
     chi2 = F.expr(
@@ -437,18 +450,28 @@ conv AS (
   JOIN tagged t ON e.user_id = t.user_id
   GROUP BY t.variant, e.event_type
 ),
+grid AS (
+  SELECT ty.event_type, t.variant, t.n_users
+  FROM (SELECT DISTINCT event_type FROM conv) ty CROSS JOIN totals t
+),
+cells AS (
+  SELECT g.event_type, g.variant, g.n_users,
+         CAST(COALESCE(c.n_conv, 0) AS BIGINT) AS n_conv
+  FROM grid g LEFT JOIN conv c
+    ON g.event_type = c.event_type AND g.variant = c.variant
+),
 wide AS (
-  SELECT c.event_type AS target_type,
-         CAST(max(CASE WHEN c.variant = 'A' THEN t.n_users END)
+  SELECT event_type AS target_type,
+         CAST(max(CASE WHEN variant = 'A' THEN n_users END)
               AS BIGINT) AS a_users,
-         CAST(COALESCE(max(CASE WHEN c.variant = 'A' THEN c.n_conv END), 0)
+         CAST(max(CASE WHEN variant = 'A' THEN n_conv END)
               AS BIGINT) AS a_conv,
-         CAST(max(CASE WHEN c.variant = 'B' THEN t.n_users END)
+         CAST(max(CASE WHEN variant = 'B' THEN n_users END)
               AS BIGINT) AS b_users,
-         CAST(COALESCE(max(CASE WHEN c.variant = 'B' THEN c.n_conv END), 0)
+         CAST(max(CASE WHEN variant = 'B' THEN n_conv END)
               AS BIGINT) AS b_conv
-  FROM conv c JOIN totals t USING (variant)
-  GROUP BY c.event_type
+  FROM cells
+  GROUP BY event_type
 )
 SELECT target_type, a_users, a_conv, b_users, b_conv,
        CASE WHEN (CAST(a_conv + b_conv AS DOUBLE)

@@ -103,6 +103,18 @@ def test_pagerank_sink_prefers_heavier_inflow(spark):
     assert rows["a"] > rows["c"]  # everything flows back through a
 
 
+def test_pagerank_empty_edges(spark):
+    """An empty edge table must yield an empty (node, rank_scaled)
+    frame on BOTH dispatch paths — r11 advisor finding: the driver
+    path hit ZeroDivisionError at n=0 and the distributed path
+    divided by _N=0 into NULL ranks."""
+    edges = spark.createDataFrame([], "src string, dst string, w long")
+    for max_driver in (1024, 0):  # driver path, distributed path
+        out = pagerank_integer(edges, iters=3, max_driver_nodes=max_driver)
+        assert out.columns == ["node", "rank_scaled"]
+        assert out.count() == 0
+
+
 def test_event_pagerank_registry_shape(spark, sf_dir):
     out = q_event_pagerank(spark, sf_dir).collect()
     assert len(out) >= 2
@@ -137,6 +149,31 @@ def test_ab_conversion_test_shape(spark, sf_dir):
         if r["chi2"] is not None:
             assert r["chi2"] >= 0.0
             assert r["significant"] == (r["chi2"] > 3.841459)
+
+
+def test_ab_conversion_one_sided_effect(spark, tmp_path):
+    """A target type with ZERO converters in one arm must still get
+    full per-arm user totals and a chi-square — the r11 advisor
+    finding: joining totals through the converter rows left b_users
+    NULL and coalesced the strongest one-sided effects to
+    non-significant. User ids are picked so their md5 first nibble
+    lands them in a known arm (the registry's stateless split rule)."""
+    arm_a = [6, 9, 11, 17, 18, 19, 21, 23, 24, 26, 27, 28]  # nibble < '8'
+    arm_b = [1, 2, 3, 4, 5, 7, 8, 10, 12, 13, 14, 15]       # nibble >= '8'
+    rows = [(u, u, "signup", 0.0) for u in arm_a + arm_b]
+    # every arm-A user converts within the 7-day window; no arm-B user does
+    rows += [(1000 + u, u, "convert", 1.0) for u in arm_a]
+    sf = _events_sf(spark, tmp_path, rows)
+    out = {
+        r["target_type"]: r
+        for r in q_ab_conversion_test(spark, sf).collect()
+    }
+    conv = out["convert"]
+    assert conv["a_users"] == 12 and conv["b_users"] == 12
+    assert conv["a_conv"] == 12 and conv["b_conv"] == 0
+    # 2x2 of 12/12 vs 0/12: chi2 = 24*(12*12)^2/(12*12*12*12) = 24
+    assert conv["chi2"] is not None and abs(conv["chi2"] - 24.0) < 1e-9
+    assert conv["significant"] is True
 
 
 def test_chi2_known_value(spark, tmp_path):
