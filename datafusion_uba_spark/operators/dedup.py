@@ -1462,3 +1462,311 @@ def semantic_pairs(
     return scored.where(
         F.col("cosine_u") >= int(round(threshold * 1_000_000))
     )
+
+
+# --- incremental SemDeDup: persisted centroids + member index --------------
+#
+# The ivf_index_upsert pattern applied to dedup: SemDeDup's blocking
+# structure (the k-means cells) is a trained model, so daily ingest
+# must not re-cluster the corpus. semantic_index_build persists the
+# fitted centroids (driver metadata, k x dim ints — the same O(cells)
+# allowance as the IVF/PQ models) plus the cluster-BUCKETED member
+# table; semantic_index_upsert assigns only the new batch against the
+# stored centroids (O(|batch| x k x dim) map work) and appends;
+# semantic_pairs_from_index probes a batch without ever shuffling the
+# corpus (the probe side broadcasts into the bucketed members).
+# semantic_pairs_against is the inline (stateless) face the registry
+# row + DuckDB oracle replay.
+
+_SEM_META_SUFFIX = "__sem_meta"
+
+
+def _sem_assign(
+    emb: DataFrame,
+    cents: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    scale: int = 1000,
+) -> DataFrame:
+    """(cluster, vec_id, vec_q, vec_n): nearest-centroid assignment on
+    the Lloyd grid + the 10^6 cosine-grid quantization, all map-side
+    (the centroid pack broadcasts; no shuffle)."""
+    from datafusion_uba_spark.operators.kmeans import (
+        kmeans_assign,
+        quantize_vectors,
+    )
+    from datafusion_uba_spark.operators.similarity import _with_quant
+
+    q = quantize_vectors(emb, vec_col, id_col, scale)
+    assigned = kmeans_assign(q, cents).select("vec_id", "cluster")
+    d = _with_quant(emb, vec_col, id_col, "vec", dim)
+    return assigned.join(d, "vec_id").select(
+        "cluster", "vec_id", "vec_q", "vec_n"
+    )
+
+
+def semantic_index_build(
+    emb: DataFrame,
+    table: str,
+    k: int | None = None,
+    rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_rows: int | None = None,
+    n_buckets: int | None = None,
+    scale: int = 1000,
+    centroids: list | None = None,
+) -> int:
+    """Fit SemDeDup's clustering on the corpus and persist the index:
+    catalog table ``table`` holds (cluster, vec_id, vec_q, vec_n)
+    BUCKETED by cluster; ``<table>__sem_meta`` holds one row of
+    geometry (dim, k, scale, n_buckets, centroids as json). Returns k.
+
+    ``centroids`` (list of (cid, q) int pairs) skips the fit and
+    builds with the given trained model — the rebuild path the
+    upsert == rebuild pin exercises, and the 100 TB recipe (train on
+    a sample, reuse across batches). Same staged-swap discipline as
+    ivf_build_index: a failed build leaves the previous index live.
+    """
+    import json
+
+    from datafusion_uba_spark.operators.kmeans import lloyd_fit
+    from datafusion_uba_spark.operators.similarity import auto_n_cells
+    from datafusion_uba_spark.sources import (
+        save_table_recovering_orphan,
+        staged_swap_tables,
+        write_bucketed,
+    )
+
+    spark = emb.sparkSession
+    if centroids is None:
+        if k is None:
+            n = n_rows if n_rows is not None else emb.count()
+            k = auto_n_cells(n)
+        _, cents_df = lloyd_fit(
+            emb, k=k, rounds=rounds, vec_col=vec_col, id_col=id_col,
+            scale=scale,
+        )
+        cent_rows = sorted(
+            (int(r["cid"]), [int(x) for x in r["q"]])
+            for r in cents_df.collect()
+        )
+    else:
+        cent_rows = sorted(
+            (int(c), [int(x) for x in q]) for c, q in centroids
+        )
+        if k is None:
+            k = len(cent_rows)
+    cents_df = spark.createDataFrame(
+        cent_rows, "cid long, q array<long>"
+    )
+    members = _sem_assign(emb, cents_df, vec_col, id_col, dim, scale)
+    members.schema  # cheap plan analysis before any table is touched
+    nb = n_buckets or max(1, int(k))
+    meta = spark.createDataFrame(
+        [(dim, int(k), scale, nb, json.dumps(cent_rows))],
+        "dim int, k int, scale int, n_buckets int, centroids_json string",
+    )
+    staged_swap_tables(
+        spark,
+        [
+            (table, lambda t: write_bucketed(members, t, "cluster", nb)),
+            (
+                table + _SEM_META_SUFFIX,
+                lambda t: save_table_recovering_orphan(
+                    lambda: meta.write.mode("overwrite")
+                    .format("parquet")
+                    .saveAsTable(t),
+                    spark,
+                    t,
+                ),
+            ),
+        ],
+    )
+    return int(k)
+
+
+def drop_semantic_index(spark, table: str) -> None:
+    """Drop a persisted SemDeDup index and its metadata companion."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}{_SEM_META_SUFFIX}")
+
+
+def _sem_read_meta(spark, table: str):
+    meta_table = table + _SEM_META_SUFFIX
+    if not spark.catalog.tableExists(meta_table):
+        raise ValueError(
+            f"semantic index: no metadata table {meta_table!r} — build "
+            "with semantic_index_build first"
+        )
+    rows = spark.table(meta_table).collect()
+    if not rows:
+        raise ValueError(
+            f"semantic index: metadata table {meta_table!r} is empty "
+            "(interrupted build?); rebuild with semantic_index_build"
+        )
+    return rows[0]
+
+
+def _sem_cents_df(spark, m) -> DataFrame:
+    import json
+
+    cent_rows = [
+        (int(c), [int(x) for x in q])
+        for c, q in json.loads(m["centroids_json"])
+    ]
+    return spark.createDataFrame(cent_rows, "cid long, q array<long>")
+
+
+def semantic_index_upsert(
+    new_emb: DataFrame,
+    table: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """FAISS-``add`` semantics for the SemDeDup index: assign ONLY the
+    new vectors against the STORED centroids (never refit) and append
+    to the bucketed member table with the bucket spec the build
+    persisted. Existing index files are never read or rewritten; the
+    result EQUALS a full semantic_index_build of the combined corpus
+    with the same centroids (pinned by tests/test_llm_ops.py::
+    test_semantic_index_upsert_equals_rebuild). Append-only contract
+    as ivf_index_upsert: id hygiene belongs to the ingest pipeline.
+    Returns the number of rows appended."""
+    from datafusion_uba_spark.sources import write_bucketed
+
+    spark = new_emb.sparkSession
+    m = _sem_read_meta(spark, table)
+    dc = _sem_assign(
+        new_emb, _sem_cents_df(spark, m), vec_col, id_col,
+        int(m["dim"]), int(m["scale"]),
+    ).localCheckpoint(eager=False)
+    n_new = dc.count()
+    if n_new == 0:
+        return 0
+    write_bucketed(
+        dc.select(*spark.table(table).columns),
+        table,
+        "cluster",
+        int(m["n_buckets"]),
+        mode="append",
+    )
+    return n_new
+
+
+def semantic_pairs_from_index(
+    spark,
+    table: str,
+    probe: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a new batch against a persisted SemDeDup index: assign
+    the batch with the stored centroids (map-side), then meet corpus
+    members ONLY within the shared cluster — the probe side
+    broadcasts, so the bucketed corpus never shuffles and is read
+    cluster-local. Output (cluster, id_a, id_b, cosine_u) with id_a a
+    stored member and id_b a probe vector, exact micro-unit cosine
+    >= threshold."""
+    from datafusion_uba_spark.operators.similarity import cosine_sql
+
+    m = _sem_read_meta(spark, table)
+    dim = int(m["dim"])
+    pr = _sem_assign(
+        probe, _sem_cents_df(spark, m), vec_col, id_col, dim,
+        int(m["scale"]),
+    ).localCheckpoint(eager=False)
+    a = spark.table(table).select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("vec_q").alias("qa"),
+        F.col("vec_n").alias("na"),
+    )
+    b = pr.select(
+        F.col("cluster").alias("__cb"),
+        F.col("vec_id").alias("id_b"),
+        F.col("vec_q").alias("qb"),
+        F.col("vec_n").alias("nb"),
+    )
+    scored = a.join(
+        F.broadcast(b), F.col("cluster") == F.col("__cb")
+    ).selectExpr(
+        "cluster",
+        "id_a",
+        "id_b",
+        f"CAST(floor({cosine_sql('qa', 'qb', 'na', 'nb', dim)} * 1000000)"
+        " AS BIGINT) AS cosine_u",
+    )
+    # barrier before the threshold filter (the dedup-family lesson):
+    # keeps the 64-term cosine out of the join's residual condition
+    scored = scored.localCheckpoint(eager=False)
+    return scored.where(
+        F.col("cosine_u") >= int(round(threshold * 1_000_000))
+    )
+
+
+def semantic_pairs_against(
+    inc: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    k: int | None = None,
+    rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_rows: int | None = None,
+    scale: int = 1000,
+) -> DataFrame:
+    """Inline (stateless) face of the incremental SemDeDup probe: fit
+    the clustering on the CORPUS only, assign both sides with the
+    fitted centroids, and return cross-batch near-dup pairs
+    (cluster, id_a=corpus, id_b=increment, cosine_u >= threshold).
+
+    Equal by construction to semantic_index_build(corpus) +
+    semantic_pairs_from_index(increment) — pinned by
+    tests/test_llm_ops.py::test_semantic_pairs_from_index_equals_inline
+    — which is the form a daily pipeline runs; this form exists for
+    the hash-gated registry row, whose DuckDB oracle replays the whole
+    fit-assign-probe pipeline relationally."""
+    from datafusion_uba_spark.operators.kmeans import lloyd_fit
+    from datafusion_uba_spark.operators.similarity import (
+        auto_n_cells,
+        cosine_sql,
+    )
+
+    if k is None:
+        n = n_rows if n_rows is not None else corpus.count()
+        k = auto_n_cells(n)
+    _, cents = lloyd_fit(
+        corpus, k=k, rounds=rounds, vec_col=vec_col, id_col=id_col,
+        scale=scale,
+    )
+    cents = cents.localCheckpoint(eager=False)
+    a = _sem_assign(corpus, cents, vec_col, id_col, dim, scale).select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("vec_q").alias("qa"),
+        F.col("vec_n").alias("na"),
+    )
+    b = _sem_assign(inc, cents, vec_col, id_col, dim, scale).select(
+        F.col("cluster").alias("__cb"),
+        F.col("vec_id").alias("id_b"),
+        F.col("vec_q").alias("qb"),
+        F.col("vec_n").alias("nb"),
+    )
+    scored = a.join(
+        F.broadcast(b), F.col("cluster") == F.col("__cb")
+    ).selectExpr(
+        "cluster",
+        "id_a",
+        "id_b",
+        f"CAST(floor({cosine_sql('qa', 'qb', 'na', 'nb', dim)} * 1000000)"
+        " AS BIGINT) AS cosine_u",
+    )
+    scored = scored.localCheckpoint(eager=False)
+    return scored.where(
+        F.col("cosine_u") >= int(round(threshold * 1_000_000))
+    )

@@ -43,7 +43,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quantize_vectors", "kmeans_assign", "lloyd_rounds"]
+__all__ = [
+    "quantize_vectors",
+    "kmeans_assign",
+    "lloyd_rounds",
+    "lloyd_fit",
+]
 
 
 def quantize_vectors(
@@ -132,20 +137,25 @@ def _update_centroids(assigned: DataFrame) -> DataFrame:
     ).select(F.col("cluster").alias("cid"), "q")
 
 
-def lloyd_rounds(
+def lloyd_fit(
     df: DataFrame,
     k: int = 8,
     rounds: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = 1000,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """``rounds`` full Lloyd iterations from the deterministic
-    smallest-id seeds; returns the final (vec_id, cluster, dist2)
-    assignment. rounds=1 is pure seed assignment; each further round
-    is one centroid update + reassignment."""
+    smallest-id seeds; returns (assignment, centroids) where
+    assignment is the final (vec_id, cluster, dist2) frame and
+    centroids is the (cid, q) frame the FINAL assignment used — the
+    trained model an incremental pipeline persists so later batches
+    assign against the same geometry (semantic_index_* in dedup.py)
+    without re-clustering the corpus. rounds=1 is pure seed
+    assignment; each further round is one centroid update +
+    reassignment."""
     if k < 1 or rounds < 1:
-        raise ValueError(f"lloyd_rounds: k={k} rounds={rounds} must be >= 1")
+        raise ValueError(f"lloyd_fit: k={k} rounds={rounds} must be >= 1")
     qdf = quantize_vectors(df, vec_col, id_col, scale).localCheckpoint(
         eager=False
     )
@@ -161,7 +171,21 @@ def lloyd_rounds(
             "q",
         )
     )
-    assigned = kmeans_assign(qdf, seeds)
+    cents = seeds
+    assigned = kmeans_assign(qdf, cents)
     for _ in range(rounds - 1):
-        assigned = kmeans_assign(qdf, _update_centroids(assigned))
-    return assigned.select("vec_id", "cluster", "dist2")
+        cents = _update_centroids(assigned)
+        assigned = kmeans_assign(qdf, cents)
+    return assigned.select("vec_id", "cluster", "dist2"), cents
+
+
+def lloyd_rounds(
+    df: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Assignment-only face of :func:`lloyd_fit`."""
+    return lloyd_fit(df, k, rounds, vec_col, id_col, scale)[0]

@@ -104,8 +104,14 @@ def _decode_bytes(payload: bytes, modality: str) -> dict:
     }
 
 
-def decode_payload(df: DataFrame) -> DataFrame:
-    """Decode/feature-extract payloads via Arrow-batched mapInPandas.
+def _legacy_decode_payload(df: DataFrame) -> DataFrame:
+    """LEGACY (stub decoder — private since r12): the generic decode
+    template over the byte-level fake. Public decode paths are the
+    real codecs: decode_image_stats / frame_sample_stats /
+    audio_decode_stats. Kept as the extension template for codecs the
+    container lacks (JPEG/MP4 need external libraries).
+
+    Decode/feature-extract payloads via Arrow-batched mapInPandas.
 
     One Python worker call per Arrow batch (not per row); only the
     needed columns cross the boundary (select before mapInPandas so
@@ -134,7 +140,7 @@ def decode_payload(df: DataFrame) -> DataFrame:
     return narrow.mapInPandas(decode, DECODED_SCHEMA)
 
 
-def frame_sample(
+def _legacy_frame_sample(
     df: DataFrame, every_n: int = 2
 ) -> DataFrame:
     """Frame-sampling plumbing over the GENERIC stub decoder's frame
@@ -144,7 +150,7 @@ def frame_sample(
     ``frame_sample_stats`` below, which parses a concatenated-PPM
     stream's self-describing headers frame by frame (no stub in that
     path)."""
-    decoded = decode_payload(df)
+    decoded = _legacy_decode_payload(df)
     return (
         decoded.where(F.col("modality") == "video")
         .select(
@@ -167,7 +173,7 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_image(
+def _legacy_resize_image(
     df: DataFrame, max_side: int = 256
 ) -> DataFrame:
     """Resize plumbing for OPAQUE payloads whose codec this container

@@ -1672,6 +1672,115 @@ WHERE {cos} >= {thr}
 """
 
 
+def q_dedup_semantic_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (operators/dedup.py semantic_pairs_against):
+    vec_id % 4 == 0 plays the day-N+1 embedding batch, the rest the
+    existing corpus. The clustering is fitted on the CORPUS ONLY —
+    the trained blocking model a daily pipeline persists
+    (semantic_index_build/upsert, equality-pinned in
+    tests/test_llm_ops.py) — and the batch assigns against those
+    centroids map-side; candidate pairs meet only inside a shared
+    cluster, verified with the exact micro-unit cosine. The corpus is
+    never re-clustered and never shuffles for the probe."""
+    emb = _emb(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") % 4 != 0)
+    inc = emb.where(F.col("vec_id") % 4 == 0)
+    return dedup.semantic_pairs_against(
+        inc,
+        corpus,
+        threshold=_SEMANTIC_THRESHOLD,
+        n_rows=_N_EMB_CORRECTNESS,
+    )
+
+
+def _oracle_dedup_semantic_against() -> str:
+    """Replays fit-assign-probe relationally: 2-round integer Lloyd's
+    on the corpus partition only (seeds = k smallest corpus ids), the
+    FINAL centroids (c2) assign both the corpus (a2) and the held-out
+    batch (ab), and cross-batch pairs verify with the exact cosine."""
+    k = similarity.auto_n_cells(_N_EMB_CORRECTNESS)
+    thr = int(round(_SEMANTIC_THRESHOLD * 1_000_000))
+    cos = (
+        f"CAST(floor(CAST({_ddb_dot('a.v', 'b.v')} AS DOUBLE)"
+        " / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))"
+        " * 1000000) AS BIGINT)"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id % 4 <> 0
+),
+vbat AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id % 4 = 0
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q
+  FROM v ORDER BY vec_id LIMIT {k}
+),
+vu AS (SELECT vec_id, unnest(q) AS val, generate_subscripts(q, 1) AS i
+       FROM v),
+su AS (SELECT cid, unnest(q) AS cval, generate_subscripts(q, 1) AS i
+       FROM seeds),
+d1 AS (
+  SELECT vec_id, cid,
+         CAST(sum((val - cval) * (val - cval)) AS BIGINT) AS dist2
+  FROM vu JOIN su USING (i) GROUP BY vec_id, cid
+),
+a1 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d1) t WHERE rn = 1
+),
+c2 AS (
+  SELECT a1.cluster AS cid, i,
+         CAST(round(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+  FROM vu JOIN a1 USING (vec_id) GROUP BY a1.cluster, i
+),
+d2 AS (
+  SELECT vec_id, cid,
+         CAST(sum((val - cval) * (val - cval)) AS BIGINT) AS dist2
+  FROM vu JOIN c2 USING (i) GROUP BY vec_id, cid
+),
+a2 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d2) t WHERE rn = 1
+),
+bu AS (SELECT vec_id, unnest(q) AS val, generate_subscripts(q, 1) AS i
+       FROM vbat),
+db AS (
+  SELECT vec_id, cid,
+         CAST(sum((val - cval) * (val - cval)) AS BIGINT) AS dist2
+  FROM bu JOIN c2 USING (i) GROUP BY vec_id, cid
+),
+ab AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM db) t WHERE rn = 1
+),
+qv AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+qn AS (SELECT vec_id, v, {_ddb_dot("v", "v")} AS n2 FROM qv),
+ta AS (
+  SELECT a2.vec_id, a2.cluster, qn.v, qn.n2
+  FROM a2 JOIN qn USING (vec_id)
+),
+tb AS (
+  SELECT ab.vec_id, ab.cluster, qn.v, qn.n2
+  FROM ab JOIN qn USING (vec_id)
+)
+SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+       {cos} AS cosine_u
+FROM ta a JOIN tb b ON a.cluster = b.cluster
+WHERE {cos} >= {thr}
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -2776,4 +2885,8 @@ LLM_REGISTRY: dict = {
     "audio_decode_stats": (q_audio_decode_stats, _oracle_audio_decode()),
     "audio_energy_windows": (q_audio_energy_windows, _oracle_audio_energy()),
     "video_motion_stats": (q_video_motion_stats, _oracle_video_motion()),
+    "dedup_semantic_against": (
+        q_dedup_semantic_against,
+        _oracle_dedup_semantic_against(),
+    ),
 }

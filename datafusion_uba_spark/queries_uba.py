@@ -2430,10 +2430,13 @@ def q_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions x |type vocabulary|, NOT raw events — and the pair join
     is a self-equi-join on the session key it is already hash-
     partitioned on; per-type supports and the session total broadcast
-    (|types| rows and 1 row). The milli basis keeps every product in
-    int64 at bench scale; the 100 TB upgrade is the same expression
-    over decimal(38,0). Output: (type_a, type_b, n_sessions_both,
-    lift_pm) for pairs co-occurring at least once, type_a < type_b."""
+    (|types| rows and 1 row). The lift products run in decimal(38,0)
+    (n_both * 1000 * N reaches ~10^26 at 10^10 sessions — far past
+    int64; the quotient itself is always small, so DIV lands back in
+    a bigint), overflow-pinned by tests/test_uba_ops.py::
+    test_cooccurrence_lift_decimal_headroom. Output: (type_a, type_b,
+    n_sessions_both, lift_pm) for pairs co-occurring at least once,
+    type_a < type_b."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -2498,9 +2501,24 @@ def q_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_a",
             "type_b",
             "n_sessions_both",
-            f"CAST(n_sessions_both * 1000 * {n_total}L "
-            "DIV (__sup_a * __sup_b) AS BIGINT) AS lift_pm",
+            _lift_pm_expr(n_total) + " AS lift_pm",
         )
+    )
+
+
+def _lift_pm_expr(
+    n_total: int,
+    n_both: str = "n_sessions_both",
+    sup_a: str = "__sup_a",
+    sup_b: str = "__sup_b",
+) -> str:
+    """Exact milli-lift SQL in decimal(38,0): numerator and
+    denominator each reach ~10^26 at 10^10 sessions, so both products
+    are lifted to decimal(38,0) before the truncating DIV; the
+    quotient (lift is a small ratio) is cast back to bigint."""
+    return (
+        f"CAST(CAST({n_both} AS DECIMAL(38,0)) * 1000 * {n_total} "
+        f"DIV (CAST({sup_a} AS DECIMAL(38,0)) * {sup_b}) AS BIGINT)"
     )
 
 
@@ -2539,8 +2557,9 @@ pairs AS (
   GROUP BY 1, 2
 )
 SELECT type_a, type_b, n_sessions_both,
-       CAST(n_sessions_both * 1000 * (SELECT n FROM n_total)
-            // (sa.sup * sb.sup) AS BIGINT) AS lift_pm
+       CAST(CAST(n_sessions_both AS HUGEINT) * 1000
+            * (SELECT n FROM n_total)
+            // (CAST(sa.sup AS HUGEINT) * sb.sup) AS BIGINT) AS lift_pm
 FROM pairs
 JOIN support sa ON sa.event_type = pairs.type_a
 JOIN support sb ON sb.event_type = pairs.type_b

@@ -993,3 +993,115 @@ def streaming_cdc_snapshot(
             f"after {timeout_sec}s"
         )
     return q
+
+
+def streaming_semantic_dedup_against(
+    emb: DataFrame,
+    index_table: str,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Streaming SemDeDup ingest against a persisted index: the
+    streaming form of dedup.semantic_pairs_from_index — every arriving
+    embedding assigns to its cluster in ONE stateless projection (the
+    stored centroids inline as a literal array-of-structs, so the
+    argmin is pure expression work — no stream-static cross join, no
+    state), then a stream-static equi-join on the cluster id meets the
+    bucketed member table, and the exact micro-unit cosine verifies.
+
+    COMPLETELY STATELESS: unlike the MinHash face (whose multi-band
+    candidates need a watermarked collapse), a vector assigns to
+    exactly one cluster, so every (member, probe) pair appears at most
+    once — append mode with no watermark, the state store never grows.
+    The corpus is never re-clustered and never shuffles; the only
+    per-event cost is O(k x dim) assignment arithmetic plus the
+    cluster-local member join.
+
+    Output matches semantic_pairs_from_index: (cluster, id_a=stored
+    member, id_b=arriving vector, cosine_u >= threshold); batch/stream
+    parity pinned by tests/test_streaming.py.
+    """
+    import json
+
+    from datafusion_uba_spark.operators.dedup import _sem_read_meta
+    from datafusion_uba_spark.operators.kmeans import _dist2
+    from datafusion_uba_spark.operators.similarity import (
+        QUANT_SCALE,
+        cosine_sql,
+        dot_sql,
+    )
+
+    spark = emb.sparkSession
+    m = _sem_read_meta(spark, index_table)
+    cent_rows = [
+        (int(c), [int(x) for x in q])
+        for c, q in json.loads(m["centroids_json"])
+    ]
+    scale, dim = int(m["scale"]), int(m["dim"])
+
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(
+                    *[F.lit(v).cast("long") for v in qv]
+                ).alias("cq"),
+            )
+            for cid, qv in cent_rows
+        ]
+    )
+    best = F.array_min(
+        F.transform(
+            packed,
+            lambda c: F.struct(
+                _dist2(F.col("__lq"), c["cq"]).alias("dist2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    # one stateless projection chain from the raw stream: Lloyd-grid
+    # quantization for the assignment, cosine-grid quantization + norm
+    # for the verify — no self-join, no state
+    probe = (
+        emb.select(
+            F.col(id_col).alias("id_b"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * F.lit(scale)).cast(
+                    "long"
+                ),
+            ).alias("__lq"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(
+                    x.cast("double") * F.lit(QUANT_SCALE)
+                ).cast("long"),
+            ).alias("qb"),
+        )
+        .withColumn("__best", best)
+        .selectExpr(
+            "__best.cid AS __cb",
+            "id_b",
+            "qb",
+            f"{dot_sql('qb', 'qb', dim)} AS nb",
+        )
+    )
+    members = spark.table(index_table).select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("vec_q").alias("qa"),
+        F.col("vec_n").alias("na"),
+    )
+    scored = probe.join(
+        members, F.col("__cb") == F.col("cluster")
+    ).selectExpr(
+        "cluster",
+        "id_a",
+        "id_b",
+        f"CAST(floor({cosine_sql('qa', 'qb', 'na', 'nb', dim)} * 1000000)"
+        " AS BIGINT) AS cosine_u",
+    )
+    return scored.where(
+        F.col("cosine_u") >= int(round(threshold * 1_000_000))
+    )

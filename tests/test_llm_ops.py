@@ -601,7 +601,7 @@ def test_multimodal_decode_stub(spark):
         [(i, f"payload number {i} with some bytes") for i in range(10)],
         "doc_id long, text string",
     )
-    decoded = multimodal.decode_payload(multimodal.attach_payload(df))
+    decoded = multimodal._legacy_decode_payload(multimodal.attach_payload(df))
     rows = {r.doc_id: r for r in decoded.collect()}
     assert len(rows) == 10
     assert decoded.columns == [
@@ -618,7 +618,7 @@ def test_frame_sample(spark):
         [(i, "x" * (20 + i)) for i in range(12)], "doc_id long, text string"
     )
     mm = multimodal.attach_payload(df)
-    frames = multimodal.frame_sample(mm, every_n=2).collect()
+    frames = multimodal._legacy_frame_sample(mm, every_n=2).collect()
     assert frames, "some doc_ids map to video modality"
     for r in frames:
         assert r.frame_idx % 2 == 0
@@ -637,7 +637,7 @@ def test_resize_image_stub(spark):
         r.doc_id: (r.width, r.height)
         for r in multimodal.payload_stats(mm).collect()
     }
-    out = {r.doc_id: r for r in multimodal.resize_image(mm, max_side=128).collect()}
+    out = {r.doc_id: r for r in multimodal._legacy_resize_image(mm, max_side=128).collect()}
     assert set(out) == {i for i in range(12) if i % 3 == 0}
     for did, r in out.items():
         w0, h0 = orig[did]
@@ -1866,3 +1866,69 @@ def test_pps_systematic_properties(spark):
     assert picks_by_stratum["s2"] == 3
     heavy = [r for r in rows if r["doc_id"] == 99]
     assert heavy and heavy[0]["picks"] >= 2
+
+
+def test_semantic_index_upsert_equals_rebuild(spark, emb):
+    """The SemDeDup index's FAISS-add contract: build on half the
+    corpus, upsert the other half — the member table must equal a
+    full build of the combined corpus with the SAME stored centroids
+    (assignment depends only on (vector, centroids))."""
+    import json
+
+    from datafusion_uba_spark.operators import dedup
+
+    old = emb.where("vec_id % 2 = 0")
+    new = emb.where("vec_id % 2 = 1")
+    try:
+        k = dedup.semantic_index_build(old, "sem_up_idx", k=16)
+        cents = json.loads(
+            spark.table("sem_up_idx__sem_meta").collect()[0][
+                "centroids_json"
+            ]
+        )
+        appended = dedup.semantic_index_upsert(new, "sem_up_idx")
+        assert appended == new.count() and appended > 0
+        dedup.semantic_index_build(
+            emb, "sem_full_idx", k=k, centroids=cents
+        )
+        def rows(t):
+            return {
+                (r["cluster"], r["vec_id"], tuple(r["vec_q"]), r["vec_n"])
+                for r in spark.table(t).collect()
+            }
+
+        got, want = rows("sem_up_idx"), rows("sem_full_idx")
+        assert got == want and len(got) == emb.count()
+        # guards: empty batch is a no-op; missing meta raises
+        assert dedup.semantic_index_upsert(new.limit(0), "sem_up_idx") == 0
+    finally:
+        dedup.drop_semantic_index(spark, "sem_up_idx")
+        dedup.drop_semantic_index(spark, "sem_full_idx")
+
+
+def test_semantic_pairs_from_index_equals_inline(spark, emb):
+    """The persisted probe (semantic_index_build +
+    semantic_pairs_from_index) must return exactly the pairs the
+    inline semantic_pairs_against computes — same fitted centroids,
+    same cluster blocking, same exact cosine."""
+    from datafusion_uba_spark.operators import dedup
+
+    corpus = emb.where("vec_id % 4 != 0")
+    inc = emb.where("vec_id % 4 = 0")
+    try:
+        dedup.semantic_index_build(corpus, "sem_probe_idx", k=16)
+        got = {
+            tuple(r)
+            for r in dedup.semantic_pairs_from_index(
+                spark, "sem_probe_idx", inc, threshold=0.4
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in dedup.semantic_pairs_against(
+                inc, corpus, threshold=0.4, k=16
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        dedup.drop_semantic_index(spark, "sem_probe_idx")

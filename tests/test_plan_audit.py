@@ -61,6 +61,10 @@ _NLJ_ALLOWED = {
     # the |event-type| node table — O(|nodes| x 1)
     # (operators/pagerank.py pagerank_integer)
     "event_pagerank",
+    # the TWO-ROW per-arm totals broadcast onto the |event-type|
+    # target grid (queries_stats.q_ab_conversion_test) — the zero-
+    # converter-arm fix's crossJoin; NLJ cost O(|types| x 2)
+    "ab_conversion_test",
 }
 
 _REGISTRY = queries()

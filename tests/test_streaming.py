@@ -1019,3 +1019,63 @@ def test_streaming_cdc_snapshot_parity(spark, tmp_path):
         assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_semantic_dedup_against_parity(spark, tmp_path):
+    """Embedding ingest, streamed: a batch of probe vectors (copies of
+    corpus vectors under new ids + genuinely novel vectors) flows
+    through a file stream into streaming_semantic_dedup_against with
+    a persisted SemDeDup index; emitted (cluster, id_a, id_b,
+    cosine_u) rows must equal the batch semantic_pairs_from_index —
+    and the operator must be fully stateless (append mode, no
+    watermark needed)."""
+    from datafusion_uba_spark.operators import dedup
+    from datafusion_uba_spark.streaming import (
+        streaming_semantic_dedup_against,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.where("vec_id % 4 != 0")
+    dupes = emb.where("vec_id % 4 = 0 AND vec_id < 200").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    novel = spark.createDataFrame(
+        [(2_000_000 + i, [float((i * 37 + j * 11) % 97) for j in range(64)])
+         for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    inc_dir = str(tmp_path / "emb_increment")
+    dupes.unionByName(novel).write.parquet(inc_dir)
+    inc = spark.read.parquet(inc_dir)
+
+    try:
+        dedup.semantic_index_build(corpus, "sem_stream_idx", k=16)
+        want = {
+            tuple(r)
+            for r in dedup.semantic_pairs_from_index(
+                spark, "sem_stream_idx", inc, threshold=0.4
+            ).collect()
+        }
+        assert want, "expected copied vectors to match the corpus"
+
+        # batch frame through the SAME streaming helper
+        batch_got = {
+            tuple(r)
+            for r in streaming_semantic_dedup_against(
+                inc, "sem_stream_idx", threshold=0.4
+            ).collect()
+        }
+        assert batch_got == want
+
+        schema = inc.schema
+        semb = spark.readStream.schema(schema).parquet(inc_dir)
+        out = streaming_semantic_dedup_against(
+            semb, "sem_stream_idx", threshold=0.4
+        )
+        run_to_memory(out, "sem_ingest", output_mode="append")
+        got = {
+            tuple(r) for r in spark.table("sem_ingest").collect()
+        }
+        assert got == want
+    finally:
+        dedup.drop_semantic_index(spark, "sem_stream_idx")

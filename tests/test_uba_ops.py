@@ -1467,3 +1467,32 @@ def test_revenue_new_vs_returning_conserves_total(spark):
         assert 0 <= r["new_share_ppm"] <= 1_000_000
     assert rows[0]["returning_cents"] == 0
     assert rows[0]["new_share_ppm"] == 1_000_000
+
+
+def test_cooccurrence_lift_decimal_headroom(spark):
+    """The lift expression must survive operands where int64 products
+    overflow (the 100 TB design point): n_both * 1000 * N at 10^10
+    sessions is ~10^26. Evaluate the exact decimal(38,0) expression
+    the registry row uses on boundary values and compare against
+    Python's arbitrary-precision integers."""
+    from datafusion_uba_spark.queries_uba import _lift_pm_expr
+
+    n_total = 12_000_000_000  # 1.2e10 sessions
+    cases = [
+        (9_000_000_000, 10_000_000_000, 11_000_000_000),
+        (1, 1, 1),
+        (2**62, 2**62, 2**62),  # extreme: products ~1e37, still <1e38
+    ]
+    df = spark.createDataFrame(
+        cases, "n_sessions_both long, __sup_a long, __sup_b long"
+    )
+    got = [
+        r["lift_pm"]
+        for r in df.selectExpr(
+            _lift_pm_expr(n_total) + " AS lift_pm"
+        ).collect()
+    ]
+    want = [
+        (nb * 1000 * n_total) // (sa * sb) for nb, sa, sb in cases
+    ]
+    assert got == want

@@ -137,6 +137,7 @@ HEAVY = [
     "daily_autocorr",
     "ab_conversion_test",
     "dedup_semantic",
+    "dedup_semantic_against",
     "cdc_snapshot",
     "dow_seasonality",
     "revenue_trend",
