@@ -29,6 +29,21 @@ Config via env:
                         (measured: a 7.5 s query's first rep at 51 s),
                         so two reps can BOTH be outliers — three keeps
                         the min representative)
+    BENCH_WARMUP        UNTIMED executions per query before the timed
+                        reps (default 1). The r11 verdict flagged the
+                        multimodal MEDIANS as fake 5-8x regressions:
+                        deep into a 165-query run the first execution
+                        of a mapInPandas-heavy plan pays bench-CONTEXT
+                        costs (GC of 40+ prior queries' state, python
+                        worker pool churn) that an isolated run never
+                        shows — measured 47.2 s in-bench first rep vs
+                        3.9 s isolated first rep vs 1.3 s steady for
+                        the same query. A session-start worker-pool
+                        warmup does not fix it (it is not import cost),
+                        so the standard warmup-then-measure discipline
+                        applies per query: the cold execution runs
+                        unrecorded, and best/median summarize only
+                        post-warm reps.
 
 Each query is materialized with a noop-format write: the full plan
 executes on the executors (no column pruning shortcut as with count(),
@@ -62,6 +77,7 @@ def build_artifacts(
     errors: dict[str, str],
     repeat: int,
     sf: float,
+    warmup: int = 1,
 ) -> tuple[dict, dict]:
     """Split results into (headline, sidecar).
 
@@ -117,6 +133,7 @@ def build_artifacts(
         "median": medians,
         "errors": errors,
         "repeat": repeat,
+        "warmup": warmup,
         "sf": sf,
     }
     return headline, sidecar
@@ -125,6 +142,7 @@ def build_artifacts(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeat = int(os.environ.get("BENCH_REPEAT", "3"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "1"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from datafusion_uba_spark.queries import queries
@@ -133,12 +151,12 @@ def main() -> None:
     spark = get_spark(app_name="uba-bench")
     # JVM/codegen warmup on a trivial plan so q1 isn't charged for it
     _materialize(spark.range(1_000_000).selectExpr("sum(id) AS s"))
-    # Python-worker-pool warmup (r11 verdict #1): the first Arrow
-    # mapInPandas job pays a fork + numpy/pandas import in EVERY one of
-    # the 32 workers (~40 s measured on the first multimodal row) —
-    # without this, whichever mapInPandas query runs first eats that
-    # cost and its MEDIAN reads as a fake 5-8x regression. One untimed
-    # noop pass with enough input partitions to fault in the full pool.
+    # Python-worker-pool warmup: fork the 32 workers and pay the numpy
+    # import before any timed query. NOTE (r12 A/B,
+    # tools/BENCH_NOTES_r12.md): this alone does NOT fix the multimodal
+    # first-rep penalty — that cost is bench-context (query #40+ state,
+    # GC, pool churn), which the per-query BENCH_WARMUP rep absorbs —
+    # but it keeps the import cost off whichever query runs first.
     _materialize(
         spark.range(0, 1 << 14, 1, 64).mapInPandas(
             _py_worker_warmup, "id long"
@@ -157,6 +175,8 @@ def main() -> None:
         # Per-query isolation: one failing query must not blank the
         # whole artifact — record its error and keep timing the rest.
         try:
+            for _ in range(warmup):
+                _materialize(fn(spark, sf_dir))  # untimed (see BENCH_WARMUP)
             runs = []
             for _ in range(repeat):
                 t0 = time.perf_counter()
@@ -164,12 +184,24 @@ def main() -> None:
                 runs.append(round(time.perf_counter() - t0, 4))
             per_query[name] = min(runs)
             per_runs[name] = runs
+            # Release this query's driver-side references so the
+            # ContextCleaner can evict its localCheckpoint blocks and
+            # broadcasts before the next query runs. Without it the
+            # block store accumulates ~160 queries of dead checkpoint
+            # state and the Arrow/mapInPandas rows measured 2-5x their
+            # isolated cost late in the run (tools/BENCH_NOTES_r12.md:
+            # image_resize_stats 6.65 s in-bench vs 1.3 s isolated).
+            import gc
+
+            gc.collect()
         except Exception as exc:
             msg = f"{type(exc).__name__}: {exc}"
             errors[name] = msg[:500]
             print(f"bench: query {name!r} failed: {msg}", file=sys.stderr)
 
-    out, sidecar = build_artifacts(per_query, per_runs, errors, repeat, sf)
+    out, sidecar = build_artifacts(
+        per_query, per_runs, errors, repeat, sf, warmup
+    )
     sidecar_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"
     )

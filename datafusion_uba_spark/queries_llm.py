@@ -1781,6 +1781,135 @@ WHERE {cos} >= {thr}
 """
 
 
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability for the exact-dedup pass: per source,
+    docs, exact duplicates (non-canonical members of a fingerprint
+    group), the dup rate in basis points, and the bytes those dups
+    waste — the per-source report a crawl-curation dashboard renders
+    after every ingest. Pure composition: exact_dedup's one
+    fingerprint-window shuffle + one per-source hash aggregate.
+    A duplicate is charged to ITS OWN source (cross-source dup pairs
+    exist — cross_source_leakage counts those spans)."""
+    docs = _docs(spark, sf_dir)
+    d = dedup.exact_dedup(docs).select("doc_id", "is_dup")
+    return (
+        docs.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+            F.sum(
+                F.when(F.col("is_dup") == 1, F.length("text")).otherwise(
+                    0
+                ).cast("long")
+            ).alias("dup_chars"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_dups",
+            "CAST(n_dups * 10000 DIV n_docs AS BIGINT) AS dup_bp",
+            "dup_chars",
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_DEDUP_RATE = f"""
+WITH fp AS (
+  SELECT doc_id, source, length(text) AS n_chars_txt,
+         sha256({_NORM}) AS fingerprint
+  FROM documents
+),
+d AS (
+  SELECT doc_id, source, n_chars_txt,
+         CASE WHEN doc_id != min(doc_id) OVER (PARTITION BY fingerprint)
+              THEN 1 ELSE 0 END AS is_dup
+  FROM fp
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_dup) AS BIGINT) AS n_dups,
+       CAST(sum(is_dup) * 10000 // count(*) AS BIGINT) AS dup_bp,
+       CAST(sum(CASE WHEN is_dup = 1 THEN n_chars_txt ELSE 0 END)
+            AS BIGINT) AS dup_chars
+FROM d
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length histogram on power-of-two buckets —
+    the length-distribution profile that drives packing geometry and
+    length-curriculum choices (chunk size, max_len truncation loss).
+    Bucket = floor(log2(n_tokens)) computed INTEGERLY as
+    length(bin(n_tokens)) - 1 (no floating log2 — log2(2^k) can land
+    a hair under k in binary float on some engines, off-by-one
+    bucketing the exact powers of two); bucket_lo carries the
+    human-readable lower edge. One narrow projection + one hash
+    aggregate; zero-token docs get bucket -1."""
+    docs = _docs(spark, sf_dir)
+    toks = F.size(
+        F.split(
+            F.trim(
+                F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+            ),
+            " ",
+        )
+    )
+    n_tokens = F.when(
+        F.trim(F.col("text")) == "", F.lit(0)
+    ).otherwise(toks).cast("long")
+    bucket = F.when(F.col("__n") <= 0, F.lit(-1)).otherwise(
+        F.length(F.expr("bin(__n)")) - 1
+    ).cast("long")
+    return (
+        docs.select("source", n_tokens.alias("__n"))
+        .select("source", "__n", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("tokens_total"),
+        )
+        .selectExpr(
+            "source",
+            "bucket",
+            "CAST(CASE WHEN bucket < 0 THEN 0"
+            " ELSE power(2, bucket) END AS BIGINT) AS bucket_lo",
+            "n_docs",
+            "tokens_total",
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+_ORACLE_TOKEN_LENGTH_HIST = f"""
+WITH t AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len({_TOKS}) END AS n
+  FROM documents
+),
+b AS (
+  SELECT source, n,
+         CASE WHEN n <= 0 THEN -1
+              ELSE CAST(length(bin(n)) - 1 AS BIGINT) END AS bucket
+  FROM t
+)
+SELECT source, bucket,
+       CAST(CASE WHEN bucket < 0 THEN 0
+            ELSE power(2, bucket) END AS BIGINT) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS tokens_total
+FROM b
+GROUP BY source, bucket
+ORDER BY source, bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -2888,5 +3017,10 @@ LLM_REGISTRY: dict = {
     "dedup_semantic_against": (
         q_dedup_semantic_against,
         _oracle_dedup_semantic_against(),
+    ),
+    "dedup_rate_by_source": (q_dedup_rate_by_source, _ORACLE_DEDUP_RATE),
+    "token_length_histogram": (
+        q_token_length_histogram,
+        _ORACLE_TOKEN_LENGTH_HIST,
     ),
 }

@@ -896,6 +896,405 @@ FROM loo
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U test (rank-sum experiment significance)
+# ---------------------------------------------------------------------------
+
+_Z_CRIT_95 = 1.959964  # standard normal two-sided alpha=0.05
+
+
+def q_mann_whitney_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric companion to the chi-square row: Mann-Whitney U
+    on per-user total revenue cents between the same stateless md5
+    arms. Revenue is heavy-tailed, so the rank test is the one a real
+    experimentation platform reaches for when the t-test's normality
+    assumption fails.
+
+    Hash-exact by the family's determinism contract: midranks over
+    ties are kept on the DOUBLED grid (midrank2 = 2*cum_before + n_at
+    + 1, an exact integer), the rank sums / tie-correction moments
+    are exact decimal(38,0) (n_at^3 reaches ~1e30 at 1e10 users —
+    int64 is not enough, same headroom story as session_cooccurrence),
+    and the z-score is assembled from those exact integers with
+    IEEE-deterministic double ops only (cast, +, -, *, /, sqrt). No
+    continuity correction (documented; both engines agree).
+
+    Plan shape: one hash aggregate per user, one per distinct cents
+    value, a prefix-sum window over the (bounded by |distinct cents|)
+    group frame, and a 1-row final aggregate — no all-pairs ranking.
+    The unpartitioned prefix sum runs over the VALUE DOMAIN (distinct
+    revenue amounts — a price grid, orders of magnitude below user
+    count), never over users; if a deployment's value domain itself
+    explodes, the standard upgrade is a two-stage bucketed prefix sum
+    (rank within cents-range buckets + per-bucket offsets), same
+    shape as topk_per_key's salted two-stage.
+    Output one row: (n_a, n_b, r2_a, u2_a, ties_t, z, significant)
+    with r2_a/u2_a/ties_t as exact-integer-derived doubles (r2_a =
+    2*rank-sum of arm A, u2_a = 2*U_A).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    uc = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    ).select(variant.alias("variant"), "cents")
+    g = uc.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_at"),
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("na_at"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = g.select(
+        "cents",
+        "n_at",
+        "na_at",
+        (F.sum("n_at").over(w) - F.col("n_at")).alias("before_n"),
+    )
+    agg = r.agg(
+        F.sum("na_at").alias("n_a_d"),
+        F.sum(F.col("n_at") - F.col("na_at")).alias("n_b_d"),
+        F.sum(
+            F.col("na_at")
+            * (F.lit(2) * F.col("before_n") + F.col("n_at") + F.lit(1))
+        ).alias("r2_a_d"),
+        F.sum(
+            F.col("n_at") * F.col("n_at") * F.col("n_at") - F.col("n_at")
+        ).alias("ties_t_d"),
+    )
+    return agg.selectExpr(
+        "CAST(coalesce(n_a_d, 0) AS BIGINT) AS n_a",
+        "CAST(coalesce(n_b_d, 0) AS BIGINT) AS n_b",
+        "CAST(coalesce(r2_a_d, 0) AS DOUBLE) AS r2_a",
+        "CAST(coalesce(r2_a_d, 0) - coalesce(n_a_d, 0)"
+        " * (coalesce(n_a_d, 0) + 1) AS DOUBLE) AS u2_a",
+        "CAST(coalesce(ties_t_d, 0) AS DOUBLE) AS ties_t",
+        _MW_Z_SQL + " AS z",
+        f"coalesce(abs({_MW_Z_SQL}) > {_Z_CRIT_95}, FALSE) AS significant",
+    )
+
+
+# The z expression evaluated IDENTICALLY (token for token) on both
+# engines: var = n_a*n_b/12 * ((n+1) - T/(n*(n-1))) with every input an
+# exact integer cast to double, z = (U2_A - n_a*n_b) / (2*sqrt(var)).
+# The engine-specific part is only the exact-integer column spelling,
+# injected via format.
+def _mw_z_sql(n_a: str, n_b: str, u2_a: str, t: str) -> str:
+    n = f"({n_a} + {n_b})"
+    var = (
+        f"(CAST({n_a} AS DOUBLE) * CAST({n_b} AS DOUBLE) / 12.0"
+        f" * (CAST({n} + 1 AS DOUBLE)"
+        f" - CAST({t} AS DOUBLE)"
+        f" / (CAST({n} AS DOUBLE) * CAST({n} - 1 AS DOUBLE))))"
+    )
+    return (
+        f"CASE WHEN {n_a} > 0 AND {n_b} > 0 AND {var} > 0.0"
+        f" THEN CAST({u2_a} - {n_a} * {n_b} AS DOUBLE)"
+        f" / (2.0 * sqrt({var}))"
+        f" ELSE NULL END"
+    )
+
+
+_MW_Z_SQL = _mw_z_sql(
+    "coalesce(n_a_d, 0)",
+    "coalesce(n_b_d, 0)",
+    "coalesce(r2_a_d, 0) - coalesce(n_a_d, 0) * (coalesce(n_a_d, 0) + 1)",
+    "coalesce(ties_t_d, 0)",
+)
+
+_ORACLE_MW_Z = _mw_z_sql("n_a_d", "n_b_d", "r2_a_d - n_a_d * (n_a_d + 1)", "ties_t_d")
+
+_ORACLE_MANN_WHITNEY = f"""
+WITH uc AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT cents, CAST(count(*) AS HUGEINT) AS n_at,
+         CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+              AS HUGEINT) AS na_at
+  FROM uc GROUP BY cents
+),
+r AS (
+  SELECT cents, n_at, na_at,
+         sum(n_at) OVER (ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) - n_at AS before_n
+  FROM g
+),
+agg AS (
+  SELECT coalesce(CAST(sum(na_at) AS HUGEINT), 0) AS n_a_d,
+         coalesce(CAST(sum(n_at - na_at) AS HUGEINT), 0) AS n_b_d,
+         coalesce(CAST(sum(na_at * (2 * before_n + n_at + 1))
+              AS HUGEINT), 0) AS r2_a_d,
+         coalesce(CAST(sum(n_at * n_at * n_at - n_at) AS HUGEINT), 0)
+           AS ties_t_d
+  FROM r
+)
+SELECT CAST(n_a_d AS BIGINT) AS n_a,
+       CAST(n_b_d AS BIGINT) AS n_b,
+       CAST(r2_a_d AS DOUBLE) AS r2_a,
+       CAST(r2_a_d - n_a_d * (n_a_d + 1) AS DOUBLE) AS u2_a,
+       CAST(ties_t_d AS DOUBLE) AS ties_t,
+       {_ORACLE_MW_Z} AS z,
+       coalesce(abs({_ORACLE_MW_Z}) > {_Z_CRIT_95}, FALSE) AS significant
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profile (transaction-amount data quality)
+# ---------------------------------------------------------------------------
+
+# ppm weights of log10(1 + 1/d) for d = 1..9; rounded so they sum to
+# exactly 1,000,000 — literal constants, no ln/log in either engine.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def q_benford_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of transaction amounts — the classic
+    fabricated-data / instrumentation-bug detector: the first
+    significant digit of every positive cents amount, observed share
+    vs the Benford expectation (ppm literals, no logarithms at
+    runtime), and the per-digit chi-square contribution from exact
+    integer counts (expected counts kept exact in decimal(38,0) ppm
+    units before ONE IEEE division each). Output 9 rows; digits with
+    zero observations still appear (grid join), so the result schema
+    is corpus-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    first = F.substring(F.col("__c").cast("string"), 1, 1).cast("int")
+    counts = (
+        ev.select(cents.alias("__c"))
+        .where(F.col("__c") > 0)
+        .select(first.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = spark.createDataFrame(
+        [(d, p) for d, p in sorted(_BENFORD_PPM.items())],
+        "digit int, expected_ppm long",
+    )
+    joined = grid.join(counts, "digit", "left").select(
+        "digit",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        "expected_ppm",
+    )
+    w = Window.partitionBy()
+    tot = F.sum("n").over(w)
+    return joined.select(
+        "digit",
+        "n",
+        "expected_ppm",
+        tot.alias("__tot"),
+    ).selectExpr(
+        "digit",
+        "n",
+        "CAST(n * 1000000 DIV greatest(__tot, 1) AS BIGINT) AS share_ppm",
+        "expected_ppm",
+        # expected count in exact ppm units; ONE division to double
+        "CASE WHEN __tot > 0 THEN"
+        " (CAST(n AS DOUBLE)"
+        "  - CAST(CAST(__tot AS DECIMAL(38,0)) * expected_ppm AS DOUBLE)"
+        "    / 1000000.0)"
+        " * (CAST(n AS DOUBLE)"
+        "  - CAST(CAST(__tot AS DECIMAL(38,0)) * expected_ppm AS DOUBLE)"
+        "    / 1000000.0)"
+        " / (CAST(CAST(__tot AS DECIMAL(38,0)) * expected_ppm AS DOUBLE)"
+        "    / 1000000.0)"
+        " ELSE NULL END AS chi2_term",
+    ).orderBy("digit")
+
+
+_ORACLE_BENFORD = f"""
+WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+  WHERE CAST(round(value * 100) AS BIGINT) > 0
+),
+counts AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM c GROUP BY 1
+),
+grid(digit, expected_ppm) AS (
+  VALUES {", ".join(f"({d}, CAST({p} AS BIGINT))" for d, p in sorted(_BENFORD_PPM.items()))}
+),
+j AS (
+  SELECT g.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n, g.expected_ppm,
+         CAST(sum(coalesce(c.n, 0)) OVER () AS BIGINT) AS tot
+  FROM grid g LEFT JOIN counts c ON g.digit = c.digit
+)
+SELECT digit, n,
+       CAST(n * 1000000 // greatest(tot, 1) AS BIGINT) AS share_ppm,
+       expected_ppm,
+       CASE WHEN tot > 0 THEN
+         (CAST(n AS DOUBLE)
+          - CAST(CAST(tot AS HUGEINT) * expected_ppm AS DOUBLE)
+            / 1000000.0)
+         * (CAST(n AS DOUBLE)
+          - CAST(CAST(tot AS HUGEINT) * expected_ppm AS DOUBLE)
+            / 1000000.0)
+         / (CAST(CAST(tot AS HUGEINT) * expected_ppm AS DOUBLE)
+            / 1000000.0)
+       ELSE NULL END AS chi2_term
+FROM j
+ORDER BY digit
+"""
+
+
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation of daily event-type volumes
+# ---------------------------------------------------------------------------
+
+
+def q_event_type_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between the daily volumes of every pair of
+    event types that ever share a day — do signups move with
+    purchases, do errors anticipate churn. The zero-filled series
+    trick WITHOUT materializing a day x type grid: over the corpus's
+    D-day span, a type's moments (sum, sum of squares) need only its
+    own non-zero day rows, and a pair's cross-moment needs only their
+    SHARED days (zeros contribute nothing to any moment except n=D,
+    a driver scalar) — so the plan is one (day, type) hash aggregate,
+    one tiny per-type aggregate (broadcast twice), and a day-keyed
+    self-join bounded by |days| x |types|. Same exact-integer-moments
+    -> IEEE-double contract as daily_autocorr, token-identical
+    formula on both engines. Pairs never sharing a day are absent
+    (documented, mirrors session_cooccurrence).
+    Output: (type_a, type_b, n_days_both, corr)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.to_date("ts").alias("day"),
+            F.col("event_type").alias("et"),
+        )
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    # O(1) driver scalar: the day-span length (the dedup.py fixpoint
+    # pattern; a 1-row crossJoin would plan a BroadcastNestedLoopJoin)
+    span = ev.agg(
+        (
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+            + F.lit(1)
+        ).alias("d")
+    ).collect()[0]["d"]
+    d_days = int(span if span is not None else 0)
+    per = daily.groupBy("et").agg(
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    a = daily.select(
+        "day", F.col("et").alias("type_a"), F.col("n").alias("na")
+    )
+    b = daily.select(
+        "day", F.col("et").alias("type_b"), F.col("n").alias("nb")
+    )
+    pairs = (
+        a.join(b, "day")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days_both"),
+            F.sum(F.col("na") * F.col("nb")).alias("sxy"),
+        )
+    )
+    joined = (
+        pairs.join(
+            F.broadcast(
+                per.select(
+                    F.col("et").alias("type_a"),
+                    F.col("s").alias("sa"),
+                    F.col("s2").alias("saa"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                per.select(
+                    F.col("et").alias("type_b"),
+                    F.col("s").alias("sb"),
+                    F.col("s2").alias("sbb"),
+                )
+            ),
+            "type_b",
+        )
+    )
+    corr = _corr_sql(str(d_days), "sxy", "sa", "sb", "saa", "sbb")
+    return joined.selectExpr(
+        "type_a", "type_b", "n_days_both", corr + " AS corr"
+    ).orderBy("type_a", "type_b")
+
+
+def _corr_sql(n: str, sxy: str, sx: str, sy: str, sxx: str, syy: str) -> str:
+    """Token-identical Pearson-from-exact-moments SQL for both
+    engines (the daily_autocorr contract): guards the zero-variance
+    denominators, one division at the end."""
+    vx = (
+        f"(CAST({n} AS DOUBLE) * CAST({sxx} AS DOUBLE)"
+        f" - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE))"
+    )
+    vy = (
+        f"(CAST({n} AS DOUBLE) * CAST({syy} AS DOUBLE)"
+        f" - CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE))"
+    )
+    return (
+        f"CASE WHEN {vx} = 0.0 OR {vy} = 0.0 THEN NULL"
+        f" ELSE (CAST({n} AS DOUBLE) * CAST({sxy} AS DOUBLE)"
+        f" - CAST({sx} AS DOUBLE) * CAST({sy} AS DOUBLE))"
+        f" / (sqrt({vx}) * sqrt({vy})) END"
+    )
+
+
+_ORACLE_EVENT_TYPE_CORR = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type AS et,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT CAST(date_diff('day', min(CAST(ts AS DATE)),
+                        max(CAST(ts AS DATE))) + 1 AS BIGINT) AS d
+  FROM events
+),
+per AS (
+  SELECT et, CAST(sum(n) AS HUGEINT) AS s,
+         CAST(sum(n * n) AS HUGEINT) AS s2
+  FROM daily GROUP BY et
+),
+pairs AS (
+  SELECT a.et AS type_a, b.et AS type_b,
+         CAST(count(*) AS BIGINT) AS n_days_both,
+         CAST(sum(a.n * b.n) AS HUGEINT) AS sxy
+  FROM daily a JOIN daily b ON a.day = b.day AND a.et < b.et
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_days_both,
+       {{corr}} AS corr
+FROM pairs p
+JOIN per pa ON pa.et = p.type_a
+JOIN per pb ON pb.et = p.type_b
+CROSS JOIN span
+ORDER BY p.type_a, p.type_b
+""".replace("{corr}", _corr_sql(
+    "span.d", "p.sxy", "pa.s", "pb.s", "pa.s2", "pb.s2"
+))
+
+
 STATS_REGISTRY: dict = {
     "seasonal_anomaly_flags": (
         q_seasonal_anomaly_flags,
@@ -909,4 +1308,7 @@ STATS_REGISTRY: dict = {
     "event_pagerank": (q_event_pagerank, _ORACLE_PAGERANK),
     "daily_autocorr": (q_daily_autocorr, _ORACLE_AUTOCORR),
     "ab_conversion_test": (q_ab_conversion_test, _ORACLE_AB_CHI2),
+    "mann_whitney_revenue": (q_mann_whitney_revenue, _ORACLE_MANN_WHITNEY),
+    "benford_values": (q_benford_values, _ORACLE_BENFORD),
+    "event_type_corr": (q_event_type_corr, _ORACLE_EVENT_TYPE_CORR),
 }

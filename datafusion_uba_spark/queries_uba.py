@@ -2934,6 +2934,198 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Top session path 3-grams
+# ---------------------------------------------------------------------------
+
+_PATH_TOPK = 20
+
+
+def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top path mining, SESSION-BOUNDED: the most common consecutive
+    event-type 3-grams within a 30-min-gap session. The existing
+    event_paths_topk ranks 3-grams over each user's FULL stream, so a
+    "path" can span a week-long gap; this row confines n-grams to a
+    session, the form a journey report actually wants (an overnight
+    gap is not a step). Two leads over the same (user, ts, event_id) session
+    window produce the 3-grams with no join; one hash aggregate
+    counts them; the top 20 with a full deterministic tiebreak
+    (count desc, then the three types asc) plans as
+    TakeOrderedAndProject — no global sort, no single reducer. Output:
+    (step1, step2, step3, n_paths, rank)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    e = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("tus"),
+    )
+    sess = (
+        e.withColumn("__prev", F.lag("tus").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("tus") - F.col("__prev") > _GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("tus", "event_id")
+    tri = sess.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(ws).alias("step2"),
+        F.lead("event_type", 2).over(ws).alias("step3"),
+    ).where(F.col("step3").isNotNull())
+    counts = tri.groupBy("step1", "step2", "step3").agg(
+        F.count(F.lit(1)).alias("n_paths")
+    )
+    ranked = counts.orderBy(
+        F.desc("n_paths"), "step1", "step2", "step3"
+    ).limit(_PATH_TOPK)
+    wr = Window.orderBy(F.desc("n_paths"), "step1", "step2", "step3")
+    return ranked.withColumn(
+        "rank", F.row_number().over(wr).cast("long")
+    )
+
+
+_ORACLE_SESSION_PATH_TOPK = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+),
+lagd AS (
+  SELECT user_id, event_id, event_type, tus,
+         lag(tus) OVER (PARTITION BY user_id
+                        ORDER BY tus, event_id) AS prev
+  FROM e
+),
+sess AS (
+  SELECT *, sum(CASE WHEN prev IS NULL OR tus - prev > {_GAP_US}
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY tus, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM lagd
+),
+tri AS (
+  SELECT event_type AS step1,
+         lead(event_type, 1) OVER w AS step2,
+         lead(event_type, 2) OVER w AS step3
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id, sid ORDER BY tus, event_id)
+),
+counts AS (
+  SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths
+  FROM tri WHERE step3 IS NOT NULL
+  GROUP BY step1, step2, step3
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           ORDER BY n_paths DESC, step1, step2, step3
+         ) AS BIGINT) AS rank
+  FROM counts
+)
+SELECT step1, step2, step3, n_paths, rank
+FROM ranked WHERE rank <= {_PATH_TOPK}
+"""
+
+
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_TILES = 4
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM customer segmentation: per user, recency (days
+    since last activity at corpus end), frequency (event count),
+    monetary (revenue cents) — each quartiled by ntile(4) under a
+    TOTAL order (metric, then user_id: ntile over a partial order is
+    shuffle-dependent and would hash-flip), then one row per
+    (r, f, m) cell with user count and the cell's aggregate revenue.
+    64 output rows max. Recency ntile is ordered DESC (most recent =
+    tile 4) so bigger is better across all three axes, the standard
+    RFM convention. The corpus-end scalar is the usual O(1) driver
+    read; the three ntiles share one per-user aggregate and each runs
+    over the |users| frame — the known global-sort cost of exact
+    quantiling (the approx path is length_quantiles_approx's GK
+    sketch; exact ntile is what the marketing segmentation needs)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    end_day = ev.agg(F.max(F.to_date("ts")).alias("mx")).collect()[0]["mx"]
+    per = per.withColumn(
+        "recency_days",
+        F.datediff(F.lit(end_day).cast("date"), F.col("last_day")).cast(
+            "long"
+        ),
+    )
+    n = _RFM_TILES
+    r_tile = F.ntile(n).over(
+        Window.orderBy(F.desc("recency_days"), F.desc("user_id"))
+    )
+    f_tile = F.ntile(n).over(Window.orderBy("freq", "user_id"))
+    m_tile = F.ntile(n).over(Window.orderBy("cents", "user_id"))
+    tiled = per.select(
+        "user_id",
+        "cents",
+        r_tile.cast("long").alias("r"),
+        f_tile.cast("long").alias("f"),
+        m_tile.cast("long").alias("m"),
+    )
+    return (
+        tiled.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cents").alias("cents_total"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+_ORACLE_RFM = f"""
+WITH per AS (
+  SELECT user_id,
+         max(CAST(ts AS DATE)) AS last_day,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT user_id, cents,
+         CAST(ntile({_RFM_TILES}) OVER (
+           ORDER BY date_diff('day', last_day,
+                              (SELECT max(CAST(ts AS DATE)) FROM events))
+                    DESC, user_id DESC) AS BIGINT) AS r,
+         CAST(ntile({_RFM_TILES}) OVER (ORDER BY freq, user_id)
+              AS BIGINT) AS f,
+         CAST(ntile({_RFM_TILES}) OVER (ORDER BY cents, user_id)
+              AS BIGINT) AS m
+  FROM per
+)
+SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS cents_total
+FROM r GROUP BY r, f, m
+ORDER BY r, f, m
+"""
+
+
 UBA_REGISTRY: dict = {
     "daily_kpi_report": (q_daily_kpi_report, _ORACLE_DAILY_KPI),
     "cdc_snapshot": (q_cdc_snapshot, _ORACLE_CDC_SNAPSHOT),
@@ -3028,4 +3220,6 @@ UBA_REGISTRY: dict = {
         q_events_segment_asof,
         _ORACLE_EVENTS_SEGMENT_ASOF,
     ),
+    "session_path_topk": (q_session_path_topk, _ORACLE_SESSION_PATH_TOPK),
+    "rfm_segments": (q_rfm_segments, _ORACLE_RFM),
 }

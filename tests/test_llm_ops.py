@@ -1932,3 +1932,67 @@ def test_semantic_pairs_from_index_equals_inline(spark, emb):
         assert got == want and len(got) > 0
     finally:
         dedup.drop_semantic_index(spark, "sem_probe_idx")
+
+
+def test_token_length_histogram_bucket_edges(spark, tmp_path):
+    """The integer floor(log2) bucketing pinned at the exact powers
+    of two (the float-log2 off-by-one the docstring warns about):
+    n=1 -> bucket 0, n=2,3 -> 1, n=4 -> 2, n=8 -> 3; empty -> -1."""
+    import os
+
+    from datafusion_uba_spark.queries_llm import q_token_length_histogram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one", "s1"),
+            (2, "a b", "s1"),
+            (3, "a b c", "s1"),
+            (4, "a b c d", "s1"),
+            (5, "a b c d e f g h", "s2"),
+            (6, "", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    sf = str(tmp_path / "hist_sf")
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {
+        (r["source"], r["bucket"]): r
+        for r in q_token_length_histogram(spark, sf).collect()
+    }
+    assert out[("s1", 0)]["n_docs"] == 1          # n=1
+    assert out[("s1", 1)]["n_docs"] == 2          # n=2,3
+    assert out[("s1", 1)]["tokens_total"] == 5
+    assert out[("s1", 2)]["n_docs"] == 1          # n=4
+    assert out[("s2", 3)]["n_docs"] == 1          # n=8
+    assert out[("s2", -1)]["n_docs"] == 1         # empty
+    assert out[("s1", 2)]["bucket_lo"] == 4
+    assert out[("s2", -1)]["bucket_lo"] == 0
+
+
+def test_dedup_rate_by_source_golden(spark, tmp_path):
+    """Duplicates charge their OWN source: s2's copy of an s1 doc
+    counts as an s2 dup (canonical = lowest doc_id, in s1)."""
+    import os
+
+    from datafusion_uba_spark.queries_llm import q_dedup_rate_by_source
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text here", "s1"),
+            (2, "same text here", "s2"),   # dup of 1, charged to s2
+            (3, "unique text a", "s1"),
+            (4, "unique text b", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    sf = str(tmp_path / "rate_sf")
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {
+        r["source"]: r for r in q_dedup_rate_by_source(spark, sf).collect()
+    }
+    assert out["s1"]["n_dups"] == 0 and out["s1"]["n_docs"] == 2
+    assert out["s2"]["n_dups"] == 1 and out["s2"]["n_docs"] == 2
+    assert out["s2"]["dup_bp"] == 5000
+    assert out["s2"]["dup_chars"] == len("same text here")

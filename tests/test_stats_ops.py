@@ -381,3 +381,116 @@ def test_seasonal_anomaly_loo_math(spark, sf_dir):
         else:
             assert r["loo_base_cents"] is None
             assert r["is_anomaly"] is False
+
+
+def test_mann_whitney_golden(spark, tmp_path):
+    """Hand-computed U on a crafted corpus: arm-A users (md5 nibble <
+    '8') get revenues {30, 40}, arm-B {10, 20} — complete separation,
+    no ties. Ranks: 10->1, 20->2, 30->3, 40->4; R_A = 7, U_A = R_A -
+    n_A(n_A+1)/2 = 4 = n_A*n_B (A wins every comparison). With no
+    ties T=0, var = n_A n_B (n+1)/12 = 5/3, z = (4-2)/sqrt(5/3)."""
+    import math
+
+    from datafusion_uba_spark.queries_stats import q_mann_whitney_revenue
+
+    arm_a = [6, 9]       # md5 first nibble < '8'
+    arm_b = [1, 2]       # md5 first nibble >= '8'
+    rows = [
+        (1, arm_a[0], "purchase", 30.0),
+        (2, arm_a[1], "purchase", 40.0),
+        (3, arm_b[0], "purchase", 10.0),
+        (4, arm_b[1], "purchase", 20.0),
+    ]
+    sf = _events_sf(spark, tmp_path, rows)
+    r = q_mann_whitney_revenue(spark, sf).collect()[0]
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert r["r2_a"] == 14.0      # 2 * (3 + 4)
+    assert r["u2_a"] == 8.0       # 2 * 4
+    assert r["ties_t"] == 0.0
+    want_z = 2.0 / math.sqrt(5.0 / 3.0)
+    assert abs(r["z"] - want_z) < 1e-12
+    assert r["significant"] is False  # |z| ~ 1.549 < 1.96
+
+
+def test_mann_whitney_ties_midrank(spark, tmp_path):
+    """Tied revenues take midranks and the tie term lands in ties_t:
+    A = {10, 20}, B = {10, 20} — perfect symmetry, so 2R_A = n(n+1)/2
+    * ... symmetric halves = 10, U2_A = n_A*n_B*... z = 0 exactly;
+    two tie groups of size 2 give T = 2*(8-2) = 12."""
+    from datafusion_uba_spark.queries_stats import q_mann_whitney_revenue
+
+    rows = [
+        (1, 6, "x", 10.0), (2, 9, "x", 20.0),   # arm A
+        (3, 1, "x", 10.0), (4, 2, "x", 20.0),   # arm B
+    ]
+    sf = _events_sf(spark, tmp_path, rows)
+    r = q_mann_whitney_revenue(spark, sf).collect()[0]
+    # midrank2 for the 10-group: 2*0+2+1 = 3; for the 20-group:
+    # 2*2+2+1 = 7 -> 2R_A = 3+7 = 10
+    assert r["r2_a"] == 10.0
+    assert r["u2_a"] == 4.0       # 10 - 2*3 = 4 = n_a*n_b -> z = 0
+    assert r["ties_t"] == 12.0
+    assert r["z"] == 0.0
+    assert r["significant"] is False
+
+
+def test_benford_golden(spark, tmp_path):
+    """Crafted cents amounts: digits fully pinned, zero/negative
+    amounts excluded, absent digits appear with n=0, shares in exact
+    ppm, chi2 terms recomputed in python."""
+    from datafusion_uba_spark.queries_stats import (
+        _BENFORD_PPM,
+        q_benford_values,
+    )
+
+    # values in dollars -> cents: 1.23->123 (digit 1), 0.45->45 (4),
+    # 1.11->111 (1), 9.99->999 (9), 0.0->0 (excluded)
+    rows = [
+        (1, 1, "x", 1.23),
+        (2, 2, "x", 0.45),
+        (3, 3, "x", 1.11),
+        (4, 4, "x", 9.99),
+        (5, 5, "x", 0.0),
+    ]
+    sf = _events_sf(spark, tmp_path, rows)
+    out = {r["digit"]: r for r in q_benford_values(spark, sf).collect()}
+    assert set(out) == set(range(1, 10))
+    assert out[1]["n"] == 2 and out[4]["n"] == 1 and out[9]["n"] == 1
+    assert out[2]["n"] == 0
+    assert out[1]["share_ppm"] == 500000
+    tot = 4
+    for d, r in out.items():
+        exp = tot * _BENFORD_PPM[d] / 1_000_000
+        assert abs(r["chi2_term"] - (r["n"] - exp) ** 2 / exp) < 1e-9
+        assert r["expected_ppm"] == _BENFORD_PPM[d]
+
+
+def test_event_type_corr_golden(spark, tmp_path):
+    """Perfectly correlated and anticorrelated crafted series over a
+    2-day span: a=(1,2) b=(2,4) -> corr +1; a=(1,2) c=(2,1) -> -1.
+    The span scalar counts ALL corpus days."""
+    from datafusion_uba_spark.queries_stats import q_event_type_corr
+
+    # day 1: a x1, b x2, c x2 ; day 2: a x2, b x4, c x1
+    # _events_sf synthesizes ts from event_id micros - all same day.
+    # Use explicit day offsets via event_id spacing: 86400e6 micros/day
+    day = 86_400_000_000
+    rows_spec = [
+        ("a", 0, 1), ("b", 0, 2), ("c", 0, 2),
+        ("a", 1, 2), ("b", 1, 4), ("c", 1, 1),
+    ]
+    rows = []
+    eid = 0
+    for et, d, cnt in rows_spec:
+        for _ in range(cnt):
+            rows.append((d * day + eid, 1, et, 0.0))
+            eid += 1
+    sf = _events_sf(spark, tmp_path, rows)
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in q_event_type_corr(spark, sf).collect()
+    }
+    assert abs(out[("a", "b")]["corr"] - 1.0) < 1e-12
+    assert abs(out[("a", "c")]["corr"] + 1.0) < 1e-12
+    assert abs(out[("b", "c")]["corr"] + 1.0) < 1e-12
+    assert out[("a", "b")]["n_days_both"] == 2

@@ -1496,3 +1496,87 @@ def test_cooccurrence_lift_decimal_headroom(spark):
         (nb * 1000 * n_total) // (sa * sb) for nb, sa, sb in cases
     ]
     assert got == want
+
+
+def test_session_path_topk_session_bounded(spark, tmp_path):
+    """Session bounding is the point: two 3-event bursts separated by
+    a > 30-min gap must yield exactly one 3-gram per burst — the
+    cross-gap 3-grams event_paths_topk would count must NOT appear."""
+    from datafusion_uba_spark.queries_uba import q_session_path_topk
+
+    minute = 60_000_000
+    rows = []
+    # burst 1: a,b,c at t=0,1m,2m ; burst 2: d,e,f at t=120m,121m,122m
+    for i, et in enumerate(["a", "b", "c"]):
+        rows.append((i * minute, 1, et))
+    for i, et in enumerate(["d", "e", "f"]):
+        rows.append(((120 + i) * minute, 1, et))
+    df = spark.createDataFrame(
+        [(t, u, et) for t, u, et in rows],
+        "off long, user_id long, event_type string",
+    ).selectExpr(
+        "off AS event_id",
+        "timestamp_micros(1700000000000000 + off) AS ts",
+        "user_id",
+        "event_type",
+        "CAST(0.0 AS DOUBLE) AS value",
+        "'{}' AS props",
+    )
+    sf = str(tmp_path / "paths_sf")
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = [
+        (r["step1"], r["step2"], r["step3"], r["n_paths"], r["rank"])
+        for r in q_session_path_topk(spark, sf).collect()
+    ]
+    assert sorted(t[:3] for t in out) == [
+        ("a", "b", "c"), ("d", "e", "f")
+    ]
+    assert all(t[3] == 1 for t in out)
+    assert sorted(t[4] for t in out) == [1, 2]
+
+
+def test_rfm_segments_model(spark):
+    """Recompute the quartile grid in python over the sf0.01 corpus:
+    same total orders, same ntile arithmetic — cell counts and
+    revenue must match exactly, and every user lands in exactly one
+    cell (counts sum to |users|)."""
+    from datafusion_uba_spark.queries_uba import _RFM_TILES, q_rfm_segments
+    from datafusion_uba_spark.sources import load_table
+
+    out = {(r["r"], r["f"], r["m"]): (r["n_users"], r["cents_total"])
+           for r in q_rfm_segments(spark, SF_DIR).collect()}
+
+    ev = load_table(spark, SF_DIR, "events")
+    rows = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    ).collect()
+    end = max(r["last_day"] for r in rows)
+
+    def ntile(keyed, n):
+        order = sorted(keyed, key=lambda kv: kv[1])
+        total = len(order)
+        base, extra = divmod(total, n)
+        tiles, i = {}, 0
+        for t in range(1, n + 1):
+            size = base + (1 if t <= extra else 0)
+            for uid, _ in order[i:i + size]:
+                tiles[uid] = t
+            i += size
+        return tiles
+
+    rec = ntile(
+        [(r["user_id"], (-(end - r["last_day"]).days, -r["user_id"]))
+         for r in rows], _RFM_TILES)
+    fre = ntile([(r["user_id"], (r["freq"], r["user_id"])) for r in rows],
+                _RFM_TILES)
+    mon = ntile([(r["user_id"], (r["cents"], r["user_id"])) for r in rows],
+                _RFM_TILES)
+    want = {}
+    for r in rows:
+        key = (rec[r["user_id"]], fre[r["user_id"]], mon[r["user_id"]])
+        n, c = want.get(key, (0, 0))
+        want[key] = (n + 1, c + r["cents"])
+    assert out == want
+    assert sum(n for n, _ in out.values()) == len(rows)

@@ -153,6 +153,13 @@ HEAVY = [
     "funnel_by_variant",
     "repurchase_intervals",
     "revenue_new_vs_returning",
+    "mann_whitney_revenue",
+    "benford_values",
+    "event_type_corr",
+    "session_path_topk",
+    "rfm_segments",
+    "dedup_rate_by_source",
+    "token_length_histogram",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
