@@ -1910,6 +1910,154 @@ ORDER BY source, bucket
 """
 
 
+
+
+def q_ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search — "nearest English documents
+    only": the corpus side is the embeddings table semi-joined to the
+    documents metadata predicate (lang = 'en') BEFORE any scoring, so
+    the filter prunes the expensive side ahead of the dot products —
+    the standard pre-filtered ANN shape (vs post-filtering a top-k,
+    which under-returns when the predicate is selective). At 100 TB
+    the metadata projection (doc_id, lang) is a fraction of the
+    vector table and broadcastable; scoring then proceeds exactly as
+    ann_topk (broadcast query set, corpus never shuffles). Ranks are
+    re-dense within the filtered corpus, so every query still returns
+    a full top-k when enough filtered candidates exist."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    keep = docs.where(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = emb.join(F.broadcast(keep), "vec_id", "left_semi")
+    return similarity.cosine_topk(corpus, _query_vectors(emb), k=_TOPK)
+
+
+_ORACLE_ANN_TOPK_FILTERED = f"""
+WITH keep AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+d AS (
+  SELECT vec_id, {_QUANT} AS v FROM embeddings
+  WHERE vec_id IN (SELECT doc_id FROM keep)
+),
+dn AS (SELECT vec_id, v, {_ddb_dot("v", "v")} AS n2 FROM d),
+dq AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+dqn AS (SELECT vec_id, v, {_ddb_dot("v", "v")} AS n2 FROM dq),
+q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM dqn
+      WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT query_id, vec_id,
+         CAST({_ddb_dot("qv", "v")} AS DOUBLE)
+         / sqrt(CAST(qn2 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS c
+  FROM q, dn
+),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)
+           AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       CAST(floor(c * 1000000) AS BIGINT) AS cosine_u
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+def q_embedding_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution monitor: per source, the exact-integer
+    centroid direction's alignment with the GLOBAL centroid — the
+    drift readout that catches an encoder change or a poisoned shard
+    in one number per source. Centroids are exact micro-unit
+    component sums (one posexplode hash aggregate each, the
+    label_centroids shape with `source` as the label); the alignment
+    is the exact integer dot of the two SUM vectors divided by their
+    norms (IEEE, deterministic), so scale factors (doc counts) cancel
+    and only direction matters. Output: (source, n_vecs,
+    align_global_u) with alignment on the micro grid."""
+    from datafusion_uba_spark.operators.similarity import (
+        _QUANT_SQL,
+        dot_sql,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    emb = _emb(spark, sf_dir)
+    j = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "source",
+        F.expr(_QUANT_SQL.format(col="embedding")).alias("q"),
+    )
+    comp = j.select(
+        "source", F.posexplode("q").alias("pos", "val")
+    )
+    per_src = (
+        comp.groupBy("source", "pos")
+        .agg(F.sum("val").alias("s"))
+        .groupBy("source")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "s"))),
+                lambda ps: ps["s"],
+            ).alias("sv")
+        )
+    )
+    counts = j.groupBy("source").agg(F.count(F.lit(1)).alias("n_vecs"))
+    glob = (
+        comp.groupBy("pos")
+        .agg(F.sum("val").alias("s"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "s"))),
+                lambda ps: ps["s"],
+            ).alias("gv")
+        )
+    )
+    dim = 64
+    return (
+        per_src.join(counts, "source")
+        .crossJoin(F.broadcast(glob))
+        .selectExpr(
+            "source",
+            "n_vecs",
+            f"CAST(floor(CAST({dot_sql('sv', 'gv', dim)} AS DOUBLE)"
+            f" / sqrt(CAST({dot_sql('sv', 'sv', dim)} AS DOUBLE)"
+            f" * CAST({dot_sql('gv', 'gv', dim)} AS DOUBLE))"
+            " * 1000000) AS BIGINT) AS align_global_u",
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_EMBEDDING_DRIFT = f"""
+WITH j AS (
+  SELECT d.source, {_QUANT} AS v
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+u AS (
+  SELECT source, unnest(v) AS val, generate_subscripts(v, 1) AS i
+  FROM j
+),
+per AS (
+  SELECT source, i, CAST(sum(val) AS BIGINT) AS s
+  FROM u GROUP BY source, i
+),
+psv AS (
+  SELECT source, list(s ORDER BY i) AS sv FROM per GROUP BY source
+),
+cnt AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_vecs FROM j GROUP BY source
+),
+gl AS (
+  SELECT i, CAST(sum(val) AS BIGINT) AS s FROM u GROUP BY i
+),
+gv AS (SELECT list(s ORDER BY i) AS gv FROM gl)
+SELECT p.source, c.n_vecs,
+       CAST(floor(CAST({_ddb_dot("p.sv", "g.gv")} AS DOUBLE)
+            / sqrt(CAST({_ddb_dot("p.sv", "p.sv")} AS DOUBLE)
+            * CAST({_ddb_dot("g.gv", "g.gv")} AS DOUBLE))
+            * 1000000) AS BIGINT) AS align_global_u
+FROM psv p JOIN cnt c USING (source) CROSS JOIN gv g
+ORDER BY p.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -3022,5 +3170,10 @@ LLM_REGISTRY: dict = {
     "token_length_histogram": (
         q_token_length_histogram,
         _ORACLE_TOKEN_LENGTH_HIST,
+    ),
+    "ann_topk_filtered": (q_ann_topk_filtered, _ORACLE_ANN_TOPK_FILTERED),
+    "embedding_drift_by_source": (
+        q_embedding_drift_by_source,
+        _ORACLE_EMBEDDING_DRIFT,
     ),
 }

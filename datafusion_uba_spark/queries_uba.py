@@ -3126,6 +3126,88 @@ ORDER BY r, f, m
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Integer EWMA of daily revenue
+# ---------------------------------------------------------------------------
+
+_EWMA_SHIFT = 2  # alpha = 1/2^2 = 0.25
+
+
+def q_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted daily revenue baseline + deviation — the
+    anomaly-scoring twin of metric_anomaly_flags with MEMORY (EWMA
+    reacts to level shifts; the rolling-window flags forget them).
+    Float EWMA cannot be hash-gated (error compounds per step), so the
+    recurrence runs on exact int64 cents with alpha = 1/4 as pure
+    integer arithmetic: s_1 = x_1; s_t = (3*s_{t-1} + x_t) // 4 with
+    non-negative operands, and the deviation divides truncating
+    TOWARD ZERO (DuckDB's integer // semantics; python's flooring //
+    differs on negative deviations — measured off-by-one before this
+    spec was pinned). The oracle replays the recurrence with a
+    recursive CTE. The fold itself is driver-side over the collected
+    per-day totals — one row per DAY (metadata-sized at any corpus:
+    3,650 rows for a decade), the same O(days) allowance as the
+    pagerank driver dispatch; the data-sized work is the one per-day
+    hash aggregate. Output: (day, cents, ewma_cents, dev_bp) where
+    dev_bp is the basis-point deviation of the day from the PRIOR
+    baseline (day 1: 0)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+        .orderBy("day")
+        .collect()
+    )
+    out, s_prev = [], None
+    for r in daily:
+        x = int(r["cents"])
+        if s_prev is None:
+            s_t, dev = x, 0
+        else:
+            # truncation toward zero, matching DuckDB's integer //
+            # and Spark's DIV (python's // floors — differs on the
+            # negative deviations)
+            num, den = (x - s_prev) * 10000, max(s_prev, 1)
+            dev = abs(num) // den * (1 if num >= 0 else -1)
+            s_t = (3 * s_prev + x) // 4
+        out.append((r["day"], x, s_t, dev))
+        s_prev = s_t
+    return spark.createDataFrame(
+        out, "day string, cents long, ewma_cents long, dev_bp long"
+    )
+
+
+_ORACLE_REVENUE_EWMA = f"""
+WITH RECURSIVE daily AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+ordered AS (
+  SELECT day, cents, row_number() OVER (ORDER BY day) AS rn FROM daily
+),
+ew AS (
+  SELECT rn, day, cents, cents AS ewma_cents, CAST(0 AS BIGINT) AS dev_bp
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.day, o.cents,
+         CAST((3 * ew.ewma_cents + o.cents) // 4 AS BIGINT) AS ewma_cents,
+         CAST(((o.cents - ew.ewma_cents) * 10000)
+              // greatest(ew.ewma_cents, 1) AS BIGINT) AS dev_bp
+  FROM ew JOIN ordered o ON o.rn = ew.rn + 1
+)
+SELECT day, cents, ewma_cents, dev_bp FROM ew
+"""
+
+
 UBA_REGISTRY: dict = {
     "daily_kpi_report": (q_daily_kpi_report, _ORACLE_DAILY_KPI),
     "cdc_snapshot": (q_cdc_snapshot, _ORACLE_CDC_SNAPSHOT),
@@ -3222,4 +3304,5 @@ UBA_REGISTRY: dict = {
     ),
     "session_path_topk": (q_session_path_topk, _ORACLE_SESSION_PATH_TOPK),
     "rfm_segments": (q_rfm_segments, _ORACLE_RFM),
+    "revenue_ewma": (q_revenue_ewma, _ORACLE_REVENUE_EWMA),
 }

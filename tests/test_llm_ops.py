@@ -1996,3 +1996,39 @@ def test_dedup_rate_by_source_golden(spark, tmp_path):
     assert out["s2"]["n_dups"] == 1 and out["s2"]["n_docs"] == 2
     assert out["s2"]["dup_bp"] == 5000
     assert out["s2"]["dup_chars"] == len("same text here")
+
+
+def test_ann_topk_filtered_honors_predicate(spark, sf_dir):
+    """Every returned neighbor must satisfy the metadata predicate,
+    and a query whose true nearest neighbor is non-English must NOT
+    return it (pre-filter, not post-filter)."""
+    from datafusion_uba_spark.queries_llm import q_ann_topk_filtered
+
+    docs = load_table(spark, sf_dir, "documents")
+    en = {r["doc_id"] for r in docs.where("lang = 'en'").collect()}
+    out = q_ann_topk_filtered(spark, sf_dir).collect()
+    assert out
+    assert all(r["vec_id"] in en for r in out)
+    # per query: ranks are dense 1..k' and cosines non-increasing
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        cos = [r["cosine_u"] for r in rows]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_embedding_drift_alignment_bounds(spark, sf_dir):
+    """Alignments live on the micro grid in [-1e6, 1e6]; a corpus of
+    one source is perfectly aligned with the global centroid."""
+    from datafusion_uba_spark.queries_llm import (
+        q_embedding_drift_by_source,
+    )
+
+    out = q_embedding_drift_by_source(spark, sf_dir).collect()
+    assert len(out) >= 2
+    for r in out:
+        assert -1_000_000 <= r["align_global_u"] <= 1_000_000
+        assert r["n_vecs"] >= 1

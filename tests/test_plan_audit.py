@@ -65,6 +65,12 @@ _NLJ_ALLOWED = {
     # target grid (queries_stats.q_ab_conversion_test) — the zero-
     # converter-arm fix's crossJoin; NLJ cost O(|types| x 2)
     "ab_conversion_test",
+    # pre-filtered brute-force scorer: ann_topk's designed broadcast
+    # crossJoin over the metadata-filtered corpus
+    "ann_topk_filtered",
+    # the ONE-ROW global-centroid vector broadcast against the
+    # per-source centroid table — scalar-broadcast shape, O(|sources|)
+    "embedding_drift_by_source",
 }
 
 _REGISTRY = queries()

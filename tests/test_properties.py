@@ -755,3 +755,110 @@ def test_cdc_apply_matches_model(spark, rows, keep):
         ).collect()
     }
     assert got == _cdc_model(rows, keep)
+
+
+# (key, seq) NOT unique: ties resolve by the deterministic content
+# tiebreak (r11 advisor finding) — the winner is the max of
+# (seq, op desc, payload desc) per key, independent of arrival order
+_cdc_tied = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),    # key
+        st.integers(min_value=0, max_value=3),    # seq (ties likely)
+        st.sampled_from(["U", "D"]),
+        st.integers(min_value=0, max_value=9),    # payload
+    ),
+    min_size=2,
+    max_size=20,
+    unique=True,  # identical full rows excluded (winner immaterial)
+)
+
+
+@given(rows=_cdc_tied)
+@settings(**_SETTINGS)
+def test_cdc_apply_tiebreak_is_content_deterministic(spark, rows):
+    """With seq ties, the winner must be a pure function of row
+    CONTENT: shuffling the input (reversed order, different
+    partitioning) must give the identical snapshot, and it must equal
+    the (seq, op, payload) lexicographic-max model."""
+    from datafusion_uba_spark.operators.scd import cdc_apply
+
+    def run(data, parts):
+        log = spark.createDataFrame(
+            data, "k long, seq long, op string, payload long"
+        ).repartition(parts)
+        return {
+            r["k"]: (r["seq"], r["op"], r["payload"])
+            for r in cdc_apply(
+                log, ["k"], ["seq"], "op", keep_tombstones=True
+            ).collect()
+        }
+
+    a = run(rows, 3)
+    b = run(list(reversed(rows)), 7)
+    assert a == b
+    model = {}
+    for k, seq, op, payload in rows:
+        cur = model.get(k)
+        cand = (seq, op, payload)
+        if cur is None or cand > cur:
+            model[k] = cand
+    assert a == model
+
+
+_mw_vals = st.lists(
+    st.tuples(
+        st.booleans(),                            # arm A?
+        st.integers(min_value=0, max_value=5),    # cents (ties likely)
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@given(vals=_mw_vals)
+@settings(**_SETTINGS)
+def test_mann_whitney_core_matches_model(spark, vals):
+    """The doubled-midrank aggregation (the registry row's core,
+    evaluated directly on a crafted (variant, cents) frame) must match
+    a literal python midrank model: 2*R_A, 2*U_A, and the tie term."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("A" if a else "B", c) for a, c in vals],
+        "variant string, cents long",
+    )
+    g = df.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_at"),
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("na_at"),
+    )
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    r = g.select(
+        "n_at", "na_at",
+        (F.sum("n_at").over(w) - F.col("n_at")).alias("before_n"),
+    )
+    row = r.agg(
+        F.sum(
+            F.col("na_at")
+            * (F.lit(2) * F.col("before_n") + F.col("n_at") + F.lit(1))
+        ).alias("r2a"),
+        F.sum(
+            F.col("n_at") * F.col("n_at") * F.col("n_at") - F.col("n_at")
+        ).alias("t"),
+    ).collect()[0]
+    # python midrank model on the raw values
+    cents_sorted = sorted(c for _, c in vals)
+    rank2 = {}
+    for c in set(cents_sorted):
+        lo = cents_sorted.index(c) + 1
+        hi = lo + cents_sorted.count(c) - 1
+        rank2[c] = lo + hi  # 2 * midrank
+    want_r2a = sum(rank2[c] for a, c in vals if a)
+    from collections import Counter
+
+    tc = Counter(cents_sorted)
+    want_t = sum(t**3 - t for t in tc.values())
+    assert int(row["r2a"] or 0) == want_r2a
+    assert int(row["t"]) == want_t

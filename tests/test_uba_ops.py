@@ -1580,3 +1580,32 @@ def test_rfm_segments_model(spark):
         want[key] = (n + 1, c + r["cents"])
     assert out == want
     assert sum(n for n, _ in out.values()) == len(rows)
+
+
+def test_revenue_ewma_fold_golden(spark, tmp_path):
+    """Hand-walked recurrence incl. the truncation-toward-zero pin on
+    a negative deviation: days with cents 400, 100, 900.
+    d1: s=400 dev=0
+    d2: dev = (100-400)*1e4 / 400 = -7500 exactly; s = (1200+100)//4 = 325
+    d3: dev = (900-325)*1e4 // 325 = 17692 (trunc); s = (975+900)//4 = 468
+    """
+    from datafusion_uba_spark.queries_uba import q_revenue_ewma
+
+    day = 86_400_000_000
+    rows = [(0, 1, "x", 4.0), (day, 1, "x", 1.0), (2 * day, 1, "x", 9.0)]
+    df = spark.createDataFrame(
+        rows, "off long, user_id long, event_type string, value double"
+    ).selectExpr(
+        "off AS event_id",
+        "timestamp_micros(1700000000000000 + off) AS ts",
+        "user_id", "event_type", "value", "'{}' AS props",
+    )
+    sf = str(tmp_path / "ewma_sf")
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = sorted(
+        (r["day"], r["cents"], r["ewma_cents"], r["dev_bp"])
+        for r in q_revenue_ewma(spark, sf).collect()
+    )
+    assert [t[1:] for t in out] == [
+        (400, 400, 0), (100, 325, -7500), (900, 468, 17692),
+    ]

@@ -160,6 +160,9 @@ HEAVY = [
     "rfm_segments",
     "dedup_rate_by_source",
     "token_length_histogram",
+    "ann_topk_filtered",
+    "embedding_drift_by_source",
+    "revenue_ewma",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
