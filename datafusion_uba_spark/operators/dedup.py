@@ -1553,10 +1553,19 @@ def semantic_index_build(
             (int(r["cid"]), [int(x) for x in r["q"]])
             for r in cents_df.collect()
         )
+        if not cent_rows:
+            raise ValueError(
+                "semantic_index_build: corpus is empty — an index "
+                "needs at least one vector to fit centroids"
+            )
     else:
         cent_rows = sorted(
             (int(c), [int(x) for x in q]) for c, q in centroids
         )
+        if not cent_rows:
+            raise ValueError(
+                "semantic_index_build: centroids list is empty"
+            )
         if k is None:
             k = len(cent_rows)
     cents_df = spark.createDataFrame(
@@ -1744,7 +1753,16 @@ def semantic_pairs_against(
         corpus, k=k, rounds=rounds, vec_col=vec_col, id_col=id_col,
         scale=scale,
     )
+    # an empty corpus yields zero centroids: every probe assignment
+    # would be NULL and silently drop — return the empty pair frame
+    # instead (the pagerank empty-edge discipline)
     cents = cents.localCheckpoint(eager=False)
+    if cents.isEmpty():
+        idt = dict(inc.dtypes)[id_col]
+        return inc.sparkSession.createDataFrame(
+            [],
+            f"cluster long, id_a {idt}, id_b {idt}, cosine_u long",
+        )
     a = _sem_assign(corpus, cents, vec_col, id_col, dim, scale).select(
         "cluster",
         F.col("vec_id").alias("id_a"),

@@ -940,7 +940,11 @@ def q_mann_whitney_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("A"),
     ).otherwise(F.lit("B"))
     uc = ev.groupBy("user_id").agg(
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        # all-NULL values sum to NULL; pin to 0 (a zero-revenue user)
+        # because Spark and DuckDB order NULL at opposite ends
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0)
+        ).alias("cents")
     ).select(variant.alias("variant"), "cents")
     g = uc.groupBy("cents").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n_at"),
@@ -1014,7 +1018,8 @@ _ORACLE_MANN_WHITNEY = f"""
 WITH uc AS (
   SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
               THEN 'A' ELSE 'B' END AS variant,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+              AS BIGINT) AS cents
   FROM events GROUP BY user_id
 ),
 g AS (

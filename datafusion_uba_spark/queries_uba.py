@@ -3067,7 +3067,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = ev.groupBy("user_id").agg(
         F.max(F.to_date("ts")).alias("last_day"),
         F.count(F.lit(1)).alias("freq"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        # all-NULL values -> 0 cents, not NULL (Spark and DuckDB sort
+        # NULL at opposite ends of the monetary ntile order)
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0)
+        ).alias("cents"),
     )
     end_day = ev.agg(F.max(F.to_date("ts")).alias("mx")).collect()[0]["mx"]
     per = per.withColumn(
@@ -3104,7 +3108,8 @@ WITH per AS (
   SELECT user_id,
          max(CAST(ts AS DATE)) AS last_day,
          CAST(count(*) AS BIGINT) AS freq,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+              AS BIGINT) AS cents
   FROM events GROUP BY user_id
 ),
 r AS (

@@ -2032,3 +2032,19 @@ def test_embedding_drift_alignment_bounds(spark, sf_dir):
     for r in out:
         assert -1_000_000 <= r["align_global_u"] <= 1_000_000
         assert r["n_vecs"] >= 1
+
+
+def test_semantic_empty_corpus_guards(spark, emb):
+    """Empty inputs fail loudly or return empty, never NULL-cluster
+    garbage: building on an empty corpus raises; probing against an
+    empty corpus inline returns an empty, correctly-typed frame."""
+    import pytest
+
+    from datafusion_uba_spark.operators import dedup
+
+    empty = emb.limit(0)
+    with pytest.raises(ValueError, match="corpus is empty"):
+        dedup.semantic_index_build(empty, "sem_never_built")
+    out = dedup.semantic_pairs_against(emb.limit(5), empty, k=4)
+    assert out.columns == ["cluster", "id_a", "id_b", "cosine_u"]
+    assert out.count() == 0

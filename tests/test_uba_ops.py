@@ -1609,3 +1609,48 @@ def test_revenue_ewma_fold_golden(spark, tmp_path):
     assert [t[1:] for t in out] == [
         (400, 400, 0), (100, 325, -7500), (900, 468, 17692),
     ]
+
+
+def test_scd2_apply_table_explicit_batch_id(spark):
+    """The production path (date-stamped explicit batch ids): the
+    partition-PRUNED collision probe must pass on a fresh id (a
+    missing partition is an empty result, not an error), the apply
+    must land closed rows under that id, and reusing it must raise."""
+    import pytest
+
+    from datafusion_uba_spark.operators import scd
+
+    table = "scd_explicit_pin"
+    dim = spark.createDataFrame(
+        [(1, "a", 0, None)],
+        "k long, seg string, valid_from long, valid_to long",
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        scd.scd2_init(dim, table)
+        b = spark.createDataFrame(
+            [(1, "b", 50)], "k long, seg string, effective_s long"
+        )
+        bid = scd.scd2_apply_table(
+            spark, table, b, ["k"], ["seg"], batch_id="day_2024_01_02"
+        )
+        assert bid == "day_2024_01_02"
+        got = sorted(
+            (r["k"], r["seg"], r["valid_from"], r["valid_to"], r["close_b"])
+            for r in spark.table(table).collect()
+        )
+        assert got == [
+            (1, "a", 0, 50, "day_2024_01_02"),
+            (1, "b", 50, None, "open"),
+        ]
+        with pytest.raises(ValueError, match="overwrite closed history"):
+            scd.scd2_apply_table(
+                spark, table, b, ["k"], ["seg"],
+                batch_id="day_2024_01_02",
+            )
+        with pytest.raises(ValueError, match="may not contain quotes"):
+            scd.scd2_apply_table(
+                spark, table, b, ["k"], ["seg"], batch_id="x'y"
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
