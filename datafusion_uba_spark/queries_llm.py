@@ -2058,6 +2058,99 @@ ORDER BY p.source
 """
 
 
+
+
+def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test CONTAMINATION audit — the check every dataset
+    card should run and most don't: exact-content fingerprint groups
+    that span two splits leak evaluation data into training. Composes
+    the deterministic md5-bucket split (packing.assign_split, the
+    dataset_split row's rule) with the exact-dedup fingerprint: per
+    fingerprint one hash aggregate folds split-membership indicator
+    bits, then a fixed 3-row report (train_val / train_test /
+    val_test) counts the offending fingerprints and the documents in
+    those groups. Zero rows is not the success signal — the pairs
+    always appear, with n_fingerprints = 0 when clean — so a broken
+    upstream join fails loudly rather than reading as clean."""
+    docs = _docs(spark, sf_dir)
+    d = packing.assign_split(
+        docs.select(
+            "doc_id",
+            text_ops.content_fingerprint("text").alias("fp"),
+        ),
+        val_pct=5,
+        test_pct=5,  # the dataset_split row's 90/5/5 (oracle constants)
+    )
+    g = d.groupBy("fp").agg(
+        F.max((F.col("split") == "train").cast("int")).alias("t"),
+        F.max((F.col("split") == "val").cast("int")).alias("v"),
+        F.max((F.col("split") == "test").cast("int")).alias("e"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def _cells(a, b):
+        hit = (F.col(a) == 1) & (F.col(b) == 1)
+        return [
+            F.coalesce(F.sum(hit.cast("long")), F.lit(0)),
+            F.coalesce(F.sum(F.when(hit, F.col("n"))), F.lit(0)).cast(
+                "long"
+            ),
+        ]
+
+    # ONE aggregate over the fingerprint groups (not one scan per
+    # pair), unpivoted to the fixed 3-row report with stack
+    wide = g.agg(
+        *(
+            c.alias(f"c{i}")
+            for i, c in enumerate(
+                _cells("t", "e") + _cells("t", "v") + _cells("v", "e")
+            )
+        )
+    )
+    return wide.selectExpr(
+        "stack(3, 'train_test', c0, c1, 'train_val', c2, c3, "
+        "'val_test', c4, c5) AS (split_pair, n_fingerprints, n_docs)"
+    ).orderBy("split_pair")
+
+
+# thresholds replicate assign_split's integer arithmetic (the
+# dataset_split oracle's constants): test >= 62260, val >= 58984
+_ORACLE_SPLIT_LEAKAGE = f"""
+WITH d AS (
+  SELECT doc_id, sha256({_NORM}) AS fp,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT >= 62260 THEN 'test'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT >= 58984 THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents
+),
+g AS (
+  SELECT fp,
+         max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS t,
+         max(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS v,
+         max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS e,
+         CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY fp
+)
+SELECT 'train_test' AS split_pair,
+       CAST(coalesce(count(*) FILTER (t = 1 AND e = 1), 0) AS BIGINT)
+         AS n_fingerprints,
+       CAST(coalesce(sum(n) FILTER (t = 1 AND e = 1), 0) AS BIGINT)
+         AS n_docs
+FROM g
+UNION ALL
+SELECT 'train_val',
+       CAST(coalesce(count(*) FILTER (t = 1 AND v = 1), 0) AS BIGINT),
+       CAST(coalesce(sum(n) FILTER (t = 1 AND v = 1), 0) AS BIGINT)
+FROM g
+UNION ALL
+SELECT 'val_test',
+       CAST(coalesce(count(*) FILTER (v = 1 AND e = 1), 0) AS BIGINT),
+       CAST(coalesce(sum(n) FILTER (v = 1 AND e = 1), 0) AS BIGINT)
+FROM g
+ORDER BY split_pair
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -3176,4 +3269,5 @@ LLM_REGISTRY: dict = {
         q_embedding_drift_by_source,
         _ORACLE_EMBEDDING_DRIFT,
     ),
+    "split_leakage_check": (q_split_leakage_check, _ORACLE_SPLIT_LEAKAGE),
 }

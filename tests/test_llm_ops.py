@@ -2048,3 +2048,42 @@ def test_semantic_empty_corpus_guards(spark, emb):
     out = dedup.semantic_pairs_against(emb.limit(5), empty, k=4)
     assert out.columns == ["cluster", "id_a", "id_b", "cosine_u"]
     assert out.count() == 0
+
+
+def test_split_leakage_check_golden(spark, tmp_path):
+    """Crafted corpus with KNOWN leakage: two identical docs whose md5
+    id-buckets land them in train and test must show up as one leaked
+    fingerprint (2 docs) in train_test only; the clean pairs report
+    zero but still appear (fixed 3-row schema)."""
+    import hashlib
+    import os
+
+    from datafusion_uba_spark.queries_llm import q_split_leakage_check
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+
+    # find ids whose buckets land in train (<58984) and test (>=62260)
+    train_ids = [i for i in range(1, 4000) if bucket(i) < 58984]
+    test_ids = [i for i in range(1, 4000) if bucket(i) >= 62260]
+    rows = [
+        (train_ids[0], "leaked content shared verbatim", "s"),
+        (test_ids[0], "leaked content shared verbatim", "s"),
+        (train_ids[1], "clean train only text", "s"),
+        (test_ids[1], "clean test only text", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    sf = str(tmp_path / "leak_sf")
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {
+        r["split_pair"]: (r["n_fingerprints"], r["n_docs"])
+        for r in q_split_leakage_check(spark, sf).collect()
+    }
+    assert out == {
+        "train_test": (1, 2),
+        "train_val": (0, 0),
+        "val_test": (0, 0),
+    }

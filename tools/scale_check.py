@@ -163,6 +163,7 @@ HEAVY = [
     "ann_topk_filtered",
     "embedding_drift_by_source",
     "revenue_ewma",
+    "split_leakage_check",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
