@@ -1566,6 +1566,14 @@ def semantic_index_build(
             raise ValueError(
                 "semantic_index_build: centroids list is empty"
             )
+        if k is not None and k != len(cent_rows):
+            # a mismatched k would be persisted into the meta row and
+            # silently record wrong index geometry (r12 advisor)
+            raise ValueError(
+                "semantic_index_build: k=%d does not match the %d "
+                "supplied centroids — pass k=None to derive it"
+                % (k, len(cent_rows))
+            )
         if k is None:
             k = len(cent_rows)
     cents_df = spark.createDataFrame(

@@ -333,9 +333,11 @@ def cdc_apply(
     order += [
         F.col(c).desc_nulls_last()
         for c in changelog.columns
-        # maps are unorderable in Spark; skip them (still deterministic
-        # for well-formed sources where seq_cols is a total order)
-        if c not in claimed and not dtypes[c].startswith("map<")
+        # maps are unorderable in Spark ANYWHERE in the type — a bare
+        # map<>, an array<map<>>, or a struct with a map field all
+        # fail ORDER BY analysis; skip them (still deterministic for
+        # well-formed sources where seq_cols is a total order)
+        if c not in claimed and "map<" not in dtypes[c]
     ]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     ranked = changelog.withColumn("__rn", F.row_number().over(w))

@@ -31,6 +31,7 @@ equivalent contract.
 
 from __future__ import annotations
 
+import logging
 import os
 from collections.abc import Sequence
 
@@ -312,7 +313,14 @@ def staged_swap_tables(spark: SparkSession, builds) -> None:
             try:
                 spark.sql(f"DROP TABLE IF EXISTS {stage}")
             except Exception:
-                pass
+                # cleanup must not mask the original build failure;
+                # log the leftover stage so an operator can drop it
+                logging.getLogger(__name__).warning(
+                    "staged_swap_tables: could not drop staging "
+                    "table %s during rollback; drop it manually",
+                    stage,
+                    exc_info=True,
+                )
         raise
     for _, live in staged:
         drop_table_and_orphan(spark, live)

@@ -596,63 +596,6 @@ def test_multimodal_roundtrip(spark, tmp_path):
     assert stats[2].n_pixels == stats[2].width * stats[2].height
 
 
-def test_multimodal_decode_stub(spark):
-    df = spark.createDataFrame(
-        [(i, f"payload number {i} with some bytes") for i in range(10)],
-        "doc_id long, text string",
-    )
-    decoded = multimodal._legacy_decode_payload(multimodal.attach_payload(df))
-    rows = {r.doc_id: r for r in decoded.collect()}
-    assert len(rows) == 10
-    assert decoded.columns == [
-        "doc_id", "modality", "n_bytes", "byte_sum", "frame_count", "feature",
-    ]
-    for r in rows.values():
-        assert r.byte_sum > 0 and len(r.feature) == 4
-        if r.modality == "image":
-            assert r.frame_count == 1
-
-
-def test_frame_sample(spark):
-    df = spark.createDataFrame(
-        [(i, "x" * (20 + i)) for i in range(12)], "doc_id long, text string"
-    )
-    mm = multimodal.attach_payload(df)
-    frames = multimodal._legacy_frame_sample(mm, every_n=2).collect()
-    assert frames, "some doc_ids map to video modality"
-    for r in frames:
-        assert r.frame_idx % 2 == 0
-    video_ids = {r.doc_id for r in frames}
-    assert video_ids <= {i for i in range(12) if i % 3 == 2}
-
-
-def test_resize_image_stub(spark):
-    df = spark.createDataFrame(
-        [(i, "x" * (50 + i)) for i in range(12)], "doc_id long, text string"
-    )
-    mm = multimodal.attach_payload(df)
-    # image modality is doc_id % 3 == 0; original dims are multiples
-    # of 64 up to 1024x576
-    orig = {
-        r.doc_id: (r.width, r.height)
-        for r in multimodal.payload_stats(mm).collect()
-    }
-    out = {r.doc_id: r for r in multimodal._legacy_resize_image(mm, max_side=128).collect()}
-    assert set(out) == {i for i in range(12) if i % 3 == 0}
-    for did, r in out.items():
-        w0, h0 = orig[did]
-        assert max(r.width, r.height) <= 128
-        assert r.width <= w0 and r.height <= h0
-        # aspect preserved within integer rounding
-        if max(w0, h0) > 128:
-            scale = 128 / max(w0, h0)
-            assert abs(r.width - int(w0 * scale)) <= 1
-            assert abs(r.height - int(h0 * scale)) <= 1
-        else:
-            assert (r.width, r.height) == (w0, h0)
-        assert 1 <= len(r.payload)
-
-
 def test_winnow_guarantee_and_edges(spark):
     """The winnowing guarantee: documents sharing a substring of
     length >= w + k - 1 (= 11 chars with defaults k=8, w=4) share at
@@ -2048,6 +1991,23 @@ def test_semantic_empty_corpus_guards(spark, emb):
     out = dedup.semantic_pairs_against(emb.limit(5), empty, k=4)
     assert out.columns == ["cluster", "id_a", "id_b", "cosine_u"]
     assert out.count() == 0
+
+
+def test_semantic_index_build_rejects_k_centroid_mismatch(spark, emb):
+    """Passing both k and explicit centroids with k != len(centroids)
+    must raise instead of persisting wrong geometry into the meta row
+    (r12 advisor): the stored k seeds the default bucket count, so a
+    silent mismatch corrupts every later partition-pruned probe."""
+    import pytest
+
+    from datafusion_uba_spark.operators import dedup
+
+    cents = [(0, [0] * 8), (1, [1000] * 8)]
+    with pytest.raises(ValueError, match="does not match"):
+        dedup.semantic_index_build(
+            emb, "sem_geom_mismatch", k=5, centroids=cents
+        )
+    assert not spark.catalog.tableExists("sem_geom_mismatch")
 
 
 def test_split_leakage_check_golden(spark, tmp_path):

@@ -173,3 +173,16 @@ def test_aqe_splits_skewed_join(spark):
         assert joined.count() == 20_000
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_rfm_segments_no_single_partition_window(plans):
+    """The r12 scale-killer, pinned fixed: rfm_segments' quartiles
+    must come from operators.ranking.global_ntile (range repartition +
+    partitioned local windows + broadcast offsets), never from an
+    unpartitioned ntile window — which plans as Exchange
+    SinglePartition + one-task sort over the whole per-user frame."""
+    p = plans["rfm_segments"]
+    assert "ntile(" not in p, "unpartitioned ntile window is back"
+    assert "SinglePartition" not in p, (
+        "a single-partition exchange reappeared in rfm_segments:\n" + p
+    )

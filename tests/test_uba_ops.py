@@ -1191,6 +1191,36 @@ def test_cdc_apply_seq_tiebreak_is_total(spark):
     assert len(out) == 1 and out[0]["payload"] == 200
 
 
+def test_cdc_apply_skips_nested_unorderable_tiebreaks(spark):
+    """The content tiebreak must exclude any column whose type CONTAINS
+    a map anywhere (bare map, array<map>, struct-with-map) — Spark
+    rejects them all in ORDER BY, and the r12 startswith('map<') check
+    let the nested shapes through to an AnalysisException (r12
+    advisor). Orderable siblings still participate."""
+    from pyspark.sql import functions as F
+
+    from datafusion_uba_spark.operators.scd import cdc_apply
+
+    log = spark.createDataFrame(
+        [(1, 5, "U", 100), (1, 5, "U", 200)],
+        "user_id long, ts long, op string, payload long",
+    ).select(
+        "*",
+        F.array(F.create_map(F.lit("k"), F.col("payload"))).alias(
+            "tags"
+        ),
+        F.struct(
+            F.create_map(F.lit("k"), F.lit(1)).alias("m"),
+            F.lit("x").alias("s"),
+        ).alias("nested"),
+    )
+    assert dict(log.dtypes)["tags"].startswith("array<map<")
+    # ties on (ts) resolve by the remaining ORDERABLE content column
+    # (payload desc) without touching the map-bearing ones
+    out = cdc_apply(log, ["user_id"], ["ts"], "op").collect()
+    assert len(out) == 1 and out[0]["payload"] == 200
+
+
 # --- persisted CDC store ----------------------------------------------------
 
 
@@ -1654,3 +1684,68 @@ def test_scd2_apply_table_explicit_batch_id(spark):
             )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """operators.ranking.global_ntile must be bit-identical to Spark's
+    own unpartitioned ntile window under the same total order — across
+    N < n, N % n != 0, negative metrics, duplicate metric values
+    (broken by id), ASC and DESC orders, and partition counts both
+    smaller and larger than the row count."""
+    import random
+
+    from pyspark.sql import Window
+
+    from datafusion_uba_spark.operators.ranking import (
+        global_ntile,
+        global_row_number,
+    )
+
+    rng = random.Random(13)
+    for n_rows, n_tiles, parts in [
+        (0, 4, 8),
+        (1, 4, 8),
+        (3, 4, 8),       # N < n
+        (10, 4, 3),      # N % n != 0
+        (97, 5, 16),     # prime N
+        (64, 4, 200),    # parts >> rows (empty range partitions)
+    ]:
+        rows = [
+            (i, rng.randint(-50, 50)) for i in range(n_rows)
+        ]
+        df = spark.createDataFrame(
+            rows or [], "id long, metric long"
+        )
+        for order in (
+            [F.asc("metric"), F.asc("id")],
+            [F.desc("metric"), F.desc("id")],
+        ):
+            got = {
+                r["id"]: r["tile"]
+                for r in global_ntile(
+                    df, order, n_tiles, "tile", num_partitions=parts
+                ).collect()
+            }
+            want = {
+                r["id"]: r["tile"]
+                for r in df.select(
+                    "id",
+                    F.ntile(n_tiles)
+                    .over(Window.orderBy(*order))
+                    .cast("long")
+                    .alias("tile"),
+                ).collect()
+            }
+            assert got == want, (n_rows, n_tiles, parts)
+        # and the underlying rank is the exact permutation 1..N
+        rn = {
+            r["id"]: r["rn"]
+            for r in global_row_number(
+                df, [F.asc("metric"), F.asc("id")], "rn",
+                num_partitions=parts,
+            ).collect()
+        }
+        ordered = sorted(rows, key=lambda t: (t[1], t[0]))
+        assert [rn[i] for i, _ in ordered] == list(
+            range(1, n_rows + 1)
+        )
