@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_uba_spark.operators import (
+    bpe,
     dedup,
     multimodal,
     packing,
@@ -72,6 +73,76 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS = f"string_split({_NORM}, ' ')"
+
+
+# --- real merge-table BPE oracle (operators/bpe.py twin) -------------------
+#
+# DuckDB replays the EXACT greedy merge walk with a recursive CTE over
+# the distinct pre-token vocabulary. Symbol lists are encoded as
+# strings with a double-space separator and double-space sentinels
+# ('  a  b  '): pre-tokens can never contain a space (the pre-token
+# regex excludes it), one boundary space on each side of a pair
+# pattern enforces symbol alignment, and SQL replace()'s
+# leftmost-non-overlapping scan is exactly BPE's within-pass merge
+# order (the 'aaa' + (a,a) case merges to [aa, a] in both). Each
+# recursive step applies ALL occurrences of the single lowest-ranked
+# pair present; words exit when no ranked pair remains. Parity with
+# operators/bpe.encode_word is pinned in tests/test_llm_ops.py.
+
+_BPE_PRETOK_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"  # == text.BPE_TOKEN_RE
+
+
+def _bpe_merge_values() -> str:
+    rows = []
+    for i, (a, b) in enumerate(bpe.load_merges()):
+        ea, eb = a.replace("'", "''"), b.replace("'", "''")
+        rows.append(f"('{ea}', '{eb}', {i})")
+    return ", ".join(rows)
+
+
+_BPE_WALK_CTES = f"""merges(lhs, rhs, rank) AS (VALUES {_bpe_merge_values()}),
+bpe_words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all({_NORM}, '{_BPE_PRETOK_RE}')) AS w
+  FROM documents
+),
+bpe_wc AS (
+  SELECT doc_id, w, count(*) AS occ FROM bpe_words GROUP BY doc_id, w
+),
+bpe_init AS (
+  SELECT w,
+         '  ' || array_to_string(regexp_extract_all(w, '.'), '  ') || '  '
+           AS cur
+  FROM (SELECT DISTINCT w FROM bpe_wc)
+),
+bpe_walk(w, cur) AS (
+  SELECT w, cur FROM bpe_init
+  UNION ALL
+  SELECT w, replace(cur, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                         ' ' || b.lhs || b.rhs || ' ')
+  FROM (
+    SELECT w, cur,
+           (SELECT min_by(struct_pack(lhs := m.lhs, rhs := m.rhs), m.rank)
+              FROM merges m
+             WHERE contains(cur, ' ' || m.lhs || '  ' || m.rhs || ' ')) AS b
+    FROM bpe_walk
+  ) s
+  WHERE b IS NOT NULL
+),
+bpe_lens AS (
+  SELECT w, len(regexp_extract_all(cur, '[^ ]+')) AS n_sym
+  FROM bpe_walk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merges m
+    WHERE contains(bpe_walk.cur, ' ' || m.lhs || '  ' || m.rhs || ' '))
+),
+bpe_doc_tokens AS (
+  SELECT d.doc_id, CAST(coalesce(sum(wc.occ * l.n_sym), 0) AS BIGINT) AS n
+  FROM documents d
+  LEFT JOIN bpe_wc wc ON wc.doc_id = d.doc_id
+  LEFT JOIN bpe_lens l ON l.w = wc.w
+  GROUP BY d.doc_id
+)"""
 
 
 def _shingles_from(toks: str) -> str:
@@ -1849,30 +1920,25 @@ def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     length(bin(n_tokens)) - 1 (no floating log2 — log2(2^k) can land
     a hair under k in binary float on some engines, off-by-one
     bucketing the exact powers of two); bucket_lo carries the
-    human-readable lower edge. One narrow projection + one hash
-    aggregate; zero-token docs get bucket -1."""
+    human-readable lower edge. Re-anchored r13 on the REAL
+    merge-table BPE counts (operators/bpe.py greedy walk over
+    fixtures/bpe_merges.txt) — the histogram a production pipeline
+    actually bills against — instead of the whitespace-token
+    approximation; the oracle replays the identical walk with a
+    recursive CTE (_BPE_WALK_CTES). Zero-token docs get bucket -1."""
     docs = _docs(spark, sf_dir)
-    toks = F.size(
-        F.split(
-            F.trim(
-                F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-            ),
-            " ",
-        )
-    )
-    n_tokens = F.when(
-        F.trim(F.col("text")) == "", F.lit(0)
-    ).otherwise(toks).cast("long")
-    bucket = F.when(F.col("__n") <= 0, F.lit(-1)).otherwise(
-        F.length(F.expr("bin(__n)")) - 1
+    counts = bpe.bpe_token_counts(docs)
+    bucket = F.when(F.col("n_bpe_tokens") <= 0, F.lit(-1)).otherwise(
+        F.length(F.expr("bin(n_bpe_tokens)")) - 1
     ).cast("long")
     return (
-        docs.select("source", n_tokens.alias("__n"))
-        .select("source", "__n", bucket.alias("bucket"))
+        docs.select("doc_id", "source")
+        .join(counts, "doc_id")
+        .select("source", "n_bpe_tokens", bucket.alias("bucket"))
         .groupBy("source", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("__n").alias("tokens_total"),
+            F.sum("n_bpe_tokens").alias("tokens_total"),
         )
         .selectExpr(
             "source",
@@ -1887,17 +1953,12 @@ def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_TOKEN_LENGTH_HIST = f"""
-WITH t AS (
-  SELECT source,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len({_TOKS}) END AS n
-  FROM documents
-),
+WITH RECURSIVE {_BPE_WALK_CTES},
 b AS (
-  SELECT source, n,
-         CASE WHEN n <= 0 THEN -1
-              ELSE CAST(length(bin(n)) - 1 AS BIGINT) END AS bucket
-  FROM t
+  SELECT d.source, t.n,
+         CASE WHEN t.n <= 0 THEN -1
+              ELSE CAST(length(bin(t.n)) - 1 AS BIGINT) END AS bucket
+  FROM documents d JOIN bpe_doc_tokens t USING (doc_id)
 )
 SELECT source, bucket,
        CAST(CASE WHEN bucket < 0 THEN 0
@@ -1910,6 +1971,66 @@ ORDER BY source, bucket
 """
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source merge-table BPE accounting: document count, total
+    pre-tokenizer matches, total REAL BPE tokens (the greedy merge
+    walk over fixtures/bpe_merges.txt — operators/bpe.py), and
+    fertility (BPE tokens per pre-token, basis points) — how well the
+    tokenizer compresses each source, i.e. what a training run is
+    actually billed per source. The Python merge loop runs once per
+    DISTINCT pre-token (Zipf factorization; corpus-sized work stays
+    in the JVM); exact integer arithmetic throughout; the oracle
+    replays the identical walk with a recursive CTE."""
+    docs = _docs(spark, sf_dir)
+    counts = bpe.bpe_token_counts(docs)
+    pre = docs.select(
+        "doc_id",
+        "source",
+        text_ops.bpe_token_count("text").cast("long").alias("__pre"),
+    )
+    return (
+        pre.join(counts, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__pre").alias("pre_tokens_total"),
+            F.sum("n_bpe_tokens").alias("bpe_tokens_total"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "pre_tokens_total",
+            "bpe_tokens_total",
+            F.floor(
+                (F.col("bpe_tokens_total") * 10000)
+                / F.greatest(F.col("pre_tokens_total"), F.lit(1))
+            )
+            .cast("long")
+            .alias("fertility_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_BPE_TOKEN_STATS = f"""
+WITH RECURSIVE {_BPE_WALK_CTES},
+pre AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all({_NORM}, '{_BPE_PRETOK_RE}'))
+              AS BIGINT) AS pre_n
+  FROM documents
+)
+SELECT p.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.pre_n) AS BIGINT) AS pre_tokens_total,
+       CAST(sum(t.n) AS BIGINT) AS bpe_tokens_total,
+       CAST(floor((CAST(sum(t.n) AS BIGINT) * 10000)
+            / greatest(CAST(sum(p.pre_n) AS BIGINT), 1)) AS BIGINT)
+         AS fertility_bp
+FROM pre p JOIN bpe_doc_tokens t USING (doc_id)
+GROUP BY p.source
+ORDER BY p.source
+"""
 
 
 def q_ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2805,18 +2926,24 @@ _N_TOKENS_EXPR = (
 )
 
 
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed context-window placement (operators/packing.py), r13:
+    packs on the REAL merge-table BPE token counts (operators/bpe.py)
+    instead of the whitespace approximation — window geometry now
+    matches what a tokenizer-fed trainer would actually see."""
     docs = _docs(spark, sf_dir)
-    return packing.pack_token_stream(docs, capacity=256, n_shards=8)
+    counts = bpe.bpe_token_counts(docs)
+    return packing.pack_token_stream(
+        counts, capacity=256, n_shards=8, tokens_col="n_bpe_tokens"
+    )
 
 
 _ORACLE_SEQUENCE_PACKING = f"""
-WITH t AS (
-  SELECT doc_id, {_N_TOKENS_EXPR} AS n FROM documents
-),
+WITH RECURSIVE {_BPE_WALK_CTES},
 s AS (
   SELECT doc_id, n, {_ddb_id_bucket('doc_id')} % 8 AS shard
-  FROM t WHERE n >= 1
+  FROM bpe_doc_tokens WHERE n >= 1
 ),
 c AS (
   SELECT doc_id, shard, n,
@@ -3264,6 +3391,7 @@ LLM_REGISTRY: dict = {
         q_token_length_histogram,
         _ORACLE_TOKEN_LENGTH_HIST,
     ),
+    "bpe_token_stats": (q_bpe_token_stats, _ORACLE_BPE_TOKEN_STATS),
     "ann_topk_filtered": (q_ann_topk_filtered, _ORACLE_ANN_TOPK_FILTERED),
     "embedding_drift_by_source": (
         q_embedding_drift_by_source,

@@ -2047,3 +2047,85 @@ def test_split_leakage_check_golden(spark, tmp_path):
         "train_val": (0, 0),
         "val_test": (0, 0),
     }
+
+
+# --- real merge-table BPE ---------------------------------------------------
+
+
+def test_bpe_merges_fixture_is_regenerable():
+    """The checked-in merge table must be exactly what
+    tools/gen_bpe_merges.py produces — pins fixture determinism and
+    catches hand-edits that would desync the Spark and DuckDB twins."""
+    import importlib.util
+    import os
+
+    from datafusion_uba_spark.operators import bpe
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_bpe_merges",
+        os.path.join(
+            os.path.dirname(__file__), "..", "tools", "gen_bpe_merges.py"
+        ),
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    assert bpe.load_merges() == gen.train(gen.SEED, gen.N_MERGES)
+    assert len(bpe.load_merges()) >= 100
+
+
+def test_bpe_encode_word_semantics():
+    """The greedy walk's pinned corners: lowest rank wins over
+    leftmost position, within-pass merges are leftmost-first
+    non-overlapping ('aaa' + (a,a) -> [aa, a]), merged symbols
+    cascade, and unknown characters survive as singletons."""
+    from datafusion_uba_spark.operators.bpe import encode_word
+
+    ranks = {("a", "a"): 0}
+    assert encode_word("aaa", ranks) == ["aa", "a"]
+    assert encode_word("aaaa", ranks) == ["aa", "aa"]
+    # rank priority: (b,c) outranks (a,b) even though (a,b) is first
+    ranks = {("a", "b"): 1, ("b", "c"): 0}
+    assert encode_word("abc", ranks) == ["a", "bc"]
+    # cascade: after (t,h) -> th, (th,e) applies
+    ranks = {("t", "h"): 0, ("th", "e"): 1}
+    assert encode_word("the", ranks) == ["the"]
+    assert encode_word("xyz", ranks) == ["x", "y", "z"]
+    assert encode_word("a", ranks) == ["a"]
+
+
+def test_bpe_token_counts_crafted(spark):
+    """Doc-level counts over a crafted frame, hand-computed against
+    the real fixture: repeated words count once through the Python
+    boundary (Zipf factorization) but multiply per occurrence; empty
+    and NULL docs count 0; digits and punctuation split off."""
+    from datafusion_uba_spark.operators import bpe
+
+    ranks = {p: i for i, p in enumerate(bpe.load_merges())}
+
+    def n(word):
+        return len(bpe.encode_word(word, ranks))
+
+    df = spark.createDataFrame(
+        [
+            (1, "the customer joins the table"),
+            (2, "the the the"),
+            (3, ""),
+            (4, None),
+            (5, "x42!"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_token_counts(df).collect()
+    }
+    want = {
+        1: 2 * n("the") + n("customer") + n("joins") + n("table"),
+        2: 3 * n("the"),
+        3: 0,
+        4: 0,
+        5: n("x") + n("42") + n("!"),  # '42' is ONE digit-run pre-token
+    }
+    assert got == want
+    # the walk genuinely merges: 'the' is one token with this fixture
+    assert n("the") == 1 and n("customer") >= 2

@@ -1079,3 +1079,86 @@ def test_streaming_semantic_dedup_against_parity(spark, tmp_path):
         assert got == want
     finally:
         dedup.drop_semantic_index(spark, "sem_stream_idx")
+
+
+def test_streaming_semantic_dedup_interleaved_upserts(spark, tmp_path):
+    """The production daily loop, three days of it: day-1 probe ->
+    upsert day-1 -> day-2 probe -> upsert day-2 -> day-3 probe. Each
+    day's file stream probes the PERSISTED index as of that morning
+    (fresh query per day — the daily-job pattern), and each day's
+    stream output must equal the batch semantic_pairs_from_index at
+    the same index state. The headline pin: a vector ingested on
+    day 1 is found as the duplicate of its day-3 copy THROUGH the
+    index — the corpus is never re-clustered (the meta row, k, and
+    centroids stay byte-identical across both upserts)."""
+    from datafusion_uba_spark.operators import dedup
+    from datafusion_uba_spark.operators.dedup import _sem_read_meta
+    from datafusion_uba_spark.streaming import (
+        streaming_semantic_dedup_against,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.where("vec_id % 4 != 0")
+    day1 = emb.where("vec_id % 4 = 0 AND vec_id < 120").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    day2 = spark.createDataFrame(
+        [(3_000_000 + i,
+          [float((i * 53 + j * 17) % 89) for j in range(64)])
+         for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    # day-3 = exact copies of day-1 vectors under fresh ids: only an
+    # index that RETAINED day-1 can call them duplicates
+    day3 = day1.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+
+    def probe_stream(df, day, state):
+        d = str(tmp_path / f"sem_day{day}")
+        df.write.parquet(d)
+        static = spark.read.parquet(d)
+        want = {
+            tuple(r)
+            for r in dedup.semantic_pairs_from_index(
+                spark, "sem_daily_idx", static, threshold=0.4
+            ).collect()
+        }
+        sdf = spark.readStream.schema(static.schema).parquet(d)
+        out = streaming_semantic_dedup_against(
+            sdf, "sem_daily_idx", threshold=0.4
+        )
+        run_to_memory(out, f"sem_day{day}_{state}", output_mode="append")
+        got = {
+            tuple(r)
+            for r in spark.table(f"sem_day{day}_{state}").collect()
+        }
+        assert got == want, f"day {day}: stream != batch oracle"
+        return got, static
+
+    try:
+        dedup.semantic_index_build(corpus, "sem_daily_idx", k=16)
+        meta0 = _sem_read_meta(spark, "sem_daily_idx").asDict()
+
+        got1, s1 = probe_stream(day1, 1, "a")
+        assert dedup.semantic_index_upsert(s1, "sem_daily_idx") > 0
+
+        got2, s2 = probe_stream(day2, 2, "a")
+        assert dedup.semantic_index_upsert(s2, "sem_daily_idx") > 0
+
+        got3, _ = probe_stream(day3, 3, "a")
+        day1_ids = {r["vec_id"] for r in day1.collect()}
+        cross = {
+            (a, b) for (_, a, b, c) in got3
+            if a in day1_ids and b == a + 1_000_000
+            and c == 1_000_000
+        }
+        assert cross == {(i, i + 1_000_000) for i in day1_ids}, (
+            "day-3 copies must match their day-1 originals at exact "
+            "cosine 1.0 through the persisted index"
+        )
+        # never re-clustered: geometry identical after two upserts
+        meta3 = _sem_read_meta(spark, "sem_daily_idx").asDict()
+        assert meta3 == meta0
+    finally:
+        dedup.drop_semantic_index(spark, "sem_daily_idx")

@@ -164,6 +164,7 @@ HEAVY = [
     "embedding_drift_by_source",
     "revenue_ewma",
     "split_leakage_check",
+    "bpe_token_stats",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
