@@ -118,6 +118,115 @@ def dedup_against(
     )
 
 
+def fingerprint_bitset(
+    corpus_fp: DataFrame, bits_log2: int = 26
+) -> DataFrame:
+    """Broadcastable bit-set over corpus fingerprints: each
+    fingerprint folds to a slot in a 2^bits_log2-bit space
+    (xxhash64 + pmod) and slots pack 32768 bits per row via the
+    native bitmap aggregate — 2^26 bits = 8 MB as 2048 (bucket,
+    bits) rows, built map-side in one pass, no text movement.
+
+    This is the classic ingest-side membership prescreen (a
+    single-hash Bloom filter, stated honestly): a clear bit PROVES
+    the fingerprint is not in the corpus; a set bit is only a
+    maybe (slot collision), so callers confirm survivors exactly.
+    Sizing: false-maybe rate ~ n_keys / 2^bits_log2 — 8 bits per
+    key keeps it ~12%. Beyond broadcastable sizes (~10^9 keys)
+    the right tool is the persisted bucketed fingerprint table
+    (dedup_against corpus_fingerprints=True), not a bigger bitmap.
+    """
+    slot = F.pmod(F.xxhash64("fingerprint"), F.lit(1 << bits_log2))
+    # bitmap built-ins are 1-based: bucket = (v-1) div 32768 + 1,
+    # bit position = (v-1) % 32768
+    v = (slot + F.lit(1)).alias("v")
+    return (
+        corpus_fp.select(v)
+        .select(
+            F.bitmap_bucket_number("v").alias("bucket"),
+            F.bitmap_bit_position("v").alias("pos"),
+        )
+        .groupBy("bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bits"))
+    )
+
+
+def _bitset_probe_expr(bits_col: str, pos_col: str) -> Column:
+    """Bit ``pos`` of a bitmap_construct_agg binary, as 0/1.
+
+    Layout (pinned empirically by tests/test_llm_ops.py::
+    test_fingerprint_bitset_layout): byte index pos DIV 8 (0-based;
+    substring is 1-based), LSB-first within the byte. Spark has no
+    direct binary indexing, so the byte is read via substring ->
+    hex -> conv -> getbit — all JVM built-ins, codegen-friendly."""
+    return F.expr(
+        f"getbit(CAST(conv(hex(substring({bits_col}, "
+        f"CAST({pos_col} DIV 8 AS INT) + 1, 1)), 16, 10) AS BIGINT), "
+        f"{pos_col} % 8)"
+    )
+
+
+def dedup_against_prescreened(
+    increment: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits_log2: int = 26,
+    corpus_fingerprints: bool = False,
+) -> DataFrame:
+    """dedup_against with a bit-set prescreen: EXACTLY the same
+    answer (the confirm join removes every slot-collision false
+    maybe; false negatives are impossible), but the plan's probe
+    side shrinks before the anti-join — documents whose slot bit is
+    clear are PROVEN new and bypass the corpus entirely, so the
+    exact join handles only true duplicates plus the ~n/2^bits_log2
+    collision sliver. The bitset broadcasts (8 MB at the default);
+    the corpus fingerprint projection is read once to build it and
+    once more only for the sliver's confirm join.
+    """
+    inc_fp = increment.select(
+        F.col(id_col), content_fingerprint(text_col).alias("fingerprint")
+    )
+    if corpus_fingerprints:
+        corpus_fp = corpus.select("fingerprint")
+    else:
+        corpus_fp = corpus.select(
+            content_fingerprint(text_col).alias("fingerprint")
+        ).distinct()
+    bitset = fingerprint_bitset(corpus_fp, bits_log2)
+    slot = F.pmod(F.xxhash64("fingerprint"), F.lit(1 << bits_log2))
+    v = slot + F.lit(1)
+    probed = (
+        inc_fp.withColumn("__bucket", F.bitmap_bucket_number(v))
+        .withColumn("__pos", F.bitmap_bit_position(v))
+        .join(
+            F.broadcast(bitset),
+            F.col("__bucket") == F.col("bucket"),
+            "left",
+        )
+        .withColumn(
+            "__maybe",
+            F.col("bits").isNotNull()
+            & (_bitset_probe_expr("bits", "__pos") == 1),
+        )
+    )
+    definite = probed.where(~F.col("__maybe")).select(
+        id_col, "fingerprint"
+    )
+    sliver = (
+        probed.where(F.col("__maybe"))
+        .select(id_col, "fingerprint")
+        .join(corpus_fp, "fingerprint", "left_anti")
+    )
+    fresh = definite.unionByName(sliver)
+    w = Window.partitionBy("fingerprint")
+    return (
+        fresh.withColumn("__canon", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("__canon"))
+        .select(id_col, "fingerprint")
+    )
+
+
 # --- exact n-gram Jaccard --------------------------------------------------
 
 

@@ -2769,6 +2769,82 @@ WHERE is_dup = 0 AND lang_pred = 'en'
 """
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum shard ordering: the corpus groups into 32
+    deterministic writer shards (doc_id mod 32), each shard scores by
+    its mean document quality (exact micro-units, truncating
+    division), and shards emit in descending-quality curriculum order
+    with the cumulative token budget a trainer consumes by the end of
+    each shard — the artifact a curriculum scheduler reads. The
+    per-shard aggregate is the corpus-sized work (ONE hash aggregate
+    with map-side combine over text_stats); the ordering + cumulative
+    sum run over |shards| rows — driver-metadata-sized at any corpus
+    (the telescoping allowance), never a per-doc window."""
+    from pyspark.sql import Window
+
+    stats = text_ops.text_stats(_docs(spark, sf_dir))
+    per = (
+        stats.withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(32)).cast("long")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum("quality_u").alias("__qsum"),
+        )
+        .withColumn(
+            "quality_avg_u", F.expr("__qsum DIV n_docs").cast("long")
+        )
+    )
+    w = Window.orderBy(F.desc("quality_avg_u"), F.asc("shard"))
+    return (
+        per.select(
+            "shard", "n_docs", "tokens_total", "quality_avg_u"
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_tokens",
+            F.sum("tokens_total")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .select(
+            "rank",
+            "shard",
+            "n_docs",
+            "tokens_total",
+            "quality_avg_u",
+            "cum_tokens",
+        )
+        .orderBy("rank")
+    )
+
+
+_ORACLE_CURRICULUM_ORDER = f"""
+WITH ts AS ({_ORACLE_TEXT_STATS}),
+per AS (
+  SELECT doc_id % 32 AS shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+         CAST(sum(quality_u) AS BIGINT) AS qsum
+  FROM ts GROUP BY 1
+),
+o AS (
+  SELECT shard, n_docs, tokens_total,
+         CAST(qsum // n_docs AS BIGINT) AS quality_avg_u
+  FROM per
+)
+SELECT CAST(row_number() OVER
+         (ORDER BY quality_avg_u DESC, shard) AS BIGINT) AS rank,
+       shard, n_docs, tokens_total, quality_avg_u,
+       CAST(sum(tokens_total) OVER
+         (ORDER BY quality_avg_u DESC, shard
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+FROM o ORDER BY rank
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over a deterministic corpus split:
     docs with doc_id % 19 == 0 play the eval benchmark (~5%, the
@@ -2995,6 +3071,23 @@ SELECT CASE WHEN bucket >= 62260 THEN 'test'
        CAST(sum(greatest(n, 0)) AS BIGINT) AS n_tokens
 FROM t GROUP BY 1
 """
+
+
+def q_dedup_bitset_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ingest split and SAME ANSWER as dedup_incremental, through
+    the bit-set prescreened plan (dedup.dedup_against_prescreened):
+    the corpus folds into a broadcast 2^26-bit membership bitmap (the
+    native bitmap_construct_agg built-ins — effectively a single-hash
+    Bloom filter), a clear bit PROVES a batch doc is new and bypasses
+    the corpus, and only true duplicates plus the ~n/2^26 collision
+    sliver reach the exact anti-join. Correctness is plan-independent
+    — the confirm join removes every collision false-maybe — so the
+    row shares dedup_incremental's oracle verbatim; the pytest pins
+    the bitmap layout and forces collisions with a 256-slot bitset."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    inc = docs.where(F.col("doc_id") % 4 == 0)
+    return dedup.dedup_against_prescreened(inc, corpus)
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3324,6 +3417,11 @@ LLM_REGISTRY: dict = {
         _ORACLE_SOURCE_LENGTH_DRIFT,
     ),
     "langid_confusion": (q_langid_confusion, _oracle_langid_confusion()),
+    "dedup_bitset_prescreen": (
+        q_dedup_bitset_prescreen,
+        _ORACLE_DEDUP_INCREMENTAL,
+    ),
+    "curriculum_order": (q_curriculum_order, _ORACLE_CURRICULUM_ORDER),
     "dedup_incremental": (q_dedup_incremental, _ORACLE_DEDUP_INCREMENTAL),
     "sequence_packing": (q_sequence_packing, _ORACLE_SEQUENCE_PACKING),
     "dataset_split": (q_dataset_split, _ORACLE_DATASET_SPLIT),

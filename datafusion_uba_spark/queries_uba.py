@@ -3241,7 +3241,60 @@ SELECT day, cents, ewma_cents, dev_bp FROM ew
 """
 
 
+def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten dry run: given the deterministic erasure
+    cohort (subject key % 97 == 0 — the stand-in for a DSR id list),
+    report per table how many rows and how many distinct subjects a
+    purge would touch, BEFORE any destructive write — the audit
+    artifact a deletion pipeline logs and a DPO signs off on. One
+    narrow scan per subject-bearing table (events by user_id, orders
+    by o_custkey, customer by c_custkey), no joins; at 100 TB each
+    scan prunes to the key column + pushed filter. Fixed 3-row
+    output."""
+
+    def one(df: DataFrame, tbl: str, key: str) -> DataFrame:
+        return (
+            df.where(F.col(key) % 97 == 0)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(F.col(key)).alias("n_subjects"),
+            )
+            .select(
+                F.lit(tbl).alias("table_name"), "n_rows", "n_subjects"
+            )
+        )
+
+    return (
+        one(load_table(spark, sf_dir, "customer"), "customer", "c_custkey")
+        .unionByName(
+            one(load_table(spark, sf_dir, "events"), "events", "user_id")
+        )
+        .unionByName(
+            one(load_table(spark, sf_dir, "orders"), "orders", "o_custkey")
+        )
+        .orderBy("table_name")
+    )
+
+
+_ORACLE_ERASURE_AUDIT = """
+SELECT * FROM (
+  SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_subjects
+  FROM customer WHERE c_custkey % 97 = 0
+  UNION ALL
+  SELECT 'events', CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT user_id) AS BIGINT)
+  FROM events WHERE user_id % 97 = 0
+  UNION ALL
+  SELECT 'orders', CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT o_custkey) AS BIGINT)
+  FROM orders WHERE o_custkey % 97 = 0
+) ORDER BY table_name
+"""
+
+
 UBA_REGISTRY: dict = {
+    "erasure_audit": (q_erasure_audit, _ORACLE_ERASURE_AUDIT),
     "daily_kpi_report": (q_daily_kpi_report, _ORACLE_DAILY_KPI),
     "cdc_snapshot": (q_cdc_snapshot, _ORACLE_CDC_SNAPSHOT),
     "growth_accounting": (q_growth_accounting, _ORACLE_GROWTH_ACCOUNTING),

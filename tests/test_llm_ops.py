@@ -2129,3 +2129,76 @@ def test_bpe_token_counts_crafted(spark):
     assert got == want
     # the walk genuinely merges: 'the' is one token with this fixture
     assert n("the") == 1 and n("customer") >= 2
+
+
+# --- bit-set prescreen ------------------------------------------------------
+
+
+def test_fingerprint_bitset_layout(spark):
+    """Pin the physical layout _bitset_probe_expr depends on: the
+    bitmap_construct_agg binary stores position p at byte p DIV 8,
+    LSB-first within the byte. Probing every position of a known
+    pattern through the expression must reproduce the set exactly."""
+    from datafusion_uba_spark.operators.dedup import _bitset_probe_expr
+
+    positions = [0, 1, 7, 8, 9, 255, 32766, 32767]
+    bm = spark.createDataFrame(
+        [(p,) for p in positions], "pos int"
+    ).agg(F.bitmap_construct_agg("pos").alias("bits"))
+    probe = spark.range(0, 32768).select(
+        F.col("id").cast("int").alias("p")
+    ).crossJoin(bm)
+    got = {
+        r["p"]
+        for r in probe.where(
+            _bitset_probe_expr("bits", "p") == 1
+        ).collect()
+    }
+    assert got == set(positions)
+
+
+def test_dedup_against_prescreened_equals_exact(spark, sf_dir):
+    """The prescreened plan must return EXACTLY dedup_against's answer
+    — including under forced slot collisions: bits_log2=8 gives 256
+    slots for hundreds of fingerprints, so false maybes are
+    guaranteed and only the confirm join can save the result."""
+    from datafusion_uba_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where("doc_id % 4 != 0")
+    inc = docs.where("doc_id % 4 = 0")
+    want = sorted(
+        tuple(r) for r in dedup.dedup_against(inc, corpus).collect()
+    )
+    assert want, "expected some genuinely new docs"
+    for bits in (8, 26):
+        got = sorted(
+            tuple(r)
+            for r in dedup.dedup_against_prescreened(
+                inc, corpus, bits_log2=bits
+            ).collect()
+        )
+        assert got == want, f"bits_log2={bits}"
+
+
+def test_dedup_prescreened_definite_path_skips_corpus(spark):
+    """A batch whose fingerprints all miss the bitset must dedup
+    correctly with the corpus side of the confirm join empty — and a
+    batch of pure corpus copies must all be dropped (every copy is a
+    set bit AND a confirmed duplicate)."""
+    from datafusion_uba_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    novel = spark.createDataFrame(
+        [(1000 + i, f"fresh document {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    copies = corpus.select(
+        (F.col("doc_id") + 2000).alias("doc_id"), "text"
+    )
+    got_new = dedup.dedup_against_prescreened(novel, corpus).collect()
+    assert {r["doc_id"] for r in got_new} == set(range(1000, 1010))
+    assert dedup.dedup_against_prescreened(copies, corpus).count() == 0
