@@ -1979,8 +1979,10 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer compresses each source, i.e. what a training run is
     actually billed per source. The Python merge loop runs once per
     DISTINCT pre-token (Zipf factorization; corpus-sized work stays
-    in the JVM); exact integer arithmetic throughout; the oracle
-    replays the identical walk with a recursive CTE."""
+    in the JVM); exact integer arithmetic throughout (fertility_bp is
+    integer division — Spark `DIV` / DuckDB `//` — so no IEEE rounding
+    even past 2^53); the oracle replays the identical walk with a
+    recursive CTE."""
     docs = _docs(spark, sf_dir)
     counts = bpe.bpe_token_counts(docs)
     pre = docs.select(
@@ -2001,9 +2003,9 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "pre_tokens_total",
             "bpe_tokens_total",
-            F.floor(
-                (F.col("bpe_tokens_total") * 10000)
-                / F.greatest(F.col("pre_tokens_total"), F.lit(1))
+            F.expr(
+                "(bpe_tokens_total * 10000)"
+                " DIV greatest(pre_tokens_total, 1)"
             )
             .cast("long")
             .alias("fertility_bp"),
@@ -2024,8 +2026,8 @@ SELECT p.source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(p.pre_n) AS BIGINT) AS pre_tokens_total,
        CAST(sum(t.n) AS BIGINT) AS bpe_tokens_total,
-       CAST(floor((CAST(sum(t.n) AS BIGINT) * 10000)
-            / greatest(CAST(sum(p.pre_n) AS BIGINT), 1)) AS BIGINT)
+       CAST((CAST(sum(t.n) AS BIGINT) * 10000)
+            // greatest(CAST(sum(p.pre_n) AS BIGINT), 1) AS BIGINT)
          AS fertility_bp
 FROM pre p JOIN bpe_doc_tokens t USING (doc_id)
 GROUP BY p.source

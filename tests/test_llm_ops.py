@@ -1880,14 +1880,25 @@ def test_semantic_pairs_from_index_equals_inline(spark, emb):
 def test_token_length_histogram_bucket_edges(spark, tmp_path):
     """The integer floor(log2) bucketing pinned at the exact powers
     of two (the float-log2 off-by-one the docstring warns about):
-    n=1 -> bucket 0, n=2,3 -> 1, n=4 -> 2, n=8 -> 3; empty -> -1."""
+    n=1 -> bucket 0, n=2,3 -> 1, n=4 -> 2, n=8 -> 3; empty -> -1.
+
+    Authored in BPE-count terms (the histogram rides the merge-table
+    tokenizer since r13): every word below is a single character, and
+    the guard assertion proves each one survives the greedy merge walk
+    as exactly ONE symbol under fixtures/bpe_merges.txt, so token
+    count == word count by construction."""
     import os
 
+    from datafusion_uba_spark.operators.bpe import encode_word, load_merges
     from datafusion_uba_spark.queries_llm import q_token_length_histogram
+
+    ranks = {p: i for i, p in enumerate(load_merges())}
+    for w in "abcdefgh":
+        assert len(encode_word(w, ranks)) == 1
 
     docs = spark.createDataFrame(
         [
-            (1, "one", "s1"),
+            (1, "a", "s1"),
             (2, "a b", "s1"),
             (3, "a b c", "s1"),
             (4, "a b c d", "s1"),
