@@ -44,6 +44,31 @@ Config via env:
                         applies per query: the cold execution runs
                         unrecorded, and best/median summarize only
                         post-warm reps.
+    BENCH_ISOLATED      how many of the slowest rows get a fresh-JVM
+                        isolated rerun after the sweep (default 5;
+                        0 disables). Recorded in the sidecar under
+                        "isolated" — diagnosis only, never the
+                        headline (see below).
+
+Sweep-order randomization (r13 verdict item 2): per-query warmup + gc
+were NOT enough — a query whose reps all run at the same position in
+the sweep inherits that position's JVM context (GC debt, block-store
+state from the specific neighbors before it), so ALL its reps can be
+inflated together and best-of-3 still lies (r13: asof_view_value
+7.0 s in-bench vs 1.9 s isolated; r12: training_mix, ann_recall_lsh;
+r11: image rows). Since r14 the timed reps are organized as REPEAT
+full passes over the registry, each pass in a different
+deterministically-seeded shuffle, and per-query best is the min
+ACROSS passes — every query sees `repeat` different neighbor
+contexts, so one bad neighborhood can no longer inflate all of a
+query's reps. The warmup executions remain a leading untimed pass in
+registry order.
+
+Decision rule for calling per-query drift REAL (tools/
+BENCH_NOTES_r14.md): a row regressed only if (a) its cross-pass best
+moved ≥1.5x vs the prior round AND (b) its fresh-JVM isolated best
+(sidecar "isolated", top-BENCH_ISOLATED rows) confirms the move.
+Sweep-only movement is bench context, not code.
 
 Each query is materialized with a noop-format write: the full plan
 executes on the executors (no column pruning shortcut as with count(),
@@ -78,6 +103,7 @@ def build_artifacts(
     repeat: int,
     sf: float,
     warmup: int = 1,
+    isolated: dict | None = None,
 ) -> tuple[dict, dict]:
     """Split results into (headline, sidecar).
 
@@ -136,7 +162,83 @@ def build_artifacts(
         "warmup": warmup,
         "sf": sf,
     }
+    if isolated is not None:
+        # Fresh-JVM reruns of the slowest rows: the drift adjudicator.
+        # Diagnosis only — the headline stays sweep-derived so rounds
+        # remain comparable; a per-row "regression" is real only if
+        # this map confirms it (decision rule in the module docstring).
+        sidecar["isolated"] = isolated
     return headline, sidecar
+
+
+def _isolated_main(names: list[str], sf_dir: str) -> None:
+    """Child-process mode: time the named registry rows in THIS fresh
+    JVM (warmup 1 + best-of-2), print one JSON line {name: [runs]}.
+    Invoked by the parent sweep via `bench.py --isolated a,b,c` so the
+    measurements carry none of the 180-query sweep's JVM context."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from datafusion_uba_spark.queries import queries
+    from datafusion_uba_spark.session import get_spark
+
+    spark = get_spark(app_name="uba-bench-isolated")
+    fns = queries()
+    out: dict[str, list[float]] = {}
+    for name in names:
+        try:
+            _materialize(fns[name](spark, sf_dir))  # untimed warmup
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _materialize(fns[name](spark, sf_dir))
+                runs.append(round(time.perf_counter() - t0, 4))
+            out[name] = runs
+        except Exception as exc:  # keep the batch alive
+            print(f"isolated: {name} failed: {exc}", file=sys.stderr)
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+def _run_isolated_reruns(
+    per_query: dict[str, float], sf_dir: str, top_n: int
+) -> dict | None:
+    """Fork a fresh python+JVM and rerun the top_n slowest rows there;
+    return {name: {sweep_best, isolated_best, runs, ratio}}."""
+    import subprocess
+
+    top = [
+        n
+        for n, _ in sorted(per_query.items(), key=lambda kv: -kv[1])[:top_n]
+    ]
+    if not top:
+        return None
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--isolated"] + top,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+    )
+    try:
+        raw = json.loads(proc.stdout.strip().splitlines()[-1])
+    except (IndexError, json.JSONDecodeError):
+        print(
+            f"bench: isolated rerun unparseable (rc={proc.returncode}): "
+            f"{proc.stderr[-300:]}",
+            file=sys.stderr,
+        )
+        return None
+    out = {}
+    for name, runs in raw.items():
+        best = min(runs)
+        out[name] = {
+            "sweep_best": per_query[name],
+            "isolated_best": best,
+            "runs": runs,
+            "sweep_over_isolated": round(per_query[name] / best, 2)
+            if best > 0
+            else None,
+        }
+    return out
 
 
 def main() -> None:
@@ -168,22 +270,24 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    per_query: dict[str, float] = {}
-    per_runs: dict[str, list[float]] = {}
+    import gc
+    import random
+
+    fns = queries()
+    names = list(fns)
+    per_runs: dict[str, list[float]] = {n: [] for n in names}
     errors: dict[str, str] = {}
-    for name, fn in queries().items():
+
+    def _run_one(name: str, timed: bool) -> None:
         # Per-query isolation: one failing query must not blank the
-        # whole artifact — record its error and keep timing the rest.
+        # whole artifact — record its error and stop re-running it.
+        if name in errors:
+            return
         try:
-            for _ in range(warmup):
-                _materialize(fn(spark, sf_dir))  # untimed (see BENCH_WARMUP)
-            runs = []
-            for _ in range(repeat):
-                t0 = time.perf_counter()
-                _materialize(fn(spark, sf_dir))
-                runs.append(round(time.perf_counter() - t0, 4))
-            per_query[name] = min(runs)
-            per_runs[name] = runs
+            t0 = time.perf_counter()
+            _materialize(fns[name](spark, sf_dir))
+            if timed:
+                per_runs[name].append(round(time.perf_counter() - t0, 4))
             # Release this query's driver-side references so the
             # ContextCleaner can evict its localCheckpoint blocks and
             # broadcasts before the next query runs. Without it the
@@ -191,16 +295,44 @@ def main() -> None:
             # state and the Arrow/mapInPandas rows measured 2-5x their
             # isolated cost late in the run (tools/BENCH_NOTES_r12.md:
             # image_resize_stats 6.65 s in-bench vs 1.3 s isolated).
-            import gc
-
             gc.collect()
         except Exception as exc:
             msg = f"{type(exc).__name__}: {exc}"
             errors[name] = msg[:500]
+            per_runs.pop(name, None)
             print(f"bench: query {name!r} failed: {msg}", file=sys.stderr)
 
+    # Untimed warmup pass(es) in registry order (see BENCH_WARMUP).
+    for _ in range(warmup):
+        for name in names:
+            _run_one(name, timed=False)
+    # REPEAT timed passes, each in a different seeded shuffle, so
+    # every query's reps sample `repeat` DIFFERENT neighbor contexts
+    # (see module docstring: sweep-order randomization). Seeds are
+    # fixed — the schedule is reproducible run-to-run.
+    for p in range(repeat):
+        order = names[:]
+        random.Random(1009 + p).shuffle(order)
+        for name in order:
+            _run_one(name, timed=True)
+
+    per_query = {n: min(r) for n, r in per_runs.items() if r}
+
+    top_n = int(os.environ.get("BENCH_ISOLATED", "5"))
+    isolated = (
+        _run_isolated_reruns(per_query, sf_dir, top_n) if top_n > 0 else None
+    )
+    if isolated:
+        for name, d in isolated.items():
+            print(
+                f"bench: isolated {name}: sweep {d['sweep_best']}s vs "
+                f"fresh-JVM {d['isolated_best']}s "
+                f"(x{d['sweep_over_isolated']})",
+                file=sys.stderr,
+            )
+
     out, sidecar = build_artifacts(
-        per_query, per_runs, errors, repeat, sf, warmup
+        per_query, per_runs, errors, repeat, sf, warmup, isolated=isolated
     )
     sidecar_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"
@@ -216,4 +348,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--isolated" in sys.argv:
+        _names = sys.argv[sys.argv.index("--isolated") + 1 :]
+        _isolated_main(
+            _names,
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        )
+    else:
+        main()

@@ -43,6 +43,7 @@ __all__ = [
     "attribution_join",
     "streaming_counter_increase",
     "streaming_exact_dedup",
+    "streaming_exact_dedup_against_prescreened",
     "streaming_minhash_dedup_against",
     "streaming_rollup_refresh",
     "streaming_cdc_snapshot",
@@ -690,6 +691,130 @@ def streaming_exact_dedup(
             time_col, watermark
         ).dropDuplicatesWithinWatermark(["fingerprint"])
     return with_fp.dropDuplicates(["fingerprint"])
+
+
+def streaming_exact_dedup_against_prescreened(
+    docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str | None = None,
+    watermark: str | None = None,
+    bits_log2: int = 26,
+    corpus_fingerprints: bool = False,
+) -> DataFrame:
+    """Streaming ingest dedup against a static corpus with the bit-set
+    prescreen: the streaming face of dedup.dedup_against_prescreened
+    (r13), where the prescreen earns its keep — on the crawl-ingest
+    steady state most arriving documents are NEW, and a clear bit in
+    the broadcast bitmap PROVES it without touching the corpus at all.
+
+    Plan shape per micro-batch: fingerprint the arrivals (stateless
+    narrow map), probe the corpus membership bitmap — materialized
+    ONCE at stream-construction time into a local relation
+    (2^bits_log2 bits = 8 MB at the default, well under broadcast
+    size), so no corpus scan recurs per batch — then confirm only the
+    set-bit sliver (true duplicates + ~n/2^bits_log2 hash collisions)
+    with a stream-static LEFT ANTI join against the exact corpus
+    fingerprints. Same exact answer as the unscreened stream-static
+    anti join: clear bits cannot be false negatives, and the confirm
+    join removes every false maybe.
+
+    Within-stream duplicate collapse follows streaming_exact_dedup's
+    contract: unbounded streams MUST pass (time_col, watermark) —
+    dropDuplicatesWithinWatermark bounds the per-fingerprint state;
+    batch frames may pass neither and get the batch twin's exact
+    min-id canonicalization. Streaming canonical is FIRST-ARRIVAL
+    (the only canonical a stream can name); the batch twin's is
+    min(id) — identical whenever ids arrive in order.
+
+    Output matches the batch op: (doc_id, fingerprint), one row per
+    surviving new fingerprint, append mode. Batch/stream parity is
+    pinned by tests/test_streaming.py.
+    """
+    from datafusion_uba_spark.operators.dedup import (
+        _bitset_probe_expr,
+        fingerprint_bitset,
+    )
+    from datafusion_uba_spark.operators.text import content_fingerprint
+
+    if (time_col is None) != (watermark is None):
+        raise ValueError(
+            "streaming_exact_dedup_against_prescreened: pass BOTH "
+            "time_col and watermark (bounded state) or NEITHER "
+            "(batch / explicitly unbounded)"
+        )
+    if docs.isStreaming and time_col is None:
+        raise ValueError(
+            "streaming_exact_dedup_against_prescreened on a stream "
+            "requires (time_col, watermark): the within-stream "
+            "fingerprint collapse would otherwise keep one state "
+            "entry per distinct fingerprint forever"
+        )
+
+    if corpus_fingerprints:
+        corpus_fp = corpus.select("fingerprint")
+    else:
+        corpus_fp = corpus.select(
+            content_fingerprint(text_col).alias("fingerprint")
+        ).distinct()
+    # Materialize the bitmap to the driver and re-plant it as a local
+    # relation: a static frame no micro-batch can re-derive (the
+    # aggregate over the corpus runs exactly once, here), and small
+    # enough (<= 2048 rows x 4 KB) that Spark broadcasts it for free.
+    spark = docs.sparkSession
+    bitset_rows = fingerprint_bitset(corpus_fp, bits_log2).collect()
+    bitset = F.broadcast(
+        spark.createDataFrame(bitset_rows, "bucket long, bits binary")
+    )
+
+    tcols = [F.col(time_col).alias("__t")] if time_col is not None else []
+    carried = ["doc_id"] + (["__t"] if time_col is not None else [])
+    inc_fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *tcols,
+        content_fingerprint(text_col).alias("fingerprint"),
+    )
+    slot = F.pmod(F.xxhash64("fingerprint"), F.lit(1 << bits_log2))
+    v = slot + F.lit(1)
+    probed = (
+        inc_fp.withColumn("__bucket", F.bitmap_bucket_number(v))
+        .withColumn("__pos", F.bitmap_bit_position(v))
+        .join(bitset, F.col("__bucket") == F.col("bucket"), "left")
+        .withColumn(
+            "__maybe",
+            F.col("bits").isNotNull()
+            & (_bitset_probe_expr("bits", "__pos") == 1),
+        )
+    )
+    definite = probed.where(~F.col("__maybe")).select(
+        *carried, "fingerprint"
+    )
+    sliver = (
+        probed.where(F.col("__maybe"))
+        .select(*carried, "fingerprint")
+        .join(corpus_fp, "fingerprint", "left_anti")
+    )
+    fresh = definite.unionByName(sliver)
+    if time_col is not None:
+        return (
+            fresh.withWatermark("__t", watermark)
+            .dropDuplicatesWithinWatermark(["fingerprint"])
+            .select("doc_id", "fingerprint")
+        )
+    if docs.isStreaming:
+        return fresh.dropDuplicates(["fingerprint"]).select(
+            "doc_id", "fingerprint"
+        )
+    # batch frame: the batch twin's exact min-id canonicalization
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
+    return (
+        fresh.withColumn("__canon", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("__canon"))
+        .select("doc_id", "fingerprint")
+    )
 
 
 def streaming_minhash_dedup_against(

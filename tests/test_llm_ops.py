@@ -2213,3 +2213,70 @@ def test_dedup_prescreened_definite_path_skips_corpus(spark):
     got_new = dedup.dedup_against_prescreened(novel, corpus).collect()
     assert {r["doc_id"] for r in got_new} == set(range(1000, 1010))
     assert dedup.dedup_against_prescreened(copies, corpus).count() == 0
+
+
+def test_curriculum_order_golden(spark, tmp_path):
+    """Hand-built 3-shard fixture pinning the curriculum CONTRACT
+    (r13 verdict item 4 — the oracle row proves engine parity, this
+    pins intent): descending mean-quality order, shard-ascending
+    tie-break on an EXACT quality tie (shards 0 and 1 carry identical
+    texts), dense ranks 1..3, cum_tokens as the running token budget
+    in curriculum order, and truncating per-shard mean (qsum DIV n)."""
+    import os
+
+    from datafusion_uba_spark.operators.text import text_stats
+    from datafusion_uba_spark.queries_llm import q_curriculum_order
+
+    clean = (
+        "the query engine reads the table and the planner picks "
+        "a broadcast join when one side is small and the other is big"
+    )
+    junk = "0101 9999 @@@@ !!!! #### 3333 $$$$ 7777 %%%% 1111"
+    rows = [
+        (0, junk, "s"),            # shard 0
+        (1, junk, "s"),            # shard 1 — exact quality tie with 0
+        (2, clean, "s"),           # shard 2 ...
+        (34, clean + " twice", "s"),  # ... two docs (34 % 32 == 2)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    sf = str(tmp_path / "curr_sf")
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    # expected per-shard aggregates derived from text_stats (itself
+    # golden-pinned elsewhere); the ordering/tie/cumsum math is done
+    # HERE by hand, independent of the operator's window code
+    st = {
+        r["doc_id"]: r for r in text_stats(docs).collect()
+    }
+    shards = {}
+    for did, r in st.items():
+        s = did % 32
+        nd, tt, qs = shards.get(s, (0, 0, 0))
+        shards[s] = (nd + 1, tt + r["n_tokens"], qs + r["quality_u"])
+    exp = [
+        {
+            "shard": s,
+            "n_docs": nd,
+            "tokens_total": tt,
+            "quality_avg_u": qs // nd,
+        }
+        for s, (nd, tt, qs) in shards.items()
+    ]
+    # the fixture must actually exercise what it claims: a strict
+    # winner and an exact tie
+    qmap = {e["shard"]: e["quality_avg_u"] for e in exp}
+    assert qmap[0] == qmap[1], "tie fixture broke"
+    assert qmap[2] > qmap[0], "clean text must out-score junk"
+    exp.sort(key=lambda e: (-e["quality_avg_u"], e["shard"]))
+    cum = 0
+    for i, e in enumerate(exp):
+        cum += e["tokens_total"]
+        e["rank"], e["cum_tokens"] = i + 1, cum
+
+    got = [r.asDict() for r in q_curriculum_order(spark, sf).collect()]
+    assert got == exp
+    # pins the tie-break concretely: shard 2 first, then 0 before 1
+    assert [r["shard"] for r in got] == [2, 0, 1]

@@ -1162,3 +1162,92 @@ def test_streaming_semantic_dedup_interleaved_upserts(spark, tmp_path):
         assert meta3 == meta0
     finally:
         dedup.drop_semantic_index(spark, "sem_daily_idx")
+
+
+def test_streaming_prescreened_dedup_multi_batch_parity(spark, tmp_path):
+    """Stream-static face of the r13 bit-set prescreen: arrivals mixed
+    from novel docs (clear bit — must bypass the corpus), corpus
+    copies (set bit — confirm join drops them), and a within-stream
+    duplicate whose second arrival lands in a LATER micro-batch
+    (maxFilesPerTrigger=1), pinning cross-batch fingerprint state.
+    The stream's final rows must equal the batch twin
+    dedup_against_prescreened over the union of all arrivals — ids
+    included (first arrival is also min id by construction)."""
+    from datafusion_uba_spark.operators import dedup
+    from datafusion_uba_spark.streaming import (
+        streaming_exact_dedup_against_prescreened,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    day = "2024-03-01 00:00:{:02d}"
+    file1 = [
+        (100, "fresh document alpha", day.format(1)),
+        (101, "corpus doc number 7", day.format(2)),   # corpus copy
+        (102, "fresh document beta", day.format(3)),
+        (103, "fresh document alpha", day.format(4)),  # in-batch dup
+    ]
+    file2 = [
+        (200, "fresh document alpha", day.format(5)),  # cross-BATCH dup
+        (201, "fresh document gamma", day.format(6)),
+        (202, "corpus doc number 33", day.format(7)),  # corpus copy
+    ]
+    schema = "doc_id long, text string, ts string"
+    src = str(tmp_path / "presc_src")
+    os.makedirs(src)
+    import glob
+    import shutil
+
+    for i, rows in enumerate([file1, file2], start=1):
+        stage = str(tmp_path / f"presc_stage{i}")
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        dst = f"{src}/file{i}.parquet"
+        shutil.copyfile(part, dst)
+        # one file per micro-batch, in file order: the source orders
+        # by modification time, so pin distinct mtimes explicitly
+        os.utime(dst, (1_000_000 * i, 1_000_000 * i))
+
+    arrivals = spark.read.parquet(src)
+    want = {
+        (r["doc_id"], r["fingerprint"])
+        for r in dedup.dedup_against_prescreened(
+            arrivals, corpus
+        ).collect()
+    }
+    assert len(want) == 3  # alpha (id 100), beta, gamma
+
+    sdf = (
+        spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_exact_dedup_against_prescreened(
+        sdf, corpus, time_col="ts", watermark="1 hour"
+    )
+    run_to_memory(out, "presc_stream", output_mode="append")
+    got = {
+        (r["doc_id"], r["fingerprint"])
+        for r in spark.table("presc_stream").collect()
+    }
+    assert got == want
+
+    # unbounded-stream contract: no watermark -> refuse
+    with pytest.raises(ValueError, match="requires"):
+        streaming_exact_dedup_against_prescreened(sdf, corpus)
+    with pytest.raises(ValueError, match="BOTH"):
+        streaming_exact_dedup_against_prescreened(
+            arrivals, corpus, time_col="ts"
+        )
+    # batch frames through the same helper: exact batch twin answer
+    batch_got = {
+        (r["doc_id"], r["fingerprint"])
+        for r in streaming_exact_dedup_against_prescreened(
+            arrivals, corpus
+        ).collect()
+    }
+    assert batch_got == want

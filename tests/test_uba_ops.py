@@ -1749,3 +1749,39 @@ def test_global_ntile_matches_window_ntile(spark):
         assert [rn[i] for i, _ in ordered] == list(
             range(1, n_rows + 1)
         )
+
+
+def test_erasure_audit_empty_cohort_row_still_present(spark, tmp_path):
+    """Crafted golden (r13 verdict item 4): a table whose erasure
+    cohort is EMPTY must still emit its audit row with (0, 0) — a
+    deletion pipeline that silently drops the table from the report
+    is an audit failure, not a no-op. customer has no key % 97 == 0;
+    events and orders have known counts."""
+    import os
+
+    from datafusion_uba_spark.queries_uba import q_erasure_audit
+
+    sf = str(tmp_path / "erasure_sf")
+    os.makedirs(sf, exist_ok=True)
+    # customer: keys 1..10 — none divisible by 97
+    spark.createDataFrame(
+        [(i,) for i in range(1, 11)], "c_custkey long"
+    ).write.parquet(f"{sf}/customer.parquet")
+    # events: users 97 (3 rows), 194 (1 row), 5 (2 rows, out of cohort)
+    spark.createDataFrame(
+        [(97,), (97,), (97,), (194,), (5,), (5,)], "user_id long"
+    ).write.parquet(f"{sf}/events.parquet")
+    # orders: custkeys 0 (2 rows: 0 % 97 == 0), 97, 98
+    spark.createDataFrame(
+        [(0,), (0,), (97,), (98,)], "o_custkey long"
+    ).write.parquet(f"{sf}/orders.parquet")
+
+    got = {
+        r["table_name"]: (r["n_rows"], r["n_subjects"])
+        for r in q_erasure_audit(spark, sf).collect()
+    }
+    assert got == {
+        "customer": (0, 0),
+        "events": (4, 2),
+        "orders": (3, 2),
+    }
