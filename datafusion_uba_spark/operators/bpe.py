@@ -111,14 +111,15 @@ def _pre_tokens(text: Column | str) -> Column:
 
 
 def bpe_symbol_counts(
-    vocab: DataFrame, word_col: str = "w"
+    vocab: DataFrame, word_col: str = "w", merges_path: str | None = None
 ) -> DataFrame:
     """(word, n_sym) for a DISTINCT-word frame — the one Arrow
     boundary. Ships only the word column; the merge table rides the
-    closure (~150 pairs)."""
+    closure (~150 pairs checked in; tools/bench_bpe_scale.py drives
+    this with 10-50k-pair tables via ``merges_path``)."""
     import pandas as pd
 
-    ranks = {p: i for i, p in enumerate(load_merges())}
+    ranks = {p: i for i, p in enumerate(load_merges(merges_path))}
     schema = f"{word_col} string, n_sym int"
 
     def count(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -140,6 +141,7 @@ def bpe_token_counts(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    merges_path: str | None = None,
 ) -> DataFrame:
     """(id, n_bpe_tokens) per document via the Zipf factorization —
     see the module docstring. Empty/NULL documents count 0."""
@@ -150,7 +152,7 @@ def bpe_token_counts(
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("occ"))
     )
-    lens = bpe_symbol_counts(wc.select("w").distinct())
+    lens = bpe_symbol_counts(wc.select("w").distinct(), merges_path=merges_path)
     per_doc = (
         wc.join(lens, "w")
         .groupBy(id_col)

@@ -2545,15 +2545,26 @@ REGISTRY.update(STATS_REGISTRY)
 # verification is stalest — no manual step, no way to forget.
 
 
+# Rows whose implementation OR oracle changed in the CURRENT round:
+# they jump the staleness queue so the driver's next 50-row capture
+# attests the changed behavior (r13 advisor: the round that re-anchored
+# token_length_histogram shipped a capture that omitted it). Editing a
+# registry row's query fn or oracle SQL ⇒ add its name here; remove
+# names once the round's CORRECTNESS artifact lands (they then sort by
+# normal staleness). r14: fertility_bp switched to integer division in
+# both engines (bpe_token_stats).
+CHANGED_THIS_ROUND: frozenset[str] = frozenset({"bpe_token_stats"})
+
+
 def _verification_order(registry: dict) -> list[str]:
     """Order registry rows by driver-verification staleness.
 
     Reads every ``CORRECTNESS_r*.json`` next to the repo root (the
     driver's own per-round artifacts). A row's "last captured" round is
     the newest artifact that mentions it at all — rows the driver has
-    never seen sort first (new rows), then oldest-capture-first. Falls
-    back to the registry's natural order on a fresh checkout with no
-    artifacts.
+    never seen sort first (new rows), then oldest-capture-first; rows
+    in CHANGED_THIS_ROUND outrank everything. Falls back to the
+    registry's natural order on a fresh checkout with no artifacts.
     """
     import json
     import re
@@ -2576,7 +2587,14 @@ def _verification_order(registry: dict) -> list[str]:
             last_seen[name] = max(last_seen.get(name, -1), rnd)
     order = list(registry)
     pos = {name: i for i, name in enumerate(order)}
-    return sorted(order, key=lambda n: (last_seen.get(n, -1), pos[n]))
+    return sorted(
+        order,
+        key=lambda n: (
+            n not in CHANGED_THIS_ROUND,
+            last_seen.get(n, -1),
+            pos[n],
+        ),
+    )
 
 
 _priority = _verification_order(REGISTRY)
