@@ -192,3 +192,17 @@ def test_headline_guard_headroom_at_220_rows():
     fhead, _ = build_artifacts(ok_q, ok_r, errors, 3, 0.1)
     fline = json.dumps(fhead, separators=(",", ":"))
     assert len(fline) < 1024, f"failed-heavy headline is {len(fline)} bytes"
+
+
+def test_changed_rows_jump_the_capture_queue():
+    """Rows named in CHANGED_THIS_ROUND must sort at the head of the
+    registry regardless of capture staleness, so the driver's 50-row
+    CORRECTNESS capture always attests behavior changed in the round
+    (r13 advisor: the BPE re-anchor round shipped a capture omitting
+    the three rows the diff changed)."""
+    from datafusion_uba_spark.queries import CHANGED_THIS_ROUND, REGISTRY
+
+    names = list(REGISTRY)
+    k = len(CHANGED_THIS_ROUND)
+    assert set(names[:k]) == set(CHANGED_THIS_ROUND)
+    assert CHANGED_THIS_ROUND <= set(names)

@@ -2280,3 +2280,33 @@ def test_curriculum_order_golden(spark, tmp_path):
     assert got == exp
     # pins the tie-break concretely: shard 2 first, then 0 before 1
     assert [r["shard"] for r in got] == [2, 0, 1]
+
+
+def test_bpe_scale_trainer_matches_reference_trainer():
+    """tools/bench_bpe_scale.train_indexed (inverted-index + lazy heap)
+    must produce the IDENTICAL merge sequence as the naive full-recount
+    trainer in tools/gen_bpe_merges.py under the same (count DESC, pair
+    ASC) selection rule — otherwise its scale measurements would be of
+    a different tokenizer."""
+    import importlib.util
+    import os
+    import re
+    from collections import Counter
+
+    def load(name):
+        spec = importlib.util.spec_from_file_location(
+            name,
+            os.path.join(os.path.dirname(__file__), "..", "tools", f"{name}.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    gen = load("gen_bpe_merges")
+    scale = load("bench_bpe_scale")
+
+    norm = re.sub(r"\s+", " ", gen.SEED.lower()).strip()
+    vocab = dict(Counter(gen.TOKEN_RE.findall(norm)))
+    want = gen.train(gen.SEED, 80)
+    got = scale.train_indexed(vocab, 80)
+    assert got == want

@@ -862,3 +862,60 @@ def test_mann_whitney_core_matches_model(spark, vals):
     want_t = sum(t**3 - t for t in tc.values())
     assert int(row["r2a"] or 0) == want_r2a
     assert int(row["t"]) == want_t
+
+
+# --- DuckDB BPE-walk CTE vs operators/bpe.encode_word ----------------------
+#
+# The registry rows anchored on merge-table BPE counts are full value
+# oracles only because the DuckDB recursive CTE replays the EXACT
+# greedy walk. The r13 advisor fuzz-verified this ad hoc over 100
+# random docs; this checks the equivalence in permanently, including
+# the 'aaa' + (a,a) overlap corner (leftmost-non-overlapping within a
+# pass on both sides).
+
+
+def _bpe_python_doc_tokens(text: str) -> int:
+    import re
+
+    from datafusion_uba_spark.operators.bpe import encode_word, load_merges
+    from datafusion_uba_spark.operators.text import BPE_TOKEN_RE
+
+    ranks = {p: i for i, p in enumerate(load_merges())}
+    norm = re.sub(r"\s+", " ", text.lower()).strip()
+    return sum(
+        len(encode_word(w, ranks)) for w in re.findall(BPE_TOKEN_RE, norm)
+    )
+
+
+_bpe_word = st.text(
+    alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz0123456789.!eth"),
+    min_size=0,
+    max_size=10,
+)
+_bpe_doc = st.lists(_bpe_word, min_size=0, max_size=6).map(" ".join)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_bpe_doc, min_size=1, max_size=4))
+def test_bpe_walk_cte_matches_encode_word(docs):
+    import duckdb
+    import pandas as pd
+
+    from datafusion_uba_spark.queries_llm import _BPE_WALK_CTES
+
+    docs = docs + ["aaa", "the the table", ""]  # pinned corners
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {"doc_id": range(len(docs)), "text": docs}
+        ),
+    )
+    got = dict(
+        con.sql(
+            f"WITH RECURSIVE {_BPE_WALK_CTES} "
+            "SELECT doc_id, n FROM bpe_doc_tokens"
+        ).fetchall()
+    )
+    want = {i: _bpe_python_doc_tokens(t) for i, t in enumerate(docs)}
+    assert got == want
