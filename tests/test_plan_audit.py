@@ -186,3 +186,32 @@ def test_rfm_segments_no_single_partition_window(plans):
     assert "SinglePartition" not in p, (
         "a single-partition exchange reappeared in rfm_segments:\n" + p
     )
+
+
+def test_streaming_prescreen_batch_plan_shape(spark):
+    """The streaming bitset-prescreen helper's batch twin must keep
+    the prescreen's plan contract: the bitmap rides a LocalTableScan
+    (materialized once at construction, never re-derived from the
+    corpus) joined BROADCAST onto the probe side, and nothing in the
+    composition degenerates to a cartesian product."""
+    from datafusion_uba_spark.streaming import (
+        streaming_exact_dedup_against_prescreened,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc number {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        [(100 + i, f"arrival {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = streaming_exact_dedup_against_prescreened(inc, corpus)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the planted bitmap relation: a driver-local leaf (LocalTableScan
+    # or the Arrow createDataFrame RDD), NOT a re-derivation from the
+    # corpus (which would show the bitmap groupBy under this join)
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "bitmap_construct_agg" not in plan
