@@ -174,8 +174,9 @@ def build_artifacts(
 def _isolated_main(names: list[str], sf_dir: str) -> None:
     """Child-process mode: time the named registry rows in THIS fresh
     JVM (warmup 1 + best-of-2), print one JSON line {name: [runs]}.
-    Invoked by the parent sweep via `bench.py --isolated a,b,c` so the
-    measurements carry none of the 180-query sweep's JVM context."""
+    Invoked by the parent sweep via `bench.py --isolated name1 name2`
+    (space-separated argv) so the measurements carry none of the
+    180-query sweep's JVM context."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from datafusion_uba_spark.queries import queries
     from datafusion_uba_spark.session import get_spark
@@ -211,13 +212,19 @@ def _run_isolated_reruns(
     ]
     if not top:
         return None
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--isolated"] + top,
-        capture_output=True,
-        text=True,
-        timeout=1800,
-        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--isolated"] + top,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+    except (subprocess.TimeoutExpired, OSError) as exc:
+        # diagnosis-only step: a hung/slow child must never discard
+        # the sweep's results (the headline is sweep-derived)
+        print(f"bench: isolated rerun aborted: {exc}", file=sys.stderr)
+        return None
     try:
         raw = json.loads(proc.stdout.strip().splitlines()[-1])
     except (IndexError, json.JSONDecodeError):
@@ -318,6 +325,12 @@ def main() -> None:
 
     per_query = {n: min(r) for n, r in per_runs.items() if r}
 
+    # Stop the parent session BEFORE the fresh-JVM reruns: a resident
+    # local-mode JVM warmed by 180 queries x 4 executions would page/GC
+    # against the child whose isolation is the whole point. Nothing
+    # after the sweep needs the parent session.
+    spark.stop()
+
     top_n = int(os.environ.get("BENCH_ISOLATED", "5"))
     isolated = (
         _run_isolated_reruns(per_query, sf_dir, top_n) if top_n > 0 else None
@@ -344,7 +357,6 @@ def main() -> None:
     # compact separators: every byte of the stdout line counts against
     # the driver's ~2 KB tail capture (round-6 regression)
     print(json.dumps(out, separators=(",", ":")), flush=True)
-    spark.stop()
 
 
 if __name__ == "__main__":

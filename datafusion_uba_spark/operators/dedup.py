@@ -166,6 +166,60 @@ def _bitset_probe_expr(bits_col: str, pos_col: str) -> Column:
     )
 
 
+def prescreen_fresh(
+    inc_fp: DataFrame,
+    bitset: DataFrame,
+    corpus_fp: DataFrame,
+    carried: list[str],
+    bits_log2: int,
+) -> DataFrame:
+    """The bitmap probe + exact confirm shared by the batch and
+    streaming prescreen faces (ONE copy of the slot/bucket/bit math —
+    a desync here would silently split their answers): fingerprinted
+    arrivals (``carried`` + fingerprint) probe the (bucket, bits)
+    bitmap; clear-bit rows are PROVEN new and bypass the corpus, the
+    set-bit sliver confirms with a LEFT ANTI join against the exact
+    corpus fingerprints. Returns the union of both new-row streams.
+    ``bitset`` may be any (bucket, bits) frame — the batch face passes
+    the aggregate over corpus_fp, the streaming face a pre-collected
+    local relation — and is broadcast here."""
+    slot = F.pmod(F.xxhash64("fingerprint"), F.lit(1 << bits_log2))
+    v = slot + F.lit(1)
+    probed = (
+        inc_fp.withColumn("__bucket", F.bitmap_bucket_number(v))
+        .withColumn("__pos", F.bitmap_bit_position(v))
+        .join(
+            F.broadcast(bitset),
+            F.col("__bucket") == F.col("bucket"),
+            "left",
+        )
+        .withColumn(
+            "__maybe",
+            F.col("bits").isNotNull()
+            & (_bitset_probe_expr("bits", "__pos") == 1),
+        )
+    )
+    definite = probed.where(~F.col("__maybe")).select(
+        *carried, "fingerprint"
+    )
+    sliver = (
+        probed.where(F.col("__maybe"))
+        .select(*carried, "fingerprint")
+        .join(corpus_fp, "fingerprint", "left_anti")
+    )
+    return definite.unionByName(sliver)
+
+
+def min_id_per_fingerprint(df: DataFrame, id_col: str) -> DataFrame:
+    """Batch canonicalization: one row per fingerprint, lowest id."""
+    w = Window.partitionBy("fingerprint")
+    return (
+        df.withColumn("__canon", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("__canon"))
+        .select(id_col, "fingerprint")
+    )
+
+
 def dedup_against_prescreened(
     increment: DataFrame,
     corpus: DataFrame,
@@ -194,37 +248,8 @@ def dedup_against_prescreened(
             content_fingerprint(text_col).alias("fingerprint")
         ).distinct()
     bitset = fingerprint_bitset(corpus_fp, bits_log2)
-    slot = F.pmod(F.xxhash64("fingerprint"), F.lit(1 << bits_log2))
-    v = slot + F.lit(1)
-    probed = (
-        inc_fp.withColumn("__bucket", F.bitmap_bucket_number(v))
-        .withColumn("__pos", F.bitmap_bit_position(v))
-        .join(
-            F.broadcast(bitset),
-            F.col("__bucket") == F.col("bucket"),
-            "left",
-        )
-        .withColumn(
-            "__maybe",
-            F.col("bits").isNotNull()
-            & (_bitset_probe_expr("bits", "__pos") == 1),
-        )
-    )
-    definite = probed.where(~F.col("__maybe")).select(
-        id_col, "fingerprint"
-    )
-    sliver = (
-        probed.where(F.col("__maybe"))
-        .select(id_col, "fingerprint")
-        .join(corpus_fp, "fingerprint", "left_anti")
-    )
-    fresh = definite.unionByName(sliver)
-    w = Window.partitionBy("fingerprint")
-    return (
-        fresh.withColumn("__canon", F.min(id_col).over(w))
-        .where(F.col(id_col) == F.col("__canon"))
-        .select(id_col, "fingerprint")
-    )
+    fresh = prescreen_fresh(inc_fp, bitset, corpus_fp, [id_col], bits_log2)
+    return min_id_per_fingerprint(fresh, id_col)
 
 
 # --- exact n-gram Jaccard --------------------------------------------------

@@ -2545,15 +2545,18 @@ REGISTRY.update(STATS_REGISTRY)
 # verification is stalest — no manual step, no way to forget.
 
 
-# Rows whose implementation OR oracle changed in the CURRENT round:
-# they jump the staleness queue so the driver's next 50-row capture
-# attests the changed behavior (r13 advisor: the round that re-anchored
-# token_length_histogram shipped a capture that omitted it). Editing a
-# registry row's query fn or oracle SQL ⇒ add its name here; remove
-# names once the round's CORRECTNESS artifact lands (they then sort by
-# normal staleness). r14: fertility_bp switched to integer division in
-# both engines (bpe_token_stats).
-CHANGED_THIS_ROUND: frozenset[str] = frozenset({"bpe_token_stats"})
+# Rows whose implementation OR oracle changed, mapped to the round the
+# change shipped in: they jump the staleness queue until the driver's
+# CORRECTNESS artifact for that round (or later) mentions them, so the
+# next 50-row capture always attests the changed behavior (r13
+# advisor: the round that re-anchored token_length_histogram shipped a
+# capture that omitted it). Expiry is AUTOMATIC — once captured at or
+# after the named round the boost turns off, so a forgotten cleanup
+# can't starve the staleness queue; entries only need pruning for
+# tidiness. Editing a registry row's query fn or oracle SQL ⇒ add
+# {"name": <current round>} here. r14: fertility_bp switched to
+# integer division in both engines (bpe_token_stats).
+CHANGED_THIS_ROUND: dict[str, int] = {"bpe_token_stats": 14}
 
 
 def _verification_order(registry: dict) -> list[str]:
@@ -2587,13 +2590,15 @@ def _verification_order(registry: dict) -> list[str]:
             last_seen[name] = max(last_seen.get(name, -1), rnd)
     order = list(registry)
     pos = {name: i for i, name in enumerate(order)}
+
+    def boosted(n: str) -> bool:
+        # changed-row boost, auto-expiring: active only until a
+        # capture at/after the round the change shipped in
+        return last_seen.get(n, -1) < CHANGED_THIS_ROUND.get(n, -(10**9))
+
     return sorted(
         order,
-        key=lambda n: (
-            n not in CHANGED_THIS_ROUND,
-            last_seen.get(n, -1),
-            pos[n],
-        ),
+        key=lambda n: (not boosted(n), last_seen.get(n, -1), pos[n]),
     )
 
 

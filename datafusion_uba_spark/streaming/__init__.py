@@ -722,19 +722,23 @@ def streaming_exact_dedup_against_prescreened(
 
     Within-stream duplicate collapse follows streaming_exact_dedup's
     contract: unbounded streams MUST pass (time_col, watermark) —
-    dropDuplicatesWithinWatermark bounds the per-fingerprint state;
-    batch frames may pass neither and get the batch twin's exact
-    min-id canonicalization. Streaming canonical is FIRST-ARRIVAL
-    (the only canonical a stream can name); the batch twin's is
-    min(id) — identical whenever ids arrive in order.
+    dropDuplicatesWithinWatermark bounds the per-fingerprint state.
+    Batch frames always get the batch twin's exact min-id
+    canonicalization (dropDuplicatesWithinWatermark rejects batch
+    frames at action time on Spark 4, so a (time_col, watermark) pair
+    passed with a batch frame — the natural parity call — is accepted
+    and routed there too). Streaming canonical is FIRST-ARRIVAL (the
+    only canonical a stream can name); the batch twin's is min(id) —
+    identical whenever ids arrive in order.
 
     Output matches the batch op: (doc_id, fingerprint), one row per
     surviving new fingerprint, append mode. Batch/stream parity is
     pinned by tests/test_streaming.py.
     """
     from datafusion_uba_spark.operators.dedup import (
-        _bitset_probe_expr,
         fingerprint_bitset,
+        min_id_per_fingerprint,
+        prescreen_fresh,
     )
     from datafusion_uba_spark.operators.text import content_fingerprint
 
@@ -758,63 +762,43 @@ def streaming_exact_dedup_against_prescreened(
         corpus_fp = corpus.select(
             content_fingerprint(text_col).alias("fingerprint")
         ).distinct()
+    if docs.isStreaming:
+        # the static side of the sliver's confirm anti-join re-executes
+        # per micro-batch; cache it so each trigger reads the cached
+        # fingerprints instead of re-normalizing/re-hashing the corpus
+        corpus_fp = corpus_fp.persist()
     # Materialize the bitmap to the driver and re-plant it as a local
     # relation: a static frame no micro-batch can re-derive (the
     # aggregate over the corpus runs exactly once, here), and small
     # enough (<= 2048 rows x 4 KB) that Spark broadcasts it for free.
     spark = docs.sparkSession
     bitset_rows = fingerprint_bitset(corpus_fp, bits_log2).collect()
-    bitset = F.broadcast(
-        spark.createDataFrame(bitset_rows, "bucket long, bits binary")
+    bitset = spark.createDataFrame(
+        bitset_rows, "bucket long, bits binary"
     )
 
-    tcols = [F.col(time_col).alias("__t")] if time_col is not None else []
-    carried = ["doc_id"] + (["__t"] if time_col is not None else [])
+    streaming = docs.isStreaming
+    tcols = (
+        [F.col(time_col).alias("__t")]
+        if streaming and time_col is not None
+        else []
+    )
+    carried = ["doc_id"] + (["__t"] if tcols else [])
     inc_fp = docs.select(
         F.col(id_col).alias("doc_id"),
         *tcols,
         content_fingerprint(text_col).alias("fingerprint"),
     )
-    slot = F.pmod(F.xxhash64("fingerprint"), F.lit(1 << bits_log2))
-    v = slot + F.lit(1)
-    probed = (
-        inc_fp.withColumn("__bucket", F.bitmap_bucket_number(v))
-        .withColumn("__pos", F.bitmap_bit_position(v))
-        .join(bitset, F.col("__bucket") == F.col("bucket"), "left")
-        .withColumn(
-            "__maybe",
-            F.col("bits").isNotNull()
-            & (_bitset_probe_expr("bits", "__pos") == 1),
-        )
-    )
-    definite = probed.where(~F.col("__maybe")).select(
-        *carried, "fingerprint"
-    )
-    sliver = (
-        probed.where(F.col("__maybe"))
-        .select(*carried, "fingerprint")
-        .join(corpus_fp, "fingerprint", "left_anti")
-    )
-    fresh = definite.unionByName(sliver)
-    if time_col is not None:
+    fresh = prescreen_fresh(inc_fp, bitset, corpus_fp, carried, bits_log2)
+    if streaming:
         return (
             fresh.withWatermark("__t", watermark)
             .dropDuplicatesWithinWatermark(["fingerprint"])
             .select("doc_id", "fingerprint")
         )
-    if docs.isStreaming:
-        return fresh.dropDuplicates(["fingerprint"]).select(
-            "doc_id", "fingerprint"
-        )
-    # batch frame: the batch twin's exact min-id canonicalization
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("fingerprint")
-    return (
-        fresh.withColumn("__canon", F.min("doc_id").over(w))
-        .where(F.col("doc_id") == F.col("__canon"))
-        .select("doc_id", "fingerprint")
-    )
+    # batch frame (with or without time_col — the watermark collapse
+    # is stream-only API on Spark 4): the batch twin's exact answer
+    return min_id_per_fingerprint(fresh, "doc_id")
 
 
 def streaming_minhash_dedup_against(

@@ -195,14 +195,30 @@ def test_headline_guard_headroom_at_220_rows():
 
 
 def test_changed_rows_jump_the_capture_queue():
-    """Rows named in CHANGED_THIS_ROUND must sort at the head of the
-    registry regardless of capture staleness, so the driver's 50-row
-    CORRECTNESS capture always attests behavior changed in the round
-    (r13 advisor: the BPE re-anchor round shipped a capture omitting
-    the three rows the diff changed)."""
+    """Rows named in CHANGED_THIS_ROUND whose change has NOT yet been
+    captured (no CORRECTNESS artifact at/after the named round) must
+    sort at the head of the registry, so the driver's 50-row capture
+    always attests behavior changed in the round (r13 advisor: the BPE
+    re-anchor round shipped a capture omitting the three rows the diff
+    changed). Once captured, the boost auto-expires."""
+    import json
+    import re
+    from pathlib import Path
+
     from datafusion_uba_spark.queries import CHANGED_THIS_ROUND, REGISTRY
 
+    repo = Path(__file__).resolve().parents[1]
+    last_seen: dict[str, int] = {}
+    for art in sorted(repo.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", art.stem).group(1))
+        for name in json.loads(art.read_text()):
+            last_seen[name] = max(last_seen.get(name, -1), rnd)
+
     names = list(REGISTRY)
-    k = len(CHANGED_THIS_ROUND)
-    assert set(names[:k]) == set(CHANGED_THIS_ROUND)
-    assert CHANGED_THIS_ROUND <= set(names)
+    assert set(CHANGED_THIS_ROUND) <= set(names)
+    pending = {
+        n
+        for n, rnd in CHANGED_THIS_ROUND.items()
+        if last_seen.get(n, -1) < rnd
+    }
+    assert set(names[: len(pending)]) == pending

@@ -1243,11 +1243,16 @@ def test_streaming_prescreened_dedup_multi_batch_parity(spark, tmp_path):
         streaming_exact_dedup_against_prescreened(
             arrivals, corpus, time_col="ts"
         )
-    # batch frames through the same helper: exact batch twin answer
-    batch_got = {
-        (r["doc_id"], r["fingerprint"])
-        for r in streaming_exact_dedup_against_prescreened(
-            arrivals, corpus
-        ).collect()
-    }
-    assert batch_got == want
+    # batch frames through the same helper: exact batch twin answer —
+    # including the natural parity call that passes (time_col,
+    # watermark) with a batch frame (Spark 4 rejects the watermark
+    # collapse on batch frames at action time, so it must be routed
+    # to the min-id branch, not crash)
+    for kwargs in ({}, {"time_col": "ts", "watermark": "1 hour"}):
+        batch_got = {
+            (r["doc_id"], r["fingerprint"])
+            for r in streaming_exact_dedup_against_prescreened(
+                arrivals, corpus, **kwargs
+            ).collect()
+        }
+        assert batch_got == want, kwargs

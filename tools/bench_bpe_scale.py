@@ -160,10 +160,12 @@ def main() -> None:
             f"compression {total_syms / sum(len(w) for w in words):.3f} "
             f"sym/char"
         )
-    base = results[min(results)]
-    worst = results[max(results)]
+    # worst COST across table sizes over the cheapest — not the
+    # largest table's cost (the 10k table can cost more than the 50k:
+    # deeper walks, not-yet-collapsed symbols)
+    base, worst = min(results.values()), max(results.values())
     print(
-        f"table-size cost ratio (largest/smallest): {worst / base:.2f}x "
+        f"table-size cost ratio (worst/cheapest): {worst / base:.2f}x "
         f"-- the encode loop is table-size-"
         f"{'FLAT' if worst / base < 3 else 'SENSITIVE (rework needed)'}"
     )
