@@ -919,3 +919,47 @@ def test_bpe_walk_cte_matches_encode_word(docs):
     )
     want = {i: _bpe_python_doc_tokens(t) for i, t in enumerate(docs)}
     assert got == want
+
+
+# --- bitset prescreen under collision saturation ----------------------------
+#
+# At the production 2^26 bits, slot collisions are a ~1e-5 sliver that
+# random small fixtures never exercise. Shrinking the bitmap to 8
+# slots makes nearly EVERY probe a false maybe, so the confirm join's
+# exactness (and the clear-bit proof) carries the whole answer — the
+# prescreen must still equal plain dedup_against bit-for-bit.
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_prescreen_exact_under_collision_saturation(spark, inc_texts, cor_texts):
+    inc = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(inc_texts)],
+        "doc_id long, text string",
+    )
+    cor = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(cor_texts)],
+        "doc_id long, text string",
+    )
+    want = {
+        (r["doc_id"], r["fingerprint"])
+        for r in dedup.dedup_against(inc, cor).collect()
+    }
+    got = {
+        (r["doc_id"], r["fingerprint"])
+        for r in dedup.dedup_against_prescreened(
+            inc, cor, bits_log2=3
+        ).collect()
+    }
+    assert got == want
