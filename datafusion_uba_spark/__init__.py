@@ -22,6 +22,7 @@ from datafusion_uba_spark.operators.retention import (
 from datafusion_uba_spark.operators import (  # noqa: F401
     audiocodec,
     dedup,
+    erasure,
     imagecodec,
     kmeans,
     multimodal,
@@ -43,6 +44,7 @@ __all__ = [
     "retention_count",
     "retention_sum",
     "dedup",
+    "erasure",
     "similarity",
     "text",
     "multimodal",

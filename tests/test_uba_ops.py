@@ -1785,3 +1785,121 @@ def test_erasure_audit_empty_cohort_row_still_present(spark, tmp_path):
         "events": (4, 2),
         "orders": (3, 2),
     }
+
+
+def test_erasure_apply_partitioned_rewrites_only_affected(spark):
+    """The RTBF execution twin of q_erasure_audit: cohort rows are
+    gone, NULL-key rows survive (they identify nobody), untouched
+    partitions' files are byte-identical (mtimes pinned), and the
+    audit record is exact."""
+    import os
+    from urllib.parse import urlparse
+
+    from datafusion_uba_spark.operators.erasure import erasure_apply
+
+    table = "erasure_apply_t1"
+    rows = [
+        # (user_id, pday, v) — cohort user 97 lives in days 0 and 2
+        (97, 0, "a"), (5, 0, "b"),
+        (6, 1, "c"), (7, 1, "d"),
+        (97, 2, "e"), (194, 2, "f"), (None, 2, "g"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, pday int, v string")
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        df.write.format("parquet").partitionBy("pday").saveAsTable(table)
+        loc = urlparse(
+            spark.sql(f"DESCRIBE FORMATTED {table}")
+            .where("col_name = 'Location'")
+            .collect()[0]["data_type"]
+        ).path
+
+        def files(day):
+            d = os.path.join(loc, f"pday={day}")
+            return {
+                f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d)
+                if not f.startswith(("_", "."))
+            }
+
+        day1_before = files(1)
+        cohort = spark.createDataFrame([(97,), (194,), (555,)], "k long")
+        audit = erasure_apply(spark, table, "user_id", cohort, "pday")
+        assert audit == {
+            "rows_removed": 3,
+            "n_subjects_requested": 3,
+            "partitions_rewritten": [0, 2],
+        }
+        got = {
+            (r["user_id"], r["pday"], r["v"])
+            for r in spark.table(table).collect()
+        }
+        assert got == {
+            (5, 0, "b"), (6, 1, "c"), (7, 1, "d"), (None, 2, "g"),
+        }
+        assert files(1) == day1_before  # untouched partition untouched
+
+        # idempotent: a second apply is a no-op with a zero audit
+        audit2 = erasure_apply(spark, table, "user_id", cohort, "pday")
+        assert audit2["rows_removed"] == 0
+        assert audit2["partitions_rewritten"] == []
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_erasure_apply_drops_fully_erased_partition(spark):
+    """A partition whose EVERY row is in the cohort must disappear —
+    dynamic overwrite alone would leave its old files live (no
+    surviving rows to rewrite it with)."""
+    from datafusion_uba_spark.operators.erasure import erasure_apply
+
+    table = "erasure_apply_t2"
+    df = spark.createDataFrame(
+        [(97, 0, "a"), (97, 0, "b"), (5, 1, "c")],
+        "user_id long, pday int, v string",
+    )
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        df.write.format("parquet").partitionBy("pday").saveAsTable(table)
+        cohort = spark.createDataFrame([(97,)], "k long")
+        audit = erasure_apply(spark, table, "user_id", cohort, "pday")
+        assert audit["rows_removed"] == 2
+        got = [
+            (r["user_id"], r["pday"], r["v"])
+            for r in spark.table(table).collect()
+        ]
+        assert got == [(5, 1, "c")]
+        assert spark.table(table).where("pday = 0").count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_erasure_apply_unpartitioned_staged_swap(spark):
+    """Unpartitioned path: full anti-join rewrite through the staged
+    swap — cohort gone, everything else intact, audit exact; and the
+    one-column cohort contract is enforced."""
+    import pytest
+
+    from datafusion_uba_spark.operators.erasure import erasure_apply
+
+    table = "erasure_apply_t3"
+    df = spark.createDataFrame(
+        [(97, "a"), (5, "b"), (None, "c")], "user_id long, v string"
+    )
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        df.write.format("parquet").saveAsTable(table)
+        cohort = spark.createDataFrame([(97,)], "k long")
+        audit = erasure_apply(spark, table, "user_id", cohort)
+        assert audit == {
+            "rows_removed": 1,
+            "n_subjects_requested": 1,
+            "partitions_rewritten": [],
+        }
+        got = {tuple(r) for r in spark.table(table).collect()}
+        assert got == {(5, "b"), (None, "c")}
+        with pytest.raises(ValueError, match="one-column"):
+            erasure_apply(spark, table, "user_id", df)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__stage")
