@@ -27,6 +27,12 @@ destroy data outside the request's scope.
 Returns the audit record a deletion pipeline logs next to the DSR
 ticket: rows_removed (exact), n_subjects_requested, and the rewritten
 partition values (empty for the unpartitioned path).
+
+Crash contract: the whole operation is IDEMPOTENT — re-running the
+same request after any failure (mid-overwrite, between the overwrite
+and a fully-erased partition's explicit drop) converges to the same
+final state with a zero-or-smaller rows_removed, so the recovery
+procedure is simply "run it again".
 """
 
 from __future__ import annotations
@@ -131,7 +137,13 @@ def erasure_apply(
     }
     for p in affected:
         if p not in surviving:
-            v = f"'{p}'" if isinstance(p, str) else str(p)
+            # quote everything non-numeric (str, date, timestamp —
+            # their str() forms are valid SQL literals when quoted)
+            v = (
+                str(p)
+                if isinstance(p, (int, float)) and not isinstance(p, bool)
+                else "'" + str(p).replace("'", "''") + "'"
+            )
             spark.sql(
                 f"ALTER TABLE {table} DROP IF EXISTS "
                 f"PARTITION ({partition_col} = {v})"
