@@ -195,14 +195,12 @@ def rollup_refresh(
         )
         .select("bucket_s", "key", "n_events", "value_cents", "pday")
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    from datafusion_uba_spark.sources import dynamic_partition_overwrite
+
+    with dynamic_partition_overwrite(spark):
         # dynamic mode: overwrite replaces ONLY the partitions present
         # in `merged` (exactly the affected days), never the others
         merged.write.mode("overwrite").insertInto(table)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return sorted(days)
 
 

@@ -270,16 +270,12 @@ def scd2_apply_table(
             )
         ).alias("closed"),
     )
-    prev = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    from datafusion_uba_spark.sources import dynamic_partition_overwrite
+
+    with dynamic_partition_overwrite(spark):
         # dynamic mode: overwrite replaces ONLY the partitions present
         # in `out` — 'open' plus (if any rows closed) this batch
         out.write.mode("overwrite").insertInto(table)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     closed = obs.get.get("closed")
     return batch_id if closed else None
 
@@ -424,12 +420,10 @@ def cdc_refresh(
         op_col,
         keep_tombstones=True,
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    from datafusion_uba_spark.sources import dynamic_partition_overwrite
+
+    with dynamic_partition_overwrite(spark):
         merged.write.mode("overwrite").format("parquet").insertInto(table)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return sorted(buckets)
 
 
@@ -493,17 +487,14 @@ def cdc_vacuum(
     written = {
         r["__bucket"] for r in keep.select("__bucket").distinct().collect()
     }
+    from datafusion_uba_spark.sources import (
+        drop_partition,
+        dynamic_partition_overwrite,
+    )
+
     if written:
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        with dynamic_partition_overwrite(spark):
             keep.write.mode("overwrite").format("parquet").insertInto(table)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     for b in sorted(set(buckets) - written):
-        spark.sql(
-            f"ALTER TABLE {table} DROP IF EXISTS PARTITION (__bucket={b})"
-        )
+        drop_partition(spark, table, "__bucket", b)
     return {"buckets": sorted(buckets), "removed": removed}

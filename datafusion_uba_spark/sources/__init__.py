@@ -350,6 +350,52 @@ def staged_swap_tables(spark: SparkSession, builds) -> None:
             ) from exc
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def dynamic_partition_overwrite(spark: SparkSession):
+    """Scope spark.sql.sources.partitionOverwriteMode=dynamic: inside
+    the block an ``insertInto`` overwrite replaces ONLY the partitions
+    present in the written frame, never the others — the partial-
+    rewrite primitive every partitioned-store maintainer here uses
+    (rollup_refresh, scd2_apply_table, cdc_store_apply, cdc_vacuum,
+    erasure_apply). One copy of the save/set/restore dance."""
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def drop_partition(
+    spark: SparkSession, table: str, col: str, value
+) -> None:
+    """ALTER TABLE ... DROP IF EXISTS PARTITION with TYPED literal
+    quoting: ints/floats bare, everything else (str, date, timestamp)
+    single-quoted with embedded quotes doubled. NULL partition values
+    are rejected loudly — Spark's DROP PARTITION cannot address the
+    __HIVE_DEFAULT_PARTITION__ by value, and a str(None) would either
+    no-op or hit a legitimate partition whose value is the literal
+    string 'None'."""
+    if value is None:
+        raise ValueError(
+            f"drop_partition: cannot drop the NULL partition of "
+            f"{table!r} by value; handle NULL-partition rows with a "
+            f"full rewrite"
+        )
+    if isinstance(value, bool) or not isinstance(value, (int, float)):
+        lit = "'" + str(value).replace("'", "''") + "'"
+    else:
+        lit = str(value)
+    spark.sql(
+        f"ALTER TABLE {table} DROP IF EXISTS PARTITION ({col} = {lit})"
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

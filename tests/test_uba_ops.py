@@ -1827,7 +1827,7 @@ def test_erasure_apply_partitioned_rewrites_only_affected(spark):
         audit = erasure_apply(spark, table, "user_id", cohort, "pday")
         assert audit == {
             "rows_removed": 3,
-            "n_subjects_requested": 3,
+            "n_subjects": 3,
             "partitions_rewritten": [0, 2],
         }
         got = {
@@ -1893,7 +1893,7 @@ def test_erasure_apply_unpartitioned_staged_swap(spark):
         audit = erasure_apply(spark, table, "user_id", cohort)
         assert audit == {
             "rows_removed": 1,
-            "n_subjects_requested": 1,
+            "n_subjects": 1,
             "partitions_rewritten": [],
         }
         got = {tuple(r) for r in spark.table(table).collect()}
@@ -1903,3 +1903,41 @@ def test_erasure_apply_unpartitioned_staged_swap(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}__stage")
+
+
+def test_erasure_apply_guards(spark):
+    """NULL-partition cohort rows and bucketed tables are refused
+    LOUDLY (silently skipping NULL-partition rows would violate the
+    request; a plain rewrite of a bucketed table would silently drop
+    its bucketing spec)."""
+    import pytest
+
+    from datafusion_uba_spark.operators.erasure import erasure_apply
+    from datafusion_uba_spark.sources import write_bucketed
+
+    t_null, t_bkt = "erasure_guard_null", "erasure_guard_bkt"
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {t_null}")
+        spark.createDataFrame(
+            [(97, None, "a"), (5, 1, "b")],
+            "user_id long, pday int, v string",
+        ).write.format("parquet").partitionBy("pday").saveAsTable(t_null)
+        cohort = spark.createDataFrame([(97,)], "k long")
+        with pytest.raises(ValueError, match="NULL"):
+            erasure_apply(spark, t_null, "user_id", cohort, "pday")
+        # the cohort row is still there — nothing was half-applied
+        assert spark.table(t_null).where("user_id = 97").count() == 1
+
+        write_bucketed(
+            spark.createDataFrame(
+                [(97, "a"), (5, "b")], "user_id long, v string"
+            ),
+            t_bkt,
+            "user_id",
+            4,
+        )
+        with pytest.raises(ValueError, match="bucketed"):
+            erasure_apply(spark, t_bkt, "user_id", cohort)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_null}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_bkt}")
