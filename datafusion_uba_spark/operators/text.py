@@ -1047,3 +1047,165 @@ def tfidf_topk(
             "rank",
         )
     )
+
+
+def hash_weight_milli(tok: Column | str, salt: str = "w") -> Column:
+    """Deterministic per-token linear-model weight in thousandths,
+    derived from the portable 60-bit md5-prefix family (the same
+    cross-engine hash dedup.py's md5 rows use): uniformly distributed
+    in [-1000, +1000]. Stands in for a learned fasttext-style weight
+    vector — the INFERENCE plan is identical whether the weight comes
+    from a hash or a broadcast model table, and the hash form lets the
+    DuckDB oracle replay the exact score."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), _col(tok))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % 2001 - 1000
+
+
+def quality_classifier_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Linear text-quality classifier INFERENCE over the corpus — the
+    fasttext-style "is this page educational / high-quality" scoring
+    pass every modern pre-training pipeline runs (CCNet, FineWeb-Edu,
+    DCLM all gate on a cheap linear scorer before anything expensive).
+    Mean-pools a per-token weight into a document logit and thresholds
+    at zero.
+
+    Scale shape: weights are computed INLINE from the token bytes
+    (md5 → [-1000, 1000] thousandths), so the plan is one narrow
+    explode + map-side hash + partial hash-aggregate keyed on doc_id —
+    zero joins, one shuffle carrying only (doc_id, count, sum). With a
+    real learned vocabulary the only change is a broadcast join from
+    token to weight before the same aggregate; nothing else moves.
+    Exact integer arithmetic end-to-end; the mean is the floor of an
+    IEEE division of exactly-represented integers (the _bp
+    convention).
+
+    Output: (id, n_tokens, logit_milli, score_micro, keep) — one row
+    per input document; token-less documents score 0 / keep=false.
+    """
+    s0 = docs.select(
+        F.col(id_col).alias("__id"), normalize_text(text_col).alias("__norm")
+    )
+    s1 = s0.select("__id", tokens_from_norm(F.col("__norm")).alias("__toks"))
+    # explode_outer keeps empty documents as one null-token row so the
+    # output covers every input doc without a second pass over docs
+    tok = s1.select("__id", F.explode_outer("__toks").alias("__t"))
+    w = tok.select(
+        "__id",
+        F.when(
+            F.col("__t").isNull(), F.lit(None).cast("long")
+        ).otherwise(hash_weight_milli(F.col("__t"))).alias("__w"),
+    )
+    per = w.groupBy("__id").agg(
+        F.count("__w").alias("n_tokens"),
+        F.coalesce(F.sum("__w"), F.lit(0).cast("long")).alias("logit_milli"),
+    )
+    score = F.when(
+        F.col("n_tokens") > 0,
+        F.floor(F.col("logit_milli") * 1000.0 / F.col("n_tokens")),
+    ).otherwise(F.lit(0).cast("long"))
+    return per.select(
+        F.col("__id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("logit_milli").cast("long").alias("logit_milli"),
+        score.cast("long").alias("score_micro"),
+        (F.col("logit_milli") > 0).alias("keep"),
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection via hashed-n-gram importance weights
+    (Xie et al., "Data Selection for Language Models via Importance
+    Resampling", NeurIPS 2023): estimate target-domain vs raw-corpus
+    unigram distributions over a FIXED 65,536-bucket hashed feature
+    space, then score every raw document by how much more "target-like"
+    than "raw-like" its tokens are. This is the deterministic
+    integer-arithmetic variant: per-bucket probabilities are floored
+    ppb integers and the document score is the SUM of per-occurrence
+    (ppb_target - ppb_raw) deltas — a linear discrepancy score rather
+    than a log-likelihood ratio, so no transcendental function crosses
+    an engine boundary and the DuckDB oracle replays it exactly.
+
+    Scale shape: the feature space is hash-bounded at 2^16 buckets
+    regardless of corpus size, so the distribution estimate is one
+    explode + one tiny hash-aggregate, the bucket→delta table
+    BROADCASTS (64k rows max), and scoring is a map-side broadcast
+    join + one doc-keyed partial aggregate. Two linear passes over
+    token occurrences, one corpus-sized shuffle carrying only
+    (doc_id, count, sum). The target side is small by construction
+    (a curated seed set vs a 100 TB crawl).
+
+    Output: one row per RAW document (the selection pool) —
+    (id, n_tokens, imp_sum_ppb, imp_mean_ppb, selected); token-less
+    documents score 0 / selected=false.
+    """
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        is_target.alias("__is_t"),
+        normalize_text(text_col).alias("__norm"),
+    )
+    toks = base.select(
+        "__id", "__is_t", tokens_from_norm(F.col("__norm")).alias("__toks")
+    )
+    occ = toks.select(
+        "__id", "__is_t", F.explode("__toks").alias("__t")
+    ).select(
+        "__id",
+        "__is_t",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("f:"), F.col("__t"))), 1, 4),
+            16,
+            10,
+        ).cast("int").alias("__b"),
+    )
+    bucket = occ.groupBy("__b").agg(
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("t_cnt"),
+        F.sum(F.when(F.col("__is_t"), 0).otherwise(1)).alias("r_cnt"),
+    )
+    tot = bucket.agg(
+        F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
+    )
+    # bucket is <= 65,536 rows at ANY corpus size; the totals frame is
+    # one row — both stay broadcast-sized by construction
+    ppb_t = F.when(
+        F.col("t_tot") > 0,
+        F.floor(F.col("t_cnt") * 1000000000.0 / F.col("t_tot")),
+    ).otherwise(F.lit(0).cast("long"))
+    ppb_r = F.when(
+        F.col("r_tot") > 0,
+        F.floor(F.col("r_cnt") * 1000000000.0 / F.col("r_tot")),
+    ).otherwise(F.lit(0).cast("long"))
+    feat = bucket.crossJoin(F.broadcast(tot)).select(
+        "__b", (ppb_t - ppb_r).cast("long").alias("__delta_ppb")
+    )
+    raw_occ = occ.where(~F.col("__is_t")).select("__id", "__b")
+    # inner join is total: every bucket in raw_occ exists in feat by
+    # construction (feat was aggregated from the same occurrences)
+    per = raw_occ.join(F.broadcast(feat), "__b").groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__delta_ppb").alias("imp_sum_ppb"),
+    )
+    raw_ids = base.where(~F.col("__is_t")).select("__id")
+    j = raw_ids.join(per, "__id", "left")
+    n = F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+    imp = F.coalesce(F.col("imp_sum_ppb"), F.lit(0).cast("long"))
+    mean = F.when(
+        n > 0, F.floor(F.col("imp_sum_ppb") * 1.0 / F.col("n_tokens"))
+    ).otherwise(F.lit(0).cast("long"))
+    return j.select(
+        F.col("__id").alias(id_col),
+        n.cast("long").alias("n_tokens"),
+        imp.cast("long").alias("imp_sum_ppb"),
+        mean.cast("long").alias("imp_mean_ppb"),
+        (imp > 0).alias("selected"),
+    )

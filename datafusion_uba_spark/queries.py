@@ -2450,6 +2450,47 @@ ORDER BY p_brand
 """
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure filter→global-agg scan — revenue that
+    would have been gained by eliminating a discount band in one ship
+    year. Completes the TPC-H sweep (q1-q22 shapes all covered). All
+    four predicates push to the parquet scan (date band, discount
+    band, quantity cap), so at 100 TB this reads only the row groups
+    whose min/max stats intersect the year — no join, no shuffle
+    beyond the single-row final agg; per-row cents rounding keeps the
+    sum exact-integer and partition-order-free. Date band matches the
+    testdata's 1995-2001 shipdate span (TESTDATA.md), not TPC-H's
+    1994 constant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.coalesce(
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))),
+            F.lit(0).cast("long"),
+        ).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_ORACLE_FORECAST_REVENUE_CHANGE = """
+SELECT
+  CAST(coalesce(sum(CAST(round(l_extendedprice * l_discount * 100)
+                         AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+  count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2505,6 +2546,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q12": (q_shipmode_priority, _ORACLE_SHIPMODE_PRIORITY),
     "tpch_q16": (q_part_supplier_counts, _ORACLE_PART_SUPPLIER_COUNTS),
     "tpch_q19": (q_brand_band_revenue, _ORACLE_BRAND_BAND_REVENUE),
+    "tpch_q6": (q_forecast_revenue_change, _ORACLE_FORECAST_REVENUE_CHANGE),
     "value_histogram": (q_value_histogram, _ORACLE_VALUE_HISTOGRAM),
     "customer_snapshot_diff": (
         q_customer_snapshot_diff,

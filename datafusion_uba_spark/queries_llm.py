@@ -3403,7 +3403,101 @@ SELECT vec_id, cid AS cluster, dist2 FROM (
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference (text.quality_classifier_
+    scores) — the fasttext-style gate pass: mean-pooled per-token
+    weights → document logit → keep/drop. Zero joins; one doc-keyed
+    shuffle. Exact integer arithmetic (weights in thousandths, mean as
+    floor of an IEEE division of exactly-represented integers)."""
+    docs = _docs(spark, sf_dir)
+    return text_ops.quality_classifier_scores(docs)
+
+
+_ORACLE_QUALITY_CLASSIFIER = f"""
+WITH t AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+occ AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+  FROM t WHERE norm <> ''
+),
+w AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('w:' || tok), 1, 15))::BIGINT % 2001) - 1000
+           AS w
+  FROM occ
+),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(w) AS logit
+  FROM w GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(per.logit, 0) AS BIGINT) AS logit_milli,
+       CAST(CASE WHEN coalesce(per.n_tokens, 0) > 0
+                 THEN floor(per.logit * 1000.0 / per.n_tokens)
+                 ELSE 0 END AS BIGINT) AS score_micro,
+       coalesce(per.logit, 0) > 0 AS keep
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (text.dsir_importance): docs
+    with doc_id % 17 == 0 play the curated target seed set (~6%), the
+    rest are the raw crawl pool being scored. 2^16 hashed-unigram
+    buckets; bucket→delta table broadcasts at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    return text_ops.dsir_importance(docs, F.col("doc_id") % 17 == 0)
+
+
+_ORACLE_DSIR_WEIGHTS = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % 17 = 0 AS is_t, {_NORM} AS norm FROM documents
+),
+occ AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5('f:' || tok), 1, 4))::INT AS b
+  FROM (
+    SELECT doc_id, is_t, unnest(string_split(norm, ' ')) AS tok
+    FROM t WHERE norm <> ''
+  )
+),
+bucket AS (
+  SELECT b,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_cnt,
+         sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS r_cnt
+  FROM occ GROUP BY b
+),
+tot AS (SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM bucket),
+feat AS (
+  SELECT b,
+         (CASE WHEN t_tot > 0
+               THEN CAST(floor(t_cnt * 1000000000.0 / t_tot) AS BIGINT)
+               ELSE 0 END
+          - CASE WHEN r_tot > 0
+                 THEN CAST(floor(r_cnt * 1000000000.0 / r_tot) AS BIGINT)
+                 ELSE 0 END) AS delta_ppb
+  FROM bucket, tot
+),
+per AS (
+  SELECT o.doc_id, count(*) AS n_tokens, sum(f.delta_ppb) AS imp
+  FROM occ o JOIN feat f USING (b)
+  WHERE NOT o.is_t GROUP BY o.doc_id
+)
+SELECT r.doc_id,
+       CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(per.imp, 0) AS BIGINT) AS imp_sum_ppb,
+       CAST(CASE WHEN coalesce(per.n_tokens, 0) > 0
+                 THEN floor(per.imp * 1.0 / per.n_tokens)
+                 ELSE 0 END AS BIGINT) AS imp_mean_ppb,
+       coalesce(per.imp, 0) > 0 AS selected
+FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
+LEFT JOIN per ON r.doc_id = per.doc_id
+"""
+
+
 LLM_REGISTRY: dict = {
+    "quality_classifier": (q_quality_classifier, _ORACLE_QUALITY_CLASSIFIER),
+    "dsir_weights": (q_dsir_weights, _ORACLE_DSIR_WEIGHTS),
     "ngram_novelty": (q_ngram_novelty, _ORACLE_NOVELTY),
     "pps_sample": (q_pps_sample, _ORACLE_PPS),
     "readability_stats": (q_readability_stats, _ORACLE_READABILITY),

@@ -2310,3 +2310,118 @@ def test_bpe_scale_trainer_matches_reference_trainer():
     want = gen.train(gen.SEED, 80)
     got = scale.train_indexed(vocab, 80)
     assert got == want
+
+
+def _hw_milli(tok: str, salt: str = "w") -> int:
+    """Python twin of text.hash_weight_milli (60-bit md5 prefix)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{salt}:{tok}".encode()).hexdigest()[:15], 16)
+    return h % 2001 - 1000
+
+
+def test_quality_classifier_golden(spark):
+    """Crafted golden for text.quality_classifier_scores: exact logit
+    sums vs a Python md5 twin, repeated-token occurrence counting,
+    normalization before tokenizing, and the empty-doc contract
+    (n_tokens=0, logit 0, keep=False, still one output row)."""
+    rows = [
+        (1, "a b a"),          # repeated token counts twice
+        (2, "  Z  \t z "),     # normalizes to "z z"
+        (3, ""),               # empty: scores 0, keep False
+        (4, "solo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.quality_classifier_scores(docs).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+
+    exp_logit = {
+        1: 2 * _hw_milli("a") + _hw_milli("b"),
+        2: 2 * _hw_milli("z"),
+        3: 0,
+        4: _hw_milli("solo"),
+    }
+    exp_n = {1: 3, 2: 2, 3: 0, 4: 1}
+    import math
+
+    for d in (1, 2, 3, 4):
+        r = out[d]
+        assert r["n_tokens"] == exp_n[d], d
+        assert r["logit_milli"] == exp_logit[d], d
+        exp_score = (
+            math.floor(exp_logit[d] * 1000.0 / exp_n[d]) if exp_n[d] else 0
+        )
+        assert r["score_micro"] == exp_score, d
+        assert r["keep"] == (exp_logit[d] > 0), d
+
+
+def test_dsir_importance_golden(spark):
+    """Crafted golden for text.dsir_importance: replays the whole
+    bucket→ppb→delta→per-doc pipeline in plain Python (md5 16-bit
+    buckets, floored ppb, summed deltas) and pins the raw-pool output
+    contract — every raw doc appears (token-less raw doc scores 0 /
+    selected=False), target docs do NOT appear, occurrence (not
+    distinct-token) weighting."""
+    import hashlib
+    import math
+
+    rows = [
+        (100, "x x y"),   # target seed doc
+        (1, "x"),         # raw: shares the target's dominant token
+        (2, "q"),         # raw: token unseen in target
+        (3, ""),          # raw: token-less
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.dsir_importance(
+            docs, F.col("doc_id") == 100
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}  # raw pool only; target excluded
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(f"f:{tok}".encode()).hexdigest()[:4], 16)
+
+    occ = {100: ["x", "x", "y"], 1: ["x"], 2: ["q"], 3: []}
+    t_cnt: dict[int, int] = {}
+    r_cnt: dict[int, int] = {}
+    for d, toks in occ.items():
+        for t in toks:
+            b = bucket(t)
+            if d == 100:
+                t_cnt[b] = t_cnt.get(b, 0) + 1
+            else:
+                r_cnt[b] = r_cnt.get(b, 0) + 1
+    t_tot = sum(t_cnt.values())
+    r_tot = sum(r_cnt.values())
+
+    def delta(b: int) -> int:
+        pt = (
+            math.floor(t_cnt.get(b, 0) * 1000000000.0 / t_tot)
+            if t_tot
+            else 0
+        )
+        pr = (
+            math.floor(r_cnt.get(b, 0) * 1000000000.0 / r_tot)
+            if r_tot
+            else 0
+        )
+        return pt - pr
+
+    for d in (1, 2, 3):
+        toks = occ[d]
+        imp = sum(delta(bucket(t)) for t in toks)
+        r = out[d]
+        assert r["n_tokens"] == len(toks), d
+        assert r["imp_sum_ppb"] == imp, d
+        exp_mean = math.floor(imp * 1.0 / len(toks)) if toks else 0
+        assert r["imp_mean_ppb"] == exp_mean, d
+        assert r["selected"] == (imp > 0), d
+    # doc 1 carries the target's dominant token: must be selected
+    assert out[1]["selected"] is True
+    # doc 2's token never appears in the target: negative delta
+    assert out[2]["selected"] is False

@@ -215,3 +215,31 @@ def test_streaming_prescreen_batch_plan_shape(spark):
     # corpus (which would show the bitmap groupBy under this join)
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
     assert "bitmap_construct_agg" not in plan
+
+
+def test_tpch_q6_filters_pushed_and_single_scan(spark, sf_dir):
+    """tpch_q6 is the pure filter→agg scan: ALL four predicates (date
+    band, discount band, quantity cap) must reach the parquet scan's
+    PushedFilters so row-group stats prune at 100 TB, and the plan
+    must contain exactly one scan and no join/exchange beyond the
+    single-row final aggregate."""
+    from datafusion_uba_spark.queries import q_forecast_revenue_change
+
+    df = q_forecast_revenue_change(spark, sf_dir)
+    # formatted mode: executedPlan().toString() truncates long
+    # PushedFilters lists with "..."
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PushedFilters in scan:\n{plan}"
+    pushed = m.group(1)
+    assert "GreaterThanOrEqual(l_shipdate" in pushed, pushed
+    assert "LessThan(l_shipdate" in pushed, pushed
+    assert "GreaterThanOrEqual(l_discount" in pushed, pushed
+    assert "LessThanOrEqual(l_discount" in pushed, pushed
+    assert "LessThan(l_quantity" in pushed, pushed
+    # formatted output names each scan once in the tree and once in the
+    # numbered details; count the details entries
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan

@@ -165,6 +165,9 @@ HEAVY = [
     "revenue_ewma",
     "split_leakage_check",
     "bpe_token_stats",
+    "quality_classifier",
+    "dsir_weights",
+    "tpch_q6",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
