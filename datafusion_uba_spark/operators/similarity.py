@@ -1255,3 +1255,83 @@ def recall_at_k(
             .alias("recall_bp"),
         )
     )
+
+
+def hard_negative_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    dim: int | None = 64,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / metric-learning training:
+    for every anchor (query), the top-k most-similar vectors whose
+    label DIFFERS from the anchor's — the items a triplet loss must
+    push away hardest — plus the triplet margin against the anchor's
+    best same-label positive.
+
+    This is the batch-construction pass embedding-model training
+    pipelines run over the corpus (hard negatives dominate easy ones
+    for convergence); it differs from ``cosine_topk`` by the label
+    exclusion and the positive-margin join, and from
+    ``embedding_neardup_pairs`` by being anchored and ranked, not
+    thresholded.
+
+    Scale shape: anchors are a small curated set (the broadcast side);
+    the corpus side is scanned once and scored map-side, then split
+    into the negative stream (salted two-stage top-k, no single-reducer
+    sort) and the positive stream (per-anchor MAX, a tiny aggregate).
+    Cosines ride the exact-integer quantized dot + one IEEE div/sqrt
+    contract, so the DuckDB oracle replays values bit-for-bit.
+
+    Output: (query_id, rank, vec_id, neg_label, cosine_u, margin_u);
+    margin_u is NULL when the anchor has no same-label positive.
+    """
+    d0 = data.selectExpr(
+        f"`{id_col}` AS vec_id",
+        f"`{label_col}` AS vec_label",
+        _QUANT_SQL.format(col=vec_col) + " AS vec_q",
+    )
+    d = d0.selectExpr("*", f"{dot_sql('vec_q', 'vec_q', dim)} AS vec_n")
+    q0 = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"`{label_col}` AS query_label",
+        _QUANT_SQL.format(col=vec_col) + " AS query_q",
+    )
+    q = q0.selectExpr("*", f"{dot_sql('query_q', 'query_q', dim)} AS query_n")
+    scored = d.join(F.broadcast(q)).selectExpr(
+        "query_id",
+        "query_label",
+        "vec_id",
+        "vec_label",
+        f"{cosine_sql('query_q', 'vec_q', 'query_n', 'vec_n', dim)} AS __cos",
+    )
+    neg = scored.where(F.col("vec_label") != F.col("query_label"))
+    top = topk_per_key(
+        neg,
+        "query_id",
+        [F.col("__cos").desc(), F.col("vec_id").asc()],
+        k,
+        salt_col="vec_id",
+    )
+    pos = (
+        scored.where(
+            (F.col("vec_label") == F.col("query_label"))
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+        .groupBy("query_id")
+        .agg(F.max("__cos").alias("__pos_cos"))
+    )
+    out = top.join(F.broadcast(pos), "query_id", "left")
+    return out.select(
+        "query_id",
+        "rank",
+        "vec_id",
+        F.col("vec_label").alias("neg_label"),
+        F.floor(F.col("__cos") * 1_000_000).cast("long").alias("cosine_u"),
+        F.floor((F.col("__pos_cos") - F.col("__cos")) * 1_000_000)
+        .cast("long")
+        .alias("margin_u"),
+    )

@@ -3495,9 +3495,51 @@ LEFT JOIN per ON r.doc_id = per.doc_id
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negative_topk): anchors
+    are the first {n} vectors (the ann rows' query convention), k=5
+    different-label neighbors each + triplet margin vs the best
+    same-label positive.""".format(n=_N_QUERIES)
+    emb = _emb(spark, sf_dir)
+    return similarity.hard_negative_topk(emb, _query_vectors(emb), k=5)
+
+
+_ORACLE_HARD_NEGATIVES = f"""
+WITH d AS (SELECT vec_id, label, {_QUANT} AS v FROM embeddings),
+dn AS (SELECT vec_id, label, v, {_ddb_dot("v", "v")} AS n2 FROM d),
+q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv, n2 AS qn2
+      FROM dn WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT query_id, query_label, vec_id, label AS vec_label,
+         CAST({_ddb_dot("qv", "v")} AS DOUBLE)
+         / sqrt(CAST(qn2 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS c
+  FROM q, dn
+),
+neg AS (
+  SELECT query_id, vec_id, vec_label, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)
+           AS rank
+  FROM scored WHERE vec_label <> query_label
+),
+pos AS (
+  SELECT query_id, max(c) AS pos_c
+  FROM scored
+  WHERE vec_label = query_label AND vec_id <> query_id
+  GROUP BY query_id
+)
+SELECT n.query_id, CAST(n.rank AS INT) AS rank, n.vec_id,
+       n.vec_label AS neg_label,
+       CAST(floor(n.c * 1000000) AS BIGINT) AS cosine_u,
+       CAST(floor((p.pos_c - n.c) * 1000000) AS BIGINT) AS margin_u
+FROM neg n LEFT JOIN pos p USING (query_id)
+WHERE n.rank <= 5
+"""
+
+
 LLM_REGISTRY: dict = {
     "quality_classifier": (q_quality_classifier, _ORACLE_QUALITY_CLASSIFIER),
     "dsir_weights": (q_dsir_weights, _ORACLE_DSIR_WEIGHTS),
+    "hard_negatives": (q_hard_negatives, _ORACLE_HARD_NEGATIVES),
     "ngram_novelty": (q_ngram_novelty, _ORACLE_NOVELTY),
     "pps_sample": (q_pps_sample, _ORACLE_PPS),
     "readability_stats": (q_readability_stats, _ORACLE_READABILITY),

@@ -2425,3 +2425,48 @@ def test_dsir_importance_golden(spark):
     assert out[1]["selected"] is True
     # doc 2's token never appears in the target: negative delta
     assert out[2]["selected"] is False
+
+
+def test_hard_negative_topk_golden(spark):
+    """Crafted golden for similarity.hard_negative_topk: negatives
+    never share the anchor's label (self is auto-excluded by label),
+    ranking is cosine-desc with vec_id tiebreak, margin_u is the
+    best-same-label-positive minus the negative in micro-units, and an
+    anchor whose label is unique gets NULL margins."""
+    rows = [
+        (0, [1.0, 0.0], 0),   # anchor A
+        (1, [1.0, 0.0], 0),   # B: A's positive, cos 1.0
+        (2, [0.6, 0.8], 1),   # C: neg, cos 0.6 vs A
+        (3, [0.0, 1.0], 1),   # D: neg, cos 0.0 vs A
+        (4, [1.0, 0.0], 2),   # E: neg for A (cos 1.0); unique-label anchor
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    queries = emb.where(F.col("vec_id").isin(0, 4))
+    out = similarity.hard_negative_topk(emb, queries, k=3, dim=2).collect()
+    by_anchor: dict = {}
+    for r in out:
+        by_anchor.setdefault(r["query_id"], []).append(r)
+    for v in by_anchor.values():
+        v.sort(key=lambda r: r["rank"])
+
+    a0 = by_anchor[0]
+    assert [(r["vec_id"], r["neg_label"], r["cosine_u"]) for r in a0] == [
+        (4, 2, 1_000_000),
+        (2, 1, 600_000),
+        (3, 1, 0),
+    ]
+    # margin vs positive B (cos 1.0)
+    assert [r["margin_u"] for r in a0] == [0, 400_000, 1_000_000]
+
+    a4 = by_anchor[4]
+    # cosine ties broken by vec_id ascending; label-2 anchor: all others
+    # are negatives, and no positive exists -> NULL margins
+    assert [(r["vec_id"], r["cosine_u"]) for r in a4] == [
+        (0, 1_000_000),
+        (1, 1_000_000),
+        (2, 600_000),
+    ]
+    assert all(r["margin_u"] is None for r in a4)
+    assert set(by_anchor) == {0, 4}

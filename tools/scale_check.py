@@ -168,6 +168,7 @@ HEAVY = [
     "quality_classifier",
     "dsir_weights",
     "tpch_q6",
+    "hard_negatives",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
