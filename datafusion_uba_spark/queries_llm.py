@@ -3536,10 +3536,182 @@ WHERE n.rank <= 5
 """
 
 
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the day-over-day ingest audit: per
+    source, how many documents were added / removed / changed /
+    unchanged between two snapshots (content compared by sha256, the
+    dedup_exact fingerprint family). Snapshots are deterministic
+    slices of the driver corpus: snapshot A drops doc_id % 23 == 0,
+    snapshot B drops doc_id % 29 == 0 and rewrites the text of
+    doc_id % 5 == 0 (the 'changed' cohort).
+
+    Scale shape: ONE full-outer equi-join on the document id — the
+    co-partitioned big-big join case (bucket both snapshots by doc_id
+    with sources.write_bucketed and it runs exchange-free); the
+    comparison itself is a per-row hash equality, and the output
+    aggregate is source x status (bounded by the source vocabulary).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 23 != 0).select(
+        "doc_id",
+        F.col("source").alias("__src_a"),
+        F.sha2(F.col("text"), 256).alias("__h_a"),
+    )
+    new = (
+        docs.where(F.col("doc_id") % 29 != 0)
+        .withColumn(
+            "__text_b",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .select(
+            "doc_id",
+            F.col("source").alias("__src_b"),
+            F.sha2(F.col("__text_b"), 256).alias("__h_b"),
+        )
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("__h_a").isNull(), F.lit("added"))
+        .when(F.col("__h_b").isNull(), F.lit("removed"))
+        .when(F.col("__h_a") != F.col("__h_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("__src_a"), F.col("__src_b")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_ORACLE_CORPUS_SNAPSHOT_DIFF = """
+WITH a AS (
+  SELECT doc_id, source AS src_a, sha256(text) AS h_a
+  FROM documents WHERE doc_id % 23 <> 0
+),
+b AS (
+  SELECT doc_id, source AS src_b,
+         sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                     ELSE text END) AS h_b
+  FROM documents WHERE doc_id % 29 <> 0
+),
+j AS (
+  SELECT coalesce(a.src_a, b.src_b) AS source,
+         CASE WHEN a.h_a IS NULL THEN 'added'
+              WHEN b.h_b IS NULL THEN 'removed'
+              WHEN a.h_a <> b.h_b THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM a FULL OUTER JOIN b USING (doc_id)
+)
+SELECT source, status, count(*) AS n_docs
+FROM j GROUP BY source, status
+"""
+
+
+def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column data-quality audit per label — the deequ-style
+    pre-flight for the embedding table: count of vectors, wrong-dim
+    vectors, non-finite components (NaN/Inf), zero-norm vectors, and
+    exact-integer squared-norm min/max/avg (quantized micro-units, so
+    no float crosses an aggregate; avg is integer division). One scan,
+    one tiny hash-aggregate keyed on label — the same
+    conditional-aggregate fold operators/quality.py uses for tables.
+    """
+    emb = _emb(spark, sf_dir)
+    from datafusion_uba_spark.operators.similarity import (
+        _QUANT_SQL,
+        dot_sql,
+    )
+
+    # the quant/dot path is GUARDED by the flags it audits: under
+    # Spark 4's default ANSI mode CAST(NaN AS BIGINT) and out-of-range
+    # unrolled indexing both RAISE, so a malformed vector would crash
+    # an unguarded audit — the CASE keeps evaluation lazy per row
+    v = emb.selectExpr(
+        "label",
+        "embedding",
+        "size(embedding) AS __dim",
+        "exists(embedding, x -> isnan(x) OR abs(x) = CAST('Infinity' AS "
+        "DOUBLE)) AS __bad",
+    ).selectExpr(
+        "label",
+        "__dim",
+        "__bad",
+        "CASE WHEN __bad OR __dim != 64 THEN NULL ELSE "
+        + _QUANT_SQL.format(col="embedding")
+        + " END AS __q",
+    ).selectExpr(
+        "label", "__dim", "__bad", f"{dot_sql('__q', '__q', 64)} AS __n2"
+    )
+    return (
+        v.groupBy("label").agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.when(F.col("__dim") != 64, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bad_dim"),
+            F.sum(F.when(F.col("__bad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nonfinite"),
+            F.sum(F.when(F.col("__n2") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero_norm"),
+            F.min("__n2").alias("min_n2_u"),
+            F.max("__n2").alias("max_n2_u"),
+            # guard: an all-malformed label has count(__n2) = 0 and an
+            # unguarded integer div-by-zero raises under ANSI
+            F.expr(
+                "CASE WHEN count(__n2) > 0 "
+                "THEN sum(__n2) div count(__n2) ELSE NULL END"
+            ).alias("avg_n2_u"),
+        )
+    )
+
+
+_ORACLE_EMBEDDING_NORM_AUDIT = f"""
+WITH v0 AS (
+  SELECT label, embedding, len(embedding) AS dim,
+         list_count(list_filter(embedding,
+           x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))) > 0
+           AS bad
+  FROM embeddings
+),
+v AS (
+  SELECT label, dim, bad,
+         CASE WHEN bad OR dim <> 64 THEN NULL
+              ELSE {_ddb_dot(_QUANT, _QUANT)} END AS n2
+  FROM v0
+)
+SELECT label, count(*) AS n_vecs,
+       CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad_dim,
+       CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonfinite,
+       CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_norm,
+       CAST(min(n2) AS BIGINT) AS min_n2_u,
+       CAST(max(n2) AS BIGINT) AS max_n2_u,
+       CAST(CASE WHEN count(n2) > 0 THEN sum(n2) // count(n2)
+                 ELSE NULL END AS BIGINT) AS avg_n2_u
+FROM v GROUP BY label
+"""
+
+
 LLM_REGISTRY: dict = {
     "quality_classifier": (q_quality_classifier, _ORACLE_QUALITY_CLASSIFIER),
     "dsir_weights": (q_dsir_weights, _ORACLE_DSIR_WEIGHTS),
     "hard_negatives": (q_hard_negatives, _ORACLE_HARD_NEGATIVES),
+    "corpus_snapshot_diff": (
+        q_corpus_snapshot_diff,
+        _ORACLE_CORPUS_SNAPSHOT_DIFF,
+    ),
+    "embedding_norm_audit": (
+        q_embedding_norm_audit,
+        _ORACLE_EMBEDDING_NORM_AUDIT,
+    ),
     "ngram_novelty": (q_ngram_novelty, _ORACLE_NOVELTY),
     "pps_sample": (q_pps_sample, _ORACLE_PPS),
     "readability_stats": (q_readability_stats, _ORACLE_READABILITY),

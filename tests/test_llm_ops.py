@@ -2470,3 +2470,84 @@ def test_hard_negative_topk_golden(spark):
     ]
     assert all(r["margin_u"] is None for r in a4)
     assert set(by_anchor) == {0, 4}
+
+
+def test_corpus_snapshot_diff_golden(spark, tmp_path):
+    """Crafted golden for corpus_snapshot_diff: one doc per status
+    plus the in-neither case, and the source-attribution rule (a
+    removed doc's source comes from snapshot A)."""
+    import os
+
+    from datafusion_uba_spark.queries_llm import q_corpus_snapshot_diff
+
+    rows = [
+        (0, "zero", "sA"),    # 0 % 23 == 0 and 0 % 29 == 0: in neither
+        (1, "one", "sB"),     # in both, text unchanged -> unchanged
+        (5, "five", "sB"),    # in both, % 5 == 0 -> changed
+        (23, "tw3", "sC"),    # not in A (23 % 23), in B -> added
+        (29, "tw9", "sD"),    # in A, not in B (29 % 29) -> removed
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    sf = str(tmp_path / "snapdiff_sf")
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    got = {
+        (r["source"], r["status"]): r["n_docs"]
+        for r in q_corpus_snapshot_diff(spark, sf).collect()
+    }
+    assert got == {
+        ("sB", "unchanged"): 1,
+        ("sB", "changed"): 1,
+        ("sC", "added"): 1,
+        ("sD", "removed"): 1,
+    }
+
+
+def test_embedding_norm_audit_malformed_vectors(spark, tmp_path):
+    """The audit must SURVIVE the data it flags: NaN components,
+    wrong-dim vectors, and zero vectors all land in their counters
+    instead of crashing the ANSI quant/dot path; an all-malformed
+    label yields NULL norm stats (guarded div-by-zero)."""
+    import os
+
+    from datafusion_uba_spark.queries_llm import q_embedding_norm_audit
+
+    unit = [1.0] + [0.0] * 63
+    zero = [0.0] * 64
+    nan_vec = [float("nan")] + [0.0] * 63
+    short = [1.0, 2.0]
+    rows = [
+        (0, unit, 0),
+        (1, zero, 0),
+        (2, nan_vec, 0),
+        (3, short, 1),   # label 1 is ALL-malformed
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = str(tmp_path / "normaudit_sf")
+    os.makedirs(sf, exist_ok=True)
+    emb.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+
+    got = {r["label"]: r for r in q_embedding_norm_audit(spark, sf).collect()}
+    l0 = got[0]
+    assert l0["n_vecs"] == 3
+    assert l0["n_bad_dim"] == 0
+    assert l0["n_nonfinite"] == 1
+    assert l0["n_zero_norm"] == 1
+    # unit vector quantizes to 1e6 -> n2 = 1e12; zero vector -> 0;
+    # NaN vector excluded from norm stats
+    assert l0["min_n2_u"] == 0
+    assert l0["max_n2_u"] == 1_000_000_000_000
+    assert l0["avg_n2_u"] == 500_000_000_000
+    l1 = got[1]
+    assert l1["n_vecs"] == 1
+    assert l1["n_bad_dim"] == 1
+    assert l1["n_nonfinite"] == 0
+    assert l1["n_zero_norm"] == 0
+    assert l1["min_n2_u"] is None
+    assert l1["max_n2_u"] is None
+    assert l1["avg_n2_u"] is None

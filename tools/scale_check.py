@@ -169,6 +169,7 @@ HEAVY = [
     "dsir_weights",
     "tpch_q6",
     "hard_negatives",
+    "corpus_snapshot_diff",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
