@@ -3700,7 +3700,215 @@ FROM v GROUP BY label
 """
 
 
+_SWEEP_THRESHOLDS_BP = [7000, 7500, 8000, 8500, 9000]
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tuning curve in ONE pass: duplicate-pair count and
+    flagged-document count at five Jaccard thresholds (0.70..0.90,
+    the range production near-dup pipelines actually tune over), from
+    a single candidate generation at the LOWEST threshold — the report
+    a pipeline owner reads to pick the dedup threshold without
+    re-running dedup per candidate value.
+
+    Scale shape: the expensive step (PPJoin prefix-filtered candidate
+    join + exact verify) runs once at tau=0.7; the sweep itself is a
+    5-row threshold explode over the (tiny) verified pair set and the
+    per-doc max-similarity projection, so the one-pass sweep costs
+    exactly what a single tau=0.7 dedup costs — strictly cheaper than
+    five runs. The floor matters: the prefix filter indexes
+    |d|*(1-tau) shingles per doc, so dropping the floor to 0.5 doubles
+    the candidate stream vs 0.7 (measured: 8x exponent 1.34 at
+    tau=0.5 vs the ~0.8 pair-growth floor of the replica fixture —
+    see tools/SCALE_RESULTS.md). Thresholds compare on the floored
+    basis-point value, which is EXACT at these cutoffs
+    (floor(J*1e4) >= t iff J >= t/1e4 when t is a whole basis-point
+    multiple). Every threshold row appears even when nothing
+    matches."""
+    docs = _docs(spark, sf_dir)
+    # the verified pair set is consumed by BOTH the pair-count branch
+    # and the per-doc max branch — materialize it once or Spark
+    # re-executes the whole candidate join per branch (measured 2x)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.7).localCheckpoint(
+        eager=True
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS_BP], "threshold_bp long"
+    )
+    tj = F.broadcast(thr)
+    n_pairs = (
+        pairs.join(tj, pairs.jaccard_bp >= thr.threshold_bp)
+        .groupBy("threshold_bp")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    side = pairs.select(F.col("doc_a").alias("d"), "jaccard_bp").unionAll(
+        pairs.select(F.col("doc_b").alias("d"), "jaccard_bp")
+    )
+    mx = side.groupBy("d").agg(F.max("jaccard_bp").alias("max_bp"))
+    n_docs = (
+        mx.join(tj, mx.max_bp >= thr.threshold_bp)
+        .groupBy("threshold_bp")
+        .agg(F.count(F.lit(1)).alias("n_docs_flagged"))
+    )
+    return (
+        thr.join(n_pairs, "threshold_bp", "left")
+        .join(n_docs, "threshold_bp", "left")
+        .select(
+            "threshold_bp",
+            F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+            F.coalesce("n_docs_flagged", F.lit(0).cast("long")).alias(
+                "n_docs_flagged"
+            ),
+        )
+    )
+
+
+_ORACLE_DEDUP_THRESHOLD_SWEEP = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS s FROM documents
+  WHERE len({_SHINGLES}) > 0
+),
+inv AS (SELECT id, unnest(s) AS shingle FROM sh),
+common AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS common_shingles
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+sizes AS (SELECT id, len(s) AS n FROM sh),
+pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(floor((common_shingles * 10000)
+               / (sa.n + sb.n - common_shingles)) AS BIGINT) AS bp
+  FROM common
+  JOIN sizes sa ON sa.id = doc_a
+  JOIN sizes sb ON sb.id = doc_b
+  WHERE CAST(floor((common_shingles * 10000)
+              / (sa.n + sb.n - common_shingles)) AS BIGINT) >= 7000
+),
+thr AS (SELECT unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS_BP)}])
+          AS threshold_bp),
+mx AS (
+  SELECT d, max(bp) AS max_bp FROM (
+    SELECT doc_a AS d, bp FROM pairs
+    UNION ALL SELECT doc_b AS d, bp FROM pairs
+  ) GROUP BY d
+),
+np AS (
+  SELECT threshold_bp, count(*) AS n_pairs
+  FROM thr JOIN pairs ON bp >= threshold_bp GROUP BY threshold_bp
+),
+nd AS (
+  SELECT threshold_bp, count(*) AS n_docs_flagged
+  FROM thr JOIN mx ON max_bp >= threshold_bp GROUP BY threshold_bp
+)
+SELECT CAST(t.threshold_bp AS BIGINT) AS threshold_bp,
+       CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(nd.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged
+FROM thr t
+LEFT JOIN np ON t.threshold_bp = np.threshold_bp
+LEFT JOIN nd ON t.threshold_bp = nd.threshold_bp
+"""
+
+
+def q_packing_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality report: per shard, how many context windows the
+    packed token stream produced, how many hold more than one document
+    (attention-contamination candidates when training without window
+    resets), and how many mix SOURCES — the metric that decides
+    whether the packer needs source-partitioned streams. Rides the
+    registry's sequence_packing geometry (real BPE counts, capacity
+    256, 8 shards).
+
+    Scale shape: the window explode is |tokens|/capacity rows (linear,
+    narrow), the source join is doc-keyed (co-partitioned case), and
+    both aggregates are bounded by shard x window then shard."""
+    docs = _docs(spark, sf_dir)
+    counts = bpe.bpe_token_counts(docs)
+    packed = packing.pack_token_stream(
+        counts, capacity=256, n_shards=8, tokens_col="n_bpe_tokens"
+    )
+    w = packed.select(
+        "doc_id",
+        "shard",
+        F.explode(
+            F.sequence(F.col("first_window"), F.col("last_window"))
+        ).alias("window"),
+    )
+    src = docs.select("doc_id", "source")
+    per_win = (
+        w.join(src, "doc_id")
+        .groupBy("shard", "window")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+    return per_win.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi_doc"),
+        F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_mixed_source"),
+        F.floor(
+            F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+            * 10000.0
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("mixed_bp"),
+    )
+
+
+def _oracle_packing_contamination() -> str:
+    return f"""
+WITH RECURSIVE {_BPE_WALK_CTES},
+s AS (
+  SELECT doc_id, n, {_ddb_id_bucket('doc_id')} % 8 AS shard
+  FROM bpe_doc_tokens WHERE n >= 1
+),
+c AS (
+  SELECT doc_id, shard, n,
+         coalesce(sum(n) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_offset
+  FROM s
+),
+wins AS (
+  SELECT doc_id, shard,
+         unnest(range(CAST(start_offset // 256 AS BIGINT),
+                      CAST((start_offset + n - 1) // 256 + 1 AS BIGINT)))
+           AS win
+  FROM c
+),
+pw AS (
+  SELECT shard, win, count(*) AS n_docs,
+         count(DISTINCT d.source) AS n_sources
+  FROM wins w JOIN documents d USING (doc_id)
+  GROUP BY shard, win
+)
+SELECT shard, count(*) AS n_windows,
+       CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi_doc,
+       CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mixed_source,
+       CAST(floor(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)
+                  * 10000.0 / count(*)) AS BIGINT) AS mixed_bp
+FROM pw GROUP BY shard
+"""
+
+
 LLM_REGISTRY: dict = {
+    "dedup_threshold_sweep": (
+        q_dedup_threshold_sweep,
+        _ORACLE_DEDUP_THRESHOLD_SWEEP,
+    ),
+    "packing_contamination": (
+        q_packing_contamination,
+        _oracle_packing_contamination(),
+    ),
     "quality_classifier": (q_quality_classifier, _ORACLE_QUALITY_CLASSIFIER),
     "dsir_weights": (q_dsir_weights, _ORACLE_DSIR_WEIGHTS),
     "hard_negatives": (q_hard_negatives, _ORACLE_HARD_NEGATIVES),

@@ -2551,3 +2551,78 @@ def test_embedding_norm_audit_malformed_vectors(spark, tmp_path):
     assert l1["min_n2_u"] is None
     assert l1["max_n2_u"] is None
     assert l1["avg_n2_u"] is None
+
+
+def test_dedup_threshold_sweep_golden(spark, tmp_path):
+    """Crafted golden for dedup_threshold_sweep: an exact-duplicate
+    pair (J=1.0) and an engineered J=0.75 pair pin the per-threshold
+    pair/doc counts, the basis-point cutoff exactness (0.75 included
+    AT 7500, excluded at 8000), and that every threshold row
+    appears."""
+    import os
+
+    from datafusion_uba_spark.queries_llm import q_dedup_threshold_sweep
+
+    rows = [
+        (1, "a b c d e f", "s"),
+        (2, "a b c d e f", "s"),      # J(1,2) = 1.0
+        (3, "p q r s t u", "s"),      # shingles pqr qrs rst stu
+        (4, "p q r s t", "s"),        # subset: inter 3 / union 4 -> J = 0.75
+        (5, "lone wolf document here", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    sf = str(tmp_path / "sweep_sf")
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    got = {
+        r["threshold_bp"]: (r["n_pairs"], r["n_docs_flagged"])
+        for r in q_dedup_threshold_sweep(spark, sf).collect()
+    }
+    assert got == {
+        7000: (2, 4),
+        7500: (2, 4),   # J=0.75 floors to exactly 7500 -> included
+        8000: (1, 2),
+        8500: (1, 2),
+        9000: (1, 2),
+    }
+
+
+def test_packing_contamination_golden(spark, tmp_path):
+    """Crafted golden for packing_contamination: single-symbol docs
+    (1 BPE token each) with distinct sources, expected shard grouping
+    replayed through the md5-bucket twin — every populated shard packs
+    into one window, and a window is multi-doc/mixed-source iff the
+    shard drew more than one doc."""
+    import hashlib
+    import os
+
+    from datafusion_uba_spark.queries_llm import q_packing_contamination
+
+    def shard_of(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 8
+
+    rows = [(i, "a", f"src{i}") for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    sf = str(tmp_path / "packcont_sf")
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    per_shard: dict = {}
+    for i, _, _ in rows:
+        per_shard[shard_of(i)] = per_shard.get(shard_of(i), 0) + 1
+
+    got = {r["shard"]: r for r in q_packing_contamination(spark, sf).collect()}
+    assert set(got) == set(per_shard)
+    for sh, n in per_shard.items():
+        r = got[sh]
+        # 1 token per doc, capacity 256 -> always exactly one window
+        assert r["n_windows"] == 1, sh
+        assert r["n_multi_doc"] == (1 if n > 1 else 0), sh
+        # every doc has a distinct source -> mixed iff multi-doc
+        assert r["n_mixed_source"] == (1 if n > 1 else 0), sh
+        assert r["mixed_bp"] == (10000 if n > 1 else 0), sh

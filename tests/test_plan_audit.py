@@ -71,6 +71,16 @@ _NLJ_ALLOWED = {
     # the ONE-ROW global-centroid vector broadcast against the
     # per-source centroid table — scalar-broadcast shape, O(|sources|)
     "embedding_drift_by_source",
+    # hard-negative mining inherits ann_topk's designed broadcast
+    # scorer crossJoin (the fixed anchor set is the broadcast side)
+    "hard_negatives",
+    # the ONE-ROW (t_tot, r_tot) totals frame broadcast against the
+    # <= 2^16-row bucket table — scalar-subquery shape, O(2^16 x 1)
+    "dsir_weights",
+    # the FIVE-ROW threshold grid range-joined (bp >= t) against the
+    # materialized verified pair set — a band join over a broadcast
+    # constant grid, O(|pairs| x 5)
+    "dedup_threshold_sweep",
 }
 
 _REGISTRY = queries()

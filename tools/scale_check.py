@@ -170,6 +170,8 @@ HEAVY = [
     "tpch_q6",
     "hard_negatives",
     "corpus_snapshot_diff",
+    "dedup_threshold_sweep",
+    "packing_contamination",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
