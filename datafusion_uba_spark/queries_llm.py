@@ -3552,10 +3552,14 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is source x status (bounded by the source vocabulary).
     """
     docs = load_table(spark, sf_dir, "documents")
+    # membership is decided by explicit presence flags, NOT hash
+    # nullity — a NULL-text document present in both snapshots must
+    # classify as unchanged/changed, never as added/removed
     old = docs.where(F.col("doc_id") % 23 != 0).select(
         "doc_id",
         F.col("source").alias("__src_a"),
         F.sha2(F.col("text"), 256).alias("__h_a"),
+        F.lit(True).alias("__in_a"),
     )
     new = (
         docs.where(F.col("doc_id") % 29 != 0)
@@ -3569,13 +3573,15 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("source").alias("__src_b"),
             F.sha2(F.col("__text_b"), 256).alias("__h_b"),
+            F.lit(True).alias("__in_b"),
         )
     )
     j = old.join(new, "doc_id", "full_outer")
+    # null-safe hash compare: two NULL texts are the same content
     status = (
-        F.when(F.col("__h_a").isNull(), F.lit("added"))
-        .when(F.col("__h_b").isNull(), F.lit("removed"))
-        .when(F.col("__h_a") != F.col("__h_b"), F.lit("changed"))
+        F.when(F.col("__in_a").isNull(), F.lit("added"))
+        .when(F.col("__in_b").isNull(), F.lit("removed"))
+        .when(~F.col("__h_a").eqNullSafe(F.col("__h_b")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return (
@@ -3590,20 +3596,21 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_CORPUS_SNAPSHOT_DIFF = """
 WITH a AS (
-  SELECT doc_id, source AS src_a, sha256(text) AS h_a
+  SELECT doc_id, source AS src_a, sha256(text) AS h_a, TRUE AS in_a
   FROM documents WHERE doc_id % 23 <> 0
 ),
 b AS (
   SELECT doc_id, source AS src_b,
          sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
-                     ELSE text END) AS h_b
+                     ELSE text END) AS h_b,
+         TRUE AS in_b
   FROM documents WHERE doc_id % 29 <> 0
 ),
 j AS (
   SELECT coalesce(a.src_a, b.src_b) AS source,
-         CASE WHEN a.h_a IS NULL THEN 'added'
-              WHEN b.h_b IS NULL THEN 'removed'
-              WHEN a.h_a <> b.h_b THEN 'changed'
+         CASE WHEN a.in_a IS NULL THEN 'added'
+              WHEN b.in_b IS NULL THEN 'removed'
+              WHEN NOT (a.h_a IS NOT DISTINCT FROM b.h_b) THEN 'changed'
               ELSE 'unchanged' END AS status
   FROM a FULL OUTER JOIN b USING (doc_id)
 )
@@ -3650,7 +3657,13 @@ def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         v.groupBy("label").agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.sum(F.when(F.col("__dim") != 64, 1).otherwise(0))
+            # NULL-vector rows have NULL __dim — they are malformed
+            # too and must not vanish from every counter
+            F.sum(
+                F.when(
+                    F.col("__dim").isNull() | (F.col("__dim") != 64), 1
+                ).otherwise(0)
+            )
             .cast("long")
             .alias("n_bad_dim"),
             F.sum(F.when(F.col("__bad"), 1).otherwise(0))
@@ -3686,8 +3699,8 @@ v AS (
   FROM v0
 )
 SELECT label, count(*) AS n_vecs,
-       CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_bad_dim,
+       CAST(sum(CASE WHEN dim IS NULL OR dim <> 64 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bad_dim,
        CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
          AS n_nonfinite,
        CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)

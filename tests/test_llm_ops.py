@@ -2486,6 +2486,8 @@ def test_corpus_snapshot_diff_golden(spark, tmp_path):
         (5, "five", "sB"),    # in both, % 5 == 0 -> changed
         (23, "tw3", "sC"),    # not in A (23 % 23), in B -> added
         (29, "tw9", "sD"),    # in A, not in B (29 % 29) -> removed
+        (2, None, "sE"),      # NULL text in BOTH: presence flags must
+                              # classify it unchanged, never added
     ]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, source string"
@@ -2503,6 +2505,7 @@ def test_corpus_snapshot_diff_golden(spark, tmp_path):
         ("sB", "changed"): 1,
         ("sC", "added"): 1,
         ("sD", "removed"): 1,
+        ("sE", "unchanged"): 1,
     }
 
 
@@ -2524,6 +2527,7 @@ def test_embedding_norm_audit_malformed_vectors(spark, tmp_path):
         (1, zero, 0),
         (2, nan_vec, 0),
         (3, short, 1),   # label 1 is ALL-malformed
+        (4, None, 1),    # NULL vector: malformed, lands in n_bad_dim
     ]
     emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
@@ -2544,8 +2548,8 @@ def test_embedding_norm_audit_malformed_vectors(spark, tmp_path):
     assert l0["max_n2_u"] == 1_000_000_000_000
     assert l0["avg_n2_u"] == 500_000_000_000
     l1 = got[1]
-    assert l1["n_vecs"] == 1
-    assert l1["n_bad_dim"] == 1
+    assert l1["n_vecs"] == 2
+    assert l1["n_bad_dim"] == 2  # short AND the NULL vector
     assert l1["n_nonfinite"] == 0
     assert l1["n_zero_norm"] == 0
     assert l1["min_n2_u"] is None
