@@ -2597,8 +2597,16 @@ REGISTRY.update(STATS_REGISTRY)
 # can't starve the staleness queue; entries only need pruning for
 # tidiness. Editing a registry row's query fn or oracle SQL ⇒ add
 # {"name": <current round>} here. r14: fertility_bp switched to
-# integer division in both engines (bpe_token_stats).
-CHANGED_THIS_ROUND: dict[str, int] = {"bpe_token_stats": 14}
+# integer division in both engines (bpe_token_stats); the r13 ADVICE
+# coverage gap — the three rows whose semantics changed in r13 but
+# which r13's 50-row capture omitted — is closed by boosting them
+# until a capture at/after the round their change shipped in.
+CHANGED_THIS_ROUND: dict[str, int] = {
+    "bpe_token_stats": 14,
+    "token_length_histogram": 13,
+    "rfm_segments": 13,
+    "revenue_ewma": 13,
+}
 
 
 def _verification_order(registry: dict) -> list[str]:
