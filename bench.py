@@ -15,8 +15,9 @@ round 9 the inline ``queries`` map holds only the slowest-12 queries
 (bounded size at ANY registry count); ``value`` is still the total
 over all ``nqueries`` rows. The complete per-query detail (best-of,
 all repetitions, medians, error messages) goes to the sidecar file
-``BENCH_RUNS.json`` next to this script (committed to the repo) and is
-echoed to stderr.
+``BENCH_RUNS.json`` next to this script (gitignored — the driver
+regenerates it per round; BENCH_r{N}.json is the committed record) and
+is echoed to stderr.
 
 Config via env:
     SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
@@ -122,8 +123,9 @@ def build_artifacts(
     # bytes at 75 rows left ~3 rows of headroom). It therefore carries
     # only the slowest-K queries — the ones a perf reader looks at
     # first — and the full per-query map rides in the sidecar
-    # (committed to the repo as BENCH_RUNS.json, where the judge reads
-    # per-query detail). K=12 keeps the line < 1 KB even at 99 s/query.
+    # (BENCH_RUNS.json next to this script; gitignored — the driver
+    # regenerates it per round). K=12 keeps the line < 1 KB at any
+    # per-query cost.
     slowest = dict(
         sorted(rounded.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
     )
@@ -150,8 +152,13 @@ def build_artifacts(
     # median alongside min: on a shared host with multi-second
     # contention spikes, min is the truest plan cost but median shows
     # whether a spike landed (r6 verdict item #2)
+    # skip empty run lists (BENCH_REPEAT=0, or a query that errored in
+    # every pass) — an unguarded sorted([])[0] would lose the whole
+    # artifact exactly when diagnosis matters most
     medians = {
-        name: sorted(runs)[len(runs) // 2] for name, runs in per_runs.items()
+        name: sorted(runs)[len(runs) // 2]
+        for name, runs in per_runs.items()
+        if runs
     }
     sidecar = {
         "best": rounded,  # the full per-query map the headline elides

@@ -569,13 +569,11 @@ def minhash_signature(
     if hash_family not in ("xxhash64", "md5"):
         raise ValueError(f"unknown hash_family {hash_family!r}")
 
+    from datafusion_uba_spark.operators.hashing import md5_prefix_int
+
     def perm_hash(i: int):
         if hash_family == "md5":
-            return lambda s: F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15),
-                16,
-                10,
-            ).cast("long")
+            return lambda s: md5_prefix_int(F.concat(F.lit(f"{i}:"), s), 15)
         return lambda s: F.xxhash64(F.lit(i), s)
 
     return F.array(
@@ -800,12 +798,9 @@ def simhash(
     if hash_family == "md5":
         if bits > 60:
             raise ValueError("md5 family yields 60 bits; pass bits <= 60")
-        hashes = F.transform(
-            shingles,
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
-                "long"
-            ),
-        )
+        from datafusion_uba_spark.operators.hashing import md5_prefix_int
+
+        hashes = F.transform(shingles, lambda s: md5_prefix_int(s, 15))
     else:
         hashes = F.transform(shingles, lambda s: F.xxhash64(s))
     masks = F.array(

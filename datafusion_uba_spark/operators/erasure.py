@@ -94,10 +94,22 @@ def erasure_apply(
     )
     n_subjects = cohort.count()  # DSR lists are small by construction
     stored = spark.table(table)
-    if partition_col is not None and partition_col not in stored.columns:
+    # the table's REAL partition spec, from catalog metadata — being a
+    # column of the table is NOT enough: dynamic overwrite replaces
+    # whole physical partitions, so a partition_col that is merely a
+    # data column would make the overwrite destroy every out-of-scope
+    # row in the partitions it touches. Validate BEFORE any write.
+    part_cols = [
+        c.name for c in spark.catalog.listColumns(table) if c.isPartition
+    ]
+    if partition_col is not None and part_cols != [partition_col]:
         raise ValueError(
-            f"partition_col {partition_col!r} not in table columns "
-            f"{stored.columns}"
+            f"erasure_apply: {table!r} is partitioned by {part_cols}, "
+            f"not by partition_col {partition_col!r}; the partition-wise "
+            "path must address the table's actual (single) partition "
+            "column or the dynamic overwrite would delete rows outside "
+            "the request's scope — pass the real partition column, or "
+            "partition_col=None for a full staged rewrite"
         )
 
     if partition_col is None:
@@ -123,10 +135,17 @@ def erasure_apply(
             kept = stored.join(F.broadcast(cohort), key_col, "left_anti")
 
             def write(stage: str) -> None:
+                # a partitioned table's staged rewrite must carry the
+                # partition spec forward — this path is exactly what the
+                # NULL-partition ValueError above sends callers to, and
+                # silently swapping in an UNPARTITIONED replacement
+                # would break every partition-pruned reader (and a later
+                # partition-wise erasure_apply) downstream
+                w = kept.write.mode("overwrite").format(provider)
+                if part_cols:
+                    w = w.partitionBy(*part_cols)
                 save_table_recovering_orphan(
-                    lambda: kept.write.mode("overwrite")
-                    .format(provider)
-                    .saveAsTable(stage),
+                    lambda: w.saveAsTable(stage),
                     spark,
                     stage,
                 )

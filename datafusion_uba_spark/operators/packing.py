@@ -15,16 +15,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datafusion_uba_spark.operators.hashing import md5_prefix_int
+
 from datafusion_uba_spark.operators.text import (
     normalize_text,
     tokens_from_norm,
 )
 
 __all__ = ["pack_token_stream", "assign_split"]
-
-
-def _md5_of_id(id_col: str) -> Column:
-    return F.md5(F.col(id_col).cast("string"))
 
 
 def pack_token_stream(
@@ -77,7 +75,7 @@ def pack_token_stream(
     # leading 4 hex chars of md5(id) mod n_shards: deterministic,
     # uniform, and replayable verbatim in the oracle
     shard = (
-        F.conv(F.substring(_md5_of_id(id_col), 1, 4), 16, 10).cast("int")
+        md5_prefix_int(F.col(id_col).cast("string"), 4).cast("int")
         % n_shards
     )
     s = s.withColumn("shard", shard)
@@ -124,7 +122,7 @@ def assign_split(
         raise ValueError(
             "assign_split: need val_pct, test_pct >= 0 and val+test < 100"
         )
-    bucket = F.conv(F.substring(_md5_of_id(id_col), 1, 4), 16, 10).cast("int")
+    bucket = md5_prefix_int(F.col(id_col).cast("string"), 4).cast("int")
     test_lo = 65536 - (65536 * test_pct) // 100
     val_lo = test_lo - (65536 * val_pct) // 100
     return df.withColumn(

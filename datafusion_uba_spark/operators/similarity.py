@@ -1280,11 +1280,14 @@ def hard_negative_topk(
     thresholded.
 
     Scale shape: anchors are a small curated set (the broadcast side);
-    the corpus side is scanned once and scored map-side, then split
-    into the negative stream (salted two-stage top-k, no single-reducer
-    sort) and the positive stream (per-anchor MAX, a tiny aggregate).
-    Cosines ride the exact-integer quantized dot + one IEEE div/sqrt
-    contract, so the DuckDB oracle replays values bit-for-bit.
+    the corpus side is scanned and scored map-side exactly ONCE — both
+    streams ride a single salted two-stage top-k keyed on
+    (anchor, is-positive), so the positive max is just that composite
+    group's rank-1 row and no branch re-executes the scoring join
+    (r14 review: the first cut forked the scored frame into two plans
+    and Spark re-ran the broadcast NLJ per branch). Cosines ride the
+    exact-integer quantized dot + one IEEE div/sqrt contract, so the
+    DuckDB oracle replays values bit-for-bit.
 
     Output: (query_id, rank, vec_id, neg_label, cosine_u, margin_u);
     margin_u is NULL when the anchor has no same-label positive.
@@ -1308,21 +1311,34 @@ def hard_negative_topk(
         "vec_label",
         f"{cosine_sql('query_q', 'vec_q', 'query_n', 'vec_n', dim)} AS __cos",
     )
-    neg = scored.where(F.col("vec_label") != F.col("query_label"))
-    top = topk_per_key(
-        neg,
-        "query_id",
+    # one candidate stream, grouped by (anchor, positive?) — a NULL
+    # label compares to NULL and is excluded from BOTH streams (it can
+    # anchor nothing and contradict nothing); self survives only as a
+    # non-candidate (same label) and is excluded from the positive max
+    cand = (
+        scored.withColumn(
+            "__is_pos", F.col("vec_label") == F.col("query_label")
+        )
+        .where(F.col("__is_pos").isNotNull())
+        .where(~F.col("__is_pos") | (F.col("vec_id") != F.col("query_id")))
+        .withColumn(
+            "__grp",
+            F.concat_ws(":", F.col("query_id"), F.col("__is_pos")),
+        )
+    )
+    # the ranked survivors feed BOTH output branches; they are tiny
+    # (<= |anchors| * 2k rows), so materialize them once — without the
+    # barrier each branch would re-execute the scoring join
+    ranked = topk_per_key(
+        cand,
+        "__grp",
         [F.col("__cos").desc(), F.col("vec_id").asc()],
         k,
         salt_col="vec_id",
-    )
-    pos = (
-        scored.where(
-            (F.col("vec_label") == F.col("query_label"))
-            & (F.col("vec_id") != F.col("query_id"))
-        )
-        .groupBy("query_id")
-        .agg(F.max("__cos").alias("__pos_cos"))
+    ).localCheckpoint(eager=True)
+    top = ranked.where(~F.col("__is_pos"))
+    pos = ranked.where(F.col("__is_pos") & (F.col("rank") == 1)).select(
+        "query_id", F.col("__cos").alias("__pos_cos")
     )
     out = top.join(F.broadcast(pos), "query_id", "left")
     return out.select(

@@ -169,13 +169,11 @@ def _cms_bucket(key: Column, depth: int, w: int, hash_family: str) -> Column:
     dedup_minhash_md5 (operators/dedup.py:303).
     """
     if hash_family == "md5":
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{depth}:"), key.cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
+        from datafusion_uba_spark.operators.hashing import md5_prefix_int
+
+        h = md5_prefix_int(
+            F.concat(F.lit(f"{depth}:"), key.cast("string")), 15
+        )
     else:
         h = F.xxhash64(key, F.lit(depth))
     return F.pmod(h, F.lit(w)).cast("int")

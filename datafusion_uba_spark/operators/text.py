@@ -1057,11 +1057,9 @@ def hash_weight_milli(tok: Column | str, salt: str = "w") -> Column:
     vector — the INFERENCE plan is identical whether the weight comes
     from a hash or a broadcast model table, and the hash form lets the
     DuckDB oracle replay the exact score."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + ":"), _col(tok))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    from datafusion_uba_spark.operators.hashing import md5_prefix_int
+
+    h = md5_prefix_int(F.concat(F.lit(salt + ":"), _col(tok)), 15)
     return h % 2001 - 1000
 
 
@@ -1157,16 +1155,16 @@ def dsir_importance(
     toks = base.select(
         "__id", "__is_t", tokens_from_norm(F.col("__norm")).alias("__toks")
     )
+    from datafusion_uba_spark.operators.hashing import md5_prefix_int
+
     occ = toks.select(
         "__id", "__is_t", F.explode("__toks").alias("__t")
     ).select(
         "__id",
         "__is_t",
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("f:"), F.col("__t"))), 1, 4),
-            16,
-            10,
-        ).cast("int").alias("__b"),
+        md5_prefix_int(F.concat(F.lit("f:"), F.col("__t")), 4)
+        .cast("int")
+        .alias("__b"),
     )
     bucket = occ.groupBy("__b").agg(
         F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("t_cnt"),

@@ -3497,9 +3497,9 @@ LEFT JOIN per ON r.doc_id = per.doc_id
 
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (similarity.hard_negative_topk): anchors
-    are the first {n} vectors (the ann rows' query convention), k=5
-    different-label neighbors each + triplet margin vs the best
-    same-label positive.""".format(n=_N_QUERIES)
+    are the first _N_QUERIES (=64) vectors (the ann rows' query
+    convention), k=5 different-label neighbors each + triplet margin
+    vs the best same-label positive."""
     emb = _emb(spark, sf_dir)
     return similarity.hard_negative_topk(emb, _query_vectors(emb), k=5)
 

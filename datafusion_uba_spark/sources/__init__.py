@@ -348,6 +348,24 @@ def staged_swap_tables(spark: SparkSession, builds) -> None:
                 f"data is intact under its staging name(s). Finish the "
                 f"swap manually: {'; '.join(remaining)}"
             ) from exc
+        # RENAME moves the managed directory and updates the TABLE
+        # location, but each PARTITION's registered location still
+        # points at the old staging path — a renamed PARTITIONED table
+        # reads EMPTY until the partition metadata is re-synced (drop
+        # the stale entries, re-discover under the new location; covers
+        # the __HIVE_DEFAULT_PARTITION__ NULL partition too)
+        try:
+            if any(
+                c.isPartition for c in spark.catalog.listColumns(live)
+            ):
+                spark.sql(f"MSCK REPAIR TABLE {live} SYNC PARTITIONS")
+        except Exception as exc:
+            raise RuntimeError(
+                f"staged_swap_tables: {live!r} was renamed in but its "
+                "partition metadata re-sync failed; the data is intact "
+                f"under the table's location. Finish manually: "
+                f"MSCK REPAIR TABLE {live} SYNC PARTITIONS"
+            ) from exc
 
 
 from contextlib import contextmanager

@@ -734,6 +734,16 @@ def streaming_exact_dedup_against_prescreened(
     Output matches the batch op: (doc_id, fingerprint), one row per
     surviving new fingerprint, append mode. Batch/stream parity is
     pinned by tests/test_streaming.py.
+
+    Caching contract: on a STREAMING input the exact corpus
+    fingerprint projection is ``persist()``-ed for the life of the
+    query (each micro-batch's confirm join re-executes its static
+    side; without the cache every trigger would re-normalize and
+    re-hash the whole corpus). Spark has no stream-scoped cache, so
+    the caller owns the release: after stopping the query, call
+    ``spark.catalog.clearCache()`` or keep a handle to the corpus
+    frame and ``unpersist()`` it — a long-lived session constructing
+    many streams would otherwise accumulate dead cached relations.
     """
     from datafusion_uba_spark.operators.dedup import (
         fingerprint_bitset,

@@ -1941,3 +1941,65 @@ def test_erasure_apply_guards(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_null}")
         spark.sql(f"DROP TABLE IF EXISTS {t_bkt}")
+
+
+def test_erasure_apply_refuses_non_partition_column(spark):
+    """Passing a DATA column as partition_col must be refused loudly
+    BEFORE any write: dynamic overwrite replaces whole physical
+    partitions, so scoping by a non-partition column would destroy
+    every out-of-scope row in the partitions it touches. The table
+    must be byte-identical afterwards."""
+    import pytest as _pytest
+
+    from datafusion_uba_spark.operators.erasure import erasure_apply
+
+    table = "erasure_apply_t4"
+    rows = [(97, 0, "US"), (5, 0, "DE"), (6, 1, "US"), (7, 1, "FR")]
+    df = spark.createDataFrame(rows, "user_id long, pday int, country string")
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        df.write.format("parquet").partitionBy("pday").saveAsTable(table)
+        cohort = spark.createDataFrame([(97,)], "k long")
+        with _pytest.raises(ValueError, match="partitioned by"):
+            erasure_apply(spark, table, "user_id", cohort, "country")
+        # nothing was deleted by the refused call
+        assert spark.table(table).count() == 4
+        # and an unpartitioned table refuses ANY partition_col
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        df.write.format("parquet").saveAsTable(table)
+        with _pytest.raises(ValueError, match="partitioned by"):
+            erasure_apply(spark, table, "user_id", cohort, "pday")
+        assert spark.table(table).count() == 4
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_erasure_apply_staged_rewrite_preserves_partition_spec(spark):
+    """partition_col=None on a PARTITIONED table (the path the
+    NULL-partition ValueError sends callers to) must carry the
+    partition spec through the staged swap — a silently unpartitioned
+    replacement would break partition-pruned readers downstream."""
+    from datafusion_uba_spark.operators.erasure import erasure_apply
+
+    table = "erasure_apply_t5"
+    rows = [(97, 0, "a"), (5, 0, "b"), (6, None, "c"), (97, None, "d")]
+    df = spark.createDataFrame(rows, "user_id long, pday int, v string")
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        df.write.format("parquet").partitionBy("pday").saveAsTable(table)
+        cohort = spark.createDataFrame([(97,)], "k long")
+        audit = erasure_apply(spark, table, "user_id", cohort, None)
+        assert audit["rows_removed"] == 2
+        got = {
+            (r["user_id"], r["pday"], r["v"])
+            for r in spark.table(table).collect()
+        }
+        assert got == {(5, 0, "b"), (6, None, "c")}
+        part_cols = [
+            c.name
+            for c in spark.catalog.listColumns(table)
+            if c.isPartition
+        ]
+        assert part_cols == ["pday"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
