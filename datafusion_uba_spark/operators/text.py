@@ -1073,15 +1073,17 @@ def quality_classifier_scores(
     Mean-pools a per-token weight into a document logit and thresholds
     at zero.
 
-    Scale shape: weights are computed INLINE from the token bytes
-    (md5 → [-1000, 1000] thousandths), so the plan is one narrow
-    explode + map-side hash + partial hash-aggregate keyed on doc_id —
-    zero joins, one shuffle carrying only (doc_id, count, sum). With a
-    real learned vocabulary the only change is a broadcast join from
-    token to weight before the same aggregate; nothing else moves.
-    Exact integer arithmetic end-to-end; the mean is the floor of an
-    IEEE division of exactly-represented integers (the _bp
-    convention).
+    Scale shape: ZERO shuffles — the logit is a per-row higher-order
+    ``aggregate`` fold over the token array (md5 → [-1000, 1000]
+    thousandths per token, summed inside one Project), so the whole
+    scoring pass is a narrow map stage that streams unmodified
+    (stateless: readStream → same select → writeStream). The first cut
+    exploded tokens and re-aggregated by doc_id, shuffling |tokens|
+    rows for what a per-row fold computes in place (r14 self-review).
+    With a real learned vocabulary the plan gains one broadcast join
+    from token to weight; nothing else moves. Exact integer arithmetic
+    end-to-end; the mean is the floor of an IEEE division of
+    exactly-represented integers (the _bp convention).
 
     Output: (id, n_tokens, logit_milli, score_micro, keep) — one row
     per input document; token-less documents score 0 / keep=false.
@@ -1089,19 +1091,23 @@ def quality_classifier_scores(
     s0 = docs.select(
         F.col(id_col).alias("__id"), normalize_text(text_col).alias("__norm")
     )
-    s1 = s0.select("__id", tokens_from_norm(F.col("__norm")).alias("__toks"))
-    # explode_outer keeps empty documents as one null-token row so the
-    # output covers every input doc without a second pass over docs
-    tok = s1.select("__id", F.explode_outer("__toks").alias("__t"))
-    w = tok.select(
+    # NULL text normalizes to NULL → treat as the empty document (same
+    # contract the explode_outer form had: n_tokens 0, keep false)
+    s1 = s0.select(
         "__id",
-        F.when(
-            F.col("__t").isNull(), F.lit(None).cast("long")
-        ).otherwise(hash_weight_milli(F.col("__t"))).alias("__w"),
+        F.coalesce(
+            tokens_from_norm(F.col("__norm")),
+            F.array().cast("array<string>"),
+        ).alias("__toks"),
     )
-    per = w.groupBy("__id").agg(
-        F.count("__w").alias("n_tokens"),
-        F.coalesce(F.sum("__w"), F.lit(0).cast("long")).alias("logit_milli"),
+    per = s1.select(
+        "__id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.col("__toks"),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + hash_weight_milli(t),
+        ).alias("logit_milli"),
     )
     score = F.when(
         F.col("n_tokens") > 0,

@@ -3406,9 +3406,11 @@ SELECT vec_id, cid AS cluster, dist2 FROM (
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality-classifier inference (text.quality_classifier_
     scores) — the fasttext-style gate pass: mean-pooled per-token
-    weights → document logit → keep/drop. Zero joins; one doc-keyed
-    shuffle. Exact integer arithmetic (weights in thousandths, mean as
-    floor of an IEEE division of exactly-represented integers)."""
+    weights → document logit → keep/drop. ZERO shuffles: the logit is
+    a per-row higher-order aggregate fold, so the pass is one narrow
+    map stage (and streams stateless — tests/test_streaming.py).
+    Exact integer arithmetic (weights in thousandths, mean as floor of
+    an IEEE division of exactly-represented integers)."""
     docs = _docs(spark, sf_dir)
     return text_ops.quality_classifier_scores(docs)
 

@@ -1256,3 +1256,38 @@ def test_streaming_prescreened_dedup_multi_batch_parity(spark, tmp_path):
             ).collect()
         }
         assert batch_got == want, kwargs
+
+
+def test_quality_classifier_streams_stateless(spark, tmp_path):
+    """quality_classifier_scores is a pure per-row fold (zero shuffles,
+    no aggregation state), so the SAME call works on a readStream frame
+    unmodified in append mode — the quality-gate pass a crawl-ingest
+    stream applies before anything stateful. Stream output must equal
+    the batch twin row-for-row."""
+    import os
+
+    from datafusion_uba_spark.operators.text import (
+        quality_classifier_scores,
+    )
+
+    rows = [
+        (1, "the query engine reads the table"),
+        (2, ""),
+        (3, "zz yy xx"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "qc_stream")
+    os.makedirs(d, exist_ok=True)
+    docs.write.mode("overwrite").parquet(d)
+
+    batch = {
+        tuple(r) for r in quality_classifier_scores(
+            spark.read.parquet(d)
+        ).collect()
+    }
+    sdocs = spark.readStream.schema(docs.schema).parquet(d)
+    sdf = quality_classifier_scores(sdocs)
+    assert sdf.isStreaming
+    run_to_memory(sdf, "qc_stream_parity", output_mode="append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM qc_stream_parity").collect()}
+    assert got == batch and len(got) == 3
