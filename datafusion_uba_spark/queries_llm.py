@@ -3915,7 +3915,81 @@ FROM pw GROUP BY shard
 """
 
 
+def q_embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality referential-integrity audit in the deequ-style
+    (check_name, violations, total) contract (operators/quality.py):
+    per source, how many documents lack an embedding row — the gap a
+    semantic-dedup / ANN stage would silently skip — plus the global
+    count of embeddings orphaned from any document (stale vectors a
+    re-embed job forgot to vacuum).
+
+    Scale shape: two key-projected LEFT joins (narrow id columns only,
+    never payloads or vectors; at 100 TB bucket both tables by id and
+    they co-partition), each folded into ONE conditional aggregate —
+    no separate count jobs. Output is bounded by |sources| + 1.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = _emb(spark, sf_dir).select("vec_id")
+    ek = emb.where(F.col("vec_id").isNotNull()).distinct()
+    j = docs.join(ek, docs.doc_id == ek.vec_id, "left")
+    per_src = (
+        j.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("vec_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("violations"),
+            F.count(F.lit(1)).cast("long").alias("total"),
+        )
+        .select(
+            F.concat(F.lit("docs_missing_embedding:"), F.col("source")).alias(
+                "check_name"
+            ),
+            "violations",
+            "total",
+        )
+    )
+    dk = docs.select("doc_id").where(F.col("doc_id").isNotNull()).distinct()
+    j2 = emb.join(dk, emb.vec_id == dk.doc_id, "left")
+    orphans = j2.agg(
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("violations"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    ).select(
+        F.lit("embeddings_without_doc").alias("check_name"),
+        "violations",
+        "total",
+    )
+    return per_src.unionAll(orphans)
+
+
+_ORACLE_EMBEDDING_COVERAGE_AUDIT = """
+WITH ek AS (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id IS NOT NULL),
+per_src AS (
+  SELECT 'docs_missing_embedding:' || d.source AS check_name,
+         CAST(sum(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS violations,
+         CAST(count(*) AS BIGINT) AS total
+  FROM documents d LEFT JOIN ek e ON d.doc_id = e.vec_id
+  GROUP BY d.source
+),
+dk AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL),
+orphans AS (
+  SELECT 'embeddings_without_doc' AS check_name,
+         CAST(sum(CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS violations,
+         CAST(count(*) AS BIGINT) AS total
+  FROM embeddings v LEFT JOIN dk k ON v.vec_id = k.doc_id
+)
+SELECT * FROM per_src UNION ALL SELECT * FROM orphans
+"""
+
+
 LLM_REGISTRY: dict = {
+    "embedding_coverage_audit": (
+        q_embedding_coverage_audit,
+        _ORACLE_EMBEDDING_COVERAGE_AUDIT,
+    ),
     "dedup_threshold_sweep": (
         q_dedup_threshold_sweep,
         _ORACLE_DEDUP_THRESHOLD_SWEEP,

@@ -2630,3 +2630,36 @@ def test_packing_contamination_golden(spark, tmp_path):
         # every doc has a distinct source -> mixed iff multi-doc
         assert r["n_mixed_source"] == (1 if n > 1 else 0), sh
         assert r["mixed_bp"] == (10000 if n > 1 else 0), sh
+
+
+def test_embedding_coverage_audit_golden(spark, tmp_path):
+    """Crafted golden for embedding_coverage_audit: a doc without an
+    embedding lands in its SOURCE's violations, an embedding without a
+    doc lands in the global orphan row, and clean sources report
+    zero violations with exact totals."""
+    import os
+
+    from datafusion_uba_spark.queries_llm import q_embedding_coverage_audit
+
+    docs = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "b", "s1"), (3, "c", "s2")],
+        "doc_id long, text string, source string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 64, 0), (3, [2.0] * 64, 1), (99, [3.0] * 64, 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    sf = str(tmp_path / "cov_sf")
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    emb.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+
+    got = {
+        r["check_name"]: (r["violations"], r["total"])
+        for r in q_embedding_coverage_audit(spark, sf).collect()
+    }
+    assert got == {
+        "docs_missing_embedding:s1": (1, 2),  # doc 2 has no vector
+        "docs_missing_embedding:s2": (0, 1),
+        "embeddings_without_doc": (1, 3),     # vec 99 has no doc
+    }
