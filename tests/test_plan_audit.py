@@ -253,3 +253,56 @@ def test_tpch_q6_filters_pushed_and_single_scan(spark, sf_dir):
     # numbered details; count the details entries
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+# Rows whose optimized plan contains an UNPARTITIONED window — each one
+# adjudicated: the window runs over a BOUNDED intermediate (sources,
+# days, distinct cents values, shards, centroids — never users or
+# documents), with the flat 8x exponent recorded in
+# tools/SCALE_RESULTS.md. A global window over an unbounded frame is
+# the r12 rfm_segments scale-killer class; any new row must either
+# partition its windows or justify itself here.
+_GLOBAL_WINDOW_ALLOWED = {
+    "stickiness_wau_hll",      # |weeks| sketch rows
+    "kmeans_assign",           # k centroid rows
+    "source_length_drift",     # |sources| rows
+    "trigram_typicality",      # charset^3-bounded frequency table
+    "source_temperature_sample",  # |sources| quota rows
+    "training_mix",            # |sources| quota rows
+    "retention_bitmap",        # |days| bitmap rows
+    "power_user_curve",        # |percentile buckets| rows
+    "repurchase_intervals",    # |interval buckets| rows
+    "session_path_topk",       # survivors of the per-bucket top-k
+    "revenue_gini",            # |distinct cents values| rows
+    "dow_seasonality",         # 7 rows
+    "mann_whitney_revenue",    # |distinct revenue values| midranks
+    "benford_values",          # 9 first-digit rows
+    "curriculum_order",        # |shards| rows (32)
+}
+
+
+def test_unpartitioned_windows_are_allowlisted(spark, sf_dir):
+    """Every registry row whose OPTIMIZED plan contains a window spec
+    with no PARTITION BY must be in the justified allowlist above —
+    an unpartitioned window moves its whole input to one reducer, so
+    over an unbounded frame it is the single-task scale-killer the r12
+    verdict flagged (rfm_segments). Checked on the optimized plan
+    (windowspecdefinition renders its partition columns first; an
+    empty partition list starts with the ORDER column's sort
+    direction)."""
+    bad = {}
+    for name, fn in _REGISTRY.items():
+        plan = (
+            fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        )
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = m.group(1).split(",")[0].strip()
+            if (
+                " ASC" in first
+                or " DESC" in first
+                or first.startswith("specifiedwindowframe")
+            ):
+                if name not in _GLOBAL_WINDOW_ALLOWED:
+                    bad[name] = m.group(0)[:80]
+                break
+    assert not bad, f"unpartitioned windows outside the allowlist: {bad}"
