@@ -2663,3 +2663,32 @@ def test_embedding_coverage_audit_golden(spark, tmp_path):
         "docs_missing_embedding:s2": (0, 1),
         "embeddings_without_doc": (1, 3),     # vec 99 has no doc
     }
+
+
+def test_md5_prefix_int_contract(spark):
+    """The ONE home of the portable md5-prefix family: value equals
+    the Python/hashlib twin (and therefore DuckDB's ('0x'||substr)
+    parse), n_hex bounds are enforced, and 15 hex chars stay within
+    a signed 64-bit long."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from datafusion_uba_spark.operators.hashing import md5_prefix_int
+
+    df = spark.createDataFrame([("alpha",), ("",)], "s string")
+    got = {
+        r["s"]: (r["h4"], r["h15"])
+        for r in df.select(
+            "s",
+            md5_prefix_int(F.col("s"), 4).alias("h4"),
+            md5_prefix_int(F.col("s"), 15).alias("h15"),
+        ).collect()
+    }
+    for s in ("alpha", ""):
+        hx = hashlib.md5(s.encode()).hexdigest()
+        assert got[s] == (int(hx[:4], 16), int(hx[:15], 16)), s
+        assert 0 <= got[s][1] < (1 << 60)
+    for bad in (0, 16, -1):
+        with _pytest.raises(ValueError):
+            md5_prefix_int(F.col("s"), bad)
