@@ -1142,11 +1142,14 @@ def dsir_importance(
 
     Scale shape: the feature space is hash-bounded at 2^16 buckets
     regardless of corpus size, so the distribution estimate is one
-    explode + one tiny hash-aggregate, the bucket→delta table
-    BROADCASTS (64k rows max), and scoring is a map-side broadcast
-    join + one doc-keyed partial aggregate. Two linear passes over
-    token occurrences, one corpus-sized shuffle carrying only
-    (doc_id, count, sum). The target side is small by construction
+    explode + one tiny hash-aggregate, and the bucket→delta table
+    folds into ONE map-literal row (<= 64k entries, ~1 MB) that
+    broadcasts everywhere. Scoring is then a PER-ROW higher-order fold
+    (element_at on the broadcast map inside one Project) — no second
+    explode, no join, no doc-keyed shuffle at all, and the scoring
+    face is stateless-streamable against a precomputed delta map
+    (dsir_score_against; the r14 first cut shuffled (doc_id, count,
+    sum) per document). The target side is small by construction
     (a curated seed set vs a 100 TB crawl).
 
     Output: one row per RAW document (the selection pool) —
@@ -1192,24 +1195,77 @@ def dsir_importance(
     feat = bucket.crossJoin(F.broadcast(tot)).select(
         "__b", (ppb_t - ppb_r).cast("long").alias("__delta_ppb")
     )
-    raw_occ = occ.where(~F.col("__is_t")).select("__id", "__b")
-    # inner join is total: every bucket in raw_occ exists in feat by
-    # construction (feat was aggregated from the same occurrences)
-    per = raw_occ.join(F.broadcast(feat), "__b").groupBy("__id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("__delta_ppb").alias("imp_sum_ppb"),
+    # fold the <= 2^16-row delta table into ONE map-literal row: the
+    # scoring pass becomes a stateless per-row fold over the broadcast
+    # map instead of an explode + join + doc-keyed re-aggregate
+    feat_map = feat.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__b", "__delta_ppb"))
+        ).alias("__fm")
     )
-    raw_ids = base.where(~F.col("__is_t")).select("__id")
-    j = raw_ids.join(per, "__id", "left")
-    n = F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
-    imp = F.coalesce(F.col("imp_sum_ppb"), F.lit(0).cast("long"))
+    raw = base.where(~F.col("__is_t")).select(
+        "__id",
+        F.coalesce(
+            tokens_from_norm(F.col("__norm")),
+            F.array().cast("array<string>"),
+        ).alias("__toks"),
+    )
+    return dsir_score_against(
+        raw.crossJoin(F.broadcast(feat_map)),
+        text_tokens_col="__toks",
+        id_col="__id",
+        map_col="__fm",
+    ).withColumnRenamed("__id", id_col)
+
+
+def dsir_score_against(
+    docs_with_map: DataFrame,
+    text_tokens_col: str = "__toks",
+    id_col: str = "doc_id",
+    map_col: str = "__fm",
+) -> DataFrame:
+    """The stateless DSIR SCORING face: given documents carrying a
+    token-array column and the broadcast bucket→delta map column
+    (attach it with ``crossJoin(F.broadcast(feat_map))`` — one row,
+    <= 2^16 entries), emit the importance score per document as a pure
+    per-row fold. No shuffle, no state — the same call works on a
+    readStream frame unmodified (the day-N+1 crawl scored against
+    yesterday's corpus distributions, the dedup `_against` pattern for
+    data selection).
+
+    A token hashing to a bucket absent from the map contributes 0
+    (both distributions had zero mass there, so its delta is 0 by the
+    same formula). Output: (id, n_tokens, imp_sum_ppb, imp_mean_ppb,
+    selected).
+    """
+    from datafusion_uba_spark.operators.hashing import md5_prefix_int
+
+    toks = F.col(text_tokens_col)
+    imp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.coalesce(
+            F.element_at(
+                F.col(map_col),
+                md5_prefix_int(F.concat(F.lit("f:"), t), 4).cast("int"),
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    per = docs_with_map.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        imp.alias("imp_sum_ppb"),
+    )
     mean = F.when(
-        n > 0, F.floor(F.col("imp_sum_ppb") * 1.0 / F.col("n_tokens"))
+        F.col("n_tokens") > 0,
+        F.floor(F.col("imp_sum_ppb") * 1.0 / F.col("n_tokens")),
     ).otherwise(F.lit(0).cast("long"))
-    return j.select(
-        F.col("__id").alias(id_col),
-        n.cast("long").alias("n_tokens"),
-        imp.cast("long").alias("imp_sum_ppb"),
+    return per.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("imp_sum_ppb"),
         mean.cast("long").alias("imp_mean_ppb"),
-        (imp > 0).alias("selected"),
+        (F.col("imp_sum_ppb") > 0).alias("selected"),
     )

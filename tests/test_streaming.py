@@ -1291,3 +1291,70 @@ def test_quality_classifier_streams_stateless(spark, tmp_path):
     run_to_memory(sdf, "qc_stream_parity", output_mode="append")
     got = {tuple(r) for r in spark.sql("SELECT * FROM qc_stream_parity").collect()}
     assert got == batch and len(got) == 3
+
+
+def test_dsir_score_against_streams_stateless(spark, tmp_path):
+    """dsir_score_against is a pure per-row fold over a broadcast
+    delta-map column, so the day-N+1 crawl can be scored against
+    yesterday's corpus distributions on a readStream frame unmodified
+    (append mode, no state). Stream output must equal the batch twin,
+    including an unseen-bucket token (contributes 0) and an empty
+    document."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from datafusion_uba_spark.operators.hashing import md5_prefix_int
+    from datafusion_uba_spark.operators.text import (
+        dsir_score_against,
+        tokens_from_norm,
+        normalize_text,
+    )
+
+    # yesterday's "distributions": a hand-built 2-bucket delta map
+    b_hot = spark.range(1).select(
+        md5_prefix_int(SF.concat(SF.lit("f:"), SF.lit("hot")), 4)
+        .cast("int")
+        .alias("b")
+    ).collect()[0]["b"]
+    feat_map = spark.createDataFrame(
+        [([(b_hot, 500)],)], "e array<struct<b int, d long>>"
+    ).select(
+        SF.map_from_entries(
+            SF.transform("e", lambda x: SF.struct(x.b.alias("key"),
+                                                  x.d.alias("value")))
+        ).alias("__fm")
+    )
+
+    rows = [(1, "hot hot cold"), (2, ""), (3, "cold")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "dsir_stream")
+    os.makedirs(d, exist_ok=True)
+    docs.write.mode("overwrite").parquet(d)
+
+    def score(frame):
+        toks = frame.select(
+            "doc_id",
+            SF.coalesce(
+                tokens_from_norm(normalize_text("text")),
+                SF.array().cast("array<string>"),
+            ).alias("__toks"),
+        )
+        return dsir_score_against(
+            toks.crossJoin(SF.broadcast(feat_map)), id_col="doc_id"
+        )
+
+    batch = {tuple(r) for r in score(spark.read.parquet(d)).collect()}
+    sdf = score(spark.readStream.schema(docs.schema).parquet(d))
+    assert sdf.isStreaming
+    run_to_memory(sdf, "dsir_stream_parity", output_mode="append")
+    got = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM dsir_stream_parity").collect()
+    }
+    assert got == batch and len(got) == 3
+    by_id = {t[0]: t for t in got}
+    # doc 1: two 'hot' hits (500 each) + one unseen-bucket token (0)
+    assert by_id[1] == (1, 3, 1000, 333, True)
+    assert by_id[2] == (2, 0, 0, 0, False)
+    assert by_id[3] == (3, 1, 0, 0, False)
