@@ -1265,6 +1265,7 @@ def hard_negative_topk(
     id_col: str = "vec_id",
     label_col: str = "label",
     dim: int | None = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """Hard-negative mining for contrastive / metric-learning training:
     for every anchor (query), the top-k most-similar vectors whose
@@ -1328,14 +1329,19 @@ def hard_negative_topk(
     )
     # the ranked survivors feed BOTH output branches; they are tiny
     # (<= |anchors| * 2k rows), so materialize them once — without the
-    # barrier each branch would re-execute the scoring join
+    # barrier each branch would re-execute the scoring join.
+    # materialize=False keeps the full lineage visible (the barrier
+    # truncates the plan at a LogicalRDD, blinding plan audits to
+    # everything upstream — tests/test_plan_audit.py audits THIS form)
     ranked = topk_per_key(
         cand,
         "__grp",
         [F.col("__cos").desc(), F.col("vec_id").asc()],
         k,
         salt_col="vec_id",
-    ).localCheckpoint(eager=True)
+    )
+    if materialize:
+        ranked = ranked.localCheckpoint(eager=True)
     top = ranked.where(~F.col("__is_pos"))
     pos = ranked.where(F.col("__is_pos") & (F.col("rank") == 1)).select(
         "query_id", F.col("__cos").alias("__pos_cos")

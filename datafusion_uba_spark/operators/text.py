@@ -1235,12 +1235,18 @@ def dsir_score_against(
 
     A token hashing to a bucket absent from the map contributes 0
     (both distributions had zero mass there, so its delta is 0 by the
-    same formula). Output: (id, n_tokens, imp_sum_ppb, imp_mean_ppb,
-    selected).
+    same formula), and a NULL token array is the empty document
+    (n_tokens 0, score 0, selected=false — the same contract
+    dsir_importance gives NULL text), so callers can attach
+    ``tokens_from_norm(normalize_text(...))`` directly without a
+    private coalesce. Output: (id, n_tokens, imp_sum_ppb,
+    imp_mean_ppb, selected).
     """
     from datafusion_uba_spark.operators.hashing import md5_prefix_int
 
-    toks = F.col(text_tokens_col)
+    toks = F.coalesce(
+        F.col(text_tokens_col), F.array().cast("array<string>")
+    )
     imp = F.aggregate(
         toks,
         F.lit(0).cast("long"),

@@ -360,11 +360,26 @@ def staged_swap_tables(spark: SparkSession, builds) -> None:
             ):
                 spark.sql(f"MSCK REPAIR TABLE {live} SYNC PARTITIONS")
         except Exception as exc:
+            # like the rename-failure branch: later tables in the
+            # reversed loop have already had their live names dropped
+            # and are still stranded under staging names — an operator
+            # following this message must finish THOSE renames too,
+            # not just this table's re-sync
+            remaining = [
+                f"ALTER TABLE {st} RENAME TO {lv}"
+                for st, lv in reversed(staged)
+                if spark.catalog.tableExists(st)
+            ]
+            steps = [f"MSCK REPAIR TABLE {live} SYNC PARTITIONS"] + [
+                r + f"; MSCK REPAIR TABLE <renamed> SYNC PARTITIONS "
+                "(if partitioned)"
+                for r in remaining
+            ]
             raise RuntimeError(
                 f"staged_swap_tables: {live!r} was renamed in but its "
-                "partition metadata re-sync failed; the data is intact "
-                f"under the table's location. Finish manually: "
-                f"MSCK REPAIR TABLE {live} SYNC PARTITIONS"
+                "partition metadata re-sync failed; all staged data is "
+                "intact. Finish manually, in order: "
+                + "; ".join(steps)
             ) from exc
 
 
