@@ -2491,6 +2491,147 @@ WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
 """
 
 
+def q_tpch_q1_official(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1, the OFFICIAL column set (the `pricing_summary` row is
+    the same shape but publishes only avg_qty; the official spec also
+    reports avg_price and avg_disc). Eight aggregates over one pass:
+    Catalyst fuses them into a single two-phase hash aggregate, so the
+    100 TB plan is scan → partial agg (map-side, 4-group cardinality)
+    → 4-row exchange → final agg. Money/quantity sums go through
+    per-row cents rounding → BIGINT so parallel FP add order can't
+    move the hash; discount averages go through basis points (1e4).
+    Reference TPC-H infra: tests/sqllogictests/README.md:142-158."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    g = (
+        li.where(
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(disc_price)).alias("sum_disc_cents"),
+            F.sum(_cents(charge)).alias("sum_charge_cents"),
+            F.sum(F.round(F.col("l_discount") * 10000).cast("long")).alias(
+                "sum_disc_bp"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty_cents",
+        "sum_base_cents",
+        "sum_disc_cents",
+        "sum_charge_cents",
+        "count_order",
+        F.round(F.col("sum_qty_cents") / 100.0 / F.col("count_order"), 4).alias(
+            "avg_qty"
+        ),
+        F.round(F.col("sum_base_cents") / 100.0 / F.col("count_order"), 4).alias(
+            "avg_price"
+        ),
+        F.round(F.col("sum_disc_bp") / 10000.0 / F.col("count_order"), 6).alias(
+            "avg_disc"
+        ),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+_ORACLE_TPCH_Q1 = """
+WITH g AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+    CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_bp,
+    count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       sum_qty_cents, sum_base_cents, sum_disc_cents, sum_charge_cents,
+       count_order,
+       round(sum_qty_cents / 100.0 / count_order, 4) AS avg_qty,
+       round(sum_base_cents / 100.0 / count_order, 4) AS avg_price,
+       round(sum_disc_bp / 10000.0 / count_order, 6) AS avg_disc
+FROM g
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q5_official(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5, the OFFICIAL local-supplier shape — unlike the
+    `region_revenue` row (a 5-way star over customer nationality), Q5
+    proper also joins supplier with the compound key
+    (l_suppkey = s_suppkey AND c_nationkey = s_nationkey): revenue
+    counts only where the supplying and buying nations coincide.
+    Region filter 'ASIA', one order-year window (adapted to the
+    testdata's 1995-2001 span, TESTDATA.md).
+
+    Scale shape: the year window pushes into the orders scan and the
+    region filter prunes nation to ~1/5 before it broadcasts; the
+    compound supplier join is a plain two-column equi-join (shuffle on
+    (suppkey, nationkey) or AQE-broadcast at small SF). Nothing here
+    is a theta join, so the 100 TB plan is all hash joins.
+    Reference TPC-H infra: tests/sqllogictests/README.md:142-158."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia_nations = nation.join(
+        F.broadcast(region.where(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    revenue = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        orders.where(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.sum(revenue).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), "n_name")
+    )
+
+
+_ORACLE_TPCH_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2547,6 +2688,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q16": (q_part_supplier_counts, _ORACLE_PART_SUPPLIER_COUNTS),
     "tpch_q19": (q_brand_band_revenue, _ORACLE_BRAND_BAND_REVENUE),
     "tpch_q6": (q_forecast_revenue_change, _ORACLE_FORECAST_REVENUE_CHANGE),
+    # Official-numbered TPC-H rows for the five queries that until r15
+    # lived only under shape names, so the 22-query sweep is literally
+    # enumerable as tpch_q1..q22 under the driver gate (r14 verdict #5).
+    # q1/q5 are official-spec adaptations (full Q1 column set; Q5's
+    # local-supplier compound join, which region_revenue lacks);
+    # q3/q10/q18 alias the rows that already ARE the official shapes
+    # (shipping_priority, returned_items, large_orders).
+    "tpch_q1": (q_tpch_q1_official, _ORACLE_TPCH_Q1),
+    "tpch_q3": (q_shipping_priority, _ORACLE_SHIPPING_PRIORITY),
+    "tpch_q5": (q_tpch_q5_official, _ORACLE_TPCH_Q5),
+    "tpch_q10": (q_returned_items, _ORACLE_RETURNED_ITEMS),
+    "tpch_q18": (q_large_orders, _ORACLE_LARGE_ORDERS),
     "value_histogram": (q_value_histogram, _ORACLE_VALUE_HISTOGRAM),
     "customer_snapshot_diff": (
         q_customer_snapshot_diff,
