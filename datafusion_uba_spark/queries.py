@@ -2747,19 +2747,32 @@ REGISTRY.update(STATS_REGISTRY)
 # advisor: the round that re-anchored token_length_histogram shipped a
 # capture that omitted it). Expiry is AUTOMATIC — once captured at or
 # after the named round the boost turns off, so a forgotten cleanup
-# can't starve the staleness queue; entries only need pruning for
-# tidiness. Editing a registry row's query fn or oracle SQL ⇒ add
-# {"name": <current round>} here. r14: fertility_bp switched to
-# integer division in both engines (bpe_token_stats); the r13 ADVICE
-# coverage gap — the three rows whose semantics changed in r13 but
-# which r13's 50-row capture omitted — is closed by boosting them
-# until a capture at/after the round their change shipped in.
-CHANGED_THIS_ROUND: dict[str, int] = {
-    "bpe_token_stats": 14,
-    "token_length_histogram": 13,
-    "rfm_segments": 13,
-    "revenue_ewma": 13,
-}
+# can't starve the staleness queue.
+#
+# Since r15 the set is DERIVED from git (r14 verdict #2): diff hunks
+# since the newest CORRECTNESS artifact's commit are mapped to
+# top-level symbols and propagated through the symbol-level use/import
+# graph (datafusion_uba_spark/changed.py), so no behavioral change can
+# miss same-round attestation because the builder forgot to list it.
+# CHANGED_OVERRIDES remains for what git can't see — cross-round
+# capture gaps (a change the driver's window skipped in a prior round)
+# or semantic changes outside the package (testdata reinterpretation).
+# All r13/r14 hand entries were captured in r14 (boosts expired) and
+# are pruned.
+CHANGED_OVERRIDES: dict[str, int] = {}
+
+from datafusion_uba_spark.changed import derive_changed_rows  # noqa: E402
+
+try:
+    from pathlib import Path as _Path
+
+    _derived = derive_changed_rows(
+        _Path(__file__).resolve().parents[1], REGISTRY
+    )
+except Exception:  # pragma: no cover - derivation must never break import
+    _derived = {}
+
+CHANGED_THIS_ROUND: dict[str, int] = {**_derived, **CHANGED_OVERRIDES}
 
 
 def _verification_order(registry: dict) -> list[str]:

@@ -1,0 +1,144 @@
+"""Git-derived changed-row attestation (r14 verdict #2).
+
+The derivation maps diff hunks to top-level symbols, propagates
+dirtiness through the symbol-level use/import graph, and returns the
+registry rows whose query fn or oracle SQL is affected. These tests
+plant synthetic diffs (injected hunks — no git mutation) and assert
+the derived set, plus the end-to-end guarantee: derived rows jump the
+driver-verification queue.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from datafusion_uba_spark.changed import (
+    build_package_index,
+    derive_changed_rows,
+    dirty_symbols,
+    parse_diff_hunks,
+)
+from datafusion_uba_spark.queries import REGISTRY
+
+REPO = Path(__file__).resolve().parents[1]
+PKG_ROOT = REPO / "datafusion_uba_spark"
+
+
+def _span(module_rel: str, symbol: str) -> tuple[int, int]:
+    index = build_package_index(PKG_ROOT)
+    mod = "datafusion_uba_spark." + module_rel.replace("/", ".").removesuffix(".py")
+    return index[mod].spans[symbol]
+
+
+def _hunk_over(module_rel: str, symbol: str) -> dict[str, list[tuple[int, int]]]:
+    lo, _hi = _span(module_rel, symbol)
+    path = f"datafusion_uba_spark/{module_rel}"
+    return {path: [(lo, lo)]}  # one-line touch inside the symbol
+
+
+def test_parse_diff_hunks():
+    diff = """\
+diff --git a/datafusion_uba_spark/queries.py b/datafusion_uba_spark/queries.py
+index 111..222 100644
+--- a/datafusion_uba_spark/queries.py
++++ b/datafusion_uba_spark/queries.py
+@@ -10,2 +12,3 @@ def f():
++x
++y
++z
+@@ -50 +60,0 @@ def g():
+-gone
+diff --git a/tools/x.py b/tools/x.py
+--- a/tools/x.py
++++ b/tools/x.py
+@@ -1 +1 @@
++q
+"""
+    hunks = parse_diff_hunks(diff)
+    assert hunks["datafusion_uba_spark/queries.py"] == [(12, 14), (60, 60)]
+    assert hunks["tools/x.py"] == [(1, 1)]
+
+
+def test_direct_fn_edit_derives_its_rows():
+    """A hunk inside a query function's body derives exactly the rows
+    registered under that function (including aliases)."""
+    hunks = _hunk_over("queries.py", "q_returned_items")
+    derived = derive_changed_rows(REPO, REGISTRY, hunks=hunks, current_round=99)
+    assert derived.get("returned_items") == 99
+    assert derived.get("tpch_q10") == 99  # alias of the same fn
+    # an unrelated relational row must NOT be swept in
+    assert "pricing_summary" not in derived
+
+
+def test_operator_edit_propagates_cross_module():
+    """Editing an operator symbol dirties the query fns that import it
+    — but NOT every row in the importing module (symbol granularity,
+    not module granularity: module-level flooding would starve the
+    50-slot capture window)."""
+    hunks = _hunk_over("operators/retention.py", "retention_count")
+    derived = derive_changed_rows(REPO, REGISTRY, hunks=hunks, current_round=7)
+    assert derived.get("retention_count") == 7
+    # retention_sum's query fn consumes _stats_df -> retention_count too
+    assert derived.get("retention_sum") == 7
+    # queries.py defines ~50 rows; the sweep must stay targeted
+    assert len(derived) < 15
+    assert "pricing_summary" not in derived
+    assert "tpch_q6" not in derived
+
+
+def test_same_module_helper_propagates():
+    """Editing a private helper inside an operator module dirties the
+    public operators that call it, transitively out to registry rows."""
+    index = build_package_index(PKG_ROOT)
+    mod = "datafusion_uba_spark.operators.retention"
+    helpers = [
+        s
+        for s in index[mod].spans
+        if s.startswith("_") and any(s in u for u in index[mod].uses.values())
+    ]
+    assert helpers, "expected at least one private helper in retention.py"
+    hunks = _hunk_over("operators/retention.py", helpers[0])
+    dirty = dirty_symbols(index, hunks, PKG_ROOT)
+    # the helper itself is dirty, and at least one public symbol follows
+    assert (mod, helpers[0]) in dirty
+    assert any(m == mod and not s.startswith("_") for m, s in dirty)
+
+
+def test_oracle_constant_edit_derives_row():
+    """A hunk over an oracle-SQL constant derives its row, including
+    f-string composition (_ORACLE_PER_DAY feeds both retention
+    oracles)."""
+    hunks = _hunk_over("queries.py", "_ORACLE_PER_DAY")
+    derived = derive_changed_rows(REPO, REGISTRY, hunks=hunks, current_round=42)
+    assert derived.get("retention_count") == 42
+    assert derived.get("retention_sum") == 42
+
+
+def test_non_package_hunks_ignored():
+    derived = derive_changed_rows(
+        REPO, REGISTRY, hunks={"tools/scale_check.py": [(1, 500)]}, current_round=9
+    )
+    assert derived == {}
+
+
+def test_derived_rows_jump_the_queue(monkeypatch):
+    """End-to-end: a synthetic diff's derived rows, fed through
+    CHANGED_THIS_ROUND, lead the registry order ahead of the staleness
+    backlog — the driver's 50-row capture attests them same-round."""
+    import datafusion_uba_spark.queries as q
+
+    hunks = _hunk_over("queries.py", "q_returned_items")
+    derived = derive_changed_rows(REPO, REGISTRY, hunks=hunks, current_round=10**6)
+    assert derived
+    monkeypatch.setattr(q, "CHANGED_THIS_ROUND", derived)
+    order = q._verification_order(q.REGISTRY)
+    assert set(order[: len(derived)]) == set(derived)
+
+
+def test_live_derivation_matches_git_state():
+    """The import-time CHANGED_THIS_ROUND must be exactly the override
+    dict merged over the git-derived set (no stale hand entries)."""
+    import datafusion_uba_spark.queries as q
+
+    derived = derive_changed_rows(REPO, REGISTRY)
+    assert q.CHANGED_THIS_ROUND == {**derived, **q.CHANGED_OVERRIDES}
