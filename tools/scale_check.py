@@ -181,64 +181,108 @@ if _only:
     HEAVY = [n for n in HEAVY if n in set(_only.split(","))]
 
 
+# SCALE_FIXTURE selects the document-replication text rewrite:
+#   neardup (default): append a per-replica suffix — replicas stay
+#     near-dups of each other, so cross-replica candidate pairs FORM
+#     and the output pair set grows superlinearly with k (the
+#     "pair-growth floor": a perfect near-dup operator still shows an
+#     8x exponent ~0.7-0.8 because its OUTPUT grows that fast).
+#   constpair: additionally rotate the replica's alphabet (a bijective
+#     per-replica char map). Within a replica the map is uniform, so
+#     every original near-dup pair survives exactly (shingle equality
+#     is preserved under a bijection) -> pairs grow exactly k-fold,
+#     constant pair density; across replicas no shingle can match
+#     (any letter-bearing token differs) -> no cross-replica pairs.
+#     This isolates the OPERATOR's exponent from the fixture's output
+#     growth (r14 verdict #3).
+FIXTURE = os.environ.get("SCALE_FIXTURE", "neardup")
+
+# SCALE_TABLES=documents,embeddings restricts replication to the named
+# tables (a SCALE_ONLY run of document-only rows at 64x shouldn't pay
+# for 38M replicated lineitem rows it never reads)
+_tables = os.environ.get("SCALE_TABLES")
+TABLES = set(_tables.split(",")) if _tables else None
+
+
+def _want(table: str) -> bool:
+    return TABLES is None or table in TABLES
+
+
 def _replicate(spark, k: int, out_dir: str) -> None:
     """k shifted/perturbed copies of every table the heavy queries read."""
+    import string
+
     from pyspark.sql import functions as F
 
     from datafusion_uba_spark.sources import load_table
 
     os.makedirs(out_dir, exist_ok=True)
 
-    docs = load_table(spark, BASE, "documents")
-    n_docs = docs.count()
-    copies = []
-    for i in range(k):
-        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
-        if i > 0:
-            # distinct suffix so replicas are near-dups at most, not
-            # exact dups — keeps dedup candidate structure realistic
-            c = c.withColumn(
-                "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
-            )
-        copies.append(c)
-    rep = copies[0]
-    for c in copies[1:]:
-        rep = rep.unionAll(c)
-    rep.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    if _want("documents"):
+        docs = load_table(spark, BASE, "documents")
+        n_docs = docs.count()
+        copies = []
+        for i in range(k):
+            c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+            if i > 0:
+                # distinct suffix so replicas are near-dups at most, not
+                # exact dups — keeps dedup candidate structure realistic
+                c = c.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
+                )
+                if FIXTURE == "constpair":
+                    rot = (i % 25) + 1  # 1..25, never identity
+                    lo, up = string.ascii_lowercase, string.ascii_uppercase
+                    c = c.withColumn(
+                        "text",
+                        F.translate(
+                            "text",
+                            lo + up,
+                            lo[rot:] + lo[:rot] + up[rot:] + up[:rot],
+                        ),
+                    )
+            copies.append(c)
+        rep = copies[0]
+        for c in copies[1:]:
+            rep = rep.unionAll(c)
+        rep.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
-    emb = load_table(spark, BASE, "embeddings")
-    n_emb = emb.count()
-    copies = []
-    for i in range(k):
-        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_emb))
-        if i > 0:
-            # deterministic per-replica rotation of the vector (shift
-            # by i positions) — same norm, different direction
-            c = c.withColumn(
-                "embedding",
-                F.expr(
-                    f"concat(slice(embedding, {64 - 0} - {i} + 1, {i}), "
-                    f"slice(embedding, 1, 64 - {i}))"
-                ),
-            )
-        copies.append(c)
-    rep = copies[0]
-    for c in copies[1:]:
-        rep = rep.unionAll(c)
-    rep.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    if _want("embeddings"):
+        emb = load_table(spark, BASE, "embeddings")
+        n_emb = emb.count()
+        copies = []
+        for i in range(k):
+            c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_emb))
+            if i > 0:
+                # deterministic per-replica rotation of the vector (shift
+                # by i positions) — same norm, different direction
+                shift = ((i - 1) % 63) + 1  # == i for i<=63, never 0
+                c = c.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, 64 - {shift} + 1, {shift}), "
+                        f"slice(embedding, 1, 64 - {shift}))"
+                    ),
+                )
+            copies.append(c)
+        rep = copies[0]
+        for c in copies[1:]:
+            rep = rep.unionAll(c)
+        rep.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
-    ev = load_table(spark, BASE, "events")
-    n_users = 1_000_000_000
-    copies = []
-    for i in range(k):
-        copies.append(
-            ev.withColumn("user_id", F.col("user_id") + F.lit(i * n_users))
-            .withColumn("event_id", F.col("event_id") + F.lit(i * n_users))
-        )
-    rep = copies[0]
-    for c in copies[1:]:
-        rep = rep.unionAll(c)
-    rep.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    if _want("events"):
+        ev = load_table(spark, BASE, "events")
+        n_users = 1_000_000_000
+        copies = []
+        for i in range(k):
+            copies.append(
+                ev.withColumn("user_id", F.col("user_id") + F.lit(i * n_users))
+                .withColumn("event_id", F.col("event_id") + F.lit(i * n_users))
+            )
+        rep = copies[0]
+        for c in copies[1:]:
+            rep = rep.unionAll(c)
+        rep.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
     # TPC-H shapes: FACT tables replicate with consistently shifted
     # join keys (order/customer keys move together so joins stay
@@ -246,40 +290,46 @@ def _replicate(spark, k: int, out_dir: str) -> None:
     # the facts grow and the dims don't, so this is the realistic
     # stress: per-part/per-supplier group sizes grow k-fold.
     shift = 1_000_000_000
-    orders = load_table(spark, BASE, "orders")
-    rep = orders
-    for i in range(1, k):
-        rep = rep.unionAll(
-            orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * shift))
-            .withColumn("o_custkey", F.col("o_custkey") + F.lit(i * shift))
-        )
-    rep.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    if _want("orders"):
+        orders = load_table(spark, BASE, "orders")
+        rep = orders
+        for i in range(1, k):
+            rep = rep.unionAll(
+                orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * shift))
+                .withColumn("o_custkey", F.col("o_custkey") + F.lit(i * shift))
+            )
+        rep.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
-    li = load_table(spark, BASE, "lineitem")
-    rep = li
-    for i in range(1, k):
-        rep = rep.unionAll(
-            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * shift))
-        )
-    rep.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+    if _want("lineitem"):
+        li = load_table(spark, BASE, "lineitem")
+        rep = li
+        for i in range(1, k):
+            rep = rep.unionAll(
+                li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * shift))
+            )
+        rep.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
 
-    cust = load_table(spark, BASE, "customer")
-    rep = cust
-    for i in range(1, k):
-        rep = rep.unionAll(
-            cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * shift))
-        )
-    rep.write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+    if _want("customer"):
+        cust = load_table(spark, BASE, "customer")
+        rep = cust
+        for i in range(1, k):
+            rep = rep.unionAll(
+                cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * shift))
+            )
+        rep.write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
 
     for dim in ("part", "supplier", "nation", "region"):
-        load_table(spark, BASE, dim).write.mode("overwrite").parquet(
-            f"{out_dir}/{dim}.parquet"
-        )
+        if _want(dim):
+            load_table(spark, BASE, dim).write.mode("overwrite").parquet(
+                f"{out_dir}/{dim}.parquet"
+            )
 
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     out_dir = f"/tmp/uba_scale_{k}x"
+    if FIXTURE != "neardup":
+        out_dir += f"_{FIXTURE}"
 
     from datafusion_uba_spark.queries import queries
     from datafusion_uba_spark.session import get_spark
@@ -322,7 +372,7 @@ def main() -> None:
         print(f"# {name}: {t1:.2f}s -> {tk:.2f}s at {k}x "
               f"(exponent {out[name]['exponent']})", file=sys.stderr)
 
-    print(json.dumps({"k": k, "queries": out}))
+    print(json.dumps({"k": k, "fixture": FIXTURE, "queries": out}))
     spark.stop()
 
 
