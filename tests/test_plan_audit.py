@@ -285,6 +285,69 @@ def test_tpch_q6_filters_pushed_and_single_scan(spark, sf_dir):
     assert "Join" not in plan, plan
 
 
+def test_tpch_q1_single_fused_aggregate(spark, sf_dir):
+    """tpch_q1 (official column set): the shipdate filter must reach
+    PushedFilters, the scan must prune to exactly the seven referenced
+    columns, and Catalyst must fuse all six aggregates into ONE
+    two-phase hash aggregate — one partial/final pair, one exchange
+    on the 4-row group key (plus the output sort's) — not an
+    aggregate per output column."""
+    from datafusion_uba_spark.queries import q_tpch_q1_official
+
+    df = q_tpch_q1_official(spark, sf_dir)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "LessThanOrEqual(l_shipdate" in m.group(1), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }, read_cols
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2, plan
+    assert "partial_sum" in plan, plan  # map-side combine present
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_tpch_q5_pushdown_and_no_cartesian(spark, sf_dir):
+    """tpch_q5 (official local-supplier shape): the one-year window
+    must push into the orders scan, the region filter must push into
+    the region scan (so nation prunes to ~1/5 before broadcasting),
+    the compound supplier join must stay an equi-join (hash join, no
+    cartesian/NLJ anywhere), and every scan must be column-pruned."""
+    from datafusion_uba_spark.queries import q_tpch_q5_official
+
+    df = q_tpch_q5_official(spark, sf_dir)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # date window pushed to the orders scan
+    assert re.search(
+        r"orders\.parquet.*?GreaterThanOrEqual\(o_orderdate", plan, re.DOTALL
+    ), plan
+    # region filter pushed to the region scan
+    assert re.search(
+        r"region\.parquet.*?EqualTo\(r_name,ASIA\)", plan, re.DOTALL
+    ), plan
+    # lineitem scan pruned to the four columns the query touches
+    m = re.search(
+        r"lineitem\.parquet\]\s*\nPushedFilters:[^\n]*\nReadSchema: struct<([^>]*)>",
+        plan,
+    )
+    assert m, plan
+    li_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert li_cols == {
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    }, li_cols
+
+
 # Rows whose optimized plan contains an UNPARTITIONED window — each one
 # adjudicated: the window runs over a BOUNDED intermediate (sources,
 # days, distinct cents values, shards, centroids — never users or
