@@ -1114,6 +1114,78 @@ def streaming_cdc_snapshot(
     return q
 
 
+def streaming_ann_topk_from_index(
+    queries: DataFrame,
+    table: str,
+    sink_table: str,
+    k: int = 10,
+    n_probe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    timeout_sec: int = 300,
+) -> StreamingQuery:
+    """Online ANN serving: answer a STREAM of query vectors against the
+    persisted bucketed IVF index (similarity.ivf_build_index), one
+    micro-batch at a time via ``foreachBatch`` →
+    ``ivf_topk_from_index`` — the streaming face of the ANN probe,
+    sharing the batch scorer verbatim (the streaming_cdc_snapshot /
+    streaming_rollup_refresh pattern), so stream/batch parity is the
+    same code path by construction. Exact per-query top-k (rank,
+    cosine) appends to ``sink_table`` stamped with the micro-batch id.
+
+    Why foreachBatch and not a pure stream-static plan: the probe's
+    final per-query top-k is a row_number window, which Structured
+    Streaming rejects on unbounded streams — but ANN queries are
+    independent REQUESTS, answered exactly once against the index as
+    of their micro-batch, so the batch-at-a-time model is the correct
+    semantics (not a workaround): no cross-batch state, no watermark,
+    nothing for the state store to hold.
+
+    Scale shape per micro-batch: centroid assignment is O(n_cells x
+    dim) expression work on the (small) query batch, the probe side
+    broadcasts, and the index side prunes to the probed cells of the
+    bucketed table — the corpus never shuffles, so serving cost is
+    O(batch x n_probe x cell_size), independent of corpus size.
+    Exactly-once caveat as for the rollup/CDC faces: replaying a batch
+    after a crash between write and checkpoint re-appends its answers;
+    dedup downstream on (batch_id, query_id, rank) if the sink must be
+    exactly-once.
+
+    Runs with an availableNow trigger and raises TimeoutError on
+    overrun."""
+    from datafusion_uba_spark.operators.similarity import (
+        ivf_topk_from_index,
+    )
+
+    def serve(batch: DataFrame, bid: int) -> None:
+        top = ivf_topk_from_index(
+            batch.sparkSession,
+            table,
+            batch,
+            k=k,
+            vec_col=vec_col,
+            id_col=id_col,
+            n_probe=n_probe,
+        )
+        top.withColumn("batch_id", F.lit(bid).cast("long")).write.mode(
+            "append"
+        ).format("parquet").saveAsTable(sink_table)
+
+    q = (
+        queries.writeStream.foreachBatch(serve)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming ann probe against {table!r} still running "
+            f"after {timeout_sec}s"
+        )
+    return q
+
+
 def streaming_semantic_dedup_against(
     emb: DataFrame,
     index_table: str,

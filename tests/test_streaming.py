@@ -1358,3 +1358,68 @@ def test_dsir_score_against_streams_stateless(spark, tmp_path):
     assert by_id[1] == (1, 3, 1000, 333, True)
     assert by_id[2] == (2, 0, 0, 0, False)
     assert by_id[3] == (3, 1, 0, 0, False)
+
+
+def test_streaming_ann_topk_from_index_parity(spark, tmp_path):
+    """Online ANN serving: query vectors split into 3 files streamed
+    one file per micro-batch (maxFilesPerTrigger=1) through
+    streaming_ann_topk_from_index -> foreachBatch ->
+    ivf_topk_from_index, appending to a sink table. Because queries
+    are independent requests, the union of per-batch answers must
+    equal the one-shot batch probe over all queries — same scorer,
+    same index, exact (rank, cosine_u) parity — and the sink's
+    batch_id stamps must show >= 3 distinct micro-batches."""
+    from datafusion_uba_spark.operators import similarity
+    from datafusion_uba_spark.streaming import streaming_ann_topk_from_index
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where("vec_id < 9").select("vec_id", "embedding")
+    src = str(tmp_path / "ann_queries")
+    for lo, hi in ((0, 3), (3, 6), (6, 9)):
+        queries.where(f"vec_id >= {lo} AND vec_id < {hi}").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    sink = "ann_stream_sink"
+    try:
+        similarity.ivf_build_index(emb, "ann_stream_idx", n_cells=16)
+        sq = (
+            spark.readStream.schema(queries.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+        q = streaming_ann_topk_from_index(
+            sq, "ann_stream_idx", sink, k=5, n_probe=4
+        )
+        n_batches = len(
+            [p for p in q.recentProgress if p["numInputRows"] > 0]
+        )
+        served = spark.table(sink)
+        got = {
+            (r.query_id, r.rank, r.vec_id, r.cosine_u)
+            for r in served.collect()
+        }
+        want = {
+            (r.query_id, r.rank, r.vec_id, r.cosine_u)
+            for r in similarity.ivf_topk_from_index(
+                spark, "ann_stream_idx", queries, k=5, n_probe=4
+            ).collect()
+        }
+        assert got == want and len(got) == 9 * 5
+        assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+        # each query answered exactly once, in exactly one micro-batch
+        # (no replays, no splits), and each batch served one whole file
+        per_batch = {
+            (r.batch_id, r.query_id) for r in served.collect()
+        }
+        batches_of = {}
+        for b, qid in per_batch:
+            batches_of.setdefault(qid, set()).add(b)
+        assert all(len(bs) == 1 for bs in batches_of.values()), batches_of
+        from collections import Counter
+
+        sizes = Counter(b for b, _ in per_batch)
+        assert sorted(sizes.values()) == [3, 3, 3], sizes
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {sink}")
+        similarity.drop_ivf_index(spark, "ann_stream_idx")
