@@ -142,3 +142,58 @@ def test_live_derivation_matches_git_state():
 
     derived = derive_changed_rows(REPO, REGISTRY)
     assert q.CHANGED_THIS_ROUND == {**derived, **q.CHANGED_OVERRIDES}
+
+
+def test_git_path_end_to_end(tmp_path):
+    """The real git plumbing (round-boundary commit lookup + diff
+    parsing), exercised against a throwaway repo: a mini package with
+    a query fn calling a helper, a CORRECTNESS_r03 artifact committed
+    as the round boundary, then a working-tree edit to the HELPER —
+    derive_changed_rows must find the boundary commit, diff against
+    the worktree, and propagate helper -> fn -> row at round 4. This
+    path silently degrades to {} in production, so only a test like
+    this catches it breaking."""
+    import subprocess
+
+    pkg = tmp_path / "datafusion_uba_spark"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    mini = pkg / "mini.py"
+    mini.write_text(
+        "def helper(x):\n"
+        "    return x + 1\n"
+        "\n"
+        "\n"
+        "def my_query(df):\n"
+        "    return helper(df)\n"
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text('{"row": {}}')
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-c", "user.email=t@t", "-c", "user.name=t", *args],
+            cwd=tmp_path,
+            check=True,
+            capture_output=True,
+        )
+
+    git("init", "-q")
+    git("add", "-A")
+    git("commit", "-q", "-m", "round 3")
+
+    def fn(df):
+        return df
+
+    fn.__module__ = "datafusion_uba_spark.mini"
+    fn.__name__ = "my_query"
+    registry = {"row": (fn, None), "other": (fn2 := (lambda d: d), None)}
+    fn2.__module__ = "datafusion_uba_spark.mini"
+    fn2.__name__ = "no_such_fn"
+
+    # clean worktree -> nothing derived
+    assert derive_changed_rows(tmp_path, registry) == {}
+
+    # edit the HELPER only (uncommitted, like mid-round work)
+    mini.write_text(mini.read_text().replace("x + 1", "x + 2"))
+    derived = derive_changed_rows(tmp_path, registry)
+    assert derived == {"row": 4}
