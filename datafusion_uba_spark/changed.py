@@ -351,6 +351,23 @@ def derive_changed_rows(
                 osym = _oracle_symbol(sql, [fn.__module__] + query_modules)
                 if osym is not None and osym in dirty:
                     out[name] = rnd
+        # registry-literal edits: remapping an existing row to a
+        # different fn/oracle touches only the dict literal, whose
+        # symbol ("REGISTRY" etc.) maps to no row — so additionally
+        # scan the changed LINES themselves for quoted registry keys
+        # ("name": entries). Over-matching an unrelated dict key that
+        # happens to equal a row name just boosts one row — harmless.
+        key_re = re.compile(r'"([A-Za-z0-9_]+)"\s*:')
+        for path, ranges in hunks.items():
+            try:
+                lines = (repo_root / path).read_text().splitlines()
+            except OSError:
+                continue
+            for lo, hi in ranges:
+                for ln in lines[max(lo - 1, 0) : hi]:
+                    for m in key_re.finditer(ln):
+                        if m.group(1) in registry:
+                            out.setdefault(m.group(1), rnd)
         return out
     except Exception:  # pragma: no cover - degradation guard
         return {}

@@ -197,3 +197,26 @@ def test_git_path_end_to_end(tmp_path):
     mini.write_text(mini.read_text().replace("x + 1", "x + 2"))
     derived = derive_changed_rows(tmp_path, registry)
     assert derived == {"row": 4}
+
+
+def test_registry_literal_edit_derives_row():
+    """Remapping an existing registry entry touches only the dict
+    literal (no fn/oracle symbol), so the changed LINES are scanned for
+    quoted registry keys: a hunk over the '"sessionize": (...)' line
+    must boost the sessionize row."""
+    import re as _re
+
+    qpath = PKG_ROOT / "queries_uba.py"
+    target = None
+    for i, ln in enumerate(qpath.read_text().splitlines(), start=1):
+        if _re.search(r'"sessionize"\s*:', ln):
+            target = i
+            break
+    assert target, "expected sessionize registry line in queries_uba.py"
+    derived = derive_changed_rows(
+        REPO,
+        REGISTRY,
+        hunks={"datafusion_uba_spark/queries_uba.py": [(target, target)]},
+        current_round=77,
+    )
+    assert derived.get("sessionize") == 77
