@@ -147,6 +147,21 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC scan (directory or file). Unlike Avro, ORC is built into
+    Spark — no extra jars — and keeps parquet-grade pushdown: predicate
+    filters reach the reader as ORC search arguments and stripe-level
+    min/max stats prune, so an ORC-resident corpus gets the same
+    scan-side story as the parquet tables. Beyond the reference's
+    source list (its DataFusion core has no ORC reader); included
+    because mixed parquet/ORC estates are the common migration state.
+    """
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

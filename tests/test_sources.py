@@ -409,3 +409,23 @@ def test_compact_parquet_dir(spark, tmp_path):
         empty = str(tmp_path / "empty")
         os.makedirs(empty)
         compact_parquet_dir(spark, empty)
+
+
+def test_read_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC source: parquet-grade semantics without extra jars. A table
+    written as ORC must read back row-identical, and a predicate must
+    reach the ORC scan as a pushed filter (stripe pruning at scale)."""
+    from datafusion_uba_spark.sources import load_table, read_orc
+
+    cust = load_table(spark, sf_dir, "customer")
+    p = str(tmp_path / "cust_orc")
+    cust.write.mode("overwrite").orc(p)
+    back = read_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, cust.collect())
+    )
+    filtered = back.where("c_custkey = 7").select("c_custkey", "c_name")
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "EqualTo(c_custkey,7)" in plan, plan
