@@ -784,6 +784,88 @@ FROM reach GROUP BY src
 """
 
 
+def q_dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection per duplicate cluster — the step that turns
+    dup detection into an actionable drop list: for each near-dup
+    component (the dedup_clusters composition: exact ngram-Jaccard
+    pairs -> min-label connected components), KEEP the longest member
+    (the Gopher/CCNet keep-rule: the longest near-dup usually subsumes
+    the shorter crawls), tiebroken by lowest doc_id so the pick is
+    deterministic. One row per cluster: the kept doc, its length, and
+    how many members get dropped.
+
+    Scale shape: the pick is a single struct-max groupBy on the
+    cluster id — partial-aggregable (map-side combine), no window, no
+    second shuffle beyond the component labels the clustering already
+    produced; the only join is doc-keyed (the co-partitioned case).
+    The struct (len, -doc_id) makes lexicographic max implement
+    argmax-with-min-id-tiebreak in ONE aggregate, so ties cannot make
+    the hash nondeterministic (max_by's tie choice is unspecified in
+    both engines — the struct trick is the portable form)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    comp = dedup.neardup_components(pairs)
+    sized = comp.join(
+        docs.select(
+            "doc_id", F.length("text").cast("long").alias("__len")
+        ),
+        "doc_id",
+    )
+    g = sized.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(
+            F.struct(
+                F.col("__len").alias("l"),
+                (-F.col("doc_id")).alias("nid"),
+            )
+        ).alias("__best"),
+    )
+    return g.select(
+        F.col("canonical_id").alias("cluster_id"),
+        (-F.col("__best.nid")).cast("long").alias("kept_doc_id"),
+        F.col("__best.l").alias("kept_len"),
+        "n_members",
+        (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+    )
+
+
+_ORACLE_CANONICAL_PICK = f"""
+WITH RECURSIVE pairs AS ({_ORACLE_NGRAM_JACCARD}),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+  FROM reach GROUP BY src
+),
+sized AS (
+  SELECT c.doc_id, c.canonical_id, CAST(length(d.text) AS BIGINT) AS len
+  FROM comp c JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT canonical_id, doc_id, len,
+         row_number() OVER (
+           PARTITION BY canonical_id ORDER BY len DESC, doc_id ASC
+         ) AS rn
+  FROM sized
+),
+agg AS (
+  SELECT canonical_id, count(*) AS n_members FROM sized GROUP BY canonical_id
+)
+SELECT r.canonical_id AS cluster_id, r.doc_id AS kept_doc_id,
+       r.len AS kept_len, a.n_members,
+       CAST(a.n_members - 1 AS BIGINT) AS n_dropped
+FROM ranked r JOIN agg a USING (canonical_id) WHERE rn = 1
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # xxhash64-based: no DuckDB twin; driver does the rows-only check,
     # pytest pins recall == 1.0 vs the exact n-gram query on this corpus.
@@ -4061,6 +4143,7 @@ LLM_REGISTRY: dict = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _ORACLE_NGRAM_JACCARD),
     "dedup_containment": (q_dedup_containment, _ORACLE_CONTAINMENT),
     "dedup_clusters": (q_dedup_clusters, _ORACLE_DEDUP_CLUSTERS),
+    "dedup_canonical_pick": (q_dedup_canonical_pick, _ORACLE_CANONICAL_PICK),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
     "dedup_minhash_md5": (q_dedup_minhash_md5, _ORACLE_MINHASH_MD5),
     "dedup_minhash_against": (

@@ -2692,3 +2692,53 @@ def test_md5_prefix_int_contract(spark):
     for bad in (0, 16, -1):
         with _pytest.raises(ValueError):
             md5_prefix_int(F.col("s"), bad)
+
+
+def test_dedup_canonical_pick_golden(spark, tmp_path):
+    """Hand-built fixture pinning the survivor-selection CONTRACT (the
+    oracle row proves engine parity; this pins intent): per near-dup
+    cluster, keep the LONGEST member; on an exact length tie keep the
+    lowest doc_id; cluster_id is the component's min label; unpaired
+    docs never appear; n_dropped = n_members - 1."""
+    import os
+
+    from datafusion_uba_spark.queries_llm import q_dedup_canonical_pick
+
+    base = (
+        "the query engine reads the table and the planner picks a "
+        "broadcast join when one side is small and the other side is "
+        "big so the scan prunes row groups and the aggregate combines "
+        "map side before the final exchange runs"
+    )
+    other = (
+        "customers arrive daily and the sessions build funnels while "
+        "retention cohorts track the weekly purchase behavior across "
+        "every nation region segment and the windowed counts roll up "
+        "into the dashboard tiles that analysts read each morning"
+    )
+    rows = [
+        (1, base, "en", "s", 0),
+        (2, base + " plus two extra trailing words here", "en", "s", 0),
+        (3, base, "en", "s", 0),            # exact dup of 1
+        (10, other, "en", "t", 0),          # tie pair with 11
+        (11, other, "en", "t", 0),
+        (20, "completely different short text", "en", "u", 0),  # unpaired
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "canon_sf")
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    got = {
+        (r.cluster_id, r.kept_doc_id, r.kept_len, r.n_members, r.n_dropped)
+        for r in q_dedup_canonical_pick(spark, sf).collect()
+    }
+    lens = {r[0]: len(r[1]) for r in rows}
+    assert got == {
+        # longest wins: doc 2 (base + suffix) over exact dups 1 and 3
+        (1, 2, lens[2], 3, 2),
+        # exact length tie: lowest doc_id (10) wins
+        (10, 10, lens[10], 2, 1),
+    }, got

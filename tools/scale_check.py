@@ -172,6 +172,7 @@ HEAVY = [
     "corpus_snapshot_diff",
     "dedup_threshold_sweep",
     "packing_contamination",
+    "dedup_canonical_pick",
 ]
 
 # SCALE_ONLY=a,b,c restricts the run to the named queries (late-round
