@@ -78,6 +78,20 @@ def _round_boundary_commit(repo_root: Path, rnd: int) -> str | None:
     return sha or None
 
 
+def _latest_boundary(repo_root: Path) -> tuple[int, str] | None:
+    """(round, commit) of the newest CORRECTNESS artifact that IS
+    committed. The newest file on disk may be untracked mid-round (the
+    driver writes it before the builder commits it); keying the
+    boundary off that file alone would yield no commit and silently
+    disable the whole attestation boost (r15 advisor) — so walk rounds
+    downward until git knows one."""
+    for rnd in range(latest_captured_round(repo_root), 0, -1):
+        sha = _round_boundary_commit(repo_root, rnd)
+        if sha:
+            return rnd, sha
+    return None
+
+
 def parse_diff_hunks(diff_text: str) -> dict[str, list[tuple[int, int]]]:
     """``git diff -U0`` text -> {new-side path: [(start, end)] 1-based}."""
     hunks: dict[str, list[tuple[int, int]]] = {}
@@ -101,10 +115,18 @@ def parse_diff_hunks(diff_text: str) -> dict[str, list[tuple[int, int]]]:
 
 
 def git_hunks_since_round(repo_root: Path, rnd: int) -> dict[str, list[tuple[int, int]]]:
-    """Diff hunks (committed + working tree) since round ``rnd``'s boundary."""
+    """Diff hunks (committed + working tree) since round ``rnd``'s boundary.
+
+    Falls back to the newest COMMITTED artifact when round ``rnd``'s own
+    artifact is untracked (see ``_latest_boundary``) — the diff window
+    just widens to span the uncommitted artifact's round too, which only
+    ever ADDS boost."""
     base = _round_boundary_commit(repo_root, rnd)
     if base is None:
-        return {}
+        bound = _latest_boundary(repo_root)
+        if bound is None:
+            return {}
+        base = bound[1]
     out = subprocess.run(
         ["git", "diff", "-U0", base, "--", PKG],
         cwd=repo_root,
@@ -167,9 +189,64 @@ def _collect_loads(node: ast.AST) -> tuple[set[str], set[tuple[str, str]]]:
     return names, attrs
 
 
+def _record_imports(
+    mi: _ModuleIndex,
+    node: ast.stmt,
+    mod: str,
+    is_init: bool,
+    pkg_root: Path,
+) -> bool:
+    """Record an Import/ImportFrom's bindings into ``mi``; returns
+    whether the node was an import statement at all."""
+    if isinstance(node, ast.Import):
+        for alias in node.names:
+            if alias.name.startswith(PKG):
+                mi.import_module[alias.asname or alias.name.split(".")[0]] = (
+                    alias.name
+                )
+        return True
+    if isinstance(node, ast.ImportFrom):
+        src = node.module or ""
+        if node.level:  # relative import -> absolute
+            base = mod.split(".")
+            # From a module file, level 1 = its containing package, so
+            # strip `level` trailing components. From a package
+            # __init__.py the module name ALREADY denotes the package
+            # (_module_name drops '__init__'), so level 1 resolves to
+            # the package itself — strip one component fewer (r15
+            # advisor: pkg/sub/__init__.py level-1 was resolving to
+            # pkg.x instead of pkg.sub.x).
+            strip = node.level - 1 if is_init else node.level
+            base = base[: len(base) - strip] if strip else base
+            src = ".".join(base + ([src] if src else []))
+        if not src.startswith(PKG):
+            return True
+        for alias in node.names:
+            if alias.name == "*":
+                # star import: bind a wildcard marker
+                mi.import_symbol[f"*{src}"] = (src, "*")
+                continue
+            local = alias.asname or alias.name
+            if _is_submodule(pkg_root, src, alias.name):
+                mi.import_module[local] = f"{src}.{alias.name}"
+            else:
+                mi.import_symbol[local] = (src, alias.name)
+        return True
+    return False
+
+
 def build_package_index(pkg_root: Path) -> dict[str, _ModuleIndex]:
     """AST index of every module in the package: top-level symbol spans,
-    per-symbol name/attribute loads, and import bindings."""
+    per-symbol name/attribute loads, and import bindings.
+
+    Import bindings are collected from module top level AND from inside
+    each top-level symbol's body (the dominant style in the query
+    modules is function-local `from .operators import similarity`; the
+    r15 advisor flagged that skipping those made edits to such operator
+    modules propagate to NO rows). Local bindings are merged into the
+    one module-level index: a local name shadowing a different symbol
+    elsewhere in the module can only OVER-propagate (a harmless extra
+    boost), never miss one."""
     index: dict[str, _ModuleIndex] = {}
     for py_file in sorted(pkg_root.rglob("*.py")):
         try:
@@ -177,36 +254,18 @@ def build_package_index(pkg_root: Path) -> dict[str, _ModuleIndex]:
         except SyntaxError:
             continue
         mod = _module_name(pkg_root, py_file)
+        is_init = py_file.name == "__init__.py"
         mi = _ModuleIndex()
         for node in tree.body:
-            if isinstance(node, ast.Import):
-                for alias in node.names:
-                    if alias.name.startswith(PKG):
-                        mi.import_module[alias.asname or alias.name.split(".")[0]] = (
-                            alias.name
-                        )
-                continue
-            if isinstance(node, ast.ImportFrom):
-                src = node.module or ""
-                if node.level:  # relative import -> absolute
-                    base = mod.split(".")
-                    # level 1 from a module file = its package
-                    base = base[: len(base) - node.level]
-                    src = ".".join(base + ([src] if src else []))
-                if not src.startswith(PKG):
-                    continue
-                for alias in node.names:
-                    if alias.name == "*":
-                        # star import: bind a wildcard marker
-                        mi.import_symbol[f"*{src}"] = (src, "*")
-                        continue
-                    local = alias.asname or alias.name
-                    if _is_submodule(pkg_root, src, alias.name):
-                        mi.import_module[local] = f"{src}.{alias.name}"
-                    else:
-                        mi.import_symbol[local] = (src, alias.name)
+            if _record_imports(mi, node, mod, is_init, pkg_root):
                 continue
             targets = _symbol_targets(node)
+            if targets:
+                # function-local / method-local imports inside this
+                # symbol's body bind names the symbol then loads
+                for sub in ast.walk(node):
+                    if isinstance(sub, (ast.Import, ast.ImportFrom)):
+                        _record_imports(mi, sub, mod, is_init, pkg_root)
             if not targets:
                 continue
             lo = min(
@@ -330,7 +389,10 @@ def derive_changed_rows(
         last = latest_captured_round(repo_root)
         rnd = current_round if current_round is not None else last + 1
         if hunks is None:
-            if last == 0:
+            # cheap pre-check before shelling out: a non-checkout
+            # install (pip sdist, exported tree) has no .git — don't
+            # pay two failed subprocess spawns per import (r15 advisor)
+            if last == 0 or not (repo_root / ".git").exists():
                 return {}
             hunks = git_hunks_since_round(repo_root, last)
         hunks = {p: r for p, r in hunks.items() if p.startswith(PKG)}

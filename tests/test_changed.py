@@ -104,6 +104,61 @@ def test_same_module_helper_propagates():
     assert any(m == mod and not s.startswith("_") for m, s in dirty)
 
 
+def test_function_local_from_import_propagates():
+    """Operator modules are mostly imported INSIDE query fns (the
+    dominant style in queries_llm.py: `from ...similarity import
+    quantize` at function scope). The r15 advisor flagged that only
+    tree.body imports were indexed, so editing those operator modules
+    propagated to NO rows — the silent recreation of the
+    forgot-to-list failure mode. A hunk over similarity.quantize must
+    derive the rows whose fns bind it locally."""
+    hunks = _hunk_over("operators/similarity.py", "quantize")
+    derived = derive_changed_rows(REPO, REGISTRY, hunks=hunks, current_round=11)
+    assert derived.get("doc_embedding_enrich") == 11
+    # and must stay symbol-targeted, not module-flooded
+    assert "pricing_summary" not in derived
+
+
+def test_function_local_module_import_attr_propagates():
+    """`from ...operators import pq` inside q_ann_topk_pq is a
+    module binding; pq.pq_topk attribute uses must propagate too."""
+    hunks = _hunk_over("operators/pq.py", "pq_topk")
+    derived = derive_changed_rows(REPO, REGISTRY, hunks=hunks, current_round=12)
+    assert derived.get("ann_topk_pq") == 12
+
+
+def test_init_relative_import_resolution(tmp_path):
+    """pkg/sub/__init__.py's `from . import x` must resolve to
+    pkg.sub.x, not pkg.x — _module_name already dropped '__init__', so
+    the resolver strips (level - 1) components there (r15 advisor)."""
+    pkg = tmp_path / "datafusion_uba_spark"
+    sub = pkg / "sub"
+    sub.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (sub / "x.py").write_text("def inner():\n    return 1\n")
+    (sub / "__init__.py").write_text(
+        "from .x import inner\n\n\ndef outer():\n    return inner()\n"
+    )
+    (pkg / "m.py").write_text(
+        "from .sub import outer\n\n\ndef top():\n    return outer()\n"
+    )
+    index = build_package_index(pkg)
+    assert index["datafusion_uba_spark.sub"].import_symbol["inner"] == (
+        "datafusion_uba_spark.sub.x",
+        "inner",
+    )
+    # and from a plain MODULE file, level 1 still strips one component
+    assert index["datafusion_uba_spark.m"].import_symbol["outer"] == (
+        "datafusion_uba_spark.sub",
+        "outer",
+    )
+    # end-to-end: dirtying sub/x.py:inner reaches m.py:top
+    dirty = dirty_symbols(
+        index, {"datafusion_uba_spark/sub/x.py": [(1, 1)]}, pkg
+    )
+    assert ("datafusion_uba_spark.m", "top") in dirty
+
+
 def test_oracle_constant_edit_derives_row():
     """A hunk over an oracle-SQL constant derives its row, including
     f-string composition (_ORACLE_PER_DAY feeds both retention
@@ -197,6 +252,14 @@ def test_git_path_end_to_end(tmp_path):
     mini.write_text(mini.read_text().replace("x + 1", "x + 2"))
     derived = derive_changed_rows(tmp_path, registry)
     assert derived == {"row": 4}
+
+    # UNTRACKED newer artifact (the driver writes CORRECTNESS_r04 at
+    # round end, before the builder commits it): the boundary must fall
+    # back to the newest COMMITTED artifact's commit instead of
+    # silently deriving {} (r15 advisor) — same edit, now round 5
+    (tmp_path / "CORRECTNESS_r04.json").write_text('{"row": {}}')
+    derived = derive_changed_rows(tmp_path, registry)
+    assert derived == {"row": 5}
 
 
 def test_registry_literal_edit_derives_row():

@@ -225,23 +225,39 @@ def _replicate(spark, k: int, out_dir: str) -> None:
         copies = []
         for i in range(k):
             c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
-            if i > 0:
+            if i > 0 and FIXTURE == "constpair":
+                # NO suffix in constpair mode (r15 advisor): the
+                # " replica{i}" tail adds per-doc shingles that shift
+                # Jaccard slightly, so pairs sitting at the 0.8
+                # threshold can flip in/out across replicas — breaking
+                # the exactly-k-fold-pairs claim. The rotation alone is
+                # a shingle-preserving bijection (within-replica pairs
+                # survive exactly) and prevents cross-replica matches;
+                # exact-dup collapse is avoided by the shifted doc_id.
+                # Only 25 distinct rotations exist, so replicas 25
+                # apart would be byte-identical — cap k rather than
+                # silently reintroduce cross-replica pairs.
+                if k > 25:
+                    raise SystemExit(
+                        "SCALE_FIXTURE=constpair supports k <= 25 "
+                        "(25 distinct alphabet rotations)"
+                    )
+                rot = (i % 25) + 1  # 1..25, never identity
+                lo, up = string.ascii_lowercase, string.ascii_uppercase
+                c = c.withColumn(
+                    "text",
+                    F.translate(
+                        "text",
+                        lo + up,
+                        lo[rot:] + lo[:rot] + up[rot:] + up[:rot],
+                    ),
+                )
+            elif i > 0:
                 # distinct suffix so replicas are near-dups at most, not
                 # exact dups — keeps dedup candidate structure realistic
                 c = c.withColumn(
                     "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
                 )
-                if FIXTURE == "constpair":
-                    rot = (i % 25) + 1  # 1..25, never identity
-                    lo, up = string.ascii_lowercase, string.ascii_uppercase
-                    c = c.withColumn(
-                        "text",
-                        F.translate(
-                            "text",
-                            lo + up,
-                            lo[rot:] + lo[:rot] + up[rot:] + up[:rot],
-                        ),
-                    )
             copies.append(c)
         rep = copies[0]
         for c in copies[1:]:
