@@ -4,7 +4,13 @@ Prints exactly ONE compact JSON line on stdout:
 
     {"metric": "registry_total_wall", "value": <sec>, "unit": "sec",
      "queries": {"<name>": <sec>, ...}, "nqueries": N,
-     "detail": "BENCH_RUNS.json", "sf": <float>}
+     "detail": "BENCH_RUNS.json", "sf": <float>, "contended": bool}
+
+``contended`` summarizes a host-contention snapshot taken before the
+Spark session starts (full detail in the sidecar's "contention" key:
+load averages, process count, available memory) — see
+_contention_sentinel for the rule and why (r15: an 18% driver-vs-local
+headline gap was unattributable from the artifacts alone).
 
 The stdout line is kept deliberately small: the driver captures only a
 short (~2 KB) tail of stdout, and round 6's line — which carried the
@@ -97,6 +103,52 @@ def _py_worker_warmup(batches):
     yield from batches
 
 
+def _contention_sentinel() -> dict:
+    """Host-contention snapshot taken BEFORE the Spark session starts
+    (so our own JVM contributes ~nothing): 1/5/15-min load averages,
+    co-resident process count, and available memory. Recorded in the
+    sidecar and summarized as a one-bit ``contended`` flag on the
+    headline, so a driver-run vs builder-run headline gap (r15: 200.2 s
+    driver vs 170.1 s builder final, 18% with no way to attribute it
+    from the artifact) is diagnosable from the artifact instead of
+    argued from variance rules.
+
+    ``contended`` is deliberately conservative: load1 >= 25% of the
+    cpus this bench is about to use means multi-core-seconds of OTHER
+    work were running in the minute before the sweep — enough to
+    inflate wall times on a shared host. Memory pressure flags below
+    8 GiB available (a 32-thread local JVM + 32 python workers thrash
+    well above that)."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    out: dict = {"cpus": cpus}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        out["load_avg"] = [round(la1, 2), round(la5, 2), round(la15, 2)]
+    except OSError:  # pragma: no cover - non-unix
+        la1 = 0.0
+    try:
+        out["n_processes"] = sum(
+            1 for p in os.listdir("/proc") if p.isdigit()
+        )
+    except OSError:  # pragma: no cover - non-linux
+        out["n_processes"] = None
+    mem_kb = None
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    mem_kb = int(line.split()[1])
+                    break
+    except OSError:  # pragma: no cover - non-linux
+        pass
+    out["mem_available_kb"] = mem_kb
+    out["contended"] = bool(
+        la1 >= 0.25 * cpus
+        or (mem_kb is not None and mem_kb < 8 * 1024 * 1024)
+    )
+    return out
+
+
 def build_artifacts(
     per_query: dict[str, float],
     per_runs: dict[str, list[float]],
@@ -105,6 +157,7 @@ def build_artifacts(
     sf: float,
     warmup: int = 1,
     isolated: dict | None = None,
+    sentinel: dict | None = None,
 ) -> tuple[dict, dict]:
     """Split results into (headline, sidecar).
 
@@ -141,6 +194,10 @@ def build_artifacts(
         "detail": "BENCH_RUNS.json",
         "sf": sf,
     }
+    if sentinel is not None:
+        # one bit on the headline (byte budget!); the full snapshot
+        # (load averages, process count, memory) rides in the sidecar
+        headline["contended"] = sentinel.get("contended", False)
     if errors:
         # keep the headline parseable even on failures: a BOUNDED list
         # of names (a mass failure — e.g. a broken sf dir failing every
@@ -175,6 +232,8 @@ def build_artifacts(
         # remain comparable; a per-row "regression" is real only if
         # this map confirms it (decision rule in the module docstring).
         sidecar["isolated"] = isolated
+    if sentinel is not None:
+        sidecar["contention"] = sentinel
     return headline, sidecar
 
 
@@ -264,6 +323,11 @@ def main() -> None:
     from datafusion_uba_spark.queries import queries
     from datafusion_uba_spark.session import get_spark
 
+    # snapshot host contention BEFORE the session starts (our own JVM
+    # must not count against the sentinel)
+    sentinel = _contention_sentinel()
+    print(f"bench: contention sentinel {sentinel}", file=sys.stderr)
+
     spark = get_spark(app_name="uba-bench")
     # JVM/codegen warmup on a trivial plan so q1 isn't charged for it
     _materialize(spark.range(1_000_000).selectExpr("sum(id) AS s"))
@@ -352,7 +416,14 @@ def main() -> None:
             )
 
     out, sidecar = build_artifacts(
-        per_query, per_runs, errors, repeat, sf, warmup, isolated=isolated
+        per_query,
+        per_runs,
+        errors,
+        repeat,
+        sf,
+        warmup,
+        isolated=isolated,
+        sentinel=sentinel,
     )
     sidecar_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"

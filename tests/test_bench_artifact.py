@@ -99,6 +99,30 @@ def test_headline_bounded_when_every_query_fails():
     assert set(sidecar["errors"]) == set(names)
 
 
+def test_contention_sentinel_in_artifacts():
+    """r15 verdict #2: the sidecar must carry a host-contention
+    snapshot (load averages, process count, available memory) taken at
+    sweep start, and the headline a one-bit contended flag — so a
+    driver-vs-builder headline gap is attributable from the artifact
+    rather than argued from variance rules."""
+    from bench import _contention_sentinel
+
+    sentinel = _contention_sentinel()
+    assert isinstance(sentinel["contended"], bool)
+    assert sentinel["cpus"] > 0
+    assert len(sentinel["load_avg"]) == 3
+    assert sentinel["n_processes"] is None or sentinel["n_processes"] > 0
+    _, per_query, per_runs = _fake_results()
+    headline, sidecar = build_artifacts(
+        per_query, per_runs, {}, 3, 0.1, sentinel=sentinel
+    )
+    assert headline["contended"] == sentinel["contended"]
+    assert sidecar["contention"] == sentinel
+    # the flag must not break the byte budget
+    line = json.dumps(headline, separators=(",", ":"))
+    assert len(line) < 1024, f"headline line is {len(line)} bytes"
+
+
 def test_headline_value_is_sum_of_serialized_queries():
     """The artifact must be internally consistent: the headline value
     is computed from the ROUNDED per-query values actually serialized
