@@ -784,7 +784,11 @@ FROM reach GROUP BY src
 """
 
 
-def q_dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_canonical_pick(
+    spark: SparkSession,
+    sf_dir: str,
+    components: DataFrame | None = None,
+) -> DataFrame:
     """Survivor selection per duplicate cluster — the step that turns
     dup detection into an actionable drop list: for each near-dup
     component (the dedup_clusters composition: exact ngram-Jaccard
@@ -801,10 +805,20 @@ def q_dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     The struct (len, -doc_id) makes lexicographic max implement
     argmax-with-min-id-tiebreak in ONE aggregate, so ties cannot make
     the hash nondeterministic (max_by's tie choice is unspecified in
-    both engines — the struct trick is the portable form)."""
+    both engines — the struct trick is the portable form).
+
+    ``components``: a precomputed (doc_id, canonical_id) clustering —
+    pass the materialized result of the dedup_clusters composition so
+    a pipeline that already ran pairs + star-contraction doesn't pay
+    it twice (r15 verdict #3: the self-contained registry row re-ran
+    the parent pipeline, ~4.9 s of mostly duplicated work when
+    composed). ``None`` keeps the row self-contained for the oracle."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
-    comp = dedup.neardup_components(pairs)
+    if components is None:
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+        comp = dedup.neardup_components(pairs)
+    else:
+        comp = components
     sized = comp.join(
         docs.select(
             "doc_id", F.length("text").cast("long").alias("__len")

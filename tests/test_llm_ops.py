@@ -2742,3 +2742,25 @@ def test_dedup_canonical_pick_golden(spark, tmp_path):
         # exact length tie: lowest doc_id (10) wins
         (10, 10, lens[10], 2, 1),
     }, got
+
+
+def test_dedup_canonical_pick_accepts_precomputed_components(spark, sf_dir):
+    """r15 verdict #3: a pipeline that already materialized the
+    clustering (the dedup_clusters composition) must be able to hand
+    it to the pick instead of paying pairs + star-contraction twice —
+    and the result must be IDENTICAL to the self-contained row."""
+    from datafusion_uba_spark.operators import dedup
+    from datafusion_uba_spark.queries_llm import _docs, q_dedup_canonical_pick
+
+    docs = _docs(spark, sf_dir)
+    comp = dedup.neardup_components(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    ).localCheckpoint()  # materialized, as a real pipeline would hold it
+
+    inline = {tuple(r) for r in q_dedup_canonical_pick(spark, sf_dir).collect()}
+    reused = {
+        tuple(r)
+        for r in q_dedup_canonical_pick(spark, sf_dir, components=comp).collect()
+    }
+    assert inline == reused
+    assert inline  # non-vacuous: sf0.001 documents do contain near-dups
