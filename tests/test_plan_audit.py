@@ -257,6 +257,82 @@ def test_streaming_prescreen_batch_plan_shape(spark):
     assert "bitmap_construct_agg" not in plan
 
 
+def test_streaming_ann_probe_plan_corpus_exchange_free(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r15 verdict #6: the online ANN serving face
+    (streaming_ann_topk_from_index) shares ivf_topk_from_index with
+    the batch probe, and its RESULTS have exact stream==batch parity
+    pins — but only the batch twin's plan was audited. Spy-capture the
+    per-micro-batch probe DataFrame built inside foreachBatch and pin
+    its executed plan: the corpus (persisted bucketed index) scans
+    Bucketed and joins the probes via BroadcastHashJoin on __cell —
+    NO __cell hash-partitioning Exchange anywhere, and every remaining
+    shuffle keys on query_id (the tiny per-batch result side). That is
+    the O(batch x n_probe x cell_size) serving contract: the corpus
+    never moves per micro-batch."""
+    from datafusion_uba_spark.operators import similarity
+    from datafusion_uba_spark.sources import load_table
+    from datafusion_uba_spark.streaming import streaming_ann_topk_from_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.where("vec_id < 4").select("vec_id", "embedding")
+    src = str(tmp_path / "ann_plan_queries")
+    qdf.coalesce(1).write.mode("overwrite").parquet(src)
+
+    captured = []
+    real = similarity.ivf_topk_from_index
+
+    def spy(sess, table, batch, **kw):
+        out = real(sess, table, batch, **kw)
+        captured.append(out)
+        return out
+
+    # the streaming face binds the probe via a function-local import,
+    # resolved from the similarity module at CALL time — patching the
+    # module attribute before the call intercepts every micro-batch
+    monkeypatch.setattr(similarity, "ivf_topk_from_index", spy)
+
+    sink = "ann_plan_stream_sink"
+    try:
+        similarity.ivf_build_index(emb, "ann_plan_idx", n_cells=16)
+        streaming_ann_topk_from_index(
+            spark.readStream.schema(qdf.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src),
+            "ann_plan_idx",
+            sink,
+            k=5,
+            n_probe=4,
+        )
+        assert captured, "foreachBatch never built a probe"
+        plan = (
+            captured[0]
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        # corpus side: bucketed scan, probe broadcast onto it
+        assert "Bucketed: true" in plan, plan
+        assert re.search(
+            r"BroadcastHashJoin \[__cell#\d+\], \[__cell#\d+\], Inner", plan
+        ), plan
+        # the corpus never shuffles: zero __cell hash exchanges, and
+        # every hash exchange that remains keys on the per-batch
+        # result's query_id
+        assert not re.findall(r"Exchange hashpartitioning\(__cell", plan), plan
+        other = [
+            m.group(1)
+            for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)
+        ]
+        assert other and set(other) == {"query_id"}, (other, plan)
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {sink}")
+        similarity.drop_ivf_index(spark, "ann_plan_idx")
+
+
 def test_tpch_q6_filters_pushed_and_single_scan(spark, sf_dir):
     """tpch_q6 is the pure filter→agg scan: ALL four predicates (date
     band, discount band, quantity cap) must reach the parquet scan's
