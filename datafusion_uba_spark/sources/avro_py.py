@@ -1,0 +1,439 @@
+"""Dependency-free Apache Avro object-container codec + Spark plumbing.
+
+The reference feature-gates an Avro source (tests/sqllogictests/src/
+setup.rs:33-62); Spark's native path needs the spark-avro jar, which
+this container cannot install — so through r15 the capability was
+env-gated code with no executable test (SURVEY §2 S6, "partial"). But
+the Avro object container file format is a small, fully public
+specification (Apache Avro 1.11 spec, "Object Container Files"), and
+the repo already ships dependency-free codecs for BMP/PPM/WAV
+(operators.imagecodec / audiocodec) on exactly this rationale: real
+byte-level format work, decoded executor-side through Arrow
+``mapInPandas``. This module completes the source list the same way:
+
+- ``encode_container`` / ``decode_container``: the container format
+  itself — magic ``Obj\\x01``, the metadata map (``avro.schema`` JSON +
+  ``avro.codec``), 16-byte sync marker, then data blocks of
+  ``<count, byte-size, payload, sync>`` with null or deflate
+  (raw RFC-1951, zlib wbits=-15) codecs.
+- Binary encoding of the supported type subset (flat tabular records —
+  what a table source needs): null, boolean, int, long (zigzag
+  varints), float, double (IEEE LE), bytes, string (length-prefixed),
+  logical date (int days) and timestamp-micros (long), and
+  two-branch ``[null, T]`` unions for nullable columns.
+- ``write_avro_py(df, path)`` / ``read_avro_py(spark, path)``: the
+  distributed faces. The writer maps each partition to one container
+  file under ``path`` (executors write — the path must be shared
+  storage on a real cluster, same contract as any file sink); the
+  reader scans ``binaryFile`` (so listing/filter behavior matches the
+  other sources) and decodes file-at-a-time in Arrow-batched Python.
+  Python-side decode is the documented slow path — the jar-backed
+  ``sources.read_avro`` remains the fast path when the classpath has
+  it — but it is REAL and testable here, and the registry row
+  ``avro_customer_agg`` holds it to the driver's hash gate against
+  the parquet oracle.
+
+Scale shape: one container file per input partition, decoded
+independently (file = unit of parallelism, like the multimodal
+decoders); no shuffle anywhere in either direction.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+
+# --- varints -----------------------------------------------------------------
+
+
+def zigzag_encode(n: int) -> bytes:
+    """Avro int/long: zigzag then base-128 varint, little-endian groups."""
+    z = (n << 1) ^ (n >> 63) if n < 0 else (n << 1)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def zigzag_decode(buf: io.BytesIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        raw = buf.read(1)
+        if not raw:
+            raise ValueError("truncated varint")
+        b = raw[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+    return (acc >> 1) ^ -(acc & 1)
+
+
+# --- schema ------------------------------------------------------------------
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+
+def _field_type(t) -> tuple[str, bool]:
+    """Normalize a field's schema to (primitive-or-logical name,
+    nullable). Accepts 'long', {'type': 'int', 'logicalType': 'date'},
+    and ['null', T] unions (either order)."""
+    nullable = False
+    if isinstance(t, list):
+        branches = [b for b in t if b != "null"]
+        if len(t) != 2 or len(branches) != 1:
+            raise ValueError(f"only [null, T] unions supported, got {t}")
+        nullable = True
+        t = branches[0]
+    if isinstance(t, dict):
+        lt = t.get("logicalType")
+        base = t["type"]
+        if lt == "date" and base == "int":
+            return "date", nullable
+        if lt == "timestamp-micros" and base == "long":
+            return "timestamp-micros", nullable
+        t = base
+    if t not in _PRIMITIVES:
+        raise ValueError(f"unsupported avro type {t!r}")
+    return t, nullable
+
+
+def _parse_record_schema(schema: dict) -> list[tuple[str, str, bool]]:
+    if schema.get("type") != "record":
+        raise ValueError("container schema must be a record")
+    return [
+        (f["name"], *_field_type(f["type"])) for f in schema["fields"]
+    ]
+
+
+# --- value encode/decode -------------------------------------------------------
+
+_EPOCH_ORD = 719163  # datetime.date(1970, 1, 1).toordinal()
+
+
+def _encode_value(out: bytearray, kind: str, v) -> None:
+    if kind == "null":
+        return
+    if kind == "boolean":
+        out.append(1 if v else 0)
+    elif kind in ("int", "long"):
+        out += zigzag_encode(int(v))
+    elif kind == "float":
+        out += struct.pack("<f", float(v))
+    elif kind == "double":
+        out += struct.pack("<d", float(v))
+    elif kind == "bytes":
+        b = bytes(v)
+        out += zigzag_encode(len(b)) + b
+    elif kind == "string":
+        b = str(v).encode("utf-8")
+        out += zigzag_encode(len(b)) + b
+    elif kind == "date":
+        # logical date: days since unix epoch as int
+        out += zigzag_encode(v.toordinal() - _EPOCH_ORD)
+    elif kind == "timestamp-micros":
+        import calendar
+
+        us = calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
+        out += zigzag_encode(us)
+    else:  # pragma: no cover - _field_type already validated
+        raise ValueError(f"unsupported kind {kind}")
+
+
+def _decode_value(buf: io.BytesIO, kind: str):
+    if kind == "null":
+        return None
+    if kind == "boolean":
+        return buf.read(1) == b"\x01"
+    if kind in ("int", "long"):
+        return zigzag_decode(buf)
+    if kind == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if kind == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if kind == "bytes":
+        return buf.read(zigzag_decode(buf))
+    if kind == "string":
+        return buf.read(zigzag_decode(buf)).decode("utf-8")
+    if kind == "date":
+        import datetime
+
+        return datetime.date.fromordinal(zigzag_decode(buf) + _EPOCH_ORD)
+    if kind == "timestamp-micros":
+        import datetime
+
+        us = zigzag_decode(buf)
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=us
+        )
+    raise ValueError(f"unsupported kind {kind}")  # pragma: no cover
+
+
+# --- container ----------------------------------------------------------------
+
+MAGIC = b"Obj\x01"
+
+
+def _write_meta_map(out: bytearray, meta: dict[str, bytes]) -> None:
+    if meta:
+        out += zigzag_encode(len(meta))
+        for k, v in meta.items():
+            kb = k.encode("utf-8")
+            out += zigzag_encode(len(kb)) + kb
+            out += zigzag_encode(len(v)) + v
+    out += zigzag_encode(0)
+
+
+def _read_meta_map(buf: io.BytesIO) -> dict[str, bytes]:
+    meta: dict[str, bytes] = {}
+    while True:
+        n = zigzag_decode(buf)
+        if n == 0:
+            return meta
+        if n < 0:
+            # spec: a negative count is followed by the block's byte
+            # size (which we don't need when reading sequentially)
+            zigzag_decode(buf)
+            n = -n
+        for _ in range(n):
+            k = buf.read(zigzag_decode(buf)).decode("utf-8")
+            meta[k] = buf.read(zigzag_decode(buf))
+
+
+def encode_container(
+    rows,
+    schema: dict,
+    codec: str = "deflate",
+    block_rows: int = 1000,
+    sync: bytes | None = None,
+) -> bytes:
+    """Rows (sequences aligned with the record schema's field order)
+    -> one Avro object-container file as bytes."""
+    fields = _parse_record_schema(schema)
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"codec must be null or deflate, got {codec!r}")
+    if sync is None:
+        # deterministic sync (spec only requires the marker to match
+        # between header and blocks): hash of the schema JSON
+        import hashlib
+
+        sync = hashlib.md5(json.dumps(schema).encode()).digest()
+    if len(sync) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+    out = bytearray(MAGIC)
+    _write_meta_map(
+        out,
+        {
+            "avro.schema": json.dumps(schema).encode("utf-8"),
+            "avro.codec": codec.encode("utf-8"),
+        },
+    )
+    out += sync
+
+    block = bytearray()
+    n_in_block = 0
+
+    def flush():
+        nonlocal block, n_in_block
+        if not n_in_block:
+            return
+        payload = bytes(block)
+        if codec == "deflate":
+            # raw RFC-1951 stream (no zlib header/checksum), per spec
+            c = zlib.compressobj(9, zlib.DEFLATED, -15)
+            payload = c.compress(payload) + c.flush()
+        out.extend(zigzag_encode(n_in_block))
+        out.extend(zigzag_encode(len(payload)))
+        out.extend(payload)
+        out.extend(sync)
+        block = bytearray()
+        n_in_block = 0
+
+    for row in rows:
+        for (name, kind, nullable), v in zip(fields, row, strict=True):
+            if nullable:
+                if v is None:
+                    block += zigzag_encode(0)  # union branch 0 = null
+                    continue
+                block += zigzag_encode(1)
+            elif v is None:
+                raise ValueError(f"null in non-nullable field {name!r}")
+            _encode_value(block, kind, v)
+        n_in_block += 1
+        if n_in_block >= block_rows:
+            flush()
+    flush()
+    return bytes(out)
+
+
+def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
+    """One container file -> (schema dict, rows as tuples in field
+    order). Verifies magic and every block's sync marker."""
+    buf = io.BytesIO(data)
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container (bad magic)")
+    meta = _read_meta_map(buf)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro.codec {codec!r}")
+    fields = _parse_record_schema(schema)
+    sync = buf.read(16)
+    rows: list[tuple] = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break  # clean EOF at a block boundary
+        buf.seek(-1, 1)
+        n = zigzag_decode(buf)
+        size = zigzag_decode(buf)
+        payload = buf.read(size)
+        if len(payload) != size:
+            raise ValueError("truncated block")
+        if codec == "deflate":
+            payload = zlib.decompress(payload, wbits=-15)
+        b = io.BytesIO(payload)
+        for _ in range(n):
+            vals = []
+            for _name, kind, nullable in fields:
+                if nullable and zigzag_decode(b) == 0:
+                    vals.append(None)
+                    continue
+                vals.append(_decode_value(b, kind))
+            rows.append(tuple(vals))
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+    return schema, rows
+
+
+# --- Spark faces ----------------------------------------------------------------
+
+_SPARK_TO_AVRO = {
+    "long": "long",
+    "bigint": "long",
+    "int": "int",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "bytes",
+    "date": {"type": "int", "logicalType": "date"},
+    "timestamp_ntz": {"type": "long", "logicalType": "timestamp-micros"},
+    "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+}
+
+
+def avro_schema_for(df, name: str = "row") -> dict:
+    """Derive the Avro record schema for a flat DataFrame."""
+    fields = []
+    for f in df.schema.fields:
+        t = _SPARK_TO_AVRO.get(f.dataType.simpleString())
+        if t is None:
+            raise ValueError(
+                f"column {f.name!r}: no avro mapping for spark type "
+                f"{f.dataType.simpleString()!r}"
+            )
+        fields.append(
+            {"name": f.name, "type": ["null", t] if f.nullable else t}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def write_avro_py(df, path: str, codec: str = "deflate") -> int:
+    """Write ``df`` as one Avro container file per partition under
+    ``path`` (created if missing). Executors write — on a real cluster
+    ``path`` must be shared storage, the standard sink contract.
+    Returns the number of files written."""
+    import os
+    import uuid
+
+    schema = avro_schema_for(df)
+    cols = [f.name for f in df.schema.fields]
+    os.makedirs(path, exist_ok=True)
+
+    def _write(batches):
+        import pandas as pd
+
+        rows: list[tuple] = []
+        for pdf in batches:
+            for t in pdf.itertuples(index=False):
+                rows.append(
+                    tuple(None if pd.isna(v) else v for v in t)
+                )
+        if not rows:
+            return
+        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+        tmp = fname + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_container(rows, schema, codec=codec))
+        os.rename(tmp, fname)
+        yield pd.DataFrame({"path": [fname], "n_rows": [len(rows)]})
+
+    manifest = df.select(*cols).mapInPandas(_write, "path string, n_rows long")
+    return manifest.count()
+
+
+def read_avro_py(spark, path: str, schema=None):
+    """Read a directory of Avro container files without the spark-avro
+    jar: ``binaryFile`` scan -> per-file Arrow-batched Python decode.
+
+    ``schema`` is the SPARK schema (StructType or DDL string) to
+    produce; when None it is derived from the first file's embedded
+    Avro schema (one driver-side file read — pass it explicitly in
+    production, same advice as read_jsonl)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+    )
+    if schema is None:
+        head = bf.select("content").head()
+        if head is None:
+            raise ValueError(f"no .avro files under {path!r}")
+        avro_schema, _ = decode_container(bytes(head[0]))
+        _AVRO_TO_SPARK = {
+            "long": T.LongType(),
+            "int": T.IntegerType(),
+            "double": T.DoubleType(),
+            "float": T.FloatType(),
+            "string": T.StringType(),
+            "boolean": T.BooleanType(),
+            "bytes": T.BinaryType(),
+            "date": T.DateType(),
+            "timestamp-micros": T.TimestampNTZType(),
+        }
+        schema = T.StructType(
+            [
+                T.StructField(name, _AVRO_TO_SPARK[kind], nullable)
+                for name, kind, nullable in _parse_record_schema(avro_schema)
+            ]
+        )
+
+    def _decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                _, rows = decode_container(bytes(blob))
+                yield pd.DataFrame.from_records(
+                    rows,
+                    columns=[f.name for f in schema.fields]
+                    if not isinstance(schema, str)
+                    else None,
+                )
+
+    return bf.select(F.col("content")).mapInPandas(_decode, schema)
