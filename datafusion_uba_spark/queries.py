@@ -437,6 +437,84 @@ FROM customer
 """
 
 
+# process-cached in-memory S3 endpoints for q_s3_nation_agg, keyed by
+# sf dir: (server, bucket) — the server thread is a daemon, dies with
+# the process
+_S3_TWIN_CACHE: dict = {}
+
+
+def q_s3_nation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 object-store scan under the driver hash gate — the reference
+    proves this path against a testcontainers MinIO (register an S3
+    listing table with a .parquet extension filter, query it —
+    tests/test_with_minio.rs:72-92); the s3a jar path stays env-gated
+    here (session.configure_s3a + tests/test_s3a.py), but the S3 REST
+    subset is a public spec, so sources/s3_py.py speaks it directly
+    (SigV4 signing, ListObjectsV2 with continuation, ranged GetObject)
+    and sources/s3_local.py is the in-process MinIO role that
+    RE-DERIVES every request's signature server-side. This row: start
+    the process-cached endpoint, upload nation as TWO parquet objects
+    plus a decoy .txt (the extension-filter contract), list + filter +
+    fetch-per-task + decode via read_parquet_s3_py, and aggregate —
+    against a DuckDB oracle reading the parquet original, so
+    hash-green proves the signed wire round-trip end to end.
+
+    Scale shape: listing is driver-side metadata (as in the
+    reference's ListingTable resolution); object bytes flow straight
+    executor-side, one object per task, no shuffle before the
+    aggregate."""
+    import io
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+    from datafusion_uba_spark.sources.s3_py import (
+        S3Client,
+        read_parquet_s3_py,
+    )
+
+    key = os.path.normpath(sf_dir)
+    if key not in _S3_TWIN_CACHE:
+        srv = LocalS3Server()
+        client = S3Client(srv.endpoint, srv.access_key, srv.secret_key)
+        tbl = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        half = max(1, tbl.num_rows // 2)
+        for i, part in enumerate((tbl.slice(0, half), tbl.slice(half))):
+            buf = io.BytesIO()
+            pq.write_table(part, buf)
+            client.put_object(
+                "tpch", f"nation/part-{i}.parquet", buf.getvalue()
+            )
+        client.put_object("tpch", "nation/_manifest.txt", b"not a table")
+        _S3_TWIN_CACHE[key] = srv
+    srv = _S3_TWIN_CACHE[key]
+    nation = read_parquet_s3_py(
+        spark,
+        srv.endpoint,
+        "tpch",
+        "nation/",
+        srv.access_key,
+        srv.secret_key,
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    )
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+_ORACLE_S3_NATION_AGG = """
+SELECT n_regionkey, count(1) AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
 def q_derived_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived-table subquery + ORDER BY + LIMIT (Q1/O1/O2)."""
     ev = load_table(spark, sf_dir, "events")
@@ -2765,6 +2843,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # Avro twin via the dependency-free container codec (sources/
     # avro_py.py): S6 under the driver hash gate (oracle reads parquet)
     "avro_customer_agg": (q_avro_customer_agg, _ORACLE_AVRO_CUSTOMER_AGG),
+    # S3 listing scan via the pure-Python SigV4 client against the
+    # in-process conformance endpoint (sources/s3_py.py, s3_local.py):
+    # S3 under the driver hash gate (oracle reads parquet)
+    "s3_nation_agg": (q_s3_nation_agg, _ORACLE_S3_NATION_AGG),
     "derived_topk": (q_derived_topk, _ORACLE_DERIVED_TOPK),
     "nested_array_literal": (q_nested_array_literal, _ORACLE_NESTED_ARRAY),
     "null_semantics": (q_null_semantics, _ORACLE_NULL_SEMANTICS),

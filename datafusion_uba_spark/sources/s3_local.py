@@ -1,0 +1,231 @@
+"""In-process S3 test double: the MinIO role, stdlib-only.
+
+The reference proves its object-store source against a MinIO container
+started by testcontainers (tests/test_with_minio.rs:30-70). This
+sandbox can start neither containers nor servers with external
+dependencies — but the S3 REST subset the source actually touches
+(PutObject, GetObject incl. Range, ListObjectsV2 with continuation)
+is a public spec, so this module implements it on
+``http.server.ThreadingHTTPServer`` with an in-memory object map.
+
+It is a CONFORMANCE double, not a mock: every request's AWS SigV4
+signature is RE-DERIVED server-side from the configured credentials
+and the actual request bytes (canonical request, string-to-sign,
+signing-key chain — the same published algorithm the client follows)
+and rejected with 403 on mismatch, and PutObject bodies are checked
+against the signed x-amz-content-sha256. A client whose signing is
+wrong in any byte fails here the way it would against AWS/MinIO.
+
+Used by tests/test_s3a.py's pure-Python path and by the
+``s3_nation_agg`` registry row (which starts a process-cached
+instance, uploads the parquet twin, and reads back through
+sources.s3_py.read_parquet_s3_py under the driver hash gate).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from datafusion_uba_spark.sources.s3_py import signing_key
+
+_NS = "http://s3.amazonaws.com/doc/2006-03-01/"
+
+
+class LocalS3Server:
+    """In-memory, SigV4-verifying S3 endpoint on 127.0.0.1:<ephemeral>."""
+
+    def __init__(
+        self,
+        access_key: str = "test-access",
+        secret_key: str = "test-secret",
+        region: str = "us-east-1",
+        page_size: int = 1000,
+    ):
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.region = region
+        self.page_size = page_size
+        self.objects: dict[tuple[str, str], bytes] = {}
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # silence request logging
+                pass
+
+            def _deny(self, code: int, msg: str) -> None:
+                body = msg.encode()
+                self.send_response(code)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _verify(self, body: bytes) -> bool:
+                auth = self.headers.get("Authorization", "")
+                if not auth.startswith("AWS4-HMAC-SHA256 "):
+                    return False
+                parts = dict(
+                    p.strip().split("=", 1)
+                    for p in auth[len("AWS4-HMAC-SHA256 "):].split(",")
+                )
+                cred = parts.get("Credential", "").split("/")
+                if len(cred) != 5 or cred[0] != outer.access_key:
+                    return False
+                _ak, date, region, service, _term = cred
+                signed = parts.get("SignedHeaders", "").split(";")
+                given_sig = parts.get("Signature", "")
+                payload_hash = self.headers.get("x-amz-content-sha256", "")
+                # the signed content hash must match the actual body
+                if hashlib.sha256(body).hexdigest() != payload_hash:
+                    return False
+                split = urllib.parse.urlsplit(self.path)
+                canon_uri = urllib.parse.quote(
+                    urllib.parse.unquote(split.path) or "/", safe="/"
+                )
+                q = urllib.parse.parse_qsl(
+                    split.query, keep_blank_values=True
+                )
+                canon_query = "&".join(
+                    f"{urllib.parse.quote(k, safe='-_.~')}="
+                    f"{urllib.parse.quote(v, safe='-_.~')}"
+                    for k, v in sorted(q)
+                )
+                canon_headers = "".join(
+                    f"{h}:{(self.headers.get(h) or '').strip()}\n"
+                    for h in signed
+                )
+                canon_request = "\n".join(
+                    (
+                        self.command,
+                        canon_uri,
+                        canon_query,
+                        canon_headers,
+                        ";".join(signed),
+                        payload_hash,
+                    )
+                )
+                string_to_sign = "\n".join(
+                    (
+                        "AWS4-HMAC-SHA256",
+                        self.headers.get("x-amz-date", ""),
+                        f"{date}/{region}/{service}/aws4_request",
+                        hashlib.sha256(
+                            canon_request.encode()
+                        ).hexdigest(),
+                    )
+                )
+                want = hmac.new(
+                    signing_key(outer.secret_key, date, region, service),
+                    string_to_sign.encode(),
+                    hashlib.sha256,
+                ).hexdigest()
+                return hmac.compare_digest(want, given_sig)
+
+            def _bucket_key(self) -> tuple[str, str]:
+                path = urllib.parse.unquote(
+                    urllib.parse.urlsplit(self.path).path
+                ).lstrip("/")
+                bucket, _, key = path.partition("/")
+                return bucket, key
+
+            def do_PUT(self):
+                n = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(n)
+                if not self._verify(body):
+                    return self._deny(403, "SignatureDoesNotMatch")
+                bucket, key = self._bucket_key()
+                if not bucket or not key:
+                    return self._deny(400, "InvalidRequest")
+                with outer._lock:
+                    outer.objects[(bucket, key)] = body
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def do_GET(self):
+                if not self._verify(b""):
+                    return self._deny(403, "SignatureDoesNotMatch")
+                bucket, key = self._bucket_key()
+                if key:  # GetObject
+                    with outer._lock:
+                        data = outer.objects.get((bucket, key))
+                    if data is None:
+                        return self._deny(404, "NoSuchKey")
+                    rng = self.headers.get("range") or self.headers.get(
+                        "Range"
+                    )
+                    code = 200
+                    if rng and rng.startswith("bytes="):
+                        lo, _, hi = rng[6:].partition("-")
+                        data = data[int(lo): int(hi) + 1]
+                        code = 206
+                    self.send_response(code)
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
+                # ListObjectsV2
+                q = dict(
+                    urllib.parse.parse_qsl(
+                        urllib.parse.urlsplit(self.path).query,
+                        keep_blank_values=True,
+                    )
+                )
+                if q.get("list-type") != "2":
+                    return self._deny(400, "only ListObjectsV2 supported")
+                prefix = q.get("prefix", "")
+                after = q.get("continuation-token", "")
+                with outer._lock:
+                    keys = sorted(
+                        k
+                        for b, k in outer.objects
+                        if b == bucket and k.startswith(prefix) and k > after
+                    )
+                    page = keys[: outer.page_size]
+                    truncated = len(keys) > len(page)
+                    sizes = {
+                        k: len(outer.objects[(bucket, k)]) for k in page
+                    }
+                items = "".join(
+                    f"<Contents><Key>{k}</Key><Size>{sizes[k]}</Size>"
+                    f"</Contents>"
+                    for k in page
+                )
+                nxt = (
+                    f"<NextContinuationToken>{page[-1]}"
+                    f"</NextContinuationToken>"
+                    if truncated
+                    else ""
+                )
+                body = (
+                    f'<?xml version="1.0" encoding="UTF-8"?>'
+                    f'<ListBucketResult xmlns="{_NS}">'
+                    f"<IsTruncated>{str(truncated).lower()}</IsTruncated>"
+                    f"{items}{nxt}</ListBucketResult>"
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/xml")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    @property
+    def endpoint(self) -> str:
+        host, port = self._server.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()

@@ -100,3 +100,135 @@ def test_read_parquet_via_s3a(spark, moto_s3):
     got = spark.read.parquet("s3a://uba-test/events.parquet").count()
     want = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert got == want == 1000
+
+
+# --- pure-Python S3 path (sources/s3_py.py + s3_local.py, r16) ---------------
+#
+# The jar-backed s3a read above stays env-gated; the pure-Python path
+# runs HERE, unconditionally: SigV4 signing pinned to the published
+# AWS derivation vector, the client cross-tested against moto (an
+# INDEPENDENT S3 implementation), the in-process conformance server
+# proving signature verification end to end, and the Spark face
+# (read_parquet_s3_py) reproducing the reference's listing-table scan
+# (extension filter included). The s3_nation_agg registry row holds
+# the same path to the driver hash gate.
+
+
+def test_sigv4_signing_key_published_vector():
+    """AWS's documented 'Example: Signing key' derivation (secret
+    wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY, 20120215 / us-east-1 /
+    iam) — the canonical public test vector for the HMAC chain."""
+    from datafusion_uba_spark.sources.s3_py import signing_key
+
+    k = signing_key(
+        "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+        "20120215",
+        "us-east-1",
+        "iam",
+    )
+    assert k.hex() == (
+        "f4780e2d9f65fa895f9c67b32ce1baf0b0d8a43505a000a1a9e090d414db404d"
+    )
+
+
+def test_pure_python_client_against_moto(moto_s3):
+    """Cross-implementation conformance: our stdlib-only S3Client
+    (SigV4 + ListObjectsV2 XML + ranged GetObject) against moto —
+    bytes fetched must equal the local file, byte ranges must slice."""
+    import os
+
+    from datafusion_uba_spark.sources.s3_py import S3Client
+
+    endpoint, _ = moto_s3
+    c = S3Client(endpoint, "testing", "testing")
+    keys = c.list_objects("uba-test", "")
+    assert ("events.parquet", os.path.getsize(f"{SF_DIR}/events.parquet")) in keys
+    with open(f"{SF_DIR}/events.parquet", "rb") as f:
+        local = f.read()
+    assert c.get_object("uba-test", "events.parquet") == local
+    assert (
+        c.get_object("uba-test", "events.parquet", byte_range=(4, 11))
+        == local[4:12]
+    )
+
+
+def test_local_server_verifies_signatures():
+    """The in-process endpoint is a conformance double, not a mock: a
+    wrong secret, a tampered payload hash, or missing auth must all be
+    rejected with 403."""
+    import urllib.error
+    import urllib.request
+
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+    from datafusion_uba_spark.sources.s3_py import S3Client
+
+    srv = LocalS3Server(page_size=2)
+    try:
+        good = S3Client(srv.endpoint, srv.access_key, srv.secret_key)
+        good.put_object("b", "k/a.parquet", b"abc")
+        assert good.get_object("b", "k/a.parquet") == b"abc"
+        bad = S3Client(srv.endpoint, srv.access_key, "wrong-secret")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            bad.get_object("b", "k/a.parquet")
+        assert ei.value.code == 403
+        # unsigned request
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{srv.endpoint}/b/k/a.parquet")
+        assert ei.value.code == 403
+        # pagination: 5 keys through page_size=2 needs continuation
+        for i in range(1, 5):
+            good.put_object("b", f"k/{i}.parquet", bytes([i]))
+        assert [k for k, _ in good.list_objects("b", "k/")] == [
+            "k/1.parquet", "k/2.parquet", "k/3.parquet", "k/4.parquet",
+            "k/a.parquet",
+        ]
+    finally:
+        srv.close()
+
+
+def test_read_parquet_s3_py_listing_scan(spark):
+    """The reference's MinIO scenario end to end without jars
+    (test_with_minio.rs:72-92): upload parquet objects + a decoy
+    non-.parquet object, register nothing — list, extension-filter,
+    fetch per task, decode, and the rows must equal the local read."""
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+    from datafusion_uba_spark.sources.s3_py import (
+        S3Client,
+        read_parquet_s3_py,
+    )
+
+    srv = LocalS3Server()
+    try:
+        c = S3Client(srv.endpoint, srv.access_key, srv.secret_key)
+        with open(f"{SF_DIR}/nation.parquet", "rb") as f:
+            c.put_object("uba", "warehouse/nation.parquet", f.read())
+        c.put_object("uba", "warehouse/readme.txt", b"not a table")
+        got = read_parquet_s3_py(
+            spark,
+            srv.endpoint,
+            "uba",
+            "warehouse/",
+            srv.access_key,
+            srv.secret_key,
+            schema="n_nationkey int, n_name string, n_regionkey int",
+        )
+        want = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+        assert {tuple(r) for r in got.collect()} == {
+            tuple(r) for r in want.collect()
+        }
+        assert dict(got.dtypes) == dict(want.dtypes)
+        # schema inference from the first object agrees
+        inferred = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "warehouse/",
+            srv.access_key, srv.secret_key,
+        )
+        assert {tuple(r) for r in inferred.collect()} == {
+            tuple(r) for r in want.collect()
+        }
+        with pytest.raises(ValueError, match="no '.parquet' objects"):
+            read_parquet_s3_py(
+                spark, srv.endpoint, "uba", "elsewhere/",
+                srv.access_key, srv.secret_key, schema="x int",
+            )
+    finally:
+        srv.close()
