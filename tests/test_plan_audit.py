@@ -257,6 +257,63 @@ def test_streaming_prescreen_batch_plan_shape(spark):
     assert "bitmap_construct_agg" not in plan
 
 
+def test_tpch_q4_semijoin_shape(spark, sf_dir, plans):
+    """tpch_q4: the EXISTS decorrelates to a LeftSemi hash join on the
+    order key (never a correlated re-scan per order), and the date
+    window reaches the orders scan as pushed filters — at 100 TB the
+    window prunes row groups before any join work."""
+    assert "LeftSemi" in plans["tpch_q4"], plans["tpch_q4"]
+    assert "CartesianProduct" not in plans["tpch_q4"]
+    from datafusion_uba_spark.queries import q_priority_semijoin
+
+    # formatted mode: executedPlan().toString() truncates long scan
+    # lines before PushedFilters (same reason as the q6 pin)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        q_priority_semijoin(spark, sf_dir)._jdf.queryExecution(),
+        "formatted",
+    )
+    scans = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    orders_scan = [s for s in scans if "o_orderdate" in s]
+    assert orders_scan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in orders_scan[0], orders_scan
+    assert "LessThan(o_orderdate" in orders_scan[0], orders_scan
+
+
+def test_tpch_q17_broadcast_decorrelation(plans):
+    """tpch_q17: the correlated scalar subquery decorrelates to TWO
+    broadcast hash joins — the brand dim broadcast INTO lineitem (the
+    scan-side reduction) and the per-part aggregate broadcast BACK —
+    so the full lineitem table never sort-merge-joins or shuffles for
+    a join; the only hash exchange is the reduced set's per-part
+    aggregate."""
+    plan = plans["tpch_q17"]
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    joins_exchanges = [
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)
+    ]
+    assert set(joins_exchanges) <= {"l_partkey"}, (joins_exchanges, plan)
+
+
+def test_tpch_q20_single_fact_shuffle(plans):
+    """tpch_q20: part filter broadcast into lineitem, qualifying
+    suppliers broadcast into the supplier dim, nation broadcast on
+    top — three broadcast hash joins, and the fact table shuffles
+    exactly once (the per-supplier aggregate on l_suppkey)."""
+    plan = plans["tpch_q20"]
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    fact_exchanges = [
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)
+    ]
+    assert fact_exchanges.count("l_suppkey") <= 1, (fact_exchanges, plan)
+    assert set(fact_exchanges) <= {"l_suppkey"}, (fact_exchanges, plan)
+
+
 def test_streaming_ann_probe_plan_corpus_exchange_free(
     spark, sf_dir, tmp_path, monkeypatch
 ):
