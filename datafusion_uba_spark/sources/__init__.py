@@ -112,16 +112,19 @@ def read_csv_dir(
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro multi-file table (setup.rs:33-62). Needs the spark-avro
-    package on the classpath; raises a clear error when absent (the
-    reference feature-gates Avro the same way)."""
+    """Avro multi-file table (setup.rs:33-62), jar-backed fast path.
+    Needs the spark-avro package on the classpath; raises a clear
+    error when absent (the reference feature-gates Avro the same way).
+    On a jar-less client use ``sources.avro_py.read_avro_py`` — the
+    dependency-free container codec over binaryFile + mapInPandas."""
     try:
         return spark.read.format("avro").load(path)
     except Exception as exc:  # pragma: no cover - depends on classpath
         raise RuntimeError(
             "Avro source requires the org.apache.spark:spark-avro package "
             "on the Spark classpath (reference gates this behind the "
-            "'avro' feature flag too)"
+            "'avro' feature flag too); for a jar-less read use "
+            "datafusion_uba_spark.sources.avro_py.read_avro_py"
         ) from exc
 
 
