@@ -356,7 +356,6 @@ def write_avro_py(df, path: str, codec: str = "deflate") -> int:
     ``path`` must be shared storage, the standard sink contract.
     Returns the number of files written."""
     import os
-    import uuid
 
     schema = avro_schema_for(df)
     cols = [f.name for f in df.schema.fields]
@@ -364,6 +363,7 @@ def write_avro_py(df, path: str, codec: str = "deflate") -> int:
 
     def _write(batches):
         import pandas as pd
+        from pyspark import TaskContext
 
         rows: list[tuple] = []
         for pdf in batches:
@@ -373,11 +373,15 @@ def write_avro_py(df, path: str, codec: str = "deflate") -> int:
                 )
         if not rows:
             return
-        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
-        tmp = fname + ".tmp"
+        # deterministic per-partition name: a retried task REPLACES
+        # its own file (atomic rename over the same name) instead of
+        # leaving a duplicate a reader would double-count
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}.avro")
+        tmp = f"{fname}.tmp{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(encode_container(rows, schema, codec=codec))
-        os.rename(tmp, fname)
+        os.replace(tmp, fname)
         yield pd.DataFrame({"path": [fname], "n_rows": [len(rows)]})
 
     manifest = df.select(*cols).mapInPandas(_write, "path string, n_rows long")
