@@ -963,3 +963,53 @@ def test_prescreen_exact_under_collision_saturation(spark, inc_texts, cor_texts)
         ).collect()
     }
     assert got == want
+
+
+# --- avro_py container codec (r16) -------------------------------------------
+
+_avro_row = st.tuples(
+    st.booleans(),
+    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=False, width=64),
+    st.binary(max_size=40),
+    st.text(max_size=40),
+    st.one_of(st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+)
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "row",
+    "fields": [
+        {"name": "b", "type": "boolean"},
+        {"name": "i", "type": "int"},
+        {"name": "l", "type": "long"},
+        {"name": "d", "type": "double"},
+        {"name": "by", "type": "bytes"},
+        {"name": "s", "type": "string"},
+        {"name": "opt", "type": ["null", "long"]},
+    ],
+}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(_avro_row, max_size=30),
+    codec=st.sampled_from(["null", "deflate"]),
+    block_rows=st.integers(min_value=1, max_value=7),
+)
+def test_avro_container_roundtrip_property(rows, codec, block_rows):
+    """Any row set, any block split, either codec: decode(encode(x))
+    must reproduce x exactly — doubles bit-for-bit (IEEE LE), unicode
+    strings byte-for-byte, None through the [null, long] union."""
+    from datafusion_uba_spark.sources.avro_py import (
+        decode_container,
+        encode_container,
+    )
+
+    data = encode_container(
+        rows, _AVRO_SCHEMA, codec=codec, block_rows=block_rows
+    )
+    schema, got = decode_container(data)
+    assert schema == _AVRO_SCHEMA
+    assert got == rows
