@@ -50,6 +50,10 @@ class LocalS3Server:
         self.region = region
         self.page_size = page_size
         self.objects: dict[tuple[str, str], bytes] = {}
+        # wire accounting for tests: the row-group pruning proof
+        # asserts bytes_served << object size on a filtered ranged
+        # read (the reference pins pruning at test_with_minio.rs:88)
+        self.stats = {"get_requests": 0, "ranged_requests": 0, "bytes_served": 0}
         self._lock = threading.Lock()
         outer = self
 
@@ -165,6 +169,10 @@ class LocalS3Server:
                         lo, _, hi = rng[6:].partition("-")
                         data = data[int(lo): int(hi) + 1]
                         code = 206
+                    with outer._lock:
+                        outer.stats["get_requests"] += 1
+                        outer.stats["ranged_requests"] += int(code == 206)
+                        outer.stats["bytes_served"] += len(data)
                     self.send_response(code)
                     self.send_header("Content-Length", str(len(data)))
                     self.end_headers()

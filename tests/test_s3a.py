@@ -232,3 +232,86 @@ def test_read_parquet_s3_py_listing_scan(spark):
             )
     finally:
         srv.close()
+
+
+def test_ranged_row_group_pruning_over_s3(spark):
+    """The reference's object-store ROW-GROUP PRUNING claim
+    (test_with_minio.rs:88), jar-less: upload a 10k-row parquet with
+    ten 1k-row row groups sorted by id, read it back with a pushed
+    filter through S3RangedFile — pyarrow fetches the footer by
+    ranged GETs, prunes row groups on min/max stats, and only the
+    surviving byte ranges cross the wire. The server's wire
+    accounting proves it: bytes served for the filtered read must be
+    well under half the object, vs ~the whole object for the
+    unfiltered read."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+    from datafusion_uba_spark.sources.s3_py import (
+        S3Client,
+        read_parquet_s3_py,
+    )
+
+    # sized so the wire accounting is unambiguous: pyarrow's footer
+    # read is a fixed 64 KB speculative tail fetch, so the object must
+    # dwarf it for the pruning ratio to show (measured: footer-tail
+    # 64 KB + one ~15 KB row group on a 150 KB object reads as 52%)
+    n = 40_000
+    tbl = pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(
+                [f"row-{i:06d}-" + "x" * 96 for i in range(n)]
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf, row_group_size=1_000)
+    blob = buf.getvalue()
+
+    srv = LocalS3Server()
+    try:
+        c = S3Client(srv.endpoint, srv.access_key, srv.secret_key)
+        c.put_object("uba", "rg/t.parquet", blob)
+
+        # unfiltered read: whole object crosses the wire
+        srv.stats.update(get_requests=0, ranged_requests=0, bytes_served=0)
+        full = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "rg/",
+            srv.access_key, srv.secret_key,
+            schema="id long, payload string",
+        ).count()
+        assert full == n
+        full_bytes = srv.stats["bytes_served"]
+        assert full_bytes >= len(blob)
+
+        # filtered ranged read: footer + 1 of 10 row groups
+        srv.stats.update(get_requests=0, ranged_requests=0, bytes_served=0)
+        got = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "rg/",
+            srv.access_key, srv.secret_key,
+            schema="id long, payload string",
+            filters=[("id", "<", 500)],
+        )
+        rows = got.collect()
+        assert len(rows) == 500
+        assert {r.id for r in rows} == set(range(500))
+        pruned_bytes = srv.stats["bytes_served"]
+        assert srv.stats["ranged_requests"] > 0
+        assert pruned_bytes < len(blob) * 0.3, (
+            f"pruning moved {pruned_bytes} of {len(blob)} object bytes"
+        )
+        # projection alone also prunes: drop the fat payload column
+        srv.stats.update(get_requests=0, ranged_requests=0, bytes_served=0)
+        ids = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "rg/",
+            srv.access_key, srv.secret_key,
+            schema="id long", columns=["id"],
+        )
+        assert ids.count() == n
+        assert srv.stats["bytes_served"] < len(blob) * 0.5
+    finally:
+        srv.close()
