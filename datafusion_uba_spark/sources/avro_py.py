@@ -276,9 +276,49 @@ def encode_container(
     return bytes(out)
 
 
-def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
+def resolve_reader_schema(
+    writer: dict, reader: dict
+) -> list[tuple[int | None, object]]:
+    """Avro schema-resolution plan (the spec's 'Schema Resolution'
+    rules for the flat-record subset): for each READER field, either
+    the index of the writer field with the same name, or (None,
+    default) when the writer never wrote it — the evolution cases a
+    table source meets: columns added (reader default fills), columns
+    dropped (writer values decoded then discarded), columns reordered
+    (name match, not position). A reader field that is neither
+    written nor defaulted (and not nullable) is the spec's resolution
+    error."""
+    w_fields = {f["name"]: i for i, f in enumerate(writer["fields"])}
+    plan: list[tuple[int | None, object]] = []
+    for f in reader["fields"]:
+        if f["name"] in w_fields:
+            # type compatibility within our subset: require identical
+            # normalized (kind, nullable) — promotions are out of scope
+            _field_type(f["type"])
+            plan.append((w_fields[f["name"]], None))
+            continue
+        if "default" in f:
+            plan.append((None, f["default"]))
+        elif _field_type(f["type"])[1]:  # nullable union defaults null
+            plan.append((None, None))
+        else:
+            raise ValueError(
+                f"reader field {f['name']!r} is not in the writer "
+                "schema and has no default (Avro resolution error)"
+            )
+    return plan
+
+
+def decode_container(
+    data: bytes, reader_schema: dict | None = None
+) -> tuple[dict, list[tuple]]:
     """One container file -> (schema dict, rows as tuples in field
-    order). Verifies magic and every block's sync marker."""
+    order). Verifies magic and every block's sync marker.
+
+    ``reader_schema``: apply the spec's schema-resolution rules —
+    rows come back in READER field order, added fields filled from
+    defaults, dropped writer fields discarded. The returned schema is
+    then the reader schema."""
     buf = io.BytesIO(data)
     if buf.read(4) != MAGIC:
         raise ValueError("not an Avro object container (bad magic)")
@@ -288,6 +328,11 @@ def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro.codec {codec!r}")
     fields = _parse_record_schema(schema)
+    plan = (
+        resolve_reader_schema(schema, reader_schema)
+        if reader_schema is not None
+        else None
+    )
     sync = buf.read(16)
     rows: list[tuple] = []
     while True:
@@ -310,10 +355,15 @@ def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
                     vals.append(None)
                     continue
                 vals.append(_decode_value(b, kind))
+            if plan is not None:
+                vals = [
+                    vals[idx] if idx is not None else dflt
+                    for idx, dflt in plan
+                ]
             rows.append(tuple(vals))
         if buf.read(16) != sync:
             raise ValueError("sync marker mismatch (corrupt block)")
-    return schema, rows
+    return (reader_schema if reader_schema is not None else schema), rows
 
 
 # --- Spark faces ----------------------------------------------------------------
@@ -388,14 +438,21 @@ def write_avro_py(df, path: str, codec: str = "deflate") -> int:
     return manifest.count()
 
 
-def read_avro_py(spark, path: str, schema=None):
+def read_avro_py(spark, path: str, schema=None, reader_schema: dict | None = None):
     """Read a directory of Avro container files without the spark-avro
     jar: ``binaryFile`` scan -> per-file Arrow-batched Python decode.
 
     ``schema`` is the SPARK schema (StructType or DDL string) to
     produce; when None it is derived from the first file's embedded
     Avro schema (one driver-side file read — pass it explicitly in
-    production, same advice as read_jsonl)."""
+    production, same advice as read_jsonl).
+
+    ``reader_schema`` (an Avro record dict) applies the spec's schema
+    resolution per file — the evolution case: old files written before
+    a column existed read back with the reader's default filled in,
+    dropped columns are discarded, and reordered fields match by
+    name. Files written under DIFFERENT writer schemas thus land in
+    one uniform frame."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -405,10 +462,13 @@ def read_avro_py(spark, path: str, schema=None):
         .load(path)
     )
     if schema is None:
-        head = bf.select("content").head()
-        if head is None:
-            raise ValueError(f"no .avro files under {path!r}")
-        avro_schema, _ = decode_container(bytes(head[0]))
+        if reader_schema is not None:
+            avro_schema = reader_schema
+        else:
+            head = bf.select("content").head()
+            if head is None:
+                raise ValueError(f"no .avro files under {path!r}")
+            avro_schema, _ = decode_container(bytes(head[0]))
         _AVRO_TO_SPARK = {
             "long": T.LongType(),
             "int": T.IntegerType(),
@@ -432,7 +492,9 @@ def read_avro_py(spark, path: str, schema=None):
 
         for pdf in batches:
             for blob in pdf["content"]:
-                _, rows = decode_container(bytes(blob))
+                _, rows = decode_container(
+                    bytes(blob), reader_schema=reader_schema
+                )
                 yield pd.DataFrame.from_records(
                     rows,
                     columns=[f.name for f in schema.fields]

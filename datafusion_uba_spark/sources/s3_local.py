@@ -200,13 +200,15 @@ class LocalS3Server:
                     sizes = {
                         k: len(outer.objects[(bucket, k)]) for k in page
                     }
+                from xml.sax.saxutils import escape
+
                 items = "".join(
-                    f"<Contents><Key>{k}</Key><Size>{sizes[k]}</Size>"
-                    f"</Contents>"
+                    f"<Contents><Key>{escape(k)}</Key>"
+                    f"<Size>{sizes[k]}</Size></Contents>"
                     for k in page
                 )
                 nxt = (
-                    f"<NextContinuationToken>{page[-1]}"
+                    f"<NextContinuationToken>{escape(page[-1])}"
                     f"</NextContinuationToken>"
                     if truncated
                     else ""

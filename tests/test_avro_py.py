@@ -227,3 +227,83 @@ def test_jar_reader_cross_reads_py_written_files(spark, tmp_path):
             "deployments that vendor the jar"
         )
     assert rows == {tuple(r) for r in df.collect()}
+
+
+def test_schema_resolution_evolution():
+    """The spec's Schema Resolution rules over the flat-record
+    subset: reader fields match writer fields BY NAME (reordering is
+    transparent), reader-only fields fill from their default (or null
+    for nullable unions), writer-only fields are decoded and
+    discarded, and a reader field with neither writer value nor
+    default is a resolution error."""
+    from datafusion_uba_spark.sources.avro_py import resolve_reader_schema
+
+    writer = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "legacy", "type": "string"},
+            {"name": "score", "type": "double"},
+        ],
+    }
+    rows = [(1, "a", 0.5), (2, "b", -1.0)]
+    data = encode_container(rows, writer, codec="null")
+
+    reader = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "score", "type": "double"},       # reordered
+            {"name": "id", "type": "long"},
+            {"name": "lang", "type": "string", "default": "en"},  # added
+            {"name": "opt", "type": ["null", "long"]},  # added nullable
+            # "legacy" dropped
+        ],
+    }
+    got_schema, got = decode_container(data, reader_schema=reader)
+    assert got_schema == reader
+    assert got == [(0.5, 1, "en", None), (-1.0, 2, "en", None)]
+
+    bad = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "missing", "type": "long"}],
+    }
+    with pytest.raises(ValueError, match="resolution error"):
+        resolve_reader_schema(writer, bad)
+
+
+def test_spark_face_reads_mixed_writer_schemas(spark, tmp_path):
+    """Evolution end to end through the Spark face: files written
+    under the OLD schema (no 'lang' column) and the NEW schema land in
+    one frame under the reader schema — old rows get the default."""
+    import os
+
+    from datafusion_uba_spark.sources.avro_py import encode_container
+
+    out = str(tmp_path / "avro_evolve")
+    os.makedirs(out)
+    old_schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    new_schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "lang", "type": "string", "default": "en"},
+        ],
+    }
+    with open(f"{out}/old.avro", "wb") as f:
+        f.write(encode_container([(1,), (2,)], old_schema))
+    with open(f"{out}/new.avro", "wb") as f:
+        f.write(encode_container([(3, "fr")], new_schema))
+
+    got = read_avro_py(spark, out, reader_schema=new_schema)
+    assert {tuple(r) for r in got.collect()} == {
+        (1, "en"), (2, "en"), (3, "fr"),
+    }
+    assert dict(got.dtypes) == {"id": "bigint", "lang": "string"}
