@@ -154,7 +154,10 @@ def _decode_value(buf: io.BytesIO, kind: str):
     if kind == "null":
         return None
     if kind == "boolean":
-        return buf.read(1) == b"\x01"
+        raw = buf.read(1)
+        if not raw:
+            raise ValueError("truncated boolean")
+        return raw == b"\x01"
     if kind in ("int", "long"):
         return zigzag_decode(buf)
     if kind == "float":
@@ -276,34 +279,72 @@ def encode_container(
     return bytes(out)
 
 
+# the spec's numeric/byte promotion lattice ("Schema Resolution"):
+# writer kind -> reader kind it may be promoted to, with the value
+# converter (None = identity once decoded into Python)
+_PROMOTIONS: dict[tuple[str, str], object] = {
+    ("int", "long"): None,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): None,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
 def resolve_reader_schema(
     writer: dict, reader: dict
-) -> list[tuple[int | None, object]]:
+) -> list[tuple[int | None, object, object]]:
     """Avro schema-resolution plan (the spec's 'Schema Resolution'
-    rules for the flat-record subset): for each READER field, either
-    the index of the writer field with the same name, or (None,
-    default) when the writer never wrote it — the evolution cases a
-    table source meets: columns added (reader default fills), columns
-    dropped (writer values decoded then discarded), columns reordered
-    (name match, not position). A reader field that is neither
-    written nor defaulted (and not nullable) is the spec's resolution
-    error."""
+    rules for the flat-record subset): for each READER field, a
+    ``(writer_index, default, convert)`` entry — either the index of
+    the writer field with the same name (plus the promotion converter
+    when the types differ), or ``(None, default, None)`` when the
+    writer never wrote it. The evolution cases a table source meets:
+    columns added (reader default fills), columns dropped (writer
+    values decoded then discarded), columns reordered (name match,
+    not position), and the spec's type promotions
+    (int->long/float/double, long->float/double, float->double,
+    string<->bytes). Mismatches outside the lattice — including a
+    nullable writer under a non-nullable reader — raise the spec's
+    resolution error; a non-nullable writer under a nullable reader
+    is fine. A reader field that is neither written nor defaulted
+    (and not nullable) is also a resolution error."""
     w_fields = {f["name"]: i for i, f in enumerate(writer["fields"])}
-    plan: list[tuple[int | None, object]] = []
+    plan: list[tuple[int | None, object, object]] = []
     for f in reader["fields"]:
-        if f["name"] in w_fields:
-            # type compatibility within our subset: require identical
-            # normalized (kind, nullable) — promotions are out of scope
-            _field_type(f["type"])
-            plan.append((w_fields[f["name"]], None))
+        name = f["name"]
+        if name in w_fields:
+            idx = w_fields[name]
+            r_kind, r_null = _field_type(f["type"])
+            w_kind, w_null = _field_type(writer["fields"][idx]["type"])
+            if w_null and not r_null:
+                raise ValueError(
+                    f"field {name!r}: nullable writer type cannot "
+                    "resolve to a non-nullable reader field "
+                    "(Avro resolution error)"
+                )
+            if w_kind == r_kind:
+                conv = None
+            elif (w_kind, r_kind) in _PROMOTIONS:
+                conv = _PROMOTIONS[(w_kind, r_kind)]
+            else:
+                raise ValueError(
+                    f"field {name!r}: writer type {w_kind!r} does not "
+                    f"resolve to reader type {r_kind!r} "
+                    "(Avro resolution error)"
+                )
+            plan.append((idx, None, conv))
             continue
         if "default" in f:
-            plan.append((None, f["default"]))
+            plan.append((None, f["default"], None))
         elif _field_type(f["type"])[1]:  # nullable union defaults null
-            plan.append((None, None))
+            plan.append((None, None, None))
         else:
             raise ValueError(
-                f"reader field {f['name']!r} is not in the writer "
+                f"reader field {name!r} is not in the writer "
                 "schema and has no default (Avro resolution error)"
             )
     return plan
@@ -357,8 +398,14 @@ def decode_container(
                 vals.append(_decode_value(b, kind))
             if plan is not None:
                 vals = [
-                    vals[idx] if idx is not None else dflt
-                    for idx, dflt in plan
+                    dflt
+                    if idx is None
+                    else (
+                        conv(vals[idx])
+                        if conv is not None and vals[idx] is not None
+                        else vals[idx]
+                    )
+                    for idx, dflt, conv in plan
                 ]
             rows.append(tuple(vals))
         if buf.read(16) != sync:
@@ -380,19 +427,32 @@ _SPARK_TO_AVRO = {
     "binary": "bytes",
     "date": {"type": "int", "logicalType": "date"},
     "timestamp_ntz": {"type": "long", "logicalType": "timestamp-micros"},
-    "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
 }
 
 
 def avro_schema_for(df, name: str = "row") -> dict:
-    """Derive the Avro record schema for a flat DataFrame."""
+    """Derive the Avro record schema for a flat DataFrame.
+
+    Timestamps are NTZ-only: TimestampType (an instant displayed in
+    the session zone) is rejected rather than silently round-tripping
+    back as TimestampNTZType with session-dependent instants — cast
+    to ``timestamp_ntz`` first (the same explicit-rejection contract
+    as nested types)."""
     fields = []
     for f in df.schema.fields:
-        t = _SPARK_TO_AVRO.get(f.dataType.simpleString())
+        simple = f.dataType.simpleString()
+        if simple == "timestamp":
+            raise ValueError(
+                f"column {f.name!r}: TimestampType (tz-aware instant) "
+                "would read back as TimestampNTZType with "
+                "session-zone-dependent values; cast to timestamp_ntz "
+                "before write_avro_py"
+            )
+        t = _SPARK_TO_AVRO.get(simple)
         if t is None:
             raise ValueError(
                 f"column {f.name!r}: no avro mapping for spark type "
-                f"{f.dataType.simpleString()!r}"
+                f"{simple!r}"
             )
         fields.append(
             {"name": f.name, "type": ["null", t] if f.nullable else t}

@@ -166,8 +166,21 @@ class LocalS3Server:
                     )
                     code = 200
                     if rng and rng.startswith("bytes="):
+                        # RFC 9110 §14.1.2: "lo-hi", open-ended "lo-",
+                        # and suffix "-n" (final n bytes); an
+                        # unsatisfiable range is 416
                         lo, _, hi = rng[6:].partition("-")
-                        data = data[int(lo): int(hi) + 1]
+                        if lo == "":
+                            n = int(hi)
+                            if n == 0:
+                                return self._deny(416, "RangeNotSatisfiable")
+                            data = data[-n:]
+                        else:
+                            start = int(lo)
+                            if start >= len(data):
+                                return self._deny(416, "RangeNotSatisfiable")
+                            end = int(hi) if hi else len(data) - 1
+                            data = data[start : end + 1]
                         code = 206
                     with outer._lock:
                         outer.stats["get_requests"] += 1

@@ -79,7 +79,14 @@ def sign_v4(
     amz_date: str | None = None,
 ) -> dict[str, str]:
     """Return ``headers`` plus x-amz-date, x-amz-content-sha256, and
-    the SigV4 Authorization header for this request."""
+    the SigV4 Authorization header for this request.
+
+    The URL's path must already be in canonical (single
+    percent-encoded) form — it is used VERBATIM as the SigV4
+    canonical URI, the botocore convention: the bytes on the wire are
+    the bytes that were signed, so client and server can never
+    disagree about encoding. ``S3Client`` quotes object keys once
+    when building the path."""
     parsed = urllib.parse.urlsplit(url)
     if amz_date is None:
         amz_date = datetime.datetime.now(datetime.timezone.utc).strftime(
@@ -94,7 +101,7 @@ def sign_v4(
 
     # canonical request: METHOD \n canonical-uri \n canonical-query \n
     # canonical-headers \n signed-headers \n payload-hash
-    canon_uri = urllib.parse.quote(parsed.path or "/", safe="/")
+    canon_uri = parsed.path or "/"
     q = urllib.parse.parse_qsl(parsed.query, keep_blank_values=True)
     canon_query = "&".join(
         f"{urllib.parse.quote(k, safe='-_.~')}="
@@ -165,6 +172,14 @@ class S3Client:
         extra_headers: dict | None = None,
     ) -> bytes:
         url = f"{self.endpoint}{path}" + (f"?{query}" if query else "")
+        if method == "PUT":
+            # urllib defaults PUT bodies to x-www-form-urlencoded,
+            # which WSGI servers (moto/werkzeug) parse as a form and
+            # drop from request.data — declare the real content type
+            extra_headers = {
+                "content-type": "application/octet-stream",
+                **(extra_headers or {}),
+            }
         headers = sign_v4(
             method,
             url,
@@ -183,8 +198,15 @@ class S3Client:
         with urllib.request.urlopen(req, timeout=60) as resp:
             return resp.read()
 
+    @staticmethod
+    def _object_path(bucket: str, key: str) -> str:
+        # one canonical percent-encoding: the wire path IS the SigV4
+        # canonical URI (spaces, '#', '?', '=', unicode in keys all
+        # survive; raw '#'/'?' would otherwise truncate the URL path)
+        return f"/{bucket}/{urllib.parse.quote(key, safe='/')}"
+
     def put_object(self, bucket: str, key: str, body: bytes) -> None:
-        self._request("PUT", f"/{bucket}/{key}", body=body)
+        self._request("PUT", self._object_path(bucket, key), body=body)
 
     def get_object(
         self, bucket: str, key: str, byte_range: tuple[int, int] | None = None
@@ -195,7 +217,7 @@ class S3Client:
             else None
         )
         return self._request(
-            "GET", f"/{bucket}/{key}", extra_headers=extra
+            "GET", self._object_path(bucket, key), extra_headers=extra
         )
 
     def list_objects(self, bucket: str, prefix: str = "") -> list[tuple[str, int]]:

@@ -274,6 +274,123 @@ def test_schema_resolution_evolution():
         resolve_reader_schema(writer, bad)
 
 
+def test_schema_resolution_promotions():
+    """The spec's promotion lattice: int->long/float/double,
+    long->float/double, float->double, string<->bytes — and the
+    resolution ERRORS the r16 plan silently missed (ADVICE): a writer
+    type outside the lattice, and a nullable writer under a
+    non-nullable reader."""
+    from datafusion_uba_spark.sources.avro_py import resolve_reader_schema
+
+    writer = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "i", "type": "int"},
+            {"name": "f", "type": "float"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "opt", "type": ["null", "long"]},
+        ],
+    }
+    rows = [(7, 0.5, "héllo", b"h\xc3\xa9", 3), (-1, 2.0, "", b"", None)]
+    data = encode_container(rows, writer, codec="null")
+    reader = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "i", "type": "double"},
+            {"name": "f", "type": "double"},
+            {"name": "s", "type": "bytes"},
+            {"name": "by", "type": "string"},  # valid UTF-8 here
+            {"name": "opt", "type": ["null", "double"]},
+        ],
+    }
+    _, got = decode_container(data, reader_schema=reader)
+    assert got == [
+        (7.0, 0.5, "héllo".encode(), "hé", 3.0),
+        (-1.0, 2.0, b"", "", None),
+    ]
+    # writer string under reader long: not in the lattice
+    with pytest.raises(ValueError, match="does not resolve"):
+        resolve_reader_schema(writer, {
+            "type": "record", "name": "row",
+            "fields": [{"name": "s", "type": "long"}],
+        })
+    # nullable writer under non-nullable reader: resolution error
+    with pytest.raises(ValueError, match="non-nullable reader"):
+        resolve_reader_schema(writer, {
+            "type": "record", "name": "row",
+            "fields": [{"name": "opt", "type": "long"}],
+        })
+
+
+def test_truncated_boolean_raises():
+    """A boolean at EOF must surface as corruption, not decode to
+    False (ADVICE): a block claiming one row but carrying zero payload
+    bytes hits EOF on the boolean and must raise."""
+    import io as _io
+
+    from datafusion_uba_spark.sources.avro_py import (
+        _decode_value,
+        zigzag_encode,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "b", "type": "boolean"}],
+    }
+    sync = b"\x05" * 16
+    data = encode_container([(True,)], schema, codec="null", sync=sync)
+    head = data[: data.index(sync) + 16]  # header ends at first sync
+    corrupt = head + zigzag_encode(1) + zigzag_encode(0) + sync
+    with pytest.raises(ValueError, match="truncated boolean"):
+        decode_container(corrupt)
+    with pytest.raises(ValueError, match="truncated boolean"):
+        _decode_value(_io.BytesIO(b""), "boolean")
+
+
+def test_avro_schema_for_rejects_tz_timestamp(spark):
+    """TimestampType (instant) must be rejected NTZ-only (ADVICE):
+    silently writing it would read back as TimestampNTZType with
+    session-zone-dependent values."""
+    df = spark.createDataFrame(
+        [(1,)], "id long"
+    ).selectExpr("timestamp'2024-01-01 00:00:00' as ts")
+    assert df.schema.fields[0].dataType.simpleString() == "timestamp"
+    with pytest.raises(ValueError, match="timestamp_ntz"):
+        avro_schema_for(df)
+
+
+def test_spark_face_long_reader_over_int_writer(spark, tmp_path):
+    """Mixed-writer promotion end to end (the realistic evolution: a
+    column widened int->long mid-stream): old files written int, new
+    files written long, one long reader — one bigint frame."""
+    import os
+
+    out = str(tmp_path / "avro_promote")
+    os.makedirs(out)
+    int_writer = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "id", "type": "int"}],
+    }
+    long_writer = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    with open(f"{out}/old.avro", "wb") as f:
+        f.write(encode_container([(1,), (2,)], int_writer))
+    with open(f"{out}/new.avro", "wb") as f:
+        f.write(encode_container([(2**40,)], long_writer))
+
+    got = read_avro_py(spark, out, reader_schema=long_writer)
+    assert dict(got.dtypes) == {"id": "bigint"}
+    assert {r.id for r in got.collect()} == {1, 2, 2**40}
+
+
 def test_spark_face_reads_mixed_writer_schemas(spark, tmp_path):
     """Evolution end to end through the Spark face: files written
     under the OLD schema (no 'lang' column) and the NEW schema land in

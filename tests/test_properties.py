@@ -1013,3 +1013,58 @@ def test_avro_container_roundtrip_property(rows, codec, block_rows):
     schema, got = decode_container(data)
     assert schema == _AVRO_SCHEMA
     assert got == rows
+
+
+# reader over _AVRO_SCHEMA exercising every promotion the flat subset
+# supports plus reorder/add/drop (b is dropped; by->string is pinned
+# separately on valid-UTF-8 bytes since arbitrary binary need not
+# decode)
+_AVRO_READER_PROMOTED = {
+    "type": "record",
+    "name": "row",
+    "fields": [
+        {"name": "l", "type": "double"},              # long -> double
+        {"name": "i", "type": "long"},                # int -> long
+        {"name": "d", "type": "double"},              # identity
+        {"name": "s", "type": "bytes"},               # string -> bytes
+        {"name": "opt", "type": ["null", "double"]},  # nullable promote
+        {"name": "lang", "type": "string", "default": "en"},  # added
+    ],
+}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(_avro_row, max_size=30),
+    codec=st.sampled_from(["null", "deflate"]),
+    block_rows=st.integers(min_value=1, max_value=7),
+)
+def test_avro_reader_promotion_property(rows, codec, block_rows):
+    """Schema resolution under the spec's promotion lattice: any row
+    set decoded under a promoted+reordered+extended reader must equal
+    the hand-computed projection (int->long identity, long->double via
+    IEEE nearest, string->utf8 bytes, defaults filled)."""
+    from datafusion_uba_spark.sources.avro_py import (
+        decode_container,
+        encode_container,
+    )
+
+    data = encode_container(
+        rows, _AVRO_SCHEMA, codec=codec, block_rows=block_rows
+    )
+    schema, got = decode_container(
+        data, reader_schema=_AVRO_READER_PROMOTED
+    )
+    assert schema == _AVRO_READER_PROMOTED
+    want = [
+        (
+            float(l),
+            i,
+            d,
+            s.encode("utf-8"),
+            None if opt is None else float(opt),
+            "en",
+        )
+        for (_b, i, l, d, _by, s, opt) in rows
+    ]
+    assert got == want

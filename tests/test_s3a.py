@@ -186,6 +186,83 @@ def test_local_server_verifies_signatures():
         srv.close()
 
 
+def test_special_character_keys(moto_s3):
+    """Object keys with spaces, '=', '#', '?', '+', and unicode must
+    round-trip: the client percent-encodes the key once and the wire
+    path IS the SigV4 canonical URI (ADVICE: a raw space raised
+    InvalidURL; '#'/'?' silently truncated the path). Cross-checked
+    against moto (independent implementation) AND the signature-
+    verifying local double."""
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+    from datafusion_uba_spark.sources.s3_py import S3Client
+
+    keys = [
+        "dir with space/file name.parquet",
+        "hive/src=a b/part#1?x+y.parquet",
+        "unicode/café/naïve.parquet",
+        "percent/100%done.parquet",
+    ]
+    srv = LocalS3Server()
+    try:
+        c = S3Client(srv.endpoint, srv.access_key, srv.secret_key)
+        for i, k in enumerate(keys):
+            c.put_object("b", k, bytes([i]) * 8)
+        for i, k in enumerate(keys):
+            assert c.get_object("b", k) == bytes([i]) * 8
+            assert c.get_object("b", k, byte_range=(2, 5)) == bytes([i]) * 4
+        assert {k for k, _ in c.list_objects("b", "")} == set(keys)
+    finally:
+        srv.close()
+
+    endpoint, _ = moto_s3
+    m = S3Client(endpoint, "testing", "testing")
+    for i, k in enumerate(keys):
+        m.put_object("uba-test", k, bytes([i]) * 8)
+        assert m.get_object("uba-test", k) == bytes([i]) * 8
+
+
+def test_local_server_rfc9110_ranges():
+    """RFC 9110 range forms beyond 'lo-hi' (ADVICE): open-ended
+    'bytes=5-' runs to EOF, suffix 'bytes=-4' slices the tail, and a
+    start past EOF is 416 — so the double covers any compliant
+    client shape, not just ours."""
+    import urllib.error
+    import urllib.request
+
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+    from datafusion_uba_spark.sources.s3_py import S3Client, sign_v4
+
+    srv = LocalS3Server()
+    try:
+        c = S3Client(srv.endpoint, srv.access_key, srv.secret_key)
+        body = bytes(range(10))
+        c.put_object("b", "r.bin", body)
+
+        def ranged(spec: str) -> bytes:
+            url = f"{srv.endpoint}/b/r.bin"
+            headers = sign_v4(
+                "GET", url, {"range": spec}, b"",
+                srv.access_key, srv.secret_key,
+            )
+            req = urllib.request.Request(url, method="GET")
+            for k, v in headers.items():
+                if k.lower() != "host":
+                    req.add_header(k, v)
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.read()
+
+        assert ranged("bytes=5-") == body[5:]
+        assert ranged("bytes=-4") == body[-4:]
+        assert ranged("bytes=2-6") == body[2:7]
+        assert ranged("bytes=-100") == body  # suffix longer than object
+        for bad in ("bytes=10-", "bytes=-0"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                ranged(bad)
+            assert ei.value.code == 416
+    finally:
+        srv.close()
+
+
 def test_read_parquet_s3_py_listing_scan(spark):
     """The reference's MinIO scenario end to end without jars
     (test_with_minio.rs:72-92): upload parquet objects + a decoy
