@@ -53,7 +53,14 @@ class LocalS3Server:
         # wire accounting for tests: the row-group pruning proof
         # asserts bytes_served << object size on a filtered ranged
         # read (the reference pins pruning at test_with_minio.rs:88)
-        self.stats = {"get_requests": 0, "ranged_requests": 0, "bytes_served": 0}
+        self.stats = {
+            "get_requests": 0,
+            "ranged_requests": 0,
+            "bytes_served": 0,
+            # per-key GetObject counts: partition-pruning tests assert
+            # a pruned object's key never appears here at all
+            "keys_fetched": {},
+        }
         self._lock = threading.Lock()
         outer = self
 
@@ -186,6 +193,9 @@ class LocalS3Server:
                         outer.stats["get_requests"] += 1
                         outer.stats["ranged_requests"] += int(code == 206)
                         outer.stats["bytes_served"] += len(data)
+                        outer.stats["keys_fetched"][key] = (
+                            outer.stats["keys_fetched"].get(key, 0) + 1
+                        )
                     self.send_response(code)
                     self.send_header("Content-Length", str(len(data)))
                     self.end_headers()

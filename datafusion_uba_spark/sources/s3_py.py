@@ -258,11 +258,27 @@ class S3RangedFile:
     lake.
 
     Implements the file protocol pyarrow needs (read/seek/tell/size,
-    binary mode); every ``read`` is one ranged GetObject — fine for
-    footer+row-group access patterns (few, large), wasteful for
-    byte-at-a-time callers."""
+    binary mode). A small LRU block cache (``cache_blocks`` most
+    recent fetched ranges) serves any read fully contained in an
+    already-fetched range from memory — in particular pyarrow's
+    64 KB speculative FOOTER tail stays resident, so metadata
+    re-reads and column chunks that happen to fall inside the tail
+    never re-cross the wire. The cache only ever DEDUPLICATES
+    fetches; it never pads a request, so bytes moved are <= the
+    uncached path, while ``request_count`` (ranged GETs actually
+    issued) drops. Remaining cost model: one GET per projected
+    column chunk outside cached ranges — at 100 TB prefer few, large
+    row groups (128 MB+) so requests stay O(row groups), and the
+    jar-backed s3a connector where the classpath allows."""
 
-    def __init__(self, client: "S3Client", bucket: str, key: str, size: int):
+    def __init__(
+        self,
+        client: "S3Client",
+        bucket: str,
+        key: str,
+        size: int,
+        cache_blocks: int = 4,
+    ):
         self._c = client
         self._bucket = bucket
         self._key = key
@@ -270,6 +286,13 @@ class S3RangedFile:
         self._pos = 0
         self.closed = False
         self.mode = "rb"
+        self.request_count = 0
+        self._cache_blocks = max(0, cache_blocks)
+        self._cache: list[tuple[int, bytes]] = []  # LRU, newest last
+        # the footer cache: a block reaching EOF (pyarrow's 64 KB
+        # speculative tail) is PINNED, not LRU'd — metadata re-reads
+        # and column chunks inside the tail stay off the wire
+        self._tail: tuple[int, bytes] | None = None
 
     def size(self) -> int:
         return self._size
@@ -296,10 +319,30 @@ class S3RangedFile:
             n = self._size - self._pos
         if n == 0 or self._pos >= self._size:
             return b""
-        hi = min(self._pos + n, self._size) - 1
+        end = min(self._pos + n, self._size)
+        if self._tail is not None:
+            start, blob = self._tail
+            if start <= self._pos and end <= start + len(blob):
+                data = blob[self._pos - start : end - start]
+                self._pos = end
+                return data
+        for i, (start, blob) in enumerate(self._cache):
+            if start <= self._pos and end <= start + len(blob):
+                # fully inside a cached range: serve locally (LRU bump)
+                self._cache.append(self._cache.pop(i))
+                data = blob[self._pos - start : end - start]
+                self._pos = end
+                return data
         data = self._c.get_object(
-            self._bucket, self._key, byte_range=(self._pos, hi)
+            self._bucket, self._key, byte_range=(self._pos, end - 1)
         )
+        self.request_count += 1
+        if self._cache_blocks:
+            if self._tail is None and self._pos + len(data) >= self._size:
+                self._tail = (self._pos, data)
+            else:
+                self._cache.append((self._pos, data))
+                del self._cache[: -self._cache_blocks]
         self._pos += len(data)
         return data
 
@@ -316,6 +359,77 @@ class S3RangedFile:
 # --- Spark face ------------------------------------------------------------------
 
 
+def _hive_partition_values(key: str, prefix: str) -> dict[str, str]:
+    """Parse ``name=value`` directory segments between the listing
+    prefix and the object basename (the Hive layout the reference's
+    listing tables resolve — setup.rs:86-118 partitioned dirs,
+    test_with_minio.rs:89-92 listing options). Values are
+    percent-decoded the way Hive writers escape them."""
+    rel = key[len(prefix):] if key.startswith(prefix) else key
+    out: dict[str, str] = {}
+    for seg in rel.split("/")[:-1]:
+        name, eq, val = seg.partition("=")
+        if eq and name:
+            out[name] = urllib.parse.unquote(val)
+    return out
+
+
+def _coerce_like(raw: str, like):
+    """Cast a raw partition string to the type of a filter operand."""
+    if isinstance(like, bool):
+        return raw.lower() in ("true", "t", "1")
+    if isinstance(like, int):
+        return int(raw)
+    if isinstance(like, float):
+        return float(raw)
+    return raw
+
+
+def _partition_pred_holds(raw: str, op: str, val) -> bool:
+    if op in ("in", "not in"):
+        vals = list(val)
+        like = vals[0] if vals else ""
+        hit = _coerce_like(raw, like) in vals
+        return hit if op == "in" else not hit
+    typed = _coerce_like(raw, val)
+    if op in ("=", "=="):
+        return typed == val
+    if op == "!=":
+        return typed != val
+    if op == "<":
+        return typed < val
+    if op == "<=":
+        return typed <= val
+    if op == ">":
+        return typed > val
+    if op == ">=":
+        return typed >= val
+    raise ValueError(f"unsupported partition filter op {op!r}")
+
+
+_PART_CASTERS = {
+    "tinyint": int,
+    "smallint": int,
+    "int": int,
+    "bigint": int,
+    "float": float,
+    "double": float,
+    "boolean": lambda raw: raw.lower() in ("true", "t", "1"),
+    "string": str,
+}
+
+
+def _spark_schema_from_arrow(arrow_schema):
+    """pyarrow schema -> Spark StructType WITHOUT the pandas round
+    trip (which drifted dtypes: nullable ints -> float64, date32 ->
+    object). Tz-less parquet timestamps map to TimestampNTZType —
+    value fidelity over session-zone reinterpretation, the same
+    NTZ-only stance as avro_py."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(arrow_schema, prefer_timestamp_ntz=True)
+
+
 def read_parquet_s3_py(
     spark,
     endpoint: str,
@@ -329,6 +443,7 @@ def read_parquet_s3_py(
     tasks: int | None = None,
     columns: list[str] | None = None,
     filters=None,
+    hive_partitioning: bool = False,
 ):
     """The reference's S3 listing table (test_with_minio.rs:87-92)
     without the s3a jars: driver-side ListObjectsV2 + extension
@@ -336,9 +451,16 @@ def read_parquet_s3_py(
     objects via pyarrow.
 
     ``schema``: Spark schema (StructType or DDL) — when None, the
-    driver fetches the FIRST object once to derive it (pass it
-    explicitly in production). ``tasks`` bounds the repartition width
-    (defaults to the number of objects, one task per object).
+    driver derives it from the FIRST object's parquet FOOTER via
+    ranged reads (the metadata tail only, never the object body) and
+    converts the pyarrow schema to a Spark schema directly, so the
+    inferred and explicit paths cannot drift on dtypes. Pass it
+    explicitly in production. ``tasks`` bounds the repartition width
+    (defaults to the number of objects, one task per object). The
+    listing itself is driver-side metadata, O(objects) strings — the
+    same centralization as the reference's ListingTable resolution;
+    in a millions-of-objects regime, paginate prefixes into separate
+    reads or materialize the listing into its own DataFrame first.
 
     ``columns`` / ``filters`` (pyarrow DNF tuples, e.g.
     ``[("id", "<", 500)]``) switch each task from a whole-object GET
@@ -348,8 +470,17 @@ def read_parquet_s3_py(
     object-store row-group pruning the reference pins at
     test_with_minio.rs:88. Filters here are task-side pruning hints
     (exact re-filtering still applies row-level inside pyarrow);
-    ``schema`` must then describe the PROJECTED columns."""
-    from pyspark.sql import functions as F  # noqa: F401 (parity w/ sources)
+    ``schema`` must then describe the PROJECTED columns.
+
+    ``hive_partitioning``: resolve ``name=value`` directory segments
+    under the prefix into PARTITION COLUMNS (the reference's
+    partitioned listing-table layout, setup.rs:86-118). Partition
+    predicates in ``filters`` (a flat AND list) prune the KEY LIST on
+    the driver BEFORE any GetObject — a pruned partition costs zero
+    requests — and the remaining filters go to pyarrow for row-group
+    pruning inside surviving objects. Partition values are cast to
+    the schema's declared types executor-side."""
+    from pyspark.sql import types as T
 
     client = S3Client(endpoint, access_key, secret_key, region)
     objs = [
@@ -361,15 +492,102 @@ def read_parquet_s3_py(
             f"no {suffix!r} objects under s3://{bucket}/{prefix} "
             f"at {endpoint}"
         )
-    if schema is None:
-        import io as _io
 
+    part_cols: list[str] = []
+    data_filters = filters
+    if hive_partitioning:
+        if filters is not None and filters and isinstance(filters[0], list):
+            raise ValueError(
+                "hive_partitioning splits partition predicates out of "
+                "a flat AND filter list; OR-of-AND (list-of-lists) "
+                "filters are not supported with it"
+            )
+        raw_parts = {k: _hive_partition_values(k, prefix) for k, _ in objs}
+        col_sets = {tuple(sorted(p)) for p in raw_parts.values()}
+        if len(col_sets) != 1:
+            raise ValueError(
+                f"inconsistent hive partition layouts under "
+                f"s3://{bucket}/{prefix}: {sorted(col_sets)}"
+            )
+        part_cols = sorted(col_sets.pop())
+        part_filters = [
+            f for f in (filters or []) if f[0] in part_cols
+        ]
+        data_filters = [
+            f for f in (filters or []) if f[0] not in part_cols
+        ] or None
+        if part_filters:
+            objs = [
+                (k, sz)
+                for k, sz in objs
+                if all(
+                    _partition_pred_holds(raw_parts[k][c], op, v)
+                    for c, op, v in part_filters
+                )
+            ]
+            if not objs:
+                raise ValueError(
+                    "all partitions pruned by "
+                    f"{part_filters} under s3://{bucket}/{prefix}"
+                )
+
+    data_columns = columns
+    if columns is not None and part_cols:
+        data_columns = [c for c in columns if c not in part_cols] or None
+
+    if schema is None:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        first = pq.read_table(
-            _io.BytesIO(client.get_object(bucket, objs[0][0]))
+        first_key, first_size = objs[0]
+        pf = pq.ParquetFile(
+            S3RangedFile(client, bucket, first_key, first_size)
         )
-        schema = spark.createDataFrame(first.to_pandas()).schema
+        arrow_schema = pf.schema_arrow
+        if data_columns is not None:
+            arrow_schema = pa.schema(
+                [arrow_schema.field(c) for c in data_columns]
+            )
+        schema = _spark_schema_from_arrow(arrow_schema)
+        for c in part_cols:
+            raws = [raw_parts[k][c] for k, _ in objs]
+            try:
+                [int(r) for r in raws]
+                ptype = T.LongType()
+            except ValueError:
+                ptype = T.StringType()
+            schema = schema.add(T.StructField(c, ptype, False))
+    elif isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+
+    # typed partition values per key, in schema field order
+    part_map: dict[str, dict] | None = None
+    if part_cols:
+        by_name = {f.name: f for f in schema.fields}
+        missing = [c for c in part_cols if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"partition columns {missing} absent from schema "
+                f"{[f.name for f in schema.fields]}"
+            )
+        casters = {}
+        for c in part_cols:
+            simple = by_name[c].dataType.simpleString()
+            if simple not in _PART_CASTERS:
+                raise ValueError(
+                    f"partition column {c!r}: unsupported type {simple!r}"
+                )
+            casters[c] = _PART_CASTERS[simple]
+        part_map = {
+            k: {c: casters[c](raw_parts[k][c]) for c in part_cols}
+            for k, _ in objs
+        }
+        if data_columns is None and columns is None:
+            data_columns = [
+                f.name for f in schema.fields if f.name not in part_cols
+            ]
+
+    out_names = [f.name for f in schema.fields]
 
     key_df = spark.createDataFrame(
         objs, "key string, size long"
@@ -392,7 +610,14 @@ def read_parquet_s3_py(
                     src = S3RangedFile(c, bkt, key, int(size))
                 else:
                     src = _io.BytesIO(c.get_object(bkt, key))
-                tbl = pq.read_table(src, columns=columns, filters=filters)
-                yield tbl.to_pandas()
+                tbl = pq.read_table(
+                    src, columns=data_columns, filters=data_filters
+                )
+                out = tbl.to_pandas()
+                if part_map is not None:
+                    for col, val in part_map[key].items():
+                        out[col] = val
+                    out = out[out_names]
+                yield out
 
     return key_df.mapInPandas(_fetch, schema)

@@ -311,6 +311,227 @@ def test_read_parquet_s3_py_listing_scan(spark):
         srv.close()
 
 
+def test_s3_ranged_file_block_cache():
+    """The LRU block cache dedups fetches without ever padding: a
+    re-read of a fetched range and any read fully inside one are
+    served locally (request_count flat, bytes_served flat); disjoint
+    reads still go to the wire."""
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+    from datafusion_uba_spark.sources.s3_py import S3Client, S3RangedFile
+
+    srv = LocalS3Server()
+    try:
+        c = S3Client(srv.endpoint, srv.access_key, srv.secret_key)
+        body = bytes(range(256)) * 4  # 1 KiB
+        c.put_object("b", "f.bin", body)
+        f = S3RangedFile(c, "b", "f.bin", len(body))
+
+        f.seek(100)
+        assert f.read(50) == body[100:150]
+        assert f.request_count == 1
+        served = srv.stats["bytes_served"]
+        f.seek(110)  # fully inside the cached [100,150) block
+        assert f.read(20) == body[110:130]
+        f.seek(100)  # exact re-read
+        assert f.read(50) == body[100:150]
+        assert f.request_count == 1
+        assert srv.stats["bytes_served"] == served  # zero extra bytes
+        f.seek(0)  # disjoint: must fetch
+        assert f.read(10) == body[:10]
+        assert f.request_count == 2
+        # eviction: cache_blocks=4 keeps only the newest four
+        for start in (200, 300, 400, 500):
+            f.seek(start)
+            f.read(10)
+        assert f.request_count == 6
+        f.seek(100)  # the [100,150) block was evicted
+        f.read(10)
+        assert f.request_count == 7
+    finally:
+        srv.close()
+
+
+def test_inferred_schema_dtype_fidelity(spark):
+    """Arrow-native schema derivation (r16 nit #1): the inferred path
+    converts the first object's parquet FOOTER schema straight to a
+    Spark schema — nullable ints stay ints (not float64), date32
+    stays DateType, tz-less timestamps stay NTZ — and only footer
+    bytes cross the wire for the inference."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+    from datafusion_uba_spark.sources.s3_py import (
+        S3Client,
+        read_parquet_s3_py,
+    )
+
+    import hashlib
+
+    n = 200  # padded past pyarrow's 64 KB speculative tail fetch so
+    # "footer-only" inference is distinguishable from a full read
+    tbl = pa.table(
+        {
+            "id": pa.array(
+                [None if i % 7 == 0 else i for i in range(n)], pa.int32()
+            ),
+            "big": pa.array(
+                [None if i % 5 == 0 else i * 10 for i in range(n)],
+                pa.int64(),
+            ),
+            "d": pa.array(
+                [None if i % 11 == 0 else 18262 + i for i in range(n)],
+                pa.date32(),
+            ),
+            "ts": pa.array(
+                [
+                    None if i % 13 == 0 else 1_700_000_000_000_000 + i
+                    for i in range(n)
+                ],
+                pa.timestamp("us"),
+            ),
+            "pad": pa.array(
+                [
+                    "".join(
+                        hashlib.sha256(f"{i}-{j}".encode()).hexdigest()
+                        for j in range(16)
+                    )
+                    for i in range(n)
+                ]
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf)
+    blob = buf.getvalue()
+    assert len(blob) > 128 * 1024
+    srv = LocalS3Server()
+    try:
+        c = S3Client(srv.endpoint, srv.access_key, srv.secret_key)
+        c.put_object("uba", "dt/t.parquet", blob)
+
+        explicit_ddl = (
+            "id int, big long, d date, ts timestamp_ntz, pad string"
+        )
+        explicit = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "dt/",
+            srv.access_key, srv.secret_key, schema=explicit_ddl,
+        )
+        srv.stats.update(get_requests=0, ranged_requests=0, bytes_served=0)
+        inferred = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "dt/",
+            srv.access_key, srv.secret_key,
+        )
+        # inference touched only the footer, by ranged reads
+        assert srv.stats["bytes_served"] < len(blob)
+        assert srv.stats["ranged_requests"] >= 1
+        assert inferred.schema == explicit.schema
+        assert {tuple(r) for r in inferred.collect()} == {
+            tuple(r) for r in explicit.collect()
+        }
+    finally:
+        srv.close()
+
+
+def test_hive_partitioned_listing_prunes_before_get(spark):
+    """Hive-partitioned S3 key layout (the reference's partitioned
+    listing tables, setup.rs:86-118): key=value segments become typed
+    partition columns, and partition predicates prune the KEY LIST on
+    the driver — the wire accounting proves a pruned partition costs
+    ZERO GetObject requests."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+    from datafusion_uba_spark.sources.s3_py import (
+        S3Client,
+        read_parquet_s3_py,
+    )
+
+    srv = LocalS3Server()
+    try:
+        c = S3Client(srv.endpoint, srv.access_key, srv.secret_key)
+        for region in (0, 1, 2):
+            for part in (0, 1):
+                ids = [region * 100 + part * 10 + i for i in range(5)]
+                t = pa.table({"id": pa.array(ids, pa.int64())})
+                buf = io.BytesIO()
+                pq.write_table(t, buf)
+                c.put_object(
+                    "uba",
+                    f"hive/region={region}/src=s {part}/d.parquet",
+                    buf.getvalue(),
+                )
+
+        # unpruned, inferred schema: partition cols typed (region ->
+        # long by all-int inference, src -> string) and attached
+        full = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "hive/",
+            srv.access_key, srv.secret_key, hive_partitioning=True,
+        )
+        assert dict(full.dtypes) == {
+            "id": "bigint", "region": "bigint", "src": "string",
+        }
+        rows = full.collect()
+        assert len(rows) == 30
+        assert {r.src for r in rows} == {"s 0", "s 1"}
+        assert all(r.region == r.id // 100 for r in rows)
+
+        # partition predicate prunes driver-side: only region=1
+        # objects may be fetched (2 of 6), ZERO GETs for the rest —
+        # the per-key wire accounting is the proof
+        srv.stats.update(
+            get_requests=0, ranged_requests=0, bytes_served=0,
+            keys_fetched={},
+        )
+        got = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "hive/",
+            srv.access_key, srv.secret_key,
+            schema="id long, region long, src string",
+            hive_partitioning=True,
+            filters=[("region", "=", 1), ("src", "in", ["s 0", "s 1"])],
+        )
+        rows = got.collect()
+        assert {r.id for r in rows} == {100 + p * 10 + i
+                                        for p in (0, 1) for i in range(5)}
+        assert all(r.region == 1 for r in rows)
+        assert set(srv.stats["keys_fetched"]) == {
+            "hive/region=1/src=s 0/d.parquet",
+            "hive/region=1/src=s 1/d.parquet",
+        }
+
+        # mixed partition + data predicate: data half goes to pyarrow
+        srv.stats.update(get_requests=0, ranged_requests=0, bytes_served=0)
+        mixed = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "hive/",
+            srv.access_key, srv.secret_key,
+            schema="id long, region long, src string",
+            hive_partitioning=True,
+            filters=[("region", ">=", 2), ("id", "<=", 210)],
+        )
+        assert {r.id for r in mixed.collect()} == {200 + i for i in range(5)} | {210}
+
+        # everything pruned is an explicit error, before any GET
+        srv.stats.update(
+            get_requests=0, ranged_requests=0, bytes_served=0,
+            keys_fetched={},
+        )
+        with pytest.raises(ValueError, match="all partitions pruned"):
+            read_parquet_s3_py(
+                spark, srv.endpoint, "uba", "hive/",
+                srv.access_key, srv.secret_key,
+                schema="id long, region long, src string",
+                hive_partitioning=True, filters=[("region", "=", 9)],
+            )
+        assert srv.stats["get_requests"] == 0
+    finally:
+        srv.close()
+
+
 def test_ranged_row_group_pruning_over_s3(spark):
     """The reference's object-store ROW-GROUP PRUNING claim
     (test_with_minio.rs:88), jar-less: upload a 10k-row parquet with
@@ -381,6 +602,11 @@ def test_ranged_row_group_pruning_over_s3(spark):
         assert pruned_bytes < len(blob) * 0.3, (
             f"pruning moved {pruned_bytes} of {len(blob)} object bytes"
         )
+        # request-count accounting (r16 verdict #5): the filtered read
+        # is the 64 KB footer tail + ONE surviving row-group range —
+        # the block cache must not add requests or bytes
+        assert srv.stats["ranged_requests"] <= 3, srv.stats
+
         # projection alone also prunes: drop the fat payload column
         srv.stats.update(get_requests=0, ranged_requests=0, bytes_served=0)
         ids = read_parquet_s3_py(
@@ -390,5 +616,9 @@ def test_ranged_row_group_pruning_over_s3(spark):
         )
         assert ids.count() == n
         assert srv.stats["bytes_served"] < len(blob) * 0.5
+        # 40 row groups x 1 projected chunk + footer tail = 41 wire
+        # reads uncached; the tail cache serves the chunks that fall
+        # inside the 64 KB footer fetch locally, so strictly fewer
+        assert srv.stats["ranged_requests"] <= 39, srv.stats
     finally:
         srv.close()
