@@ -100,7 +100,12 @@ def _field_type(t) -> tuple[str, bool]:
         base = t["type"]
         if lt == "date" and base == "int":
             return "date", nullable
-        if lt == "timestamp-micros" and base == "long":
+        # local-timestamp-micros (Avro >= 1.10) is the zone-less
+        # twin of timestamp-micros; both decode to the same naive
+        # micros here, so they normalize to one kind
+        if lt in ("timestamp-micros", "local-timestamp-micros") and (
+            base == "long"
+        ):
             return "timestamp-micros", nullable
         t = base
     if t not in _PRIMITIVES:
@@ -426,7 +431,9 @@ _SPARK_TO_AVRO = {
     "boolean": "boolean",
     "binary": "bytes",
     "date": {"type": "int", "logicalType": "date"},
-    "timestamp_ntz": {"type": "long", "logicalType": "timestamp-micros"},
+    # NTZ emits the spec's zone-LESS logical type (Avro >= 1.10);
+    # plain timestamp-micros (an instant) is still accepted on read
+    "timestamp_ntz": {"type": "long", "logicalType": "local-timestamp-micros"},
 }
 
 
@@ -510,9 +517,18 @@ def read_avro_py(spark, path: str, schema=None, reader_schema: dict | None = Non
     ``reader_schema`` (an Avro record dict) applies the spec's schema
     resolution per file — the evolution case: old files written before
     a column existed read back with the reader's default filled in,
-    dropped columns are discarded, and reordered fields match by
-    name. Files written under DIFFERENT writer schemas thus land in
-    one uniform frame."""
+    dropped columns are discarded, reordered fields match by name,
+    and the spec's type promotions apply (int->long/float/double,
+    long->float/double, float->double, string<->bytes). Files written
+    under DIFFERENT writer schemas thus land in one uniform frame.
+
+    Memory shape: ``binaryFile`` hands each task ONE WHOLE container
+    file, so a task transiently holds that file's bytes plus its
+    decoded rows. Self-written twins are bounded (write_avro_py emits
+    one file per input partition), but over a FOREIGN Avro directory
+    with multi-GB files this concentrates memory per task — split
+    such files upstream or use the jar-backed fast path; Python-side
+    decode is the documented slow path either way."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 

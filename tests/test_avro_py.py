@@ -199,6 +199,46 @@ def test_spark_faces_roundtrip(spark, tmp_path):
     assert dict(inferred.dtypes) == dict(df.dtypes)
 
 
+def test_ntz_round_trip_local_timestamp_micros(spark, tmp_path):
+    """TimestampNTZType round-trips through the spec's zone-less
+    logical type: the writer emits local-timestamp-micros (Avro
+    >= 1.10), the reader accepts it AND plain timestamp-micros, and
+    naive values survive bit-exact regardless of session zone."""
+    df = spark.createDataFrame(
+        [(1,)], "id long"
+    ).selectExpr(
+        "id", "timestamp_ntz'2024-02-29 23:59:59.25' as ts"
+    )
+    assert avro_schema_for(df)["fields"][1]["type"] == {
+        "type": "long",
+        "logicalType": "local-timestamp-micros",
+    }
+    out = str(tmp_path / "avro_ntz")
+    write_avro_py(df, out)
+    back = read_avro_py(spark, out)
+    assert dict(back.dtypes) == {"id": "bigint", "ts": "timestamp_ntz"}
+    assert back.collect() == df.collect()
+
+    # plain timestamp-micros containers (older writers) also decode
+    import datetime
+
+    legacy = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            }
+        ],
+    }
+    blob = encode_container(
+        [(datetime.datetime(2024, 1, 2, 3, 4, 5),)], legacy
+    )
+    _, rows = decode_container(blob)
+    assert rows == [(datetime.datetime(2024, 1, 2, 3, 4, 5),)]
+
+
 def test_avro_schema_for_rejects_nested(spark):
     df = spark.createDataFrame([([1, 2],)], "arr array<int>")
     with pytest.raises(ValueError, match="no avro mapping"):

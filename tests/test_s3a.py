@@ -435,6 +435,36 @@ def test_inferred_schema_dtype_fidelity(spark):
         srv.close()
 
 
+def test_hive_helpers_units():
+    """Pure-unit pins for the hive layout parsing and partition
+    predicate evaluation: percent-decoded values, basename excluded,
+    prefix stripped, typed coercion per operand, in/not-in."""
+    from datafusion_uba_spark.sources.s3_py import (
+        _hive_partition_values,
+        _partition_pred_holds,
+    )
+
+    assert _hive_partition_values(
+        "wh/dt=2024-01-01/src=a%3Db/part-0.parquet", "wh/"
+    ) == {"dt": "2024-01-01", "src": "a=b"}
+    # the basename never contributes, even if it contains '='
+    assert _hive_partition_values("wh/x=1/name=weird.parquet", "wh/") == {
+        "x": "1"
+    }
+    assert _hive_partition_values("wh/plain/part.parquet", "wh/") == {}
+
+    assert _partition_pred_holds("7", "=", 7)
+    assert not _partition_pred_holds("7", "=", "7 ")
+    assert _partition_pred_holds("7", "<=", 7.5)
+    assert _partition_pred_holds("true", "=", True)
+    assert _partition_pred_holds("b", "in", ["a", "b"])
+    assert _partition_pred_holds("c", "not in", ["a", "b"])
+    assert _partition_pred_holds("10", ">", 9)  # int compare, not lexicographic
+    assert not _partition_pred_holds("10", ">", "9")  # str compare IS lexicographic
+    with pytest.raises(ValueError, match="unsupported partition filter op"):
+        _partition_pred_holds("x", "like", "x%")
+
+
 def test_hive_partitioned_listing_prunes_before_get(spark):
     """Hive-partitioned S3 key layout (the reference's partitioned
     listing tables, setup.rs:86-118): key=value segments become typed

@@ -218,6 +218,50 @@ def _want(table: str) -> bool:
     return TABLES is None or table in TABLES
 
 
+# lowercase images already issued to constpair replicas, so every
+# replica's bijection is provably distinct from identity and from all
+# earlier replicas'
+_CONSTPAIR_ISSUED: dict[int, str] = {}
+
+
+def _constpair_bijection(i: int) -> str:
+    """The 52-char `translate` image for constpair replica i (i >= 1).
+
+    Replicas 1..25 use the 25 distinct non-identity alphabet
+    ROTATIONS (the r16 fixture, unchanged so earlier exponents stay
+    comparable); replicas >= 26 extend the keyspace with SEEDED
+    alphabet permutations (26! >> 25). The fixture claims carry over
+    verbatim: any alphabet bijection preserves shingle equality
+    within a replica (pairs survive exactly k-fold), and a
+    cross-replica shingle match still requires the corpus to contain
+    a shingle equal to another shingle under the composed bijection
+    P_j^-1 . P_i — the same no-match argument the rotations relied
+    on. Distinctness from identity, all rotations, and every earlier
+    replica is CHECKED, not assumed."""
+    import random
+    import string
+
+    lo, up = string.ascii_lowercase, string.ascii_uppercase
+    if i in _CONSTPAIR_ISSUED:
+        p = _CONSTPAIR_ISSUED[i]
+    elif 1 <= i <= 25:
+        p = lo[i:] + lo[:i]
+        _CONSTPAIR_ISSUED[i] = p
+    else:
+        taken = {lo[r:] + lo[:r] for r in range(26)} | set(
+            _CONSTPAIR_ISSUED.values()
+        )
+        rng = random.Random(10_000 + i)
+        while True:
+            perm = list(lo)
+            rng.shuffle(perm)
+            p = "".join(perm)
+            if p not in taken:
+                break
+        _CONSTPAIR_ISSUED[i] = p
+    return p + p.upper()
+
+
 def _replicate(spark, k: int, out_dir: str) -> None:
     """k shifted/perturbed copies of every table the heavy queries read."""
     import string
@@ -243,22 +287,25 @@ def _replicate(spark, k: int, out_dir: str) -> None:
                 # a shingle-preserving bijection (within-replica pairs
                 # survive exactly) and prevents cross-replica matches;
                 # exact-dup collapse is avoided by the shifted doc_id.
-                # Only 25 distinct rotations exist, so replicas 25
-                # apart would be byte-identical — cap k rather than
-                # silently reintroduce cross-replica pairs.
-                if k > 25:
-                    raise SystemExit(
-                        "SCALE_FIXTURE=constpair supports k <= 25 "
-                        "(25 distinct alphabet rotations)"
-                    )
-                rot = (i % 25) + 1  # 1..25, never identity
-                lo, up = string.ascii_lowercase, string.ascii_uppercase
+                # Replicas 1..25 use the 25 distinct non-identity
+                # rotations (r16 fixture, unchanged so earlier
+                # exponents stay comparable); replicas >= 26 extend
+                # the bijection keyspace with SEEDED alphabet
+                # permutations (26! >> 25). The claims carry over
+                # verbatim: any alphabet bijection preserves shingle
+                # equality within a replica (pairs survive exactly),
+                # and a cross-replica shingle match still requires
+                # the corpus to contain a shingle equal to some other
+                # shingle under the composed bijection P_j^-1 . P_i —
+                # the same no-match argument the rotations relied on.
+                # Permutations are checked distinct from identity,
+                # every rotation, and each other.
                 c = c.withColumn(
                     "text",
                     F.translate(
                         "text",
-                        lo + up,
-                        lo[rot:] + lo[:rot] + up[rot:] + up[:rot],
+                        string.ascii_lowercase + string.ascii_uppercase,
+                        _constpair_bijection(i),
                     ),
                 )
             elif i > 0:
