@@ -430,6 +430,106 @@ def _spark_schema_from_arrow(arrow_schema):
     return from_arrow_schema(arrow_schema, prefer_timestamp_ntz=True)
 
 
+def write_parquet_s3_py(
+    df,
+    endpoint: str,
+    bucket: str,
+    prefix: str,
+    access_key: str,
+    secret_key: str,
+    region: str = "us-east-1",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Distributed parquet write to S3 without the s3a jars: each
+    task encodes its partition (or hive sub-group) to parquet bytes
+    and issues ONE signed PutObject — the write-side complement of
+    ``read_parquet_s3_py``, so the jar-less path round-trips.
+
+    ``partition_by``: Hive-partitioned key layout — within each task,
+    rows group by the partition columns and each group uploads to
+    ``prefix + col1=v1/col2=v2/part-<task>-<i>.parquet`` (values
+    percent-encoded the way Hive writers escape them; the partition
+    columns are DROPPED from the file, exactly what
+    ``hive_partitioning=True`` reconstructs on read). Object names
+    carry the task partition id, so a retried task overwrites its own
+    objects instead of duplicating them (PutObject is atomic
+    last-writer-wins).
+
+    Returns the number of objects written. One object per task per
+    partition-value combination — repartition by the partition
+    columns first if many tasks would otherwise each hold a sliver
+    of every partition. Single-request PutObject bounds an object to
+    5 GB on real S3; size upstream partitions accordingly (multipart
+    upload is the jar path's job)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    cols = [f.name for f in df.schema.fields]
+    part_cols = list(partition_by or [])
+    missing = [c for c in part_cols if c not in cols]
+    if missing:
+        raise ValueError(f"partition_by columns {missing} not in {cols}")
+    data_cols = [c for c in cols if c not in part_cols]
+    # the files carry the EXACT Spark types: pandas drifts nullable
+    # ints to float64 en route through Arrow batches, so every group
+    # is cast back through the arrow schema derived from the input
+    # Spark schema before encoding (the same no-pandas-drift contract
+    # as the read side's inference)
+    by_name = {f.name: f for f in df.schema.fields}
+    data_arrow_schema = to_arrow_schema(
+        T.StructType([by_name[c] for c in data_cols])
+    )
+    ep, ak, sk, rg, bkt = endpoint, access_key, secret_key, region, bucket
+
+    def _upload(batches):
+        import io as _io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        c = S3Client(ep, ak, sk, rg)
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        if part_cols:
+            groups = list(pdf.groupby(part_cols, dropna=False, sort=True))
+        else:
+            groups = [((), pdf)]
+        n = 0
+        for i, (vals, g) in enumerate(groups):
+            if not isinstance(vals, tuple):
+                vals = (vals,)
+            segs = "".join(
+                f"{col}={urllib.parse.quote(str(v), safe='')}/"
+                for col, v in zip(part_cols, vals)
+            )
+            buf = _io.BytesIO()
+            pq.write_table(
+                pa.Table.from_pandas(
+                    g[data_cols],
+                    schema=data_arrow_schema,
+                    preserve_index=False,
+                ),
+                buf,
+            )
+            c.put_object(
+                bkt,
+                f"{prefix}{segs}part-{pid:05d}-{i:04d}.parquet",
+                buf.getvalue(),
+            )
+            n += 1
+        yield pd.DataFrame({"n_objects": [n]})
+
+    manifest = df.select(*cols).mapInPandas(_upload, "n_objects long")
+    return int(
+        manifest.agg({"n_objects": "sum"}).collect()[0][0] or 0
+    )
+
+
 def read_parquet_s3_py(
     spark,
     endpoint: str,
