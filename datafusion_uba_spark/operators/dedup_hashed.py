@@ -64,6 +64,7 @@ def injective_hash_seed(
     whose counts would be approximate. ``hash_fn(col, seed_lit)`` is
     injectable for tests."""
     hf = hash_fn or (lambda c, s: F.xxhash64(c, s))
+    n_shingles = None
     for seed in range(max_tries):
         row = shingles.agg(
             F.countDistinct(F.col(col)).alias("ns"),
@@ -71,10 +72,12 @@ def injective_hash_seed(
         ).head()
         if row.ns == row.nh:
             return seed
+        n_shingles = row.ns
     raise ValueError(
         f"no injective xxhash64 seed in {max_tries} tries over "
-        f"{row.ns} distinct shingles (collision probability ~n^2/2^65 "
-        "per seed — this indicates adversarial input, not chance)"
+        f"{n_shingles} distinct shingles (collision probability "
+        "~n^2/2^65 per seed — this indicates adversarial input, not "
+        "chance)"
     )
 
 

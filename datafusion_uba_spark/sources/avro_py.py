@@ -169,10 +169,16 @@ def _decode_value(buf: io.BytesIO, kind: str):
         return struct.unpack("<f", buf.read(4))[0]
     if kind == "double":
         return struct.unpack("<d", buf.read(8))[0]
-    if kind == "bytes":
-        return buf.read(zigzag_decode(buf))
-    if kind == "string":
-        return buf.read(zigzag_decode(buf)).decode("utf-8")
+    if kind in ("bytes", "string"):
+        ln = zigzag_decode(buf)
+        if ln < 0:
+            raise ValueError(f"negative {kind} length {ln} (corrupt block)")
+        b = buf.read(ln)
+        if len(b) != ln:
+            raise ValueError(
+                f"truncated {kind}: wanted {ln} bytes, got {len(b)}"
+            )
+        return b if kind == "bytes" else b.decode("utf-8")
     if kind == "date":
         import datetime
 

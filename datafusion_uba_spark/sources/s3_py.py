@@ -386,6 +386,11 @@ def _coerce_like(raw: str, like):
 
 
 def _partition_pred_holds(raw: str, op: str, val) -> bool:
+    if raw == HIVE_NULL_PARTITION:
+        # SQL three-valued logic: a NULL partition value satisfies no
+        # predicate (not even != / not-in), matching Spark's own
+        # partition pruning over __HIVE_DEFAULT_PARTITION__ dirs
+        return False
     if op in ("in", "not in"):
         vals = list(val)
         like = vals[0] if vals else ""
@@ -407,6 +412,9 @@ def _partition_pred_holds(raw: str, op: str, val) -> bool:
     raise ValueError(f"unsupported partition filter op {op!r}")
 
 
+# Hive's directory name for a NULL partition value
+HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
 _PART_CASTERS = {
     "tinyint": int,
     "smallint": int,
@@ -416,6 +424,22 @@ _PART_CASTERS = {
     "double": float,
     "boolean": lambda raw: raw.lower() in ("true", "t", "1"),
     "string": str,
+    "date": lambda raw: datetime.date.fromisoformat(raw),
+}
+
+# write-side formatters: partition values flow through pandas, where
+# nullable ints drift to float64 — format by the SPARK type so keys
+# read back exactly (int64 5 -> "5", never "5.0")
+_PART_FORMATTERS = {
+    "tinyint": lambda v: str(int(v)),
+    "smallint": lambda v: str(int(v)),
+    "int": lambda v: str(int(v)),
+    "bigint": lambda v: str(int(v)),
+    "float": lambda v: repr(float(v)),
+    "double": lambda v: repr(float(v)),
+    "boolean": lambda v: str(bool(v)).lower(),
+    "string": str,
+    "date": str,
 }
 
 
@@ -469,6 +493,20 @@ def write_parquet_s3_py(
     missing = [c for c in part_cols if c not in cols]
     if missing:
         raise ValueError(f"partition_by columns {missing} not in {cols}")
+    # partition values must survive the key round trip: validate the
+    # types against what read_parquet_s3_py can reconstruct, and
+    # format by SPARK type (pandas drifts nullable ints to float64 —
+    # int64 5 must key as "5", never "5.0")
+    part_fmt = {}
+    for c in part_cols:
+        simple = df.schema[c].dataType.simpleString()
+        if simple not in _PART_FORMATTERS:
+            raise ValueError(
+                f"partition_by column {c!r}: type {simple!r} has no "
+                "hive key round trip (supported: "
+                f"{sorted(_PART_FORMATTERS)})"
+            )
+        part_fmt[c] = _PART_FORMATTERS[simple]
     data_cols = [c for c in cols if c not in part_cols]
     # the files carry the EXACT Spark types: pandas drifts nullable
     # ints to float64 en route through Arrow batches, so every group
@@ -503,10 +541,17 @@ def write_parquet_s3_py(
         for i, (vals, g) in enumerate(groups):
             if not isinstance(vals, tuple):
                 vals = (vals,)
-            segs = "".join(
-                f"{col}={urllib.parse.quote(str(v), safe='')}/"
-                for col, v in zip(part_cols, vals)
-            )
+            segs = ""
+            for col, v in zip(part_cols, vals):
+                if pd.isna(v):
+                    # Hive's null-partition directory name; the read
+                    # face maps it back to NULL
+                    raw = HIVE_NULL_PARTITION
+                else:
+                    raw = urllib.parse.quote(
+                        part_fmt[col](v), safe=""
+                    )
+                segs += f"{col}={raw}/"
             buf = _io.BytesIO()
             pq.write_table(
                 pa.Table.from_pandas(
@@ -633,7 +678,10 @@ def read_parquet_s3_py(
 
     data_columns = columns
     if columns is not None and part_cols:
-        data_columns = [c for c in columns if c not in part_cols] or None
+        # an EMPTY list is meaningful here (only partition columns
+        # requested — tasks then read just the footer row count), so
+        # never collapse it to the no-projection None
+        data_columns = [c for c in columns if c not in part_cols]
 
     if schema is None:
         import pyarrow as pa
@@ -649,37 +697,57 @@ def read_parquet_s3_py(
                 [arrow_schema.field(c) for c in data_columns]
             )
         schema = _spark_schema_from_arrow(arrow_schema)
-        for c in part_cols:
-            raws = [raw_parts[k][c] for k, _ in objs]
+        emit_parts = (
+            part_cols
+            if columns is None
+            else [c for c in part_cols if c in columns]
+        )
+        for c in emit_parts:
+            raws = [
+                raw_parts[k][c]
+                for k, _ in objs
+                if raw_parts[k][c] != HIVE_NULL_PARTITION
+            ]
             try:
                 [int(r) for r in raws]
                 ptype = T.LongType()
             except ValueError:
                 ptype = T.StringType()
-            schema = schema.add(T.StructField(c, ptype, False))
+            schema = schema.add(T.StructField(c, ptype, True))
     elif isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
 
-    # typed partition values per key, in schema field order
+    # typed partition values per key, in schema field order; only the
+    # partition columns the output schema names are emitted (pruning
+    # above still used them all)
     part_map: dict[str, dict] | None = None
     if part_cols:
         by_name = {f.name: f for f in schema.fields}
-        missing = [c for c in part_cols if c not in by_name]
-        if missing:
-            raise ValueError(
-                f"partition columns {missing} absent from schema "
-                f"{[f.name for f in schema.fields]}"
-            )
+        emit_parts = [c for c in part_cols if c in by_name]
         casters = {}
-        for c in part_cols:
+        for c in emit_parts:
             simple = by_name[c].dataType.simpleString()
             if simple not in _PART_CASTERS:
                 raise ValueError(
                     f"partition column {c!r}: unsupported type {simple!r}"
                 )
             casters[c] = _PART_CASTERS[simple]
+
+        def _cast_part(c: str, key: str):
+            raw = raw_parts[key][c]
+            if raw == HIVE_NULL_PARTITION:
+                return None
+            try:
+                return casters[c](raw)
+            except (ValueError, TypeError) as e:
+                raise ValueError(
+                    f"partition value {raw!r} for column {c!r} (key "
+                    f"{key!r}) does not parse as the schema's "
+                    f"{by_name[c].dataType.simpleString()}: {e}"
+                ) from e
+
         part_map = {
-            k: {c: casters[c](raw_parts[k][c]) for c in part_cols}
+            k: {c: _cast_part(c, k) for c in emit_parts}
             for k, _ in objs
         }
         if data_columns is None and columns is None:
@@ -701,6 +769,7 @@ def read_parquet_s3_py(
     def _fetch(batches):
         import io as _io
 
+        import pandas as _pd
         import pyarrow.parquet as pq
 
         c = S3Client(ep, ak, sk, rg)
@@ -713,6 +782,18 @@ def read_parquet_s3_py(
                 tbl = pq.read_table(
                     src, columns=data_columns, filters=data_filters
                 )
+                if part_map is not None and tbl.num_columns == 0:
+                    # partition-columns-only projection: arrow drops
+                    # the row count on to_pandas of a 0-column table,
+                    # so build the frame from num_rows directly
+                    out = _pd.DataFrame(
+                        {
+                            col: [val] * tbl.num_rows
+                            for col, val in part_map[key].items()
+                        }
+                    )[out_names]
+                    yield out
+                    continue
                 out = tbl.to_pandas()
                 if part_map is not None:
                     for col, val in part_map[key].items():

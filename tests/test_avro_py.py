@@ -391,6 +391,44 @@ def test_truncated_boolean_raises():
         _decode_value(_io.BytesIO(b""), "boolean")
 
 
+def test_truncated_and_negative_length_strings_raise():
+    """Review fix: a corrupt block whose string/bytes length runs past
+    the payload (or is negative) raises instead of silently yielding
+    truncated values — the same contract as the boolean guard."""
+    import io as _io
+
+    from datafusion_uba_spark.sources.avro_py import (
+        _decode_value,
+        zigzag_encode,
+    )
+
+    with pytest.raises(ValueError, match="truncated string"):
+        _decode_value(
+            _io.BytesIO(zigzag_encode(100) + b"abc"), "string"
+        )
+    with pytest.raises(ValueError, match="truncated bytes"):
+        _decode_value(_io.BytesIO(zigzag_encode(5) + b"ab"), "bytes")
+    with pytest.raises(ValueError, match="negative string length"):
+        _decode_value(_io.BytesIO(zigzag_encode(-3)), "string")
+
+    # container-level: shrink a one-string block's payload
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "s", "type": "string"}],
+    }
+    sync = b"\x06" * 16
+    data = encode_container([("hello world",)], schema, codec="null", sync=sync)
+    head = data[: data.index(sync) + 16]
+    # count=1, size=3, payload = length-prefix 11 + only 2 chars
+    corrupt = (
+        head + zigzag_encode(1) + zigzag_encode(3)
+        + zigzag_encode(11) + b"he" + sync
+    )
+    with pytest.raises(ValueError, match="truncated string"):
+        decode_container(corrupt)
+
+
 def test_avro_schema_for_rejects_tz_timestamp(spark):
     """TimestampType (instant) must be rejected NTZ-only (ADVICE):
     silently writing it would read back as TimestampNTZType with

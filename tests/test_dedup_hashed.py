@@ -91,6 +91,10 @@ def test_injective_seed_advances_and_raises(spark):
         injective_hash_seed(
             vals, "__s", max_tries=3, hash_fn=always_collides
         )
+    # review fix: max_tries=0 raises the intended ValueError, not an
+    # UnboundLocalError from the message's loop variable
+    with pytest.raises(ValueError, match="no injective"):
+        injective_hash_seed(vals, "__s", max_tries=0)
 
 
 def test_hashed_pipeline_respects_injected_collisions(spark):

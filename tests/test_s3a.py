@@ -643,6 +643,120 @@ def test_write_parquet_s3_py_round_trip(spark):
         srv.close()
 
 
+def test_hive_null_partitions_and_typed_keys(spark):
+    """Review fixes: partition keys are formatted by SPARK type (a
+    nullable int column that drifted to float64 in pandas still keys
+    as 'k=5', never 'k=5.0'); NULL partition values write Hive's
+    __HIVE_DEFAULT_PARTITION__ directory and read back as NULL;
+    predicates never match the null partition (SQL three-valued
+    logic) and prune it without crashing; date partition columns
+    round-trip; unsupported partition types are rejected at WRITE
+    time, not discovered at read time."""
+    import datetime
+
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+    from datafusion_uba_spark.sources.s3_py import (
+        S3Client,
+        read_parquet_s3_py,
+        write_parquet_s3_py,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 5, datetime.date(2024, 1, 1)),
+            (2, 5, datetime.date(2024, 1, 1)),
+            (3, None, datetime.date(2024, 1, 2)),
+        ],
+        "id long, k int, d date",
+    )
+    srv = LocalS3Server()
+    try:
+        write_parquet_s3_py(
+            df, srv.endpoint, "uba", "np/",
+            srv.access_key, srv.secret_key, partition_by=["k", "d"],
+        )
+        c = S3Client(srv.endpoint, srv.access_key, srv.secret_key)
+        keys = [k for k, _ in c.list_objects("uba", "np/")]
+        assert any("k=5/" in k for k in keys), keys  # not k=5.0
+        assert any("k=__HIVE_DEFAULT_PARTITION__/" in k for k in keys)
+        assert any("d=2024-01-01/" in k for k in keys)
+
+        back = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "np/",
+            srv.access_key, srv.secret_key,
+            schema="id long, k int, d date",
+            hive_partitioning=True,
+        )
+        assert {tuple(r) for r in back.collect()} == {
+            tuple(r) for r in df.collect()
+        }
+
+        # predicates never match the null partition, and pruning it
+        # doesn't crash on int('__HIVE_DEFAULT_PARTITION__')
+        srv.stats.update(keys_fetched={})
+        got = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "np/",
+            srv.access_key, srv.secret_key,
+            schema="id long, k int, d date",
+            hive_partitioning=True, filters=[("k", "!=", 99)],
+        )
+        assert {r.id for r in got.collect()} == {1, 2}
+        assert all(
+            "__HIVE_DEFAULT_PARTITION__" not in k
+            for k in srv.stats["keys_fetched"]
+        )
+
+        # unsupported partition type rejected at write time
+        ts = df.selectExpr(
+            "id", "timestamp_ntz'2024-01-01 00:00:00' as t"
+        )
+        with pytest.raises(ValueError, match="no hive key round trip"):
+            write_parquet_s3_py(
+                ts, srv.endpoint, "uba", "x/",
+                srv.access_key, srv.secret_key, partition_by=["t"],
+            )
+    finally:
+        srv.close()
+
+
+def test_hive_partition_columns_only_projection(spark):
+    """Review fix: columns=[partition cols] no longer collapses to a
+    full read — each task reads only the footer row count and the
+    output is exactly the requested partition column, one row per
+    data row."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+    from datafusion_uba_spark.sources.s3_py import (
+        S3Client,
+        read_parquet_s3_py,
+    )
+
+    srv = LocalS3Server()
+    try:
+        c = S3Client(srv.endpoint, srv.access_key, srv.secret_key)
+        for region, n in (("a", 3), ("b", 2)):
+            t = pa.table({"id": pa.array(range(n), pa.int64())})
+            buf = io.BytesIO()
+            pq.write_table(t, buf)
+            c.put_object(
+                "uba", f"po/region={region}/d.parquet", buf.getvalue()
+            )
+        got = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "po/",
+            srv.access_key, srv.secret_key,
+            hive_partitioning=True, columns=["region"],
+        )
+        assert got.columns == ["region"]
+        vals = [r.region for r in got.collect()]
+        assert sorted(vals) == ["a", "a", "a", "b", "b"]
+    finally:
+        srv.close()
+
+
 def test_ranged_row_group_pruning_over_s3(spark):
     """The reference's object-store ROW-GROUP PRUNING claim
     (test_with_minio.rs:88), jar-less: upload a 10k-row parquet with
