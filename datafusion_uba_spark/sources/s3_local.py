@@ -62,6 +62,8 @@ class LocalS3Server:
             "keys_fetched": {},
         }
         self._lock = threading.Lock()
+        # in-flight multipart uploads: id -> {bucket, key, parts{n: bytes}}
+        self.uploads: dict[str, dict] = {}
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -145,6 +147,14 @@ class LocalS3Server:
                 bucket, _, key = path.partition("/")
                 return bucket, key
 
+            def _query(self) -> dict[str, str]:
+                return dict(
+                    urllib.parse.parse_qsl(
+                        urllib.parse.urlsplit(self.path).query,
+                        keep_blank_values=True,
+                    )
+                )
+
             def do_PUT(self):
                 n = int(self.headers.get("Content-Length", "0"))
                 body = self.rfile.read(n)
@@ -153,11 +163,118 @@ class LocalS3Server:
                 bucket, key = self._bucket_key()
                 if not bucket or not key:
                     return self._deny(400, "InvalidRequest")
+                q = self._query()
+                if "partNumber" in q and "uploadId" in q:
+                    # UploadPart: stash under the in-flight upload and
+                    # answer with the part's ETag (md5, quoted — the
+                    # real S3 contract complete() validates against)
+                    with outer._lock:
+                        up = outer.uploads.get(q["uploadId"])
+                        if up is None or up["bucket"] != bucket or (
+                            up["key"] != key
+                        ):
+                            return self._deny(404, "NoSuchUpload")
+                        up["parts"][int(q["partNumber"])] = body
+                    etag = f'"{hashlib.md5(body).hexdigest()}"'
+                    self.send_response(200)
+                    self.send_header("ETag", etag)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
                 with outer._lock:
                     outer.objects[(bucket, key)] = body
                 self.send_response(200)
                 self.send_header("Content-Length", "0")
                 self.end_headers()
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(n)
+                if not self._verify(body):
+                    return self._deny(403, "SignatureDoesNotMatch")
+                bucket, key = self._bucket_key()
+                if not bucket or not key:
+                    return self._deny(400, "InvalidRequest")
+                q = self._query()
+                if "uploads" in q:  # CreateMultipartUpload
+                    import uuid
+
+                    upload_id = uuid.uuid4().hex
+                    with outer._lock:
+                        outer.uploads[upload_id] = {
+                            "bucket": bucket, "key": key, "parts": {},
+                        }
+                    from xml.sax.saxutils import escape
+
+                    resp = (
+                        f'<?xml version="1.0" encoding="UTF-8"?>'
+                        f'<InitiateMultipartUploadResult xmlns="{_NS}">'
+                        f"<Bucket>{escape(bucket)}</Bucket>"
+                        f"<Key>{escape(key)}</Key>"
+                        f"<UploadId>{upload_id}</UploadId>"
+                        f"</InitiateMultipartUploadResult>"
+                    ).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/xml")
+                    self.send_header("Content-Length", str(len(resp)))
+                    self.end_headers()
+                    self.wfile.write(resp)
+                    return
+                if "uploadId" in q:  # CompleteMultipartUpload
+                    import xml.etree.ElementTree as _ET
+
+                    with outer._lock:
+                        up = outer.uploads.get(q["uploadId"])
+                    if up is None or up["bucket"] != bucket or (
+                        up["key"] != key
+                    ):
+                        return self._deny(404, "NoSuchUpload")
+                    try:
+                        root = _ET.fromstring(body)
+                    except _ET.ParseError:
+                        return self._deny(400, "MalformedXML")
+                    # tolerate both bare and namespaced part XML (our
+                    # client sends bare; boto3 namespaces it)
+                    want: list[tuple[int, str]] = []
+                    for part in root:
+                        fields = {
+                            c.tag.rsplit("}", 1)[-1]: (c.text or "")
+                            for c in part
+                        }
+                        want.append(
+                            (
+                                int(fields["PartNumber"]),
+                                fields["ETag"].strip(),
+                            )
+                        )
+                    with outer._lock:
+                        parts = up["parts"]
+                        for num, etag in want:
+                            if num not in parts:
+                                return self._deny(400, "InvalidPart")
+                            have = f'"{hashlib.md5(parts[num]).hexdigest()}"'
+                            if etag.strip('"') != have.strip('"'):
+                                return self._deny(400, "InvalidPart")
+                        blob = b"".join(
+                            parts[num] for num, _ in sorted(want)
+                        )
+                        outer.objects[(bucket, key)] = blob
+                        del outer.uploads[q["uploadId"]]
+                    from xml.sax.saxutils import escape
+
+                    resp = (
+                        f'<?xml version="1.0" encoding="UTF-8"?>'
+                        f'<CompleteMultipartUploadResult xmlns="{_NS}">'
+                        f"<Key>{escape(key)}</Key>"
+                        f"</CompleteMultipartUploadResult>"
+                    ).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/xml")
+                    self.send_header("Content-Length", str(len(resp)))
+                    self.end_headers()
+                    self.wfile.write(resp)
+                    return
+                return self._deny(400, "InvalidRequest")
 
             def do_GET(self):
                 if not self._verify(b""):

@@ -170,12 +170,13 @@ class S3Client:
         query: str = "",
         body: bytes = b"",
         extra_headers: dict | None = None,
-    ) -> bytes:
+        want_headers: bool = False,
+    ):
         url = f"{self.endpoint}{path}" + (f"?{query}" if query else "")
-        if method == "PUT":
-            # urllib defaults PUT bodies to x-www-form-urlencoded,
-            # which WSGI servers (moto/werkzeug) parse as a form and
-            # drop from request.data — declare the real content type
+        if method in ("PUT", "POST") and body:
+            # urllib defaults bodies to x-www-form-urlencoded, which
+            # WSGI servers (moto/werkzeug) parse as a form and drop
+            # from request.data — declare the real content type
             extra_headers = {
                 "content-type": "application/octet-stream",
                 **(extra_headers or {}),
@@ -190,13 +191,18 @@ class S3Client:
             self.region,
         )
         req = urllib.request.Request(
-            url, data=body if method == "PUT" else None, method=method
+            url,
+            data=body if method in ("PUT", "POST") else None,
+            method=method,
         )
         for k, v in headers.items():
             if k.lower() != "host":  # urllib sets Host itself
                 req.add_header(k, v)
         with urllib.request.urlopen(req, timeout=60) as resp:
-            return resp.read()
+            data = resp.read()
+            if want_headers:
+                return data, dict(resp.headers)
+            return data
 
     @staticmethod
     def _object_path(bucket: str, key: str) -> str:
@@ -244,6 +250,83 @@ class S3Client:
             if trunc is None or trunc.text != "true":
                 return out
             token = root.find(f"{ns}NextContinuationToken").text
+
+    # --- multipart upload (the public three-call protocol) ---------------
+
+    def create_multipart_upload(self, bucket: str, key: str) -> str:
+        data = self._request(
+            "POST", self._object_path(bucket, key), query="uploads"
+        )
+        root = ET.fromstring(data)
+        ns = root.tag[: root.tag.index("}") + 1] if root.tag.startswith("{") else ""
+        return root.find(f"{ns}UploadId").text
+
+    def upload_part(
+        self, bucket: str, key: str, upload_id: str, part_number: int,
+        body: bytes,
+    ) -> str:
+        """Returns the part's ETag (needed by complete)."""
+        q = (
+            f"partNumber={part_number}&uploadId="
+            + urllib.parse.quote(upload_id, safe="")
+        )
+        _, headers = self._request(
+            "PUT",
+            self._object_path(bucket, key),
+            query=q,
+            body=body,
+            want_headers=True,
+        )
+        etag = {k.lower(): v for k, v in headers.items()}.get("etag")
+        if not etag:
+            raise ValueError("UploadPart response carried no ETag")
+        return etag
+
+    def complete_multipart_upload(
+        self, bucket: str, key: str, upload_id: str,
+        parts: list[tuple[int, str]],
+    ) -> None:
+        """``parts``: [(part_number, etag), ...] in ascending order."""
+        body = (
+            "<CompleteMultipartUpload>"
+            + "".join(
+                f"<Part><PartNumber>{n}</PartNumber>"
+                f"<ETag>{etag}</ETag></Part>"
+                for n, etag in parts
+            )
+            + "</CompleteMultipartUpload>"
+        ).encode()
+        self._request(
+            "POST",
+            self._object_path(bucket, key),
+            query="uploadId=" + urllib.parse.quote(upload_id, safe=""),
+            body=body,
+        )
+
+    def put_object_multipart(
+        self,
+        bucket: str,
+        key: str,
+        body: bytes,
+        part_size: int = 64 * 1024 * 1024,
+    ) -> None:
+        """Upload via the multipart protocol when the body exceeds one
+        part (single PutObject is capped at 5 GB on real S3 and moves
+        the whole object in one request either way); bodies that fit
+        one part fall back to plain PutObject. Real-S3 constraint to
+        honor when sizing: every part except the last must be
+        >= 5 MiB."""
+        if len(body) <= part_size:
+            return self.put_object(bucket, key, body)
+        upload_id = self.create_multipart_upload(bucket, key)
+        parts: list[tuple[int, str]] = []
+        for i, off in enumerate(range(0, len(body), part_size), start=1):
+            parts.append(
+                (i, self.upload_part(
+                    bucket, key, upload_id, i, body[off : off + part_size]
+                ))
+            )
+        self.complete_multipart_upload(bucket, key, upload_id, parts)
 
 
 class S3RangedFile:
@@ -463,6 +546,7 @@ def write_parquet_s3_py(
     secret_key: str,
     region: str = "us-east-1",
     partition_by: list[str] | None = None,
+    part_size: int = 64 * 1024 * 1024,
 ) -> int:
     """Distributed parquet write to S3 without the s3a jars: each
     task encodes its partition (or hive sub-group) to parquet bytes
@@ -482,9 +566,11 @@ def write_parquet_s3_py(
     Returns the number of objects written. One object per task per
     partition-value combination — repartition by the partition
     columns first if many tasks would otherwise each hold a sliver
-    of every partition. Single-request PutObject bounds an object to
-    5 GB on real S3; size upstream partitions accordingly (multipart
-    upload is the jar path's job)."""
+    of every partition. Objects over ``part_size`` upload via the
+    MULTIPART protocol (Create/UploadPart/Complete), so the 5 GB
+    single-PutObject cap on real S3 never binds; parts except the
+    last must be >= 5 MiB on real S3, which the 64 MB default
+    honors."""
     from pyspark.sql import types as T
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -561,10 +647,11 @@ def write_parquet_s3_py(
                 ),
                 buf,
             )
-            c.put_object(
+            c.put_object_multipart(
                 bkt,
                 f"{prefix}{segs}part-{pid:05d}-{i:04d}.parquet",
                 buf.getvalue(),
+                part_size=part_size,
             )
             n += 1
         yield pd.DataFrame({"n_objects": [n]})

@@ -643,6 +643,99 @@ def test_write_parquet_s3_py_round_trip(spark):
         srv.close()
 
 
+def test_multipart_upload_local_conformance():
+    """The public three-call multipart protocol against the
+    signature-verifying double: parts concatenate in PartNumber
+    order, every request is SigV4-checked, a tampered ETag or unknown
+    uploadId is rejected, and put_object_multipart falls back to
+    plain PutObject under one part."""
+    import urllib.error
+
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+    from datafusion_uba_spark.sources.s3_py import S3Client
+
+    srv = LocalS3Server()
+    try:
+        c = S3Client(srv.endpoint, srv.access_key, srv.secret_key)
+        body = bytes(range(256)) * 40  # 10240 bytes
+        c.put_object_multipart("b", "mp/big.bin", body, part_size=4096)
+        assert c.get_object("b", "mp/big.bin") == body
+        assert ("mp/big.bin", len(body)) in c.list_objects("b", "mp/")
+        # single-part fallback: no in-flight upload is created
+        c.put_object_multipart("b", "mp/small.bin", b"xyz", part_size=4096)
+        assert c.get_object("b", "mp/small.bin") == b"xyz"
+        assert srv.uploads == {}
+
+        # tampered ETag -> InvalidPart
+        uid = c.create_multipart_upload("b", "mp/bad.bin")
+        c.upload_part("b", "mp/bad.bin", uid, 1, b"part-one")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.complete_multipart_upload(
+                "b", "mp/bad.bin", uid, [(1, '"deadbeef"')]
+            )
+        assert ei.value.code == 400
+        # unknown uploadId -> NoSuchUpload
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.upload_part("b", "mp/bad.bin", "nope", 1, b"x")
+        assert ei.value.code == 404
+        # wrong secret on the POST -> 403 (multipart is signed too)
+        bad = S3Client(srv.endpoint, srv.access_key, "wrong")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            bad.create_multipart_upload("b", "mp/x.bin")
+        assert ei.value.code == 403
+    finally:
+        srv.close()
+
+
+def test_multipart_upload_against_moto(moto_s3):
+    """Cross-implementation conformance: the same client code drives
+    moto's multipart endpoints and the assembled object reads back
+    byte-exact through boto3."""
+    from datafusion_uba_spark.sources.s3_py import S3Client
+
+    endpoint, s3 = moto_s3
+    c = S3Client(endpoint, "testing", "testing")
+    # real-S3 minimum part size is 5 MiB for all but the last part —
+    # honor it so the conformance claim transfers
+    part = 5 * 1024 * 1024
+    body = (b"0123456789abcdef" * (part // 16)) + b"tail-bytes"
+    c.put_object_multipart("uba-test", "mp/assembled.bin", body, part_size=part)
+    got = s3.get_object(Bucket="uba-test", Key="mp/assembled.bin")[
+        "Body"
+    ].read()
+    assert got == body
+
+
+def test_write_parquet_s3_py_multipart_path(spark):
+    """The write face forced through multipart (tiny part_size): the
+    round trip stays byte-exact and the double saw in-flight uploads
+    drain to zero."""
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+    from datafusion_uba_spark.sources.s3_py import (
+        read_parquet_s3_py,
+        write_parquet_s3_py,
+    )
+
+    df = spark.range(0, 5000).selectExpr(
+        "id", "repeat(uuid(), 2) as pad"
+    ).coalesce(1)
+    srv = LocalS3Server()
+    try:
+        write_parquet_s3_py(
+            df, srv.endpoint, "uba", "mpw/",
+            srv.access_key, srv.secret_key, part_size=16 * 1024,
+        )
+        assert srv.uploads == {}  # every upload completed
+        back = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "mpw/",
+            srv.access_key, srv.secret_key,
+        )
+        assert back.count() == 5000
+        assert back.schema == df.schema
+    finally:
+        srv.close()
+
+
 def test_hive_null_partitions_and_typed_keys(spark):
     """Review fixes: partition keys are formatted by SPARK type (a
     nullable int column that drifted to float64 in pandas still keys
