@@ -247,6 +247,11 @@ class LocalS3Server:
                                 fields["ETag"].strip(),
                             )
                         )
+                    nums = [n for n, _ in want]
+                    if nums != sorted(set(nums)):
+                        # real S3 rejects duplicate or non-ascending
+                        # part lists — the double must too
+                        return self._deny(400, "InvalidPartOrder")
                     with outer._lock:
                         parts = up["parts"]
                         for num, etag in want:
@@ -273,6 +278,25 @@ class LocalS3Server:
                     self.send_header("Content-Length", str(len(resp)))
                     self.end_headers()
                     self.wfile.write(resp)
+                    return
+                return self._deny(400, "InvalidRequest")
+
+            def do_DELETE(self):
+                if not self._verify(b""):
+                    return self._deny(403, "SignatureDoesNotMatch")
+                bucket, key = self._bucket_key()
+                q = self._query()
+                if "uploadId" in q:  # AbortMultipartUpload
+                    with outer._lock:
+                        up = outer.uploads.get(q["uploadId"])
+                        if up is None or up["bucket"] != bucket or (
+                            up["key"] != key
+                        ):
+                            return self._deny(404, "NoSuchUpload")
+                        del outer.uploads[q["uploadId"]]
+                    self.send_response(204)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
                     return
                 return self._deny(400, "InvalidRequest")
 
@@ -319,12 +343,7 @@ class LocalS3Server:
                     self.wfile.write(data)
                     return
                 # ListObjectsV2
-                q = dict(
-                    urllib.parse.parse_qsl(
-                        urllib.parse.urlsplit(self.path).query,
-                        keep_blank_values=True,
-                    )
-                )
+                q = self._query()
                 if q.get("list-type") != "2":
                     return self._deny(400, "only ListObjectsV2 supported")
                 prefix = q.get("prefix", "")

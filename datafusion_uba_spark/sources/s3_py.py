@@ -286,7 +286,12 @@ class S3Client:
         self, bucket: str, key: str, upload_id: str,
         parts: list[tuple[int, str]],
     ) -> None:
-        """``parts``: [(part_number, etag), ...] in ascending order."""
+        """``parts``: [(part_number, etag), ...] in ascending order.
+
+        Real S3 can answer CompleteMultipartUpload with HTTP 200 OK
+        whose BODY is an <Error> document (documented AWS behavior
+        for failures detected mid-completion) — the response body is
+        therefore parsed and such an error raised, never swallowed."""
         body = (
             "<CompleteMultipartUpload>"
             + "".join(
@@ -296,11 +301,31 @@ class S3Client:
             )
             + "</CompleteMultipartUpload>"
         ).encode()
-        self._request(
+        resp = self._request(
             "POST",
             self._object_path(bucket, key),
             query="uploadId=" + urllib.parse.quote(upload_id, safe=""),
             body=body,
+        )
+        try:
+            root = ET.fromstring(resp)
+        except ET.ParseError:
+            return  # non-XML 200 body: treat as success
+        if root.tag.rsplit("}", 1)[-1] == "Error":
+            raise OSError(
+                "CompleteMultipartUpload returned 200 with an Error "
+                f"body: {resp[:500]!r}"
+            )
+
+    def abort_multipart_upload(
+        self, bucket: str, key: str, upload_id: str
+    ) -> None:
+        """AbortMultipartUpload: frees the in-flight upload's parts
+        (real S3 bills stored parts until aborted)."""
+        self._request(
+            "DELETE",
+            self._object_path(bucket, key),
+            query="uploadId=" + urllib.parse.quote(upload_id, safe=""),
         )
 
     def put_object_multipart(
@@ -309,24 +334,54 @@ class S3Client:
         key: str,
         body: bytes,
         part_size: int = 64 * 1024 * 1024,
+        aws_limits: bool = True,
     ) -> None:
         """Upload via the multipart protocol when the body exceeds one
         part (single PutObject is capped at 5 GB on real S3 and moves
         the whole object in one request either way); bodies that fit
-        one part fall back to plain PutObject. Real-S3 constraint to
-        honor when sizing: every part except the last must be
-        >= 5 MiB."""
+        one part fall back to plain PutObject.
+
+        ``aws_limits`` enforces real S3's constraints up front so a
+        doomed upload fails BEFORE any bytes cross the wire: non-final
+        parts >= 5 MiB, at most 10,000 parts. Disable only against
+        test endpoints. On any failure after CreateMultipartUpload the
+        in-flight upload is ABORTED before re-raising — orphaned parts
+        accrue storage charges on real S3."""
         if len(body) <= part_size:
             return self.put_object(bucket, key, body)
+        n_parts = -(-len(body) // part_size)
+        if aws_limits:
+            if part_size < 5 * 1024 * 1024:
+                raise ValueError(
+                    f"part_size {part_size} is below real S3's 5 MiB "
+                    "minimum for non-final parts (EntityTooSmall at "
+                    "complete time); pass aws_limits=False only for "
+                    "test endpoints"
+                )
+            if n_parts > 10_000:
+                raise ValueError(
+                    f"{n_parts} parts exceeds real S3's 10,000-part "
+                    "cap; raise part_size"
+                )
         upload_id = self.create_multipart_upload(bucket, key)
-        parts: list[tuple[int, str]] = []
-        for i, off in enumerate(range(0, len(body), part_size), start=1):
-            parts.append(
-                (i, self.upload_part(
-                    bucket, key, upload_id, i, body[off : off + part_size]
-                ))
-            )
-        self.complete_multipart_upload(bucket, key, upload_id, parts)
+        try:
+            parts: list[tuple[int, str]] = []
+            for i, off in enumerate(
+                range(0, len(body), part_size), start=1
+            ):
+                parts.append(
+                    (i, self.upload_part(
+                        bucket, key, upload_id, i,
+                        body[off : off + part_size],
+                    ))
+                )
+            self.complete_multipart_upload(bucket, key, upload_id, parts)
+        except BaseException:
+            try:
+                self.abort_multipart_upload(bucket, key, upload_id)
+            except Exception:
+                pass  # the original failure is the one to surface
+            raise
 
 
 class S3RangedFile:
@@ -465,6 +520,13 @@ def _coerce_like(raw: str, like):
         return int(raw)
     if isinstance(like, float):
         return float(raw)
+    if isinstance(like, datetime.datetime):
+        raise ValueError(
+            "timestamp partition predicates are unsupported (timestamps "
+            "have no hive key round trip)"
+        )
+    if isinstance(like, datetime.date):
+        return datetime.date.fromisoformat(raw)
     return raw
 
 
@@ -547,6 +609,7 @@ def write_parquet_s3_py(
     region: str = "us-east-1",
     partition_by: list[str] | None = None,
     part_size: int = 64 * 1024 * 1024,
+    aws_limits: bool = True,
 ) -> int:
     """Distributed parquet write to S3 without the s3a jars: each
     task encodes its partition (or hive sub-group) to parquet bytes
@@ -631,12 +694,20 @@ def write_parquet_s3_py(
             for col, v in zip(part_cols, vals):
                 if pd.isna(v):
                     # Hive's null-partition directory name; the read
-                    # face maps it back to NULL
+                    # face maps it back to NULL. NOTE: float NaN is
+                    # indistinguishable from NULL once Arrow hands
+                    # pandas a float64 column — both land here (the
+                    # usual advice stands: don't partition by floats)
                     raw = HIVE_NULL_PARTITION
                 else:
-                    raw = urllib.parse.quote(
-                        part_fmt[col](v), safe=""
-                    )
+                    formatted = part_fmt[col](v)
+                    if formatted == HIVE_NULL_PARTITION:
+                        raise ValueError(
+                            f"partition value for {col!r} equals the "
+                            f"reserved null token {HIVE_NULL_PARTITION!r}"
+                            " — it would read back as NULL"
+                        )
+                    raw = urllib.parse.quote(formatted, safe="")
                 segs += f"{col}={raw}/"
             buf = _io.BytesIO()
             pq.write_table(
@@ -652,6 +723,7 @@ def write_parquet_s3_py(
                 f"{prefix}{segs}part-{pid:05d}-{i:04d}.parquet",
                 buf.getvalue(),
                 part_size=part_size,
+                aws_limits=aws_limits,
             )
             n += 1
         yield pd.DataFrame({"n_objects": [n]})
@@ -872,14 +944,15 @@ def read_parquet_s3_py(
                 if part_map is not None and tbl.num_columns == 0:
                     # partition-columns-only projection: arrow drops
                     # the row count on to_pandas of a 0-column table,
-                    # so build the frame from num_rows directly
+                    # so build the frame from num_rows directly (the
+                    # RangeIndex keeps the count even when the
+                    # projection is empty — a pure count query)
                     out = _pd.DataFrame(
-                        {
-                            col: [val] * tbl.num_rows
-                            for col, val in part_map[key].items()
-                        }
-                    )[out_names]
-                    yield out
+                        index=_pd.RangeIndex(tbl.num_rows)
+                    )
+                    for col, val in part_map[key].items():
+                        out[col] = val
+                    yield out[out_names]
                     continue
                 out = tbl.to_pandas()
                 if part_map is not None:

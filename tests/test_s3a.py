@@ -658,13 +658,66 @@ def test_multipart_upload_local_conformance():
     try:
         c = S3Client(srv.endpoint, srv.access_key, srv.secret_key)
         body = bytes(range(256)) * 40  # 10240 bytes
-        c.put_object_multipart("b", "mp/big.bin", body, part_size=4096)
+        c.put_object_multipart(
+            "b", "mp/big.bin", body, part_size=4096, aws_limits=False
+        )
         assert c.get_object("b", "mp/big.bin") == body
         assert ("mp/big.bin", len(body)) in c.list_objects("b", "mp/")
         # single-part fallback: no in-flight upload is created
         c.put_object_multipart("b", "mp/small.bin", b"xyz", part_size=4096)
         assert c.get_object("b", "mp/small.bin") == b"xyz"
         assert srv.uploads == {}
+
+        # real-S3 limits enforced BEFORE any bytes move: undersized
+        # parts and >10k parts both fail fast
+        with pytest.raises(ValueError, match="5 MiB"):
+            c.put_object_multipart("b", "mp/x.bin", body, part_size=4096)
+        assert srv.uploads == {}
+
+        # duplicate part numbers in Complete -> InvalidPartOrder (the
+        # conformance double rejects what real S3 rejects)
+        uid = c.create_multipart_upload("b", "mp/dup.bin")
+        etag = c.upload_part("b", "mp/dup.bin", uid, 1, b"part-one")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.complete_multipart_upload(
+                "b", "mp/dup.bin", uid, [(1, etag), (1, etag)]
+            )
+        assert ei.value.code == 400
+        # abort frees the in-flight upload; a second abort is 404
+        c.abort_multipart_upload("b", "mp/dup.bin", uid)
+        assert uid not in srv.uploads
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.abort_multipart_upload("b", "mp/dup.bin", uid)
+        assert ei.value.code == 404
+
+        # a failure mid-multipart auto-aborts (no orphaned uploads):
+        # sabotage upload_part after Create
+        orig = S3Client.upload_part
+        try:
+            S3Client.upload_part = lambda *a, **k: (_ for _ in ()).throw(
+                OSError("wire cut")
+            )
+            with pytest.raises(OSError, match="wire cut"):
+                c.put_object_multipart(
+                    "b", "mp/fail.bin", body, part_size=4096,
+                    aws_limits=False,
+                )
+        finally:
+            S3Client.upload_part = orig
+        assert srv.uploads == {}
+
+        # a 200-OK Complete response carrying an <Error> body raises
+        # (documented real-S3 failure shape the wire can produce)
+        orig_req = S3Client._request
+        try:
+            S3Client._request = lambda *a, **k: (
+                b'<?xml version="1.0"?><Error><Code>InternalError'
+                b"</Code></Error>"
+            )
+            with pytest.raises(OSError, match="Error body"):
+                c.complete_multipart_upload("b", "k", "uid", [(1, '"x"')])
+        finally:
+            S3Client._request = orig_req
 
         # tampered ETag -> InvalidPart
         uid = c.create_multipart_upload("b", "mp/bad.bin")
@@ -724,6 +777,7 @@ def test_write_parquet_s3_py_multipart_path(spark):
         write_parquet_s3_py(
             df, srv.endpoint, "uba", "mpw/",
             srv.access_key, srv.secret_key, part_size=16 * 1024,
+            aws_limits=False,
         )
         assert srv.uploads == {}  # every upload completed
         back = read_parquet_s3_py(
@@ -799,6 +853,40 @@ def test_hive_null_partitions_and_typed_keys(spark):
             for k in srv.stats["keys_fetched"]
         )
 
+        # date partition PREDICATES prune correctly (review fix:
+        # _coerce_like now speaks dates — range ops crashed, equality
+        # silently pruned everything)
+        got = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "np/",
+            srv.access_key, srv.secret_key,
+            schema="id long, k int, d date",
+            hive_partitioning=True,
+            filters=[("d", ">=", datetime.date(2024, 1, 2))],
+        )
+        assert {r.id for r in got.collect()} == {3}
+        got = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "np/",
+            srv.access_key, srv.secret_key,
+            schema="id long, k int, d date",
+            hive_partitioning=True,
+            filters=[("d", "=", datetime.date(2024, 1, 1))],
+        )
+        assert {r.id for r in got.collect()} == {1, 2}
+
+        # a literal value equal to the reserved null token is refused
+        # at write time (it would silently read back as NULL)
+        from pyspark.errors import PythonException
+
+        lit = spark.createDataFrame(
+            [(1, "__HIVE_DEFAULT_PARTITION__")], "id long, s string"
+        )
+        # the guard fires executor-side, so Spark surfaces it wrapped
+        with pytest.raises(PythonException, match="reserved null token"):
+            write_parquet_s3_py(
+                lit, srv.endpoint, "uba", "x/",
+                srv.access_key, srv.secret_key, partition_by=["s"],
+            )
+
         # unsupported partition type rejected at write time
         ts = df.selectExpr(
             "id", "timestamp_ntz'2024-01-01 00:00:00' as t"
@@ -846,6 +934,15 @@ def test_hive_partition_columns_only_projection(spark):
         assert got.columns == ["region"]
         vals = [r.region for r in got.collect()]
         assert sorted(vals) == ["a", "a", "a", "b", "b"]
+        # review fix: the fully-empty projection (a pure count query)
+        # keeps every file's row count instead of collapsing to 0 rows
+        empty = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "po/",
+            srv.access_key, srv.secret_key,
+            hive_partitioning=True, columns=[],
+        )
+        assert empty.columns == []
+        assert empty.count() == 5
     finally:
         srv.close()
 
