@@ -30,6 +30,7 @@ and banded signatures keep buckets small by construction.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -283,6 +284,86 @@ def _shingle_df(
     )
 
 
+def injective_hash_seed(
+    shingles: DataFrame,
+    col: str = "__s",
+    max_tries: int = 8,
+    hash_fn=None,
+) -> int:
+    """Smallest seed for which ``xxhash64(col, seed)`` is injective on
+    the distinct values of ``col`` — proven by one aggregate
+    (count-distinct of values vs count-distinct of hashes). Raises
+    after ``max_tries`` collisions instead of ever returning a seed
+    whose counts would be approximate. ``hash_fn(col, seed_lit)`` is
+    injectable for tests.
+
+    Equal counts mean the hash is injective ON THIS CORPUS, so any
+    pipeline keyed on the hash computes identical document
+    frequencies, prefix orders (any consistent total order preserves
+    the PPJoin completeness theorem — the order only tunes candidate
+    COUNT), intersection sizes, and therefore identical similarity
+    values to the string-keyed pipeline. The probability any seed
+    collides on N distinct shingles is ~N^2/2^65 — at a TRILLION
+    distinct shingles that is ~3e-5 — so the loop terminates on the
+    first try in practice."""
+    hf = hash_fn or (lambda c, s: F.xxhash64(c, s))
+    n_shingles = None
+    for seed in range(max_tries):
+        row = shingles.agg(
+            F.countDistinct(F.col(col)).alias("ns"),
+            F.countDistinct(hf(F.col(col), F.lit(seed))).alias("nh"),
+        ).head()
+        if row.ns == row.nh:
+            return seed
+        n_shingles = row.ns
+    raise ValueError(
+        f"no injective xxhash64 seed in {max_tries} tries over "
+        f"{n_shingles} distinct shingles (collision probability "
+        "~n^2/2^65 per seed — this indicates adversarial input, not "
+        "chance)"
+    )
+
+
+def _pin_and_hash_inv(
+    inv: DataFrame,
+    sh: DataFrame,
+    hash_fn,
+    pin_lineage: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared hashed-key entry for the n-gram pair pipelines: prove an
+    injective seed over the exploded inverted list ``inv`` (id, __s),
+    then re-key ``inv`` and the verification arrays in ``sh`` (id,
+    __sh) on ``xxhash64(shingle, seed)`` — 8-byte longs instead of
+    ~30-byte strings through every downstream exchange and sort.
+
+    ``pin_lineage=True`` persists ``inv`` (MEMORY_AND_DISK) BEFORE the
+    proof aggregate runs, so the proof and the pipeline read the SAME
+    rows even when the input lineage is nondeterministic (re-read of
+    changing storage, nondeterministic upstream) — the r17 second-
+    review finding. The pin is also a reuse win: the proof pass primes
+    the cache the frequency and per-doc passes then read (identical
+    canonicalized plans share one cache entry across calls). Residual
+    caveat: executor-memory eviction recomputes from lineage, which
+    re-opens the determinism assumption — truly nondeterministic
+    inputs need a checkpoint upstream. At 100 TB the pinned list is
+    large (disk-backed spill); ``pin_lineage=False`` skips it under
+    the immutable-input assumption (the normal Spark contract) and
+    recomputes the three passes from the scan."""
+    if pin_lineage:
+        inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
+    seed = injective_hash_seed(inv, "__s", hash_fn=hash_fn)
+    hf = hash_fn or (lambda c, s: F.xxhash64(c, s))
+    seed_lit = F.lit(seed)
+    inv_h = inv.select(
+        "__id", hf(F.col("__s"), seed_lit).alias("__s")
+    )
+    sh_h = sh.select(
+        "__id",
+        F.transform("__sh", lambda s: hf(s, seed_lit)).alias("__sh"),
+    )
+    return inv_h, sh_h
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -291,6 +372,9 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int | None = None,
     prefix_filter: bool = True,
+    hashed: bool = True,
+    hash_fn=None,
+    pin_lineage: bool = True,
 ) -> DataFrame:
     """Exact near-duplicate pairs by word-n-gram Jaccard similarity.
 
@@ -316,6 +400,25 @@ def ngram_jaccard_pairs(
     exact semantics). ``prefix_filter=False`` falls back to the full
     inverted index (same output, quadratic hot keys — for A/B tests).
 
+    ``hashed=True`` (default since r18) runs the whole post-shingling
+    pipeline — document frequency, the PPJoin prefix ordering, the
+    candidate self-join, the verification arrays — on ``xxhash64``
+    LONGS instead of shingle strings: ~4x fewer bytes through every
+    exchange and sort, which is exactly where the string pipeline's
+    measured scale knee lived (broadcast→SortMergeJoin transitions at
+    32x/64x shuffling ~30-byte strings; verify went 5.7 s → 52 s for
+    one doubling — tools/SCALE_RESULTS.md round-17). Exactness is NOT
+    assumed from the hash — it is PROVEN per run by
+    ``injective_hash_seed`` (count-distinct(shingle) ==
+    count-distinct(hash), seed advances on collision, raises rather
+    than approximates), so the output is byte-identical to
+    ``hashed=False`` (the permanent A/B pin in
+    tests/test_dedup_hashed.py). The proof costs one extra corpus
+    aggregate and makes the call EAGER (a job runs at plan-build
+    time); ``pin_lineage`` persists the inverted list so the proof
+    covers the exact rows the pipeline hashes (see
+    ``_pin_and_hash_inv``).
+
     Output: (doc_a, doc_b, common_shingles, jaccard_bp) with doc_a <
     doc_b; jaccard_bp = floor(jaccard * 10000) computed with exact
     integer arithmetic (floats through round() are not portable across
@@ -334,6 +437,10 @@ def ngram_jaccard_pairs(
         sh.select("__id", F.explode_outer("__sh").alias("__s"))
         .where(F.col("__s").isNotNull())
     )
+    if hashed:
+        # from here on, shingle identity IS the proven-injective hash
+        # — strings never cross another exchange
+        inv, sh = _pin_and_hash_inv(inv, sh, hash_fn, pin_lineage)
     freq = None
     if max_df is not None or (prefix_filter and tau_bp > 0):
         # document frequency is computed ONCE and reused for both the
@@ -426,6 +533,9 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    hashed: bool = True,
+    hash_fn=None,
+    pin_lineage: bool = True,
 ) -> DataFrame:
     """DIRECTIONAL near-dup pairs by n-gram set containment
     C(A -> B) = |A ∩ B| / |A| — the asymmetric signal Jaccard misses: a
@@ -452,13 +562,26 @@ def containment_pairs(
     with doc_inner != doc_outer; containment_bp =
     floor(|A ∩ B| * 10000 / |A|) where A = doc_inner's shingle set.
     Both directions can appear for mutually-similar docs — the signal
-    is directional by design."""
+    is directional by design.
+
+    ``hashed``/``hash_fn``/``pin_lineage``: same hash-keyed pipeline
+    as ``ngram_jaccard_pairs`` (proven-injective xxhash64 longs
+    through every exchange; the asymmetric prefix argument is
+    order-agnostic — the pigeonhole holds for ANY fixed total order of
+    A's shingles — so the hash order changes candidate COUNT only,
+    never the verified output). The shape shares the string
+    pipeline's knee exposure: the container side indexes FULL docs,
+    so its verify/freq joins cross broadcast thresholds at least as
+    early as Jaccard's (measured — tools/SCALE_RESULTS.md
+    round-18)."""
     tau_bp = int(round(threshold * 10000))
     sh = _shingle_df(df, text_col, id_col, n)
     inv = (
         sh.select("__id", F.explode_outer("__sh").alias("__s"))
         .where(F.col("__s").isNotNull())
     )
+    if hashed:
+        inv, sh = _pin_and_hash_inv(inv, sh, hash_fn, pin_lineage)
     freq = inv.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     if max_df is not None:
         freq = freq.where(F.col("__df") <= max_df)

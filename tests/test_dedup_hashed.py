@@ -1,8 +1,11 @@
-"""Hash-keyed exact jaccard (operators/dedup_hashed.py) — the staged
-r18 successor to the string-keyed pipeline. The bar: byte-identical
-OUTPUT to dedup.ngram_jaccard_pairs on real corpora and crafted
-boundaries, plus the injectivity-proof machinery that makes the hash
-counts exact rather than approximate.
+"""Hash-keyed exact jaccard/containment — the permanent A/B parity
+pin (r17 verdict #2: the staged ``operators/dedup_hashed.py`` module
+was folded into ``operators/dedup.py`` in r18 and ``hashed=True``
+became the default). The bar: byte-identical OUTPUT between
+``hashed=True`` (xxhash64-long keys through every exchange) and
+``hashed=False`` (the original string-keyed pipeline) on real corpora
+and crafted boundaries, plus the injectivity-proof machinery that
+makes the hash counts exact rather than approximate.
 """
 
 from __future__ import annotations
@@ -10,10 +13,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from datafusion_uba_spark.operators.dedup import ngram_jaccard_pairs
-from datafusion_uba_spark.operators.dedup_hashed import (
+from datafusion_uba_spark.operators.dedup import (
+    containment_pairs,
     injective_hash_seed,
-    ngram_jaccard_pairs_hashed,
+    ngram_jaccard_pairs,
 )
 from datafusion_uba_spark.sources import load_table
 
@@ -29,8 +32,8 @@ def test_equality_on_real_corpus(spark):
     string pipeline on the sf0.01 documents table — the same corpus
     the hash-gated dedup_ngram_jaccard registry row runs on."""
     docs = load_table(spark, SF_DIR, "documents")
-    want = _rows(ngram_jaccard_pairs(docs))
-    got = _rows(ngram_jaccard_pairs_hashed(docs))
+    want = _rows(ngram_jaccard_pairs(docs, hashed=False))
+    got = _rows(ngram_jaccard_pairs(docs))
     assert got == want
     assert len(got) > 0  # non-vacuous: the corpus has near-dups
 
@@ -50,16 +53,42 @@ def test_equality_threshold_boundary(spark):
         "doc_id long, text string",
     )
     for tau in (0.5, 0.8, 1.0):
-        want = _rows(ngram_jaccard_pairs(docs, threshold=tau))
-        got = _rows(ngram_jaccard_pairs_hashed(docs, threshold=tau))
+        want = _rows(ngram_jaccard_pairs(docs, threshold=tau, hashed=False))
+        got = _rows(ngram_jaccard_pairs(docs, threshold=tau))
         assert got == want, f"tau={tau}"
 
 
 def test_equality_with_max_df(spark):
     docs = load_table(spark, SF_DIR, "documents").limit(2000)
-    want = _rows(ngram_jaccard_pairs(docs, max_df=50))
-    got = _rows(ngram_jaccard_pairs_hashed(docs, max_df=50))
+    want = _rows(ngram_jaccard_pairs(docs, max_df=50, hashed=False))
+    got = _rows(ngram_jaccard_pairs(docs, max_df=50))
     assert got == want
+
+
+def test_containment_equality_on_real_corpus(spark):
+    """r18: containment_pairs rides the same hashed identity — full
+    output equality against its string pipeline on the corpus the
+    dedup_containment registry row runs on."""
+    docs = load_table(spark, SF_DIR, "documents").limit(2000)
+    want = _rows(containment_pairs(docs, hashed=False))
+    got = _rows(containment_pairs(docs))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_containment_equality_crafted(spark):
+    """Directional boundary: short doc quoted inside a long one, plus
+    max_df interaction — identical both-direction outputs."""
+    inner = "alpha beta gamma delta epsilon"
+    outer = inner + " zeta eta theta iota kappa lam mu nu xi omicron"
+    docs = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, "unrelated words entirely here now")],
+        "doc_id long, text string",
+    )
+    for kwargs in ({}, {"max_df": 2}, {"threshold": 0.5}):
+        want = _rows(containment_pairs(docs, hashed=False, **kwargs))
+        got = _rows(containment_pairs(docs, **kwargs))
+        assert got == want, f"kwargs={kwargs}"
 
 
 def test_injective_seed_real_hash(spark):
@@ -100,7 +129,8 @@ def test_injective_seed_advances_and_raises(spark):
 def test_hashed_pipeline_respects_injected_collisions(spark):
     """End-to-end guard: with a colliding hash injected, the pipeline
     must REFUSE (via the seed search) rather than emit inflated or
-    deflated counts."""
+    deflated counts. The proof aggregate is eager, so the raise
+    happens at plan-build time — no .collect() needed."""
     docs = spark.createDataFrame(
         [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string"
     )
@@ -109,6 +139,6 @@ def test_hashed_pipeline_respects_injected_collisions(spark):
         return F.lit(7)
 
     with pytest.raises(ValueError, match="no injective"):
-        ngram_jaccard_pairs_hashed(
-            docs, hash_fn=always_collides
-        ).collect()
+        ngram_jaccard_pairs(docs, hash_fn=always_collides)
+    with pytest.raises(ValueError, match="no injective"):
+        containment_pairs(docs, hash_fn=always_collides)
