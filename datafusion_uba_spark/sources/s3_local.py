@@ -167,7 +167,12 @@ class LocalS3Server:
                 if "partNumber" in q and "uploadId" in q:
                     # UploadPart: stash under the in-flight upload and
                     # answer with the part's ETag (md5, quoted — the
-                    # real S3 contract complete() validates against)
+                    # real S3 contract complete() validates against).
+                    # Real S3 bounds part numbers to 1..10000 at PUT
+                    # time (InvalidArgument) — the double must, or a
+                    # client bug passes here and fails on AWS.
+                    if not (1 <= int(q["partNumber"]) <= 10_000):
+                        return self._deny(400, "InvalidArgument")
                     with outer._lock:
                         up = outer.uploads.get(q["uploadId"])
                         if up is None or up["bucket"] != bucket or (
@@ -247,7 +252,15 @@ class LocalS3Server:
                                 fields["ETag"].strip(),
                             )
                         )
+                    if not want:
+                        # real S3: "You must specify at least one part"
+                        # — an empty <Part> list must not pass the
+                        # order check vacuously and materialize an
+                        # empty object (r17 second review)
+                        return self._deny(400, "InvalidRequest")
                     nums = [n for n, _ in want]
+                    if any(not (1 <= n <= 10_000) for n in nums):
+                        return self._deny(400, "InvalidArgument")
                     if nums != sorted(set(nums)):
                         # real S3 rejects duplicate or non-ascending
                         # part lists — the double must too

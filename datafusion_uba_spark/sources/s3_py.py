@@ -41,6 +41,7 @@ reads on jar-less clients.
 
 from __future__ import annotations
 
+import concurrent.futures
 import datetime
 import hashlib
 import hmac
@@ -335,6 +336,7 @@ class S3Client:
         body: bytes,
         part_size: int = 64 * 1024 * 1024,
         aws_limits: bool = True,
+        max_concurrency: int = 8,
     ) -> None:
         """Upload via the multipart protocol when the body exceeds one
         part (single PutObject is capped at 5 GB on real S3 and moves
@@ -346,7 +348,17 @@ class S3Client:
         parts >= 5 MiB, at most 10,000 parts. Disable only against
         test endpoints. On any failure after CreateMultipartUpload the
         in-flight upload is ABORTED before re-raising — orphaned parts
-        accrue storage charges on real S3."""
+        accrue storage charges on real S3.
+
+        Parts upload concurrently on a bounded thread pool
+        (``max_concurrency``, r17 verdict #5) — UploadPart is
+        order-independent on the wire (each request names its
+        PartNumber; only the CompleteMultipartUpload manifest must be
+        ascending, which is re-sorted here after the pool drains), and
+        ``_request`` holds no shared mutable state, so threads are
+        safe. On a part failure the pool's context exit WAITS for
+        in-flight parts before AbortMultipartUpload runs — no part PUT
+        ever races the abort."""
         if len(body) <= part_size:
             return self.put_object(bucket, key, body)
         n_parts = -(-len(body) // part_size)
@@ -365,16 +377,20 @@ class S3Client:
                 )
         upload_id = self.create_multipart_upload(bucket, key)
         try:
-            parts: list[tuple[int, str]] = []
-            for i, off in enumerate(
-                range(0, len(body), part_size), start=1
-            ):
-                parts.append(
-                    (i, self.upload_part(
-                        bucket, key, upload_id, i,
-                        body[off : off + part_size],
-                    ))
+            offsets = list(enumerate(range(0, len(body), part_size), start=1))
+
+            def _one(item: tuple[int, int]) -> tuple[int, str]:
+                i, off = item
+                return i, self.upload_part(
+                    bucket, key, upload_id, i, body[off : off + part_size]
                 )
+
+            with concurrent.futures.ThreadPoolExecutor(
+                max_workers=max(1, min(max_concurrency, len(offsets)))
+            ) as pool:
+                # completion order is arbitrary; the manifest must be
+                # ascending by part number
+                parts = sorted(pool.map(_one, offsets))
             self.complete_multipart_upload(bucket, key, upload_id, parts)
         except BaseException:
             try:
@@ -521,7 +537,11 @@ def _coerce_like(raw: str, like):
     if isinstance(like, float):
         return float(raw)
     if isinstance(like, datetime.datetime):
-        raise ValueError(
+        # TypeError, not ValueError: a timestamp operand is a type-level
+        # misuse of the API, distinct from a partition VALUE failing to
+        # parse (which _partition_pred_holds maps to exact three-valued
+        # semantics below)
+        raise TypeError(
             "timestamp partition predicates are unsupported (timestamps "
             "have no hive key round trip)"
         )
@@ -539,9 +559,32 @@ def _partition_pred_holds(raw: str, op: str, val) -> bool:
     if op in ("in", "not in"):
         vals = list(val)
         like = vals[0] if vals else ""
-        hit = _coerce_like(raw, like) in vals
+        try:
+            hit = _coerce_like(raw, like) in vals
+        except ValueError:
+            # a value that does not parse as the operand type cannot
+            # EQUAL any operand — exact for membership (see below)
+            hit = False
         return hit if op == "in" else not hit
-    typed = _coerce_like(raw, val)
+    try:
+        typed = _coerce_like(raw, val)
+    except ValueError as e:
+        # Foreign layouts can mix parsable and unparsable values under
+        # one column (r17 second review: this aborted the whole read).
+        # Equality is decidable without the parse — an unparsable value
+        # is never equal to the typed operand, and always unequal — so
+        # = / != stay EXACT. Ordering is genuinely undefined for such a
+        # value: raise, with the offending raw value named (the read
+        # loop adds the object key).
+        if op in ("=", "=="):
+            return False
+        if op == "!=":
+            return True
+        raise ValueError(
+            f"partition value {raw!r} does not parse as the "
+            f"{op!r}-predicate operand's type "
+            f"({type(val).__name__}): {e}"
+        ) from e
     if op in ("=", "=="):
         return typed == val
     if op == "!=":
@@ -586,6 +629,41 @@ _PART_FORMATTERS = {
     "string": str,
     "date": str,
 }
+
+
+def _infer_part_type(raws: list[str]):
+    """Infer a Spark type for a Hive partition column from its raw
+    directory values (the ``schema=None`` read path). Through r17
+    only long-vs-string was tried, so date and boolean partitions
+    written by ``write_parquet_s3_py`` read back as strings — a
+    silent write/read round-trip asymmetry (r17 second review).
+    Now every type the write face formats is recognized: long,
+    boolean (the literal true/false Hive spelling), date (ISO),
+    double — in that order, string as the fallback. tinyint/smallint
+    widths still widen to long (the directory name does not record
+    width); pass an explicit schema to pin them. All-NULL columns
+    infer string (no evidence — Spark's own convention)."""
+    from pyspark.sql import types as T
+
+    def _all(parse) -> bool:
+        try:
+            for r in raws:
+                parse(r)
+            return True
+        except ValueError:
+            return False
+
+    if not raws:
+        return T.StringType()
+    if _all(int):
+        return T.LongType()
+    if all(r in ("true", "false") for r in raws):
+        return T.BooleanType()
+    if _all(datetime.date.fromisoformat):
+        return T.DateType()
+    if _all(float):
+        return T.DoubleType()
+    return T.StringType()
 
 
 def _spark_schema_from_arrow(arrow_schema):
@@ -821,13 +899,19 @@ def read_parquet_s3_py(
             f for f in (filters or []) if f[0] not in part_cols
         ] or None
         if part_filters:
+
+            def _holds(k: str, c: str, op: str, v) -> bool:
+                try:
+                    return _partition_pred_holds(raw_parts[k][c], op, v)
+                except ValueError as e:
+                    raise ValueError(
+                        f"pruning s3://{bucket}/{k}: column {c!r}: {e}"
+                    ) from e
+
             objs = [
                 (k, sz)
                 for k, sz in objs
-                if all(
-                    _partition_pred_holds(raw_parts[k][c], op, v)
-                    for c, op, v in part_filters
-                )
+                if all(_holds(k, c, op, v) for c, op, v in part_filters)
             ]
             if not objs:
                 raise ValueError(
@@ -867,12 +951,9 @@ def read_parquet_s3_py(
                 for k, _ in objs
                 if raw_parts[k][c] != HIVE_NULL_PARTITION
             ]
-            try:
-                [int(r) for r in raws]
-                ptype = T.LongType()
-            except ValueError:
-                ptype = T.StringType()
-            schema = schema.add(T.StructField(c, ptype, True))
+            schema = schema.add(
+                T.StructField(c, _infer_part_type(raws), True)
+            )
     elif isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
 

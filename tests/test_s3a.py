@@ -643,6 +643,135 @@ def test_write_parquet_s3_py_round_trip(spark):
         srv.close()
 
 
+def test_hive_inferred_partition_dtypes_round_trip(spark):
+    """r17 verdict #7 / second review: the schema=None read path now
+    infers EVERY partition type the write face formats — date,
+    boolean, double, long — instead of long-or-string, so a
+    write→read round trip without an explicit schema keeps dtypes
+    (a dt=2023-01-01 layout reads back as DateType, not string)."""
+    import datetime
+
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+    from datafusion_uba_spark.sources.s3_py import (
+        read_parquet_s3_py,
+        write_parquet_s3_py,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime.date(2023, 1, 1), True, 0.5, 7, "x"),
+            (2, datetime.date(2023, 1, 2), False, 1.25, 8, "y"),
+        ],
+        "id long, dt date, flag boolean, ratio double, n int, s string",
+    )
+    srv = LocalS3Server()
+    try:
+        write_parquet_s3_py(
+            df, srv.endpoint, "uba", "typed/",
+            srv.access_key, srv.secret_key,
+            partition_by=["dt", "flag", "ratio", "n", "s"],
+        )
+        back = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "typed/",
+            srv.access_key, srv.secret_key,
+            hive_partitioning=True,
+        )
+        got = dict(back.dtypes)
+        assert got["dt"] == "date"
+        assert got["flag"] == "boolean"
+        assert got["ratio"] == "double"
+        assert got["n"] == "bigint"  # width not recorded in the key
+        assert got["s"] == "string"
+        want = {
+            (r.id, r.dt, r.flag, r.ratio, int(r.n), r.s)
+            for r in df.collect()
+        }
+        assert {
+            (r.id, r.dt, r.flag, r.ratio, int(r.n), r.s)
+            for r in back.collect()
+        } == want
+        # inferred date type prunes with a date predicate
+        got2 = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "typed/",
+            srv.access_key, srv.secret_key,
+            hive_partitioning=True,
+            filters=[("dt", ">=", datetime.date(2023, 1, 2))],
+        )
+        assert {r.id for r in got2.collect()} == {2}
+    finally:
+        srv.close()
+
+
+def test_hive_mixed_foreign_layout_pruning_semantics():
+    """r17 second review: a foreign layout mixing numeric and
+    non-numeric values under one partition column no longer aborts
+    the whole read on =: an unparsable value is exactly not-equal
+    (pruned by =, kept by !=); ordering predicates raise a clear
+    error naming the offending key."""
+    import pytest as _pytest
+
+    from datafusion_uba_spark.sources.s3_py import _partition_pred_holds
+
+    assert _partition_pred_holds("oops", "=", 5) is False
+    assert _partition_pred_holds("oops", "!=", 5) is True
+    assert _partition_pred_holds("oops", "in", [5, 6]) is False
+    assert _partition_pred_holds("oops", "not in", [5, 6]) is True
+    with _pytest.raises(ValueError, match="does not parse"):
+        _partition_pred_holds("oops", "<", 5)
+    # parsable values keep exact typed behavior
+    assert _partition_pred_holds("5", "=", 5) is True
+    assert _partition_pred_holds("4", "<", 5) is True
+
+
+def test_hive_mixed_foreign_layout_end_to_end(spark):
+    """Driver-side pruning over a hand-built foreign layout with a
+    non-numeric stray under a numeric column: = selects the numeric
+    partition, != keeps the stray, < raises naming the key."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+    from datafusion_uba_spark.sources.s3_py import (
+        S3Client,
+        read_parquet_s3_py,
+    )
+
+    srv = LocalS3Server()
+    try:
+        c = S3Client(srv.endpoint, srv.access_key, srv.secret_key)
+        for part, ids in (("v=1", [1]), ("v=2", [2]), ("v=weird", [3])):
+            buf = io.BytesIO()
+            pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), buf)
+            c.put_object(
+                "uba", f"mix/{part}/part-0.parquet", buf.getvalue()
+            )
+        eq = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "mix/",
+            srv.access_key, srv.secret_key,
+            schema="id long, v string",
+            hive_partitioning=True, filters=[("v", "=", 1)],
+        )
+        assert {r.id for r in eq.collect()} == {1}
+        ne = read_parquet_s3_py(
+            spark, srv.endpoint, "uba", "mix/",
+            srv.access_key, srv.secret_key,
+            schema="id long, v string",
+            hive_partitioning=True, filters=[("v", "!=", 1)],
+        )
+        assert {r.id for r in ne.collect()} == {2, 3}
+        with pytest.raises(ValueError, match=r"mix/v=weird.*does not parse"):
+            read_parquet_s3_py(
+                spark, srv.endpoint, "uba", "mix/",
+                srv.access_key, srv.secret_key,
+                schema="id long, v string",
+                hive_partitioning=True, filters=[("v", "<", 2)],
+            )
+    finally:
+        srv.close()
+
+
 def test_multipart_upload_local_conformance():
     """The public three-call multipart protocol against the
     signature-verifying double: parts concatenate in PartNumber
@@ -736,6 +865,95 @@ def test_multipart_upload_local_conformance():
         with pytest.raises(urllib.error.HTTPError) as ei:
             bad.create_multipart_upload("b", "mp/x.bin")
         assert ei.value.code == 403
+    finally:
+        srv.close()
+
+
+def test_multipart_concurrent_parts_assemble_in_order():
+    """r17 verdict #5: parts upload on a bounded thread pool. Force
+    completion order to SCRAMBLE (later parts finish first via an
+    injected per-part delay) and assert the assembled object is still
+    byte-exact — the Complete manifest is re-sorted by part number
+    after the pool drains, so wire completion order is irrelevant."""
+    import threading
+    import time
+
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+    from datafusion_uba_spark.sources.s3_py import S3Client
+
+    srv = LocalS3Server()
+    try:
+        c = S3Client(srv.endpoint, srv.access_key, srv.secret_key)
+        n_parts, psize = 12, 512
+        body = bytes(
+            (i * 7 + j) % 256 for i in range(n_parts) for j in range(psize)
+        )
+        finished: list[int] = []
+        lock = threading.Lock()
+        orig = S3Client.upload_part
+
+        def delayed(self, bucket, key, uid, num, pbody):
+            # earlier parts sleep longer -> completion order reverses
+            time.sleep((n_parts - num) * 0.01)
+            etag = orig(self, bucket, key, uid, num, pbody)
+            with lock:
+                finished.append(num)
+            return etag
+
+        try:
+            S3Client.upload_part = delayed
+            c.put_object_multipart(
+                "b", "mp/conc.bin", body, part_size=psize,
+                aws_limits=False, max_concurrency=8,
+            )
+        finally:
+            S3Client.upload_part = orig
+        assert c.get_object("b", "mp/conc.bin") == body
+        # the injected delays really did scramble the completion order
+        # (otherwise this test proves nothing)
+        assert finished != sorted(finished)
+        assert sorted(finished) == list(range(1, n_parts + 1))
+        assert srv.uploads == {}
+    finally:
+        srv.close()
+
+
+def test_multipart_double_rejects_empty_and_out_of_range_parts():
+    """r17 second review: the conformance double must deny what real
+    S3 denies — a CompleteMultipartUpload with ZERO parts (it used to
+    pass the order check vacuously and materialize an empty object)
+    and part numbers outside 1..10000 at both UploadPart and
+    Complete time."""
+    import urllib.error
+
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+    from datafusion_uba_spark.sources.s3_py import S3Client
+
+    srv = LocalS3Server()
+    try:
+        c = S3Client(srv.endpoint, srv.access_key, srv.secret_key)
+        uid = c.create_multipart_upload("b", "mp/lim.bin")
+        # zero-part Complete -> 400, and no object materializes
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.complete_multipart_upload("b", "mp/lim.bin", uid, [])
+        assert ei.value.code == 400
+        assert ("b", "mp/lim.bin") not in srv.objects
+        # part number bounds at PUT time
+        for bad_num in (0, 10_001):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                c.upload_part("b", "mp/lim.bin", uid, bad_num, b"x")
+            assert ei.value.code == 400
+        # part number bounds at Complete time (etag is irrelevant —
+        # the range check fires first)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.complete_multipart_upload(
+                "b", "mp/lim.bin", uid, [(10_001, '"x"')]
+            )
+        assert ei.value.code == 400
+        # the upload itself is still alive and completable
+        etag = c.upload_part("b", "mp/lim.bin", uid, 1, b"ok-part")
+        c.complete_multipart_upload("b", "mp/lim.bin", uid, [(1, etag)])
+        assert c.get_object("b", "mp/lim.bin") == b"ok-part"
     finally:
         srv.close()
 
