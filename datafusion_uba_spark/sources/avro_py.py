@@ -84,15 +84,31 @@ def zigzag_decode(buf: io.BytesIO) -> int:
 _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
 
 
-def _field_type(t) -> tuple[str, bool]:
-    """Normalize a field's schema to (primitive-or-logical name,
-    nullable). Accepts 'long', {'type': 'int', 'logicalType': 'date'},
-    and ['null', T] unions (either order)."""
+def _field_type(t) -> tuple[object, bool]:
+    """Normalize a field's schema to (kind, nullable). A kind is a
+    primitive/logical name string, or for the spec's complex types a
+    tuple: ``("array", item_kind)``, ``("map", value_kind)``,
+    ``("enum", (symbols...))``, ``("fixed", size)``; item/value kinds
+    recurse and wrap their own ``["null", T]`` unions as
+    ``("union_null", inner_kind)`` (so array<array<long>>, maps of
+    nullable values, etc. all resolve). Accepts 'long',
+    {'type': 'int', 'logicalType': 'date'}, and ['null', T] unions.
+
+    Unions must spell null FIRST (the canonical order every
+    mainstream writer emits): the wire format indexes the union's
+    branch LIST, and this decoder maps branch 0 to null — silently
+    accepting ['T', 'null'] would decode values as nulls and nulls as
+    garbage, so the reversed order is a loud error instead."""
     nullable = False
     if isinstance(t, list):
         branches = [b for b in t if b != "null"]
         if len(t) != 2 or len(branches) != 1:
             raise ValueError(f"only [null, T] unions supported, got {t}")
+        if t[0] != "null":
+            raise ValueError(
+                f"union {t} spells null second; branch indexes would "
+                "mis-decode (this subset requires ['null', T])"
+            )
         nullable = True
         t = branches[0]
     if isinstance(t, dict):
@@ -107,10 +123,39 @@ def _field_type(t) -> tuple[str, bool]:
             base == "long"
         ):
             return "timestamp-micros", nullable
+        if base == "array":
+            return ("array", _item_type(t["items"])), nullable
+        if base == "map":
+            return ("map", _item_type(t["values"])), nullable
+        if base == "enum":
+            syms = tuple(t["symbols"])
+            if not syms:
+                raise ValueError("enum with no symbols")
+            return ("enum", syms), nullable
+        if base == "fixed":
+            size = int(t["size"])
+            if size < 0:
+                raise ValueError(f"negative fixed size {size}")
+            return ("fixed", size), nullable
+        if base == "record":
+            raise ValueError(
+                "nested records are unsupported (flatten upstream; "
+                "array/map/enum/fixed ARE decoded)"
+            )
         t = base
     if t not in _PRIMITIVES:
         raise ValueError(f"unsupported avro type {t!r}")
     return t, nullable
+
+
+def _item_type(s) -> object:
+    """Kind for an array-item / map-value schema: recurse through
+    ``_field_type`` and wrap a ``["null", T]`` union as
+    ``("union_null", inner)`` so element nullability survives inside
+    the kind itself (fields carry nullability separately; elements
+    cannot)."""
+    kind, nullable = _field_type(s)
+    return ("union_null", kind) if nullable else kind
 
 
 def _parse_record_schema(schema: dict) -> list[tuple[str, str, bool]]:
@@ -126,7 +171,49 @@ def _parse_record_schema(schema: dict) -> list[tuple[str, str, bool]]:
 _EPOCH_ORD = 719163  # datetime.date(1970, 1, 1).toordinal()
 
 
-def _encode_value(out: bytearray, kind: str, v) -> None:
+def _encode_value(out: bytearray, kind, v) -> None:
+    if isinstance(kind, tuple):
+        tag = kind[0]
+        if tag == "union_null":
+            if v is None:
+                out += zigzag_encode(0)
+            else:
+                out += zigzag_encode(1)
+                _encode_value(out, kind[1], v)
+        elif tag == "array":
+            # one block per array (spec allows any blocking);
+            # zero-length arrays are just the terminator
+            items = list(v)
+            if items:
+                out += zigzag_encode(len(items))
+                for item in items:
+                    _encode_value(out, kind[1], item)
+            out += zigzag_encode(0)
+        elif tag == "map":
+            entries = dict(v)
+            if entries:
+                out += zigzag_encode(len(entries))
+                for mk, mv in entries.items():
+                    _encode_value(out, "string", mk)
+                    _encode_value(out, kind[1], mv)
+            out += zigzag_encode(0)
+        elif tag == "enum":
+            try:
+                out += zigzag_encode(kind[1].index(v))
+            except ValueError:
+                raise ValueError(
+                    f"value {v!r} is not an enum symbol of {kind[1]}"
+                ) from None
+        elif tag == "fixed":
+            b = bytes(v)
+            if len(b) != kind[1]:
+                raise ValueError(
+                    f"fixed({kind[1]}) got {len(b)} bytes"
+                )
+            out += b
+        else:  # pragma: no cover - _field_type already validated
+            raise ValueError(f"unsupported kind {kind}")
+        return
     if kind == "null":
         return
     if kind == "boolean":
@@ -155,7 +242,62 @@ def _encode_value(out: bytearray, kind: str, v) -> None:
         raise ValueError(f"unsupported kind {kind}")
 
 
-def _decode_value(buf: io.BytesIO, kind: str):
+def _decode_value(buf: io.BytesIO, kind):
+    if isinstance(kind, tuple):
+        tag = kind[0]
+        if tag == "union_null":
+            idx = zigzag_decode(buf)
+            if idx == 0:
+                return None
+            if idx != 1:
+                raise ValueError(
+                    f"union branch index {idx} out of range (corrupt "
+                    "block or non-[null, T] union)"
+                )
+            return _decode_value(buf, kind[1])
+        if tag == "array":
+            arr = []
+            while True:
+                n = zigzag_decode(buf)
+                if n == 0:
+                    return arr
+                if n < 0:
+                    # spec: negative count is followed by the block's
+                    # byte size (skippable-block form; unused when
+                    # reading sequentially)
+                    n = -n
+                    zigzag_decode(buf)
+                for _ in range(n):
+                    arr.append(_decode_value(buf, kind[1]))
+        if tag == "map":
+            m = {}
+            while True:
+                n = zigzag_decode(buf)
+                if n == 0:
+                    return m
+                if n < 0:
+                    n = -n
+                    zigzag_decode(buf)
+                for _ in range(n):
+                    mk = _decode_value(buf, "string")
+                    m[mk] = _decode_value(buf, kind[1])
+        if tag == "enum":
+            i = zigzag_decode(buf)
+            if not 0 <= i < len(kind[1]):
+                raise ValueError(
+                    f"enum index {i} out of range for {kind[1]} "
+                    "(corrupt block or evolved writer enum)"
+                )
+            return kind[1][i]
+        if tag == "fixed":
+            b = buf.read(kind[1])
+            if len(b) != kind[1]:
+                raise ValueError(
+                    f"truncated fixed: wanted {kind[1]} bytes, "
+                    f"got {len(b)}"
+                )
+            return b
+        raise ValueError(f"unsupported kind {kind}")  # pragma: no cover
     if kind == "null":
         return None
     if kind == "boolean":
@@ -166,9 +308,21 @@ def _decode_value(buf: io.BytesIO, kind: str):
     if kind in ("int", "long"):
         return zigzag_decode(buf)
     if kind == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        raw = buf.read(4)
+        if len(raw) != 4:
+            # uniform corruption contract (r17 second review): a short
+            # buffer raises the documented ValueError, not struct.error
+            raise ValueError(
+                f"truncated float: wanted 4 bytes, got {len(raw)}"
+            )
+        return struct.unpack("<f", raw)[0]
     if kind == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        raw = buf.read(8)
+        if len(raw) != 8:
+            raise ValueError(
+                f"truncated double: wanted 8 bytes, got {len(raw)}"
+            )
+        return struct.unpack("<d", raw)[0]
     if kind in ("bytes", "string"):
         ln = zigzag_decode(buf)
         if ln < 0:
@@ -450,23 +604,49 @@ def avro_schema_for(df, name: str = "row") -> dict:
     the session zone) is rejected rather than silently round-tripping
     back as TimestampNTZType with session-dependent instants — cast
     to ``timestamp_ntz`` first (the same explicit-rejection contract
-    as nested types)."""
-    fields = []
-    for f in df.schema.fields:
-        simple = f.dataType.simpleString()
+    as nested records). Array and map columns (string keys, per the
+    Avro spec) map to the spec's complex types, recursing through
+    nested element types; element nullability becomes a
+    ``["null", T]`` item union."""
+    from pyspark.sql import types as T
+
+    def _avro_type(dt, colname: str):
+        simple = dt.simpleString()
         if simple == "timestamp":
             raise ValueError(
-                f"column {f.name!r}: TimestampType (tz-aware instant) "
+                f"column {colname!r}: TimestampType (tz-aware instant) "
                 "would read back as TimestampNTZType with "
                 "session-zone-dependent values; cast to timestamp_ntz "
                 "before write_avro_py"
             )
+        if isinstance(dt, T.ArrayType):
+            item = _avro_type(dt.elementType, colname)
+            return {
+                "type": "array",
+                "items": ["null", item] if dt.containsNull else item,
+            }
+        if isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise ValueError(
+                    f"column {colname!r}: avro map keys are strings; "
+                    f"got {dt.keyType.simpleString()!r} keys"
+                )
+            val = _avro_type(dt.valueType, colname)
+            return {
+                "type": "map",
+                "values": ["null", val] if dt.valueContainsNull else val,
+            }
         t = _SPARK_TO_AVRO.get(simple)
         if t is None:
             raise ValueError(
-                f"column {f.name!r}: no avro mapping for spark type "
+                f"column {colname!r}: no avro mapping for spark type "
                 f"{simple!r}"
             )
+        return t
+
+    fields = []
+    for f in df.schema.fields:
+        t = _avro_type(f.dataType, f.name)
         fields.append(
             {"name": f.name, "type": ["null", t] if f.nullable else t}
         )
@@ -488,12 +668,19 @@ def write_avro_py(df, path: str, codec: str = "deflate") -> int:
         import pandas as pd
         from pyspark import TaskContext
 
+        def _scalar_null(v):
+            # pd.isna on a list/ndarray (array/map columns) returns an
+            # elementwise array — only scalars get the NaN->None map
+            if isinstance(v, (list, tuple, dict)) or getattr(
+                v, "ndim", 0
+            ):
+                return v
+            return None if pd.isna(v) else v
+
         rows: list[tuple] = []
         for pdf in batches:
             for t in pdf.itertuples(index=False):
-                rows.append(
-                    tuple(None if pd.isna(v) else v for v in t)
-                )
+                rows.append(tuple(_scalar_null(v) for v in t))
         if not rows:
             return
         # deterministic per-partition name: a retried task REPLACES
@@ -562,9 +749,35 @@ def read_avro_py(spark, path: str, schema=None, reader_schema: dict | None = Non
             "date": T.DateType(),
             "timestamp-micros": T.TimestampNTZType(),
         }
+
+        def _to_spark(kind):
+            # complex kinds (r17 verdict #6): arrays/maps recurse,
+            # element nullability comes from the union_null wrapper;
+            # enum -> string (symbols are just names), fixed -> binary
+            if isinstance(kind, tuple):
+                tag = kind[0]
+                if tag == "union_null":
+                    return _to_spark(kind[1])
+                inner_null = (
+                    isinstance(kind[1], tuple) and kind[1][0] == "union_null"
+                    if tag in ("array", "map")
+                    else False
+                )
+                if tag == "array":
+                    return T.ArrayType(_to_spark(kind[1]), inner_null)
+                if tag == "map":
+                    return T.MapType(
+                        T.StringType(), _to_spark(kind[1]), inner_null
+                    )
+                if tag == "enum":
+                    return T.StringType()
+                if tag == "fixed":
+                    return T.BinaryType()
+            return _AVRO_TO_SPARK[kind]
+
         schema = T.StructType(
             [
-                T.StructField(name, _AVRO_TO_SPARK[kind], nullable)
+                T.StructField(name, _to_spark(kind), nullable)
                 for name, kind, nullable in _parse_record_schema(avro_schema)
             ]
         )

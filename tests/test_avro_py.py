@@ -239,10 +239,111 @@ def test_ntz_round_trip_local_timestamp_micros(spark, tmp_path):
     assert rows == [(datetime.datetime(2024, 1, 2, 3, 4, 5),)]
 
 
-def test_avro_schema_for_rejects_nested(spark):
-    df = spark.createDataFrame([([1, 2],)], "arr array<int>")
+def test_avro_schema_for_still_rejects_structs_and_nonstring_map_keys(spark):
+    """r17 verdict #6 turned array/map into decoded types; nested
+    records (structs) and non-string map keys stay LOUD rejections
+    per the documented subset."""
+    df = spark.createDataFrame([((1, 2),)], "s struct<a:int,b:int>")
     with pytest.raises(ValueError, match="no avro mapping"):
         avro_schema_for(df)
+    df2 = spark.createDataFrame(
+        [({1: "a"},)], "m map<int,string>"
+    )
+    with pytest.raises(ValueError, match="map keys are strings"):
+        avro_schema_for(df2)
+
+
+def test_avro_complex_types_spark_round_trip(spark, tmp_path):
+    """r17 verdict #6: array and map columns round-trip through the
+    container write→read faces with dtypes intact (array<bigint>,
+    array with null elements, map<string,double>)."""
+    df = spark.createDataFrame(
+        [
+            (1, [1, 2, 3], ["a", None], {"x": 1.5}),
+            (2, [], [None], {}),
+            (3, [7], ["b"], {"y": -2.0, "z": 0.25}),
+        ],
+        "id long, xs array<bigint>, tags array<string>, "
+        "m map<string,double>",
+    )
+    out = str(tmp_path / "avro_complex")
+    write_avro_py(df, out)
+    back = read_avro_py(spark, out)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    want = {
+        (r.id, tuple(r.xs), tuple(r.tags), tuple(sorted(r.m.items())))
+        for r in df.collect()
+    }
+    got = {
+        (r.id, tuple(r.xs), tuple(r.tags), tuple(sorted(r.m.items())))
+        for r in back.collect()
+    }
+    assert got == want
+
+
+def test_avro_enum_fixed_and_nested_array_decode():
+    """Foreign-writer kinds with no Spark write source: enum decodes
+    to its symbol string (out-of-range index raises), fixed to exactly
+    size bytes (truncation raises), and array<array<long>> recurses;
+    the skippable negative-count block form is honored."""
+    import io as _io
+
+    from datafusion_uba_spark.sources.avro_py import (
+        _decode_value,
+        _field_type,
+        zigzag_encode,
+    )
+
+    kind, nullable = _field_type(
+        {"type": "enum", "name": "color", "symbols": ["RED", "GREEN"]}
+    )
+    assert not nullable
+    assert _decode_value(_io.BytesIO(zigzag_encode(1)), kind) == "GREEN"
+    with pytest.raises(ValueError, match="enum index"):
+        _decode_value(_io.BytesIO(zigzag_encode(5)), kind)
+
+    fkind, _ = _field_type({"type": "fixed", "name": "f8", "size": 4})
+    assert _decode_value(_io.BytesIO(b"abcd"), fkind) == b"abcd"
+    with pytest.raises(ValueError, match="truncated fixed"):
+        _decode_value(_io.BytesIO(b"ab"), fkind)
+
+    akind, _ = _field_type(
+        {"type": "array", "items": {"type": "array", "items": "long"}}
+    )
+    # outer: one block of 1 item; inner uses the NEGATIVE-count form
+    # (abs(count) items after a block byte size) per the spec
+    inner = zigzag_encode(-2) + zigzag_encode(2) + zigzag_encode(4) + (
+        zigzag_encode(5)
+    ) + zigzag_encode(0)
+    wire = zigzag_encode(1) + inner + zigzag_encode(0)
+    assert _decode_value(_io.BytesIO(wire), akind) == [[4, 5]]
+
+
+def test_avro_null_second_union_rejected():
+    """The wire indexes the union's branch list and this decoder maps
+    branch 0 to null — silently accepting ['T', 'null'] would decode
+    values as nulls, so the reversed spelling is a loud error."""
+    from datafusion_uba_spark.sources.avro_py import _field_type
+
+    assert _field_type(["null", "long"]) == ("long", True)
+    with pytest.raises(ValueError, match="null second"):
+        _field_type(["long", "null"])
+
+
+def test_avro_truncated_numerics_raise_valueerror():
+    """r17 second review: the corruption contract is uniform — a
+    truncated float/double raises the documented ValueError, not
+    struct.error."""
+    import io as _io
+
+    from datafusion_uba_spark.sources.avro_py import _decode_value
+
+    with pytest.raises(ValueError, match="truncated float"):
+        _decode_value(_io.BytesIO(b"\x00\x00"), "float")
+    with pytest.raises(ValueError, match="truncated double"):
+        _decode_value(_io.BytesIO(b"\x00\x00\x00"), "double")
+    with pytest.raises(ValueError, match="truncated varint"):
+        _decode_value(_io.BytesIO(b"\xff"), "long")
 
 
 def test_jar_reader_cross_reads_py_written_files(spark, tmp_path):
