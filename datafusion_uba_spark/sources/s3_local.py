@@ -64,6 +64,11 @@ class LocalS3Server:
         self._lock = threading.Lock()
         # in-flight multipart uploads: id -> {bucket, key, parts{n: bytes}}
         self.uploads: dict[str, dict] = {}
+        # transient-failure injection: each queued HTTP code answers
+        # exactly one request (after draining its body, so keep-alive
+        # stays coherent) — lets tests exercise the client's
+        # SlowDown/5xx retry-with-backoff path deterministically
+        self.fail_queue: list[int] = []
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -155,9 +160,25 @@ class LocalS3Server:
                     )
                 )
 
+            def _injected(self) -> bool:
+                with outer._lock:
+                    code = (
+                        outer.fail_queue.pop(0)
+                        if outer.fail_queue
+                        else None
+                    )
+                if code is None:
+                    return False
+                self._deny(
+                    code, "SlowDown" if code == 503 else "InjectedError"
+                )
+                return True
+
             def do_PUT(self):
                 n = int(self.headers.get("Content-Length", "0"))
                 body = self.rfile.read(n)
+                if self._injected():
+                    return
                 if not self._verify(body):
                     return self._deny(403, "SignatureDoesNotMatch")
                 bucket, key = self._bucket_key()
@@ -195,6 +216,8 @@ class LocalS3Server:
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", "0"))
                 body = self.rfile.read(n)
+                if self._injected():
+                    return
                 if not self._verify(body):
                     return self._deny(403, "SignatureDoesNotMatch")
                 bucket, key = self._bucket_key()
@@ -295,6 +318,8 @@ class LocalS3Server:
                 return self._deny(400, "InvalidRequest")
 
             def do_DELETE(self):
+                if self._injected():
+                    return
                 if not self._verify(b""):
                     return self._deny(403, "SignatureDoesNotMatch")
                 bucket, key = self._bucket_key()
@@ -314,6 +339,8 @@ class LocalS3Server:
                 return self._deny(400, "InvalidRequest")
 
             def do_GET(self):
+                if self._injected():
+                    return
                 if not self._verify(b""):
                     return self._deny(403, "SignatureDoesNotMatch")
                 bucket, key = self._bucket_key()

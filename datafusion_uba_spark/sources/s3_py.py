@@ -150,7 +150,22 @@ def sign_v4(
 
 
 class S3Client:
-    """Path-style S3 client over urllib: list/get/put, SigV4-signed."""
+    """Path-style S3 client over urllib: list/get/put, SigV4-signed.
+
+    Transient failures retry with capped exponential backoff + full
+    jitter (the published AWS guidance): HTTP 429/500/502/503/504 —
+    notably S3's ``503 SlowDown``, which a wide scan (every executor
+    of a 1000-node cluster hitting one prefix) WILL see — and
+    connection-level errors (reset, timeout). Every attempt re-signs
+    (fresh ``x-amz-date``, so a long backoff never walks out of
+    SigV4's clock window). Other 4xx raise immediately — they are
+    deterministic (auth, missing key, bad request) and retrying them
+    only hides the bug. All verbs retry on these codes, matching the
+    AWS SDK retry policy (CreateMultipartUpload/Complete included —
+    a 5xx leaves server state unknown either way, and Complete's
+    200-with-Error-body case is handled separately by the caller)."""
+
+    _RETRYABLE = frozenset({429, 500, 502, 503, 504})
 
     def __init__(
         self,
@@ -158,30 +173,24 @@ class S3Client:
         access_key: str,
         secret_key: str,
         region: str = "us-east-1",
+        max_retries: int = 4,
+        retry_base_sleep: float = 0.25,
     ):
         self.endpoint = endpoint.rstrip("/")
         self.access_key = access_key
         self.secret_key = secret_key
         self.region = region
+        self.max_retries = max_retries
+        self.retry_base_sleep = retry_base_sleep
 
-    def _request(
+    def _attempt(
         self,
         method: str,
-        path: str,
-        query: str = "",
-        body: bytes = b"",
-        extra_headers: dict | None = None,
-        want_headers: bool = False,
+        url: str,
+        body: bytes,
+        extra_headers: dict | None,
+        want_headers: bool,
     ):
-        url = f"{self.endpoint}{path}" + (f"?{query}" if query else "")
-        if method in ("PUT", "POST") and body:
-            # urllib defaults bodies to x-www-form-urlencoded, which
-            # WSGI servers (moto/werkzeug) parse as a form and drop
-            # from request.data — declare the real content type
-            extra_headers = {
-                "content-type": "application/octet-stream",
-                **(extra_headers or {}),
-            }
         headers = sign_v4(
             method,
             url,
@@ -204,6 +213,47 @@ class S3Client:
             if want_headers:
                 return data, dict(resp.headers)
             return data
+
+    def _request(
+        self,
+        method: str,
+        path: str,
+        query: str = "",
+        body: bytes = b"",
+        extra_headers: dict | None = None,
+        want_headers: bool = False,
+    ):
+        import random
+        import time
+
+        url = f"{self.endpoint}{path}" + (f"?{query}" if query else "")
+        if method in ("PUT", "POST") and body:
+            # urllib defaults bodies to x-www-form-urlencoded, which
+            # WSGI servers (moto/werkzeug) parse as a form and drop
+            # from request.data — declare the real content type
+            extra_headers = {
+                "content-type": "application/octet-stream",
+                **(extra_headers or {}),
+            }
+        for attempt in range(self.max_retries + 1):
+            try:
+                return self._attempt(
+                    method, url, body, extra_headers, want_headers
+                )
+            except urllib.error.HTTPError as e:
+                if (
+                    e.code not in self._RETRYABLE
+                    or attempt == self.max_retries
+                ):
+                    raise
+            except (urllib.error.URLError, ConnectionError, TimeoutError):
+                if attempt == self.max_retries:
+                    raise
+            # full jitter: sleep U(0, base * 2^attempt), capped
+            time.sleep(
+                random.random()
+                * min(self.retry_base_sleep * (2 ** attempt), 10.0)
+            )
 
     @staticmethod
     def _object_path(bucket: str, key: str) -> str:

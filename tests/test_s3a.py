@@ -772,6 +772,63 @@ def test_hive_mixed_foreign_layout_end_to_end(spark):
         srv.close()
 
 
+def test_client_retries_transient_failures_with_backoff():
+    """r18: 503 SlowDown / 5xx / 429 retry with jittered backoff and
+    per-attempt re-signing — the operational reality of a 1000-executor
+    scan hammering one prefix. Deterministic 4xx (403, 404) raise
+    immediately: retrying them only hides the bug."""
+    import urllib.error
+
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+    from datafusion_uba_spark.sources.s3_py import S3Client
+
+    srv = LocalS3Server()
+    try:
+        c = S3Client(
+            srv.endpoint, srv.access_key, srv.secret_key,
+            retry_base_sleep=0.001,
+        )
+        c.put_object("b", "r/x.bin", b"payload")
+
+        # three transient throttles, then success — one logical call
+        srv.fail_queue.extend([503, 500, 429])
+        assert c.get_object("b", "r/x.bin") == b"payload"
+        assert srv.fail_queue == []
+
+        # PUT retries too (idempotent): the object lands
+        srv.fail_queue.extend([503])
+        c.put_object("b", "r/y.bin", b"second")
+        assert c.get_object("b", "r/y.bin") == b"second"
+
+        # retries exhausted -> the transient error surfaces
+        srv.fail_queue.extend([503] * 10)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.get_object("b", "r/x.bin")
+        assert ei.value.code == 503
+        # max_retries=4 -> exactly 5 attempts consumed
+        assert len(srv.fail_queue) == 5
+        srv.fail_queue.clear()
+
+        # deterministic 4xx: immediate raise, zero retries burned
+        srv.fail_queue.extend([403, 503])
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            c.get_object("b", "r/x.bin")
+        assert ei.value.code == 403
+        assert srv.fail_queue == [503]  # only ONE request was made
+        srv.fail_queue.clear()
+        assert c.get_object("b", "r/x.bin") == b"payload"
+
+        # a throttle mid-multipart recovers transparently
+        srv.fail_queue.extend([503])
+        body = bytes(range(256)) * 40
+        c.put_object_multipart(
+            "b", "r/mp.bin", body, part_size=4096, aws_limits=False
+        )
+        assert c.get_object("b", "r/mp.bin") == body
+    finally:
+        srv.close()
+
+
 def test_multipart_upload_local_conformance():
     """The public three-call multipart protocol against the
     signature-verifying double: parts concatenate in PartNumber
