@@ -515,6 +515,57 @@ def resolve_reader_schema(
     return plan
 
 
+def _read_header(buf) -> tuple[dict, list, str, bytes, int]:
+    """Parse a container header from any seekable binary file-like
+    positioned at 0: (writer schema dict, parsed fields, codec, sync
+    marker, header-end offset). The header-end offset is the start of
+    the first data block — equivalently, 16 past the START offset of
+    the header's trailing sync marker."""
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container (bad magic)")
+    meta = _read_meta_map(buf)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro.codec {codec!r}")
+    fields = _parse_record_schema(schema)
+    sync = buf.read(16)
+    if len(sync) != 16:
+        raise ValueError("truncated header (no sync marker)")
+    return schema, fields, codec, sync, buf.tell()
+
+
+def _decode_block_rows(
+    payload: bytes, n: int, fields, codec: str, plan
+) -> list[tuple]:
+    """Decode one block's ``n`` rows from its (possibly compressed)
+    payload — the shared core of the whole-file and split readers."""
+    if codec == "deflate":
+        payload = zlib.decompress(payload, wbits=-15)
+    b = io.BytesIO(payload)
+    rows: list[tuple] = []
+    for _ in range(n):
+        vals = []
+        for _name, kind, nullable in fields:
+            if nullable and zigzag_decode(b) == 0:
+                vals.append(None)
+                continue
+            vals.append(_decode_value(b, kind))
+        if plan is not None:
+            vals = [
+                dflt
+                if idx is None
+                else (
+                    conv(vals[idx])
+                    if conv is not None and vals[idx] is not None
+                    else vals[idx]
+                )
+                for idx, dflt, conv in plan
+            ]
+        rows.append(tuple(vals))
+    return rows
+
+
 def decode_container(
     data: bytes, reader_schema: dict | None = None
 ) -> tuple[dict, list[tuple]]:
@@ -526,20 +577,12 @@ def decode_container(
     defaults, dropped writer fields discarded. The returned schema is
     then the reader schema."""
     buf = io.BytesIO(data)
-    if buf.read(4) != MAGIC:
-        raise ValueError("not an Avro object container (bad magic)")
-    meta = _read_meta_map(buf)
-    schema = json.loads(meta["avro.schema"].decode("utf-8"))
-    codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
-        raise ValueError(f"unsupported avro.codec {codec!r}")
-    fields = _parse_record_schema(schema)
+    schema, fields, codec, sync, _ = _read_header(buf)
     plan = (
         resolve_reader_schema(schema, reader_schema)
         if reader_schema is not None
         else None
     )
-    sync = buf.read(16)
     rows: list[tuple] = []
     while True:
         head = buf.read(1)
@@ -551,31 +594,82 @@ def decode_container(
         payload = buf.read(size)
         if len(payload) != size:
             raise ValueError("truncated block")
-        if codec == "deflate":
-            payload = zlib.decompress(payload, wbits=-15)
-        b = io.BytesIO(payload)
-        for _ in range(n):
-            vals = []
-            for _name, kind, nullable in fields:
-                if nullable and zigzag_decode(b) == 0:
-                    vals.append(None)
-                    continue
-                vals.append(_decode_value(b, kind))
-            if plan is not None:
-                vals = [
-                    dflt
-                    if idx is None
-                    else (
-                        conv(vals[idx])
-                        if conv is not None and vals[idx] is not None
-                        else vals[idx]
-                    )
-                    for idx, dflt, conv in plan
-                ]
-            rows.append(tuple(vals))
+        rows.extend(_decode_block_rows(payload, n, fields, codec, plan))
         if buf.read(16) != sync:
             raise ValueError("sync marker mismatch (corrupt block)")
     return (reader_schema if reader_schema is not None else schema), rows
+
+
+def _scan_for_sync(f, start: int, sync: bytes, chunk: int = 1 << 20):
+    """First absolute offset >= ``start`` where the 16-byte sync
+    marker BEGINS, scanning forward in chunks with a 15-byte overlap;
+    None past EOF. This is the container spec's own splittability
+    mechanism (the same scan Hadoop's Avro input format performs): a
+    payload-internal byte string equal to the sync can false-anchor a
+    reader — probability ~2^-128 per position — in which case block
+    decode fails LOUDLY at the trailing-sync check rather than
+    returning wrong rows."""
+    f.seek(start)
+    base = start
+    tail = b""
+    while True:
+        data = f.read(chunk)
+        if not data:
+            return None
+        hay = tail + data
+        i = hay.find(sync)
+        if i != -1:
+            return base - len(tail) + i
+        tail = hay[-15:]
+        base += len(data)
+
+
+def iter_split_rows(
+    f,
+    start: int,
+    end: int,
+    reader_schema: dict | None = None,
+    header: tuple | None = None,
+):
+    """Yield row tuples for the blocks of ONE byte-range split of a
+    container file — the task-side half of the splittable read.
+
+    Ownership rule (exact partition, Hadoop input-split semantics): a
+    block belongs to the split [start, end) that contains the START
+    offset of its preceding sync marker. The header's trailing sync
+    anchors the first block, so the split containing it needs no
+    special casing. After the first anchor the reader follows
+    block-chained syncs directly (no re-scan); every block's trailing
+    marker is verified."""
+    f.seek(0)
+    schema, fields, codec, sync, _hdr_end = (
+        header if header is not None else _read_header(f)
+    )
+    plan = (
+        resolve_reader_schema(schema, reader_schema)
+        if reader_schema is not None
+        else None
+    )
+    o = _scan_for_sync(f, start, sync)
+    while o is not None and o < end:
+        f.seek(o + 16)
+        head = f.read(1)
+        if not head:
+            return  # final sync of the file — clean EOF
+        f.seek(-1, 1)
+        n = zigzag_decode(f)
+        size = zigzag_decode(f)
+        payload = f.read(size)
+        if len(payload) != size:
+            raise ValueError("truncated block")
+        nxt = f.read(16)
+        if nxt != sync:
+            raise ValueError(
+                "sync marker mismatch (corrupt block or false sync "
+                f"anchor at offset {o})"
+            )
+        yield from _decode_block_rows(payload, n, fields, codec, plan)
+        o = f.tell() - 16  # the marker just consumed anchors the next
 
 
 # --- Spark faces ----------------------------------------------------------------
@@ -653,6 +747,56 @@ def avro_schema_for(df, name: str = "row") -> dict:
     return {"type": "record", "name": name, "fields": fields}
 
 
+def spark_schema_for_avro(avro_schema: dict):
+    """Avro record schema dict -> Spark StructType (the read-side
+    inverse of ``avro_schema_for``'s subset). Complex kinds (r17
+    verdict #6): arrays/maps recurse, element nullability comes from
+    the union_null wrapper; enum -> string (symbols are just names),
+    fixed -> binary."""
+    from pyspark.sql import types as T
+
+    prim = {
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "string": T.StringType(),
+        "boolean": T.BooleanType(),
+        "bytes": T.BinaryType(),
+        "date": T.DateType(),
+        "timestamp-micros": T.TimestampNTZType(),
+    }
+
+    def _to_spark(kind):
+        if isinstance(kind, tuple):
+            tag = kind[0]
+            if tag == "union_null":
+                return _to_spark(kind[1])
+            inner_null = (
+                isinstance(kind[1], tuple) and kind[1][0] == "union_null"
+                if tag in ("array", "map")
+                else False
+            )
+            if tag == "array":
+                return T.ArrayType(_to_spark(kind[1]), inner_null)
+            if tag == "map":
+                return T.MapType(
+                    T.StringType(), _to_spark(kind[1]), inner_null
+                )
+            if tag == "enum":
+                return T.StringType()
+            if tag == "fixed":
+                return T.BinaryType()
+        return prim[kind]
+
+    return T.StructType(
+        [
+            T.StructField(name, _to_spark(kind), nullable)
+            for name, kind, nullable in _parse_record_schema(avro_schema)
+        ]
+    )
+
+
 def write_avro_py(df, path: str, codec: str = "deflate") -> int:
     """Write ``df`` as one Avro container file per partition under
     ``path`` (created if missing). Executors write — on a real cluster
@@ -698,7 +842,13 @@ def write_avro_py(df, path: str, codec: str = "deflate") -> int:
     return manifest.count()
 
 
-def read_avro_py(spark, path: str, schema=None, reader_schema: dict | None = None):
+def read_avro_py(
+    spark,
+    path: str,
+    schema=None,
+    reader_schema: dict | None = None,
+    split_size: int | None = None,
+):
     """Read a directory of Avro container files without the spark-avro
     jar: ``binaryFile`` scan -> per-file Arrow-batched Python decode.
 
@@ -715,15 +865,73 @@ def read_avro_py(spark, path: str, schema=None, reader_schema: dict | None = Non
     long->float/double, float->double, string<->bytes). Files written
     under DIFFERENT writer schemas thus land in one uniform frame.
 
-    Memory shape: ``binaryFile`` hands each task ONE WHOLE container
-    file, so a task transiently holds that file's bytes plus its
-    decoded rows. Self-written twins are bounded (write_avro_py emits
-    one file per input partition), but over a FOREIGN Avro directory
-    with multi-GB files this concentrates memory per task — split
-    such files upstream or use the jar-backed fast path; Python-side
-    decode is the documented slow path either way."""
+    Memory shape: by default ``binaryFile`` hands each task ONE WHOLE
+    container file, so a task transiently holds that file's bytes plus
+    its decoded rows. Self-written twins are bounded (write_avro_py
+    emits one file per input partition); for a FOREIGN directory with
+    multi-GB files pass ``split_size`` instead.
+
+    ``split_size`` (bytes) activates the SPLITTABLE read — the
+    container spec's own mechanism, the same one Hadoop's Avro input
+    format uses: each file fans out into byte-range splits; a task
+    seeks to its range, scans forward to the next 16-byte sync
+    marker, and decodes exactly the blocks whose preceding sync
+    STARTS inside its range (an exact partition of the file's blocks,
+    so a 10 GB file becomes ~80 parallel 128 MB tasks instead of one
+    10 GB task, and per-task memory is bounded by split + one block).
+    Files must be reachable from executors by path (shared storage —
+    the same contract the write face states)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+
+    if split_size is not None:
+        if split_size <= 0:
+            raise ValueError(f"split_size must be positive, got {split_size}")
+        import glob as _glob
+        import os as _os
+
+        files = sorted(_glob.glob(_os.path.join(path, "*.avro")))
+        if not files:
+            raise ValueError(f"no .avro files under {path!r}")
+        if schema is None:
+            if reader_schema is not None:
+                avro_schema = reader_schema
+            else:
+                with open(files[0], "rb") as fh:
+                    avro_schema = _read_header(fh)[0]
+            schema = spark_schema_for_avro(avro_schema)
+        elif isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        splits = []
+        for p in files:
+            size = _os.path.getsize(p)
+            s0 = 0
+            while s0 < size:
+                splits.append((p, s0, min(s0 + split_size, size)))
+                s0 += split_size
+        sdf = spark.createDataFrame(
+            splits, "path string, start long, end long"
+        ).repartition(len(splits))
+        out_cols = [f.name for f in schema.fields]
+
+        def _decode_splits(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for p, s0, e0 in zip(
+                    pdf["path"], pdf["start"], pdf["end"]
+                ):
+                    with open(p, "rb") as fh:
+                        rows = list(
+                            iter_split_rows(
+                                fh, int(s0), int(e0), reader_schema
+                            )
+                        )
+                    yield pd.DataFrame.from_records(
+                        rows, columns=out_cols
+                    )
+
+        return sdf.mapInPandas(_decode_splits, schema)
 
     bf = (
         spark.read.format("binaryFile")
@@ -738,49 +946,7 @@ def read_avro_py(spark, path: str, schema=None, reader_schema: dict | None = Non
             if head is None:
                 raise ValueError(f"no .avro files under {path!r}")
             avro_schema, _ = decode_container(bytes(head[0]))
-        _AVRO_TO_SPARK = {
-            "long": T.LongType(),
-            "int": T.IntegerType(),
-            "double": T.DoubleType(),
-            "float": T.FloatType(),
-            "string": T.StringType(),
-            "boolean": T.BooleanType(),
-            "bytes": T.BinaryType(),
-            "date": T.DateType(),
-            "timestamp-micros": T.TimestampNTZType(),
-        }
-
-        def _to_spark(kind):
-            # complex kinds (r17 verdict #6): arrays/maps recurse,
-            # element nullability comes from the union_null wrapper;
-            # enum -> string (symbols are just names), fixed -> binary
-            if isinstance(kind, tuple):
-                tag = kind[0]
-                if tag == "union_null":
-                    return _to_spark(kind[1])
-                inner_null = (
-                    isinstance(kind[1], tuple) and kind[1][0] == "union_null"
-                    if tag in ("array", "map")
-                    else False
-                )
-                if tag == "array":
-                    return T.ArrayType(_to_spark(kind[1]), inner_null)
-                if tag == "map":
-                    return T.MapType(
-                        T.StringType(), _to_spark(kind[1]), inner_null
-                    )
-                if tag == "enum":
-                    return T.StringType()
-                if tag == "fixed":
-                    return T.BinaryType()
-            return _AVRO_TO_SPARK[kind]
-
-        schema = T.StructType(
-            [
-                T.StructField(name, _to_spark(kind), nullable)
-                for name, kind, nullable in _parse_record_schema(avro_schema)
-            ]
-        )
+        schema = spark_schema_for_avro(avro_schema)
 
     def _decode(batches):
         import pandas as pd
