@@ -842,6 +842,152 @@ def write_avro_py(df, path: str, codec: str = "deflate") -> int:
     return manifest.count()
 
 
+class _ReadAhead:
+    """Chunked read-ahead over a seekable raw source (S3RangedFile):
+    the decoder's byte-at-a-time varint reads would otherwise issue
+    one ranged GET PER BYTE. Serves reads from a ``chunk``-sized
+    buffer refilled with max(n, chunk) raw reads — wire cost becomes
+    ~1 GET per chunk instead of per call; the raw source never pads,
+    so total bytes moved stay <= split + one block overrun."""
+
+    def __init__(self, raw, chunk: int = 1 << 20):
+        self._raw = raw
+        self._chunk = chunk
+        self._pos = 0
+        self._buf = b""
+        self._buf_start = 0
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        else:
+            raise ValueError("whence 2 unsupported")
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            self._raw.seek(self._pos)
+            data = self._raw.read()
+            self._pos += len(data)
+            return data
+        out = []
+        while n > 0:
+            if not (
+                self._buf_start
+                <= self._pos
+                < self._buf_start + len(self._buf)
+            ):
+                self._raw.seek(self._pos)
+                self._buf = self._raw.read(max(n, self._chunk))
+                self._buf_start = self._pos
+                if not self._buf:
+                    break
+            i = self._pos - self._buf_start
+            take = self._buf[i : i + n]
+            out.append(take)
+            self._pos += len(take)
+            n -= len(take)
+        return b"".join(out)
+
+
+def read_avro_s3_py(
+    spark,
+    endpoint: str,
+    bucket: str,
+    prefix: str,
+    access_key: str,
+    secret_key: str,
+    region: str = "us-east-1",
+    schema=None,
+    reader_schema: dict | None = None,
+    split_size: int = 128 * 1024 * 1024,
+    suffix: str = ".avro",
+):
+    """Jar-less Avro scan over S3: ListObjectsV2 + the sync-marker
+    byte-range splits of ``iter_split_rows`` over ``S3RangedFile`` —
+    the composition of the two public-spec faces. Each task decodes
+    only the blocks anchored inside its split, reading through a
+    chunked read-ahead so wire cost is ~1 ranged GET per MiB, and the
+    bytes of blocks anchored in OTHER splits never cross the wire
+    (proven by server wire accounting in tests/test_avro_py.py).
+    Schema/evolution semantics identical to ``read_avro_py``."""
+    from pyspark.sql import types as T
+
+    from datafusion_uba_spark.sources.s3_py import S3Client, S3RangedFile
+
+    client = S3Client(endpoint, access_key, secret_key, region)
+    objs = [
+        (k, sz)
+        for k, sz in client.list_objects(bucket, prefix)
+        if k.endswith(suffix)
+    ]
+    if not objs:
+        raise ValueError(
+            f"no {suffix!r} objects under s3://{bucket}/{prefix} "
+            f"at {endpoint}"
+        )
+    if split_size <= 0:
+        raise ValueError(f"split_size must be positive, got {split_size}")
+    if schema is None:
+        if reader_schema is not None:
+            avro_schema = reader_schema
+        else:
+            k0, sz0 = objs[0]
+            f0 = _ReadAhead(
+                S3RangedFile(client, bucket, k0, sz0), chunk=64 * 1024
+            )
+            avro_schema = _read_header(f0)[0]
+        schema = spark_schema_for_avro(avro_schema)
+    elif isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    splits = [
+        (k, sz, s0, min(s0 + split_size, sz))
+        for k, sz in objs
+        for s0 in range(0, sz, split_size)
+    ]
+    sdf = spark.createDataFrame(
+        splits, "key string, size long, start long, end long"
+    ).repartition(len(splits))
+    out_cols = [f.name for f in schema.fields]
+    ep, ak, sk, rg, bkt = endpoint, access_key, secret_key, region, bucket
+
+    def _decode_splits(batches):
+        import pandas as pd
+
+        c = S3Client(ep, ak, sk, rg)
+        for pdf in batches:
+            for key, sz, s0, e0 in zip(
+                pdf["key"], pdf["size"], pdf["start"], pdf["end"]
+            ):
+                # header via a SMALL-chunk reader (a few KB on the
+                # wire), then the data pass with MiB chunks — a split
+                # never pays a MiB fetch just to parse the header
+                hf = _ReadAhead(
+                    S3RangedFile(c, bkt, key, int(sz)), chunk=16 * 1024
+                )
+                hdr = _read_header(hf)
+                # data chunk capped by the split's own width so the
+                # read-ahead can't overshoot a small split by a full
+                # MiB-scale buffer (overrun stays O(split))
+                f = _ReadAhead(
+                    S3RangedFile(c, bkt, key, int(sz)),
+                    chunk=min(4 << 20, max(64 * 1024, int(e0 - s0))),
+                )
+                rows = list(
+                    iter_split_rows(
+                        f, int(s0), int(e0), reader_schema, header=hdr
+                    )
+                )
+                yield pd.DataFrame.from_records(rows, columns=out_cols)
+
+    return sdf.mapInPandas(_decode_splits, schema)
+
+
 def read_avro_py(
     spark,
     path: str,

@@ -415,6 +415,83 @@ def test_avro_split_read_spark_face(spark, tmp_path):
         read_avro_py(spark, str(d), split_size=0)
 
 
+def test_avro_s3_split_scan(spark):
+    """read_avro_s3_py: jar-less Avro over S3 — sync-marker splits
+    through S3RangedFile + chunked read-ahead. Rows equal the local
+    decode; fan-out is one task per split; wire accounting stays
+    bounded (read-ahead chunks are capped by split width, so total
+    bytes served stay within a small multiple of the corpus)."""
+    from datafusion_uba_spark.sources.avro_py import read_avro_s3_py
+    from datafusion_uba_spark.sources.s3_local import LocalS3Server
+
+    from datafusion_uba_spark.sources.s3_py import S3Client
+
+    blob_a, want_a = _multiblock_container(n_rows=120, block_rows=6)
+    blob_b, want_b = _multiblock_container(n_rows=80, block_rows=6)
+    want_b = [(i + 1000, s.replace("value-", "other-")) for i, s in want_b]
+    schema_b = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    blob_b = encode_container(want_b, schema_b, block_rows=6)
+
+    srv = LocalS3Server()
+    try:
+        c = S3Client(srv.endpoint, srv.access_key, srv.secret_key)
+        c.put_object("uba", "av/a.avro", blob_a)
+        c.put_object("uba", "av/b.avro", blob_b)
+        c.put_object("uba", "av/decoy.txt", b"not avro")
+        srv.stats.update(bytes_served=0, get_requests=0)
+        df = read_avro_s3_py(
+            spark, srv.endpoint, "uba", "av/",
+            srv.access_key, srv.secret_key, split_size=300,
+        )
+        n_splits = -(-len(blob_a) // 300) + (-(-len(blob_b) // 300))
+        assert df.rdd.getNumPartitions() == n_splits > 4
+        got = {tuple(r) for r in df.collect()}
+        assert got == set(want_a) | set(want_b)
+        assert dict(df.dtypes) == {"id": "bigint", "s": "string"}
+        # wire bound: per-split header + capped data chunks. On this
+        # deliberately pathological geometry (300-byte splits over
+        # ~KB files, so every split re-reads a header comparable to
+        # the whole file) the measured ratio is ~6-7x; at real
+        # geometry (128 MB splits, KB headers) it converges to ~1x.
+        # The bound pins the ORDER: a chunking regression to
+        # corpus-x-splits or GET-per-byte would blow far past it.
+        corpus = len(blob_a) + len(blob_b)
+        assert srv.stats["bytes_served"] < 12 * corpus
+
+        # reader-schema evolution through the S3 face
+        reader = {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "added", "type": "string", "default": "d"},
+            ],
+        }
+        ev = read_avro_s3_py(
+            spark, srv.endpoint, "uba", "av/",
+            srv.access_key, srv.secret_key, split_size=300,
+            reader_schema=reader,
+        )
+        assert {tuple(r) for r in ev.collect()} == {
+            (i, "d") for i, _ in want_a + want_b
+        }
+
+        with pytest.raises(ValueError, match="no '.avro' objects"):
+            read_avro_s3_py(
+                spark, srv.endpoint, "uba", "nothing/",
+                srv.access_key, srv.secret_key,
+            )
+    finally:
+        srv.close()
+
+
 def test_avro_truncated_numerics_raise_valueerror():
     """r17 second review: the corruption contract is uniform — a
     truncated float/double raises the documented ValueError, not
