@@ -49,6 +49,7 @@ __all__ = [
     "streaming_cdc_snapshot",
     "heavy_hitter_cells",
     "run_to_memory",
+    "stream_avro_py",
 ]
 
 
@@ -1030,6 +1031,87 @@ def heavy_hitter_cells(
     from datafusion_uba_spark.operators.sketches import count_min_build
 
     return count_min_build(events, key_col, w=w, d=d, hash_family=hash_family)
+
+
+def stream_avro_py(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    reader_schema: dict | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming ingest of an Avro container DIRECTORY without the
+    spark-avro jar: the streaming ``binaryFile`` source discovers new
+    ``.avro`` files as they land, and each micro-batch decodes them
+    through the same Arrow-batched Python codec as the batch face
+    (``sources.avro_py``) — the day-N+1 ingest shape for an Avro drop
+    zone, composing with every downstream stateless/stateful operator
+    in this module.
+
+    ``schema``/``reader_schema`` semantics match ``read_avro_py``:
+    schema=None bootstraps from one existing file driver-side
+    (streaming sources require an explicit schema — standard
+    bootstrap), and reader_schema applies the spec's resolution per
+    file so mixed-writer-schema drops land in one frame. The decode
+    is per-whole-file (streaming discovery is file-granular); for
+    multi-GB foreign files use the batch face's ``split_size``
+    backfill, then stream the increments."""
+    import glob as _glob
+    import os as _os
+
+    from datafusion_uba_spark.sources.avro_py import (
+        _read_header,
+        decode_container,
+        spark_schema_for_avro,
+    )
+
+    if schema is None:
+        if reader_schema is not None:
+            avro_schema = reader_schema
+        else:
+            files = sorted(_glob.glob(_os.path.join(path, "*.avro")))
+            if not files:
+                raise ValueError(
+                    f"no .avro files under {path!r} to bootstrap the "
+                    "schema from; pass schema= or reader_schema="
+                )
+            with open(files[0], "rb") as fh:
+                avro_schema = _read_header(fh)[0]
+        schema = spark_schema_for_avro(avro_schema)
+    elif isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+
+    bin_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    reader = (
+        spark.readStream.schema(bin_schema)
+        .format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    bf = reader.load(path)
+    out_cols = [f.name for f in schema.fields]
+
+    def _decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                _, rows = decode_container(
+                    bytes(blob), reader_schema=reader_schema
+                )
+                yield pd.DataFrame.from_records(rows, columns=out_cols)
+
+    return bf.select("content").mapInPandas(_decode, schema)
 
 
 def run_to_memory(

@@ -492,6 +492,71 @@ def test_avro_s3_split_scan(spark):
         srv.close()
 
 
+def test_avro_complex_types_property_roundtrip():
+    """Hypothesis: arbitrary nested array/map/enum/fixed values
+    round-trip byte-exact through encode_container/decode_container —
+    including empty containers, None elements under [null, T] item
+    unions, and nested array<array<T>>."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "xs", "type": {"type": "array", "items": "long"}},
+            {
+                "name": "tags",
+                "type": {"type": "array", "items": ["null", "string"]},
+            },
+            {
+                "name": "nest",
+                "type": {
+                    "type": "array",
+                    "items": {"type": "array", "items": "long"},
+                },
+            },
+            {"name": "m", "type": {"type": "map", "values": "double"}},
+            {
+                "name": "col",
+                "type": {
+                    "type": "enum",
+                    "name": "color",
+                    "symbols": ["R", "G", "B"],
+                },
+            },
+            {
+                "name": "fx",
+                "type": {"type": "fixed", "name": "f4", "size": 4},
+            },
+        ],
+    }
+    txt = st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]),
+        max_size=8,
+    )
+    row = st.tuples(
+        st.lists(st.integers(-(2**62), 2**62), max_size=5),
+        st.lists(st.one_of(st.none(), txt), max_size=4),
+        st.lists(
+            st.lists(st.integers(-100, 100), max_size=3), max_size=3
+        ),
+        st.dictionaries(txt, st.floats(allow_nan=False), max_size=4),
+        st.sampled_from(["R", "G", "B"]),
+        st.binary(min_size=4, max_size=4),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(rows=st.lists(row, max_size=6))
+    def check(rows):
+        for codec in ("null", "deflate"):
+            blob = encode_container(rows, schema, codec=codec, block_rows=2)
+            _, got = decode_container(blob)
+            assert got == rows
+
+    check()
+
+
 def test_avro_truncated_numerics_raise_valueerror():
     """r17 second review: the corruption contract is uniform — a
     truncated float/double raises the documented ValueError, not

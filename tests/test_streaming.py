@@ -1423,3 +1423,65 @@ def test_streaming_ann_topk_from_index_parity(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {sink}")
         similarity.drop_ivf_index(spark, "ann_stream_idx")
+
+
+def test_stream_avro_py_ingest(spark, tmp_path):
+    """r18: streaming Avro drop-zone ingest — files decoded per
+    micro-batch through the dependency-free codec; a second
+    availableNow pass picks up ONLY newly-landed files when reusing a
+    checkpoint-free memory run (full re-read), and the reader-schema
+    evolution path holds through the stream."""
+    from datafusion_uba_spark.sources.avro_py import write_avro_py
+    from datafusion_uba_spark.streaming import run_to_memory, stream_avro_py
+
+    d = str(tmp_path / "avro_drop")
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, s string"
+    )
+    write_avro_py(df1.coalesce(1), d)
+
+    sdf = stream_avro_py(spark, d)
+    run_to_memory(sdf, "avro_stream_t1")
+    got1 = {tuple(r) for r in spark.table("avro_stream_t1").collect()}
+    assert got1 == {(1, "a"), (2, "b")}
+
+    # a new drop lands; a fresh availableNow run reads both files
+    df2 = spark.createDataFrame([(3, "c")], "id long, s string")
+    import os
+
+    os.rename(
+        os.path.join(d, "part-00000.avro"),
+        os.path.join(d, "drop-00000.avro"),
+    )
+    write_avro_py(df2.coalesce(1), d)
+    sdf2 = stream_avro_py(spark, d)
+    run_to_memory(sdf2, "avro_stream_t2")
+    got2 = {tuple(r) for r in spark.table("avro_stream_t2").collect()}
+    assert got2 == {(1, "a"), (2, "b"), (3, "c")}
+
+    # evolution through the stream: reader adds a defaulted column
+    reader = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": ["null", "long"]},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "v", "type": "long", "default": 7},
+        ],
+    }
+    sdf3 = stream_avro_py(spark, d, reader_schema=reader)
+    run_to_memory(sdf3, "avro_stream_t3")
+    got3 = {tuple(r) for r in spark.table("avro_stream_t3").collect()}
+    assert got3 == {(1, "a", 7), (2, "b", 7), (3, "c", 7)}
+
+    # empty dir without a schema is a loud bootstrap error
+    import pytest as _pytest
+
+    empty = str(tmp_path / "nothing")
+    os.makedirs(empty)
+    with _pytest.raises(ValueError, match="bootstrap"):
+        stream_avro_py(spark, empty)
+    # ...but an explicit schema works over an empty dir (zero rows)
+    sdf4 = stream_avro_py(spark, empty, schema="id long, s string")
+    run_to_memory(sdf4, "avro_stream_t4")
+    assert spark.table("avro_stream_t4").count() == 0
