@@ -1,7 +1,9 @@
 """Deduplication operators for LLM training-data pipelines.
 
 Four families, all expressed with built-in Catalyst expressions (no
-Python UDFs, no cartesian products, no driver-side loops):
+Python UDFs, no cartesian products; the one driver-side loop is the
+size-gated union-find finish of neardup_components, which only ever
+sees a broadcast-class contracted edge set):
 
 - **Exact** dedup: sha256 of normalized text → min-id canonical per
   fingerprint. One hash shuffle; scales linearly.
@@ -336,21 +338,36 @@ def _pin_and_hash_inv(
     __sh) on ``xxhash64(shingle, seed)`` — 8-byte longs instead of
     ~30-byte strings through every downstream exchange and sort.
 
-    ``pin_lineage=True`` persists ``inv`` (MEMORY_AND_DISK) BEFORE the
-    proof aggregate runs, so the proof and the pipeline read the SAME
-    rows even when the input lineage is nondeterministic (re-read of
-    changing storage, nondeterministic upstream) — the r17 second-
-    review finding. The pin is also a reuse win: the proof pass primes
-    the cache the frequency and per-doc passes then read (identical
-    canonicalized plans share one cache entry across calls). Residual
-    caveat: executor-memory eviction recomputes from lineage, which
-    re-opens the determinism assumption — truly nondeterministic
-    inputs need a checkpoint upstream. At 100 TB the pinned list is
-    large (disk-backed spill); ``pin_lineage=False`` skips it under
-    the immutable-input assumption (the normal Spark contract) and
-    recomputes the three passes from the scan."""
+    ``pin_lineage=True`` persists the per-doc shingle-ARRAY frame
+    ``sh`` (MEMORY_AND_DISK) BEFORE the proof aggregate runs, and
+    re-derives ``inv`` from the pinned frame, so the proof, the
+    inverted-list passes AND the verification arrays all read the
+    SAME rows even when the input lineage is nondeterministic
+    (re-read of changing storage, nondeterministic upstream) — the
+    r17 second-review finding, now covering the verify side too.
+    Pinning at the array level (r18 optimization, measured by stage
+    profile) is also the bigger reuse win: the string-keyed
+    normalize→tokenize→shingle chain — the heaviest map work of the
+    whole family — runs ONCE per row instead of three times (proof/
+    inverted-list prime + one per verification side), because
+    explode, hashing, frequency and both verify arrays are all cheap
+    derivations of the cached arrays. Residual caveat: executor-
+    memory eviction recomputes from lineage, which re-opens the
+    determinism assumption — truly nondeterministic inputs need a
+    checkpoint upstream. At 100 TB the pinned frame is large
+    (disk-backed spill, same bytes as the old exploded-list pin);
+    ``pin_lineage=False`` skips it under the immutable-input
+    assumption (the normal Spark contract) and recomputes the passes
+    from the scan."""
     if pin_lineage:
-        inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        # identical construction to the callers' (explode_outer + null
+        # guard — see ngram_jaccard_pairs on why outer), re-rooted on
+        # the pinned arrays
+        inv = (
+            sh.select("__id", F.explode_outer("__sh").alias("__s"))
+            .where(F.col("__s").isNotNull())
+        )
     seed = injective_hash_seed(inv, "__s", hash_fn=hash_fn)
     hf = hash_fn or (lambda c, s: F.xxhash64(c, s))
     seed_lit = F.lit(seed)
@@ -791,15 +808,35 @@ def minhash_dedup_against(
     """
     if num_perm % bands != 0:
         raise ValueError("bands must divide num_perm")
-    inc_sh = _shingle_df(increment, text_col, id_col, n)
+    # the increment's shingle arrays feed both its signature pass and
+    # its verification side — persist so the text chain runs once (r18)
+    inc_sh = _shingle_df(increment, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     inc_sig = inc_sh.select(
         "__id",
         minhash_signature(F.col("__sh"), num_perm, hash_family).alias("__sig"),
     )
     inc_banded = _banded(inc_sig, num_perm, bands)
+    cor_sh_shared = None
     if corpus_index is None:
-        corpus_index = minhash_index(
-            corpus, text_col, id_col, n, num_perm, bands, hash_family
+        # inline index build: when the index is NOT handed in, the
+        # corpus is being fully shingled here anyway — persist that
+        # frame and let the verification side read it too, instead of
+        # running the corpus text chain a second time (r18). When an
+        # index IS handed in, verification keeps its candidate-only
+        # (semi-join-sized) corpus read — the 100 TB posture.
+        cor_sh_shared = _shingle_df(corpus, text_col, id_col, n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        cor_sig = cor_sh_shared.select(
+            "__id",
+            minhash_signature(
+                F.col("__sh"), num_perm, hash_family
+            ).alias("__sig"),
+        )
+        corpus_index = _banded(cor_sig, num_perm, bands).withColumnRenamed(
+            "__id", id_col
         )
     inc_b = inc_banded.select(
         F.col("__id").alias("__inc_id"),
@@ -819,7 +856,13 @@ def minhash_dedup_against(
     )
     # exact verify on candidates only: corpus shingles are computed for
     # the candidate dup_of set alone (join pushes the id filter down)
-    cor_sh = _shingle_df(corpus, text_col, id_col, n).select(
+    # — unless the full corpus was just shingled for the inline index
+    # build, in which case the persisted frame is reused
+    cor_sh = (
+        cor_sh_shared
+        if cor_sh_shared is not None
+        else _shingle_df(corpus, text_col, id_col, n)
+    ).select(
         F.col("__id").alias("dup_of"), F.col("__sh").alias("__shc")
     )
     inc_side = inc_sh.select(
@@ -860,7 +903,14 @@ def minhash_lsh_pairs(
     """
     if num_perm % bands != 0:
         raise ValueError("bands must divide num_perm")
-    sh = _shingle_df(df, text_col, id_col, n)
+    # THREE consumers read the shingle arrays (the signature pass and
+    # both verification sides) — the lazy persist runs the string
+    # normalize→tokenize→shingle chain once instead of three times
+    # (r18 stage profile; same reuse as the jaccard family's
+    # _pin_and_hash_inv pin, disk-backed at scale)
+    sh = _shingle_df(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = sh.select(
         "__id",
         minhash_signature(F.col("__sh"), num_perm, hash_family).alias("__sig"),
@@ -1167,11 +1217,62 @@ def simhash_dedup_against(
 # --- duplicate-cluster canonicalization ------------------------------------
 
 
+# Edge-count gate below which the star-contraction fixpoint finishes
+# DRIVER-SIDE with min-label union-find instead of paying O(log^2 n)
+# more job barriers (r18 optimization round, guide §1.2 step 1 /
+# §2.6): a contracted edge set of <= this many (long, long) rows is
+# broadcast-class data (2M edges = 32 MB — the same order as a
+# broadcast-join build side, and the same driver-bytes class as the
+# per-round fingerprint collect this loop already does), while every
+# avoided round saves two full job barriers (localCheckpoint +
+# fingerprint) plus the final exceptAll-both-ways double job. At
+# 100 TB the first rounds still run distributed — each large-star/
+# small-star round only shrinks the star-forest edge set toward the
+# fixpoint, and the loop falls through to the local finish as soon as
+# the survivor count clears the gate. Output is IDENTICAL: union-find
+# that always parents the larger root under the smaller computes
+# exactly the min-of-component labels the remaining rounds would
+# (pinned by test_neardup_components_local_vs_distributed).
+# Set to 0 (param or UBA_CC_LOCAL_EDGES env) to force the
+# all-distributed path.
+CC_LOCAL_EDGE_LIMIT = 2_000_000
+
+
+def _union_find_components(
+    edges: list[tuple[int, int]],
+) -> list[tuple[int, int]]:
+    """Min-label union-find over collected (a, b) edges: one (id,
+    min-of-component) row per distinct id. Union parents the LARGER
+    root under the smaller, so every root IS its component's minimum;
+    path compression keeps the pass near-linear."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    ids = set()
+    for a, b in edges:
+        ids.add(a)
+        ids.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return [(i, find(i)) for i in sorted(ids)]
+
+
 def neardup_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 20,
+    local_edge_limit: int | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list — the
     canonicalization step that turns ANY pair generator's output
@@ -1202,16 +1303,26 @@ def neardup_components(
     Both preserve connectivity and only ever lower endpoints; the
     fixpoint is a disjoint union of stars centered at each component's
     MINIMUM id, which is exactly the canonical-id contract. All
-    built-ins, no driver-side graph; each round localCheckpoints the
-    edge frame — two longs per surviving edge — so round N's plan does
-    not replay rounds 1..N-1 (at cluster scale use
-    spark.sparkContext.setCheckpointDir + .checkpoint() for fault
-    tolerance instead). Convergence check is two-stage to keep the
-    steady-state cost at one tiny aggregate per round: a (count,
-    sum(a), sum(b)) DECIMAL(38,0) fingerprint gates an exact
-    exceptAll-both-ways set comparison, so the exact check runs only
-    when the fingerprint says "possibly converged" (sound: equality is
-    only ever declared by the exact comparison).
+    built-ins; each round localCheckpoints the edge frame — two longs
+    per surviving edge — so round N's plan does not replay rounds
+    1..N-1 (at cluster scale use spark.sparkContext.setCheckpointDir +
+    .checkpoint() for fault tolerance instead). Convergence check is
+    two-stage to keep the steady-state cost at one tiny aggregate per
+    round: a (count, sum(a), sum(b)) DECIMAL(38,0) fingerprint gates
+    an exact exceptAll-both-ways set comparison, so the exact check
+    runs only when the fingerprint says "possibly converged" (sound:
+    equality is only ever declared by the exact comparison).
+
+    HYBRID FINISH (r18 optimization): once the surviving edge count is
+    <= ``local_edge_limit`` (default CC_LOCAL_EDGE_LIMIT, env
+    UBA_CC_LOCAL_EDGES) the remaining rounds are replaced by ONE
+    collect of the broadcast-sized contracted edge set and a
+    driver-side min-label union-find — identical output (union-find
+    computes the same component minima the rounds converge to), at a
+    fraction of the job barriers. Graphs at or below the gate never
+    iterate distributed; graphs above it contract distributed until
+    they clear the gate. ``max_iter`` still bounds the distributed
+    rounds; 0 via env/param forces the all-distributed path.
 
     Deterministic: min over an undirected edge set — no seed, no
     partition sensitivity. The DuckDB oracle replays it as a recursive
@@ -1249,12 +1360,19 @@ def neardup_components(
         ).collect()[0]
         return (row["n"], row["sa"], row["sb"])
 
+    if local_edge_limit is None:
+        import os
+
+        local_edge_limit = int(
+            os.environ.get("UBA_CC_LOCAL_EDGES", str(CC_LOCAL_EDGE_LIMIT))
+        )
     converged = False
+    local_stars: list[tuple[int, int]] | None = None
     fp = _fingerprint(e)
     if fp[0] == 0:  # no non-self edges: every node is its own star
         converged = True
     for _ in range(max_iter):
-        if converged:
+        if converged or fp[0] <= local_edge_limit:
             break
         # large-star: for each u, emit (v, min(N+(u))) for neighbors v > u
         sym = e.select(
@@ -1298,12 +1416,28 @@ def neardup_components(
                 new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty()
             )
         e, fp = new_e, new_fp
+    if not converged and fp[0] <= local_edge_limit:
+        # the contracted graph is broadcast-sized: finish locally
+        # instead of paying more per-round job barriers (see
+        # CC_LOCAL_EDGE_LIMIT). One collect of <= limit 16-byte rows.
+        local_stars = _union_find_components(
+            [(r["a"], r["b"]) for r in e.collect()]
+        )
+        converged = True
     if not converged:
         raise RuntimeError(
             f"neardup_components: no fixpoint after {max_iter} rounds — "
             "star-contraction needs O(log^2 n) rounds, so raise max_iter"
         )
-    stars = e.select(F.col("a").alias("id"), F.col("b").alias("comp"))
+    if local_stars is not None:
+        # (id, comp) for EVERY id in the collected edges, incl. the
+        # component minima themselves (comp == id) — one row per id,
+        # so the left join below stays row-preserving, and coalesce
+        # yields the same label either way.
+        stars = pairs.sparkSession.createDataFrame(local_stars, e.schema)
+    else:
+        stars = e
+    stars = stars.select(F.col("a").alias("id"), F.col("b").alias("comp"))
     return nodes.join(stars, "id", "left").select(
         F.col("id").alias("doc_id"),
         F.coalesce(F.col("comp"), F.col("id")).alias("canonical_id"),

@@ -515,7 +515,11 @@ def ann_topk_lsh(
             ],
         )
 
-    dc = with_codes(data, "vec")
+    # The coded data side has TWO consumers (the candidate explode and
+    # the rescore array join) — the lazy checkpoint materializes the
+    # n_pool plane dots once instead of twice (r18 measurement: the two
+    # coding stages were the top-2 executor-runtime stages of the row).
+    dc = with_codes(data, "vec").localCheckpoint(eager=False)
     qc_df = with_codes(queries, "query")
 
     # Candidate generation is NARROW on purpose: only (id, table_id,
@@ -554,6 +558,17 @@ def ann_topk_lsh(
         # n_data x n_queries score matrix the index admits to rescore.
         # Costs an extra action — only on request, never on the hot path.
         diagnostics["n_candidate_pairs"] = pairs.count()
+    # Pin the rescore stage's parallelism (the semantic_pairs lesson,
+    # r18 measurement here): AQE coalesces the deduped pair stream by
+    # BYTES — candidate pairs are 16-byte rows, so the whole fused
+    # array-join + dim-term-cosine stage landed on ONE reducer (2.8 s
+    # single-core at sf0.1). The explicit user-pinned repartition (AQE
+    # never re-coalesces an explicit count) spreads the per-pair
+    # cosine work; it shuffles only the skinny pair rows.
+    n_parts = int(
+        data.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    pairs = pairs.repartition(n_parts, "vec_id")
     cand = pairs.join(
         dc.select("vec_id", "vec_q", "vec_n"), "vec_id"
     ).join(
@@ -1157,6 +1172,15 @@ def embedding_neardup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Pin the verify stage's parallelism (r18, same measurement as
+    # ann_topk_lsh): the deduped pair stream is 16-byte rows, so AQE's
+    # byte-based coalescing lands the fused array-join + cosine stage
+    # on one reducer; the explicit user-pinned repartition (which AQE
+    # never re-coalesces) spreads it and shuffles only skinny rows.
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    pairs = pairs.repartition(n_parts, "id_a")
     cand = pairs.join(
         d.selectExpr("vec_id AS id_a", "vec_q AS qa", "vec_n AS na"), "id_a"
     ).join(

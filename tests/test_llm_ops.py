@@ -176,9 +176,55 @@ def test_neardup_components_crafted(spark):
     # empty pair list is already at fixpoint
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert dedup.neardup_components(empty).count() == 0
-    # diameter larger than max_iter raises instead of mislabeling
+    # distributed path (local finish gated off): diameter larger than
+    # max_iter raises instead of mislabeling
     with pytest.raises(RuntimeError, match="fixpoint"):
-        dedup.neardup_components(pairs, max_iter=1)
+        dedup.neardup_components(pairs, max_iter=1, local_edge_limit=0)
+
+
+def test_neardup_components_local_vs_distributed(spark):
+    """The r18 size-gated local finish (union-find over the collected
+    contracted edges) must be row-identical to the all-distributed
+    star-contraction fixpoint, including on the shapes that stress
+    min-label propagation (long path, shared-min triangle, isolated
+    self-pair)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(2, 34)]     # 32-hop path -> 2
+        + [(50, 51), (51, 52), (50, 52)]       # triangle -> 50
+        + [(70, 70)]                           # self-pair: own star
+        + [(90, 95), (95, 91), (91, 99)],      # zigzag -> 90
+        "doc_a long, doc_b long",
+    )
+    local = {
+        (r.doc_id, r.canonical_id)
+        for r in dedup.neardup_components(
+            pairs, local_edge_limit=10_000_000
+        ).collect()
+    }
+    distributed = {
+        (r.doc_id, r.canonical_id)
+        for r in dedup.neardup_components(
+            pairs, local_edge_limit=0
+        ).collect()
+    }
+    assert local == distributed
+    assert (70, 70) in local
+
+    # hybrid: an 8-clique holds 28 distinct edges but contracts to 7
+    # star edges after one round — a gate of 10 forces round 1 to run
+    # DISTRIBUTED (28 > 10) and the contracted survivors to finish
+    # locally, exercising the fall-through
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(1, 9) for b in range(a + 1, 9)],
+        "doc_a long, doc_b long",
+    )
+    hybrid = {
+        (r.doc_id, r.canonical_id)
+        for r in dedup.neardup_components(
+            clique, local_edge_limit=10
+        ).collect()
+    }
+    assert hybrid == {(i, 1) for i in range(1, 9)}
 
 
 def test_neardup_components_long_chain(spark):
