@@ -331,12 +331,23 @@ def _pin_and_hash_inv(
     sh: DataFrame,
     hash_fn,
     pin_lineage: bool,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared hashed-key entry for the n-gram pair pipelines: prove an
-    injective seed over the exploded inverted list ``inv`` (id, __s),
-    then re-key ``inv`` and the verification arrays in ``sh`` (id,
-    __sh) on ``xxhash64(shingle, seed)`` — 8-byte longs instead of
-    ~30-byte strings through every downstream exchange and sort.
+    injective seed, then re-key ``inv`` (id, __s), the verification
+    arrays in ``sh`` (id, __sh), and the document-frequency table on
+    ``xxhash64(shingle, seed)`` — 8-byte longs instead of ~30-byte
+    strings through every downstream exchange and sort.
+
+    The proof and the frequency aggregate are FUSED (r18 optimization,
+    guide §1.2/§2.3): document frequency ``freq`` = groupBy(shingle)
+    count is computed FIRST, and ``injective_hash_seed`` runs over
+    freq's one-row-per-distinct-shingle frame instead of re-scanning
+    the full occurrence list with a double countDistinct. The r17
+    pipeline paid the proof (full-occurrence Expand x2 aggregate) PLUS
+    a separate freq aggregate; this shape pays the freq aggregate once
+    and a near-free distinct-level proof on top of it. The returned
+    ``freq_h`` is (hashed __s, __df) — df values byte-identical to the
+    string pipeline's by the injectivity proof.
 
     ``pin_lineage=True`` persists the per-doc shingle-ARRAY frame
     ``sh`` (MEMORY_AND_DISK) BEFORE the proof aggregate runs, and
@@ -368,7 +379,13 @@ def _pin_and_hash_inv(
             sh.select("__id", F.explode_outer("__sh").alias("__s"))
             .where(F.col("__s").isNotNull())
         )
-    seed = injective_hash_seed(inv, "__s", hash_fn=hash_fn)
+    freq = inv.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    if pin_lineage:
+        # small (one row per distinct shingle); pinning it means the
+        # proof aggregate primes the exact rows the prefix-ordering
+        # pass then reads
+        freq = freq.persist(StorageLevel.MEMORY_AND_DISK)
+    seed = injective_hash_seed(freq, "__s", hash_fn=hash_fn)
     hf = hash_fn or (lambda c, s: F.xxhash64(c, s))
     seed_lit = F.lit(seed)
     inv_h = inv.select(
@@ -378,7 +395,8 @@ def _pin_and_hash_inv(
         "__id",
         F.transform("__sh", lambda s: hf(s, seed_lit)).alias("__sh"),
     )
-    return inv_h, sh_h
+    freq_h = freq.select(hf(F.col("__s"), seed_lit).alias("__s"), "__df")
+    return inv_h, sh_h, freq_h
 
 
 def ngram_jaccard_pairs(
@@ -454,17 +472,19 @@ def ngram_jaccard_pairs(
         sh.select("__id", F.explode_outer("__sh").alias("__s"))
         .where(F.col("__s").isNotNull())
     )
+    freq = None
     if hashed:
         # from here on, shingle identity IS the proven-injective hash
-        # — strings never cross another exchange
-        inv, sh = _pin_and_hash_inv(inv, sh, hash_fn, pin_lineage)
-    freq = None
+        # — strings never cross another exchange. freq rides along
+        # from the fused proof pass (see _pin_and_hash_inv).
+        inv, sh, freq = _pin_and_hash_inv(inv, sh, hash_fn, pin_lineage)
     if max_df is not None or (prefix_filter and tau_bp > 0):
         # document frequency is computed ONCE and reused for both the
         # max_df cutoff and the prefix ordering. Filtering freq itself
         # is exact: dropping a hot shingle removes its entire group, so
         # every surviving shingle keeps the df it had before the cut.
-        freq = inv.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+        if freq is None:
+            freq = inv.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
         if max_df is not None:
             freq = freq.where(F.col("__df") <= max_df)
     if prefix_filter and tau_bp > 0:
@@ -598,8 +618,9 @@ def containment_pairs(
         .where(F.col("__s").isNotNull())
     )
     if hashed:
-        inv, sh = _pin_and_hash_inv(inv, sh, hash_fn, pin_lineage)
-    freq = inv.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+        inv, sh, freq = _pin_and_hash_inv(inv, sh, hash_fn, pin_lineage)
+    else:
+        freq = inv.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     if max_df is not None:
         freq = freq.where(F.col("__df") <= max_df)
     # probe side: df-ordered prefix per doc (same integer prefix math
@@ -1411,10 +1432,13 @@ def neardup_components(
         )
         new_fp = _fingerprint(new_e)
         if new_fp == fp:
-            # fingerprint matched: confirm with the exact set compare
-            converged = (
-                new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty()
-            )
+            # fingerprint matched: confirm with ONE exact multiset
+            # compare — fp equality already proves |new_e| == |e|
+            # (count is the fingerprint's first component), and for
+            # equal-cardinality multisets new_e \ e == ∅ implies
+            # e \ new_e == ∅, so the second exceptAll job was
+            # redundant (r18, guide §1.2: fewer passes)
+            converged = new_e.exceptAll(e).isEmpty()
         e, fp = new_e, new_fp
     if not converged and fp[0] <= local_edge_limit:
         # the contracted graph is broadcast-sized: finish locally
