@@ -159,15 +159,25 @@ def _dist_cols(
     same two-stage named-column layout as the IVF assign path, keeping
     each generated expression small and the HOF dots CodegenFallback
     one-liners."""
+    # stage the m subvector slices into named columns FIRST (r18):
+    # inlining the slice into every dot re-sliced each subvector k
+    # times per row (m*k array copies); one projection layer makes it
+    # m copies, and the k dots per subspace read the named column
+    sliced = base.selectExpr(
+        "*",
+        *[
+            f"{_sub_slice(res_col, i, dsub)} AS __r{i}"
+            for i in range(len(books))
+        ],
+    )
     exprs = []
     for i, book in enumerate(books):
-        sub = _sub_slice(res_col, i, dsub)
         for j, c in enumerate(book):
             cnorm = sum(int(v) * int(v) for v in c)
             exprs.append(
-                f"({cnorm} - 2 * {dot_lit_sql(sub, c)}) AS __d{i}_{j}"
+                f"({cnorm} - 2 * {dot_lit_sql(f'__r{i}', c)}) AS __d{i}_{j}"
             )
-    return base.selectExpr("*", *exprs)
+    return sliced.selectExpr("*", *exprs)
 
 
 def _codes_expr(m: int, k: int) -> str:
