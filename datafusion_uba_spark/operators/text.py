@@ -396,10 +396,16 @@ def winnow_pairs(
     )
     # explode_outer + null guard: same InferFiltersFromGenerate dodge
     # as dedup.ngram_jaccard_pairs (the inferred size>0 filter would
-    # drag the md5 chain into a pre-shuffle interpreted scan Filter)
+    # drag the md5 chain into a pre-shuffle interpreted scan Filter).
+    # The pin: posting has three consumers (the dfreq aggregate and
+    # both sides of the fingerprint self-join) — unpinned, each one
+    # re-runs the O(max_chars) md5 k-gram + window-min chain per doc
+    # (4 documents scans in the executed plan); the barrier computes
+    # the chain once and the consumers read the skinny (id, fp) frame.
     posting = (
         s2.select("__id", F.explode_outer("__fps").alias("__fp"))
         .where(F.col("__fp").isNotNull())
+        .localCheckpoint(eager=False)
     )
     if max_df is not None:
         dfreq = posting.groupBy("__fp").agg(F.count(F.lit(1)).alias("__df"))

@@ -1619,9 +1619,17 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    owners = sh.groupBy("shingle").agg(F.min("doc_id").alias("owner"))
+    # min(doc_id) over a shingle-partitioned window == the min-owner
+    # aggregate joined back on the shingle key, but in ONE pass: the
+    # old aggregate+self-join shape evaluated the normalize/tokenize/
+    # shingle chain twice and shuffled the exploded frame twice (r18;
+    # guide §2.4 — two operations keyed the same way share one
+    # exchange). Same values by definition of min.
+    from pyspark.sql import Window
+
+    w_sh = Window.partitionBy("shingle")
     scored = (
-        sh.join(owners, "shingle")
+        sh.withColumn("owner", F.min("doc_id").over(w_sh))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -3004,11 +3012,19 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("contaminated"))
         .select("doc_id")
     )
+    # temperature_quota_sample consumes its input TWICE (the quota
+    # count aggregate and the tagging join), and eligible's subtree is
+    # the expensive part of this row (text_stats fingerprint window +
+    # the full 8-gram contamination pass) — without a barrier the whole
+    # chain runs twice (8 documents scans in the executed plan). Pin
+    # the skinny (doc_id, source) survivors once; both consumers read
+    # the pinned frame (guide §2.4/§5; r18).
     eligible = (
         docs.where(F.col("doc_id") % 19 != 0)
         .join(kept, "doc_id")
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "source")
+        .localCheckpoint(eager=False)
     )
     return sampling.temperature_quota_sample(eligible, "source", 100)
 
