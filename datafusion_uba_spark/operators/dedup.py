@@ -1519,7 +1519,15 @@ def fuzzy_prefix_pairs(
         F.col(id_col).alias("id"),
         F.lower(F.substring(F.col(text_col), 1, prefix_len)).alias("pre"),
     )
-    reps = pre.groupBy("pre").agg(F.min("id").alias("id"))
+    # reps has FIVE consumers (the stage-1 equi-join plus the a/b
+    # sides of both blocking passes) — unpinned, each re-runs the
+    # documents scan + the distinct-prefix aggregate. The pin computes
+    # the skinny (pre, id) frame once (r18; guide §2.4).
+    reps = (
+        pre.groupBy("pre")
+        .agg(F.min("id").alias("id"))
+        .localCheckpoint(eager=False)
+    )
 
     # stage 1: exact-equal groups -> (rep, member) pairs at dist 0
     same = (
