@@ -1363,14 +1363,13 @@ def neardup_components(
         .distinct()
     )
     # canonical (a > b) edges, iterated every round
-    e = (
+    e_lazy = (
         p0.where(F.col("pa") != F.col("pb"))
         .select(
             F.greatest("pa", "pb").alias("a"),
             F.least("pa", "pb").alias("b"),
         )
         .distinct()
-        .localCheckpoint()
     )
 
     def _fingerprint(edges: DataFrame):
@@ -1389,9 +1388,26 @@ def neardup_components(
         )
     converged = False
     local_stars: list[tuple[int, int]] | None = None
-    fp = _fingerprint(e)
-    if fp[0] == 0:  # no non-self edges: every node is its own star
-        converged = True
+    e = None
+    if local_edge_limit > 0:
+        # ONE bounded job replaces the pre-loop eager checkpoint +
+        # fingerprint + separate below-gate collect (r18, guide §1.2
+        # step 1): fetch at most limit+1 canonical edges; if no more
+        # than the gate arrived, that IS the complete contracted-input
+        # edge set and the driver union-find finishes immediately.
+        # Above the gate the bounded fetch cost is capped by the gate
+        # itself and the distributed loop proceeds unchanged.
+        head = e_lazy.limit(local_edge_limit + 1).collect()
+        if len(head) <= local_edge_limit:
+            local_stars = _union_find_components(
+                [(r["a"], r["b"]) for r in head]
+            )
+            converged = True
+    if not converged:
+        e = e_lazy.localCheckpoint()
+        fp = _fingerprint(e)
+        if fp[0] == 0:  # no non-self edges: every node is its own star
+            converged = True
     for _ in range(max_iter):
         if converged or fp[0] <= local_edge_limit:
             break
@@ -1458,7 +1474,9 @@ def neardup_components(
         # component minima themselves (comp == id) — one row per id,
         # so the left join below stays row-preserving, and coalesce
         # yields the same label either way.
-        stars = pairs.sparkSession.createDataFrame(local_stars, e.schema)
+        stars = pairs.sparkSession.createDataFrame(
+            local_stars, e_lazy.schema
+        )
     else:
         stars = e
     stars = stars.select(F.col("a").alias("id"), F.col("b").alias("comp"))
