@@ -1716,10 +1716,23 @@ def q_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    ord_stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    # Two-level aggregate instead of the double countDistinct: the
+    # countDistinct pair planned as Expand x2 over lineitem (every row
+    # duplicated into a 4-key distinct hash — the widest shuffle of
+    # the query). Collapsing to distinct (orderkey, suppkey) pairs
+    # first carries the same information in ONE 2-key partial-agg
+    # shuffle at half the row volume (r18, guide §2.3):
+    # n_supp = count of non-null suppkeys per order,
+    # n_ret_supp = count of pair-groups having >= 1 'R' line —
+    # value-identical to countDistinct / countDistinct-of-CASE
+    # (NULL suppkeys excluded by count(col) on both sides).
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("__has_r")
+    )
+    ord_stats = per_supp.groupBy("l_orderkey").agg(
+        F.count("l_suppkey").alias("__n_supp"),
+        F.count(
+            F.when(F.col("__has_r") == 1, F.col("l_suppkey"))
         ).alias("__n_ret_supp"),
     )
     probe = (
