@@ -89,6 +89,7 @@ HEAVY = [
     "events_segment_asof",
     "video_frame_stats",
     "tpch_q8",
+    "tpch_q21",
     "tpch_q9",
     "tpch_q11",
     "tpch_q12",
