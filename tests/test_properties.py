@@ -144,11 +144,23 @@ def test_prefix_filter_is_exact(spark, sf_dir):
         docs, threshold=0.8, max_df=10_000, prefix_filter=True
     )
     plan = on_cut._jdf.queryExecution().optimizedPlan().toString()
-    # the candidate self-join prints the index subtree once per side, so
-    # ONE logical df-aggregate shows up exactly twice; the old
-    # double-aggregate formulation rendered six
+    # r18 (hashed pipeline): the document-frequency frame is pinned
+    # (MEMORY_AND_DISK) before the injectivity proof, so the ONE
+    # physical freq aggregate lives inside the cache — each join side
+    # references the cached (__s, __df) relation and NO un-cached
+    # freq aggregate remains in the logical plan. This is the round-6
+    # single-aggregate guarantee in its stronger form (the aggregate
+    # runs once per corpus, not once per consumer; pre-r18 the pin
+    # counted the shared logical aggregate once per join side).
+    import re
+
     n_freq_aggs = plan.count("Aggregate [__s")
-    assert n_freq_aggs == 2, f"expected 2 (1 per join side), got {n_freq_aggs}"
+    n_cached_freq = len(re.findall(r"InMemoryRelation \[__s#", plan))
+    assert n_freq_aggs == 0 and n_cached_freq == 2, (
+        f"expected the freq aggregate cached (0 uncached aggs, 2 cached "
+        f"(__s, __df) relations), got {n_freq_aggs} aggs / "
+        f"{n_cached_freq} cached: \n{plan[:2000]}"
+    )
     assert {tuple(r) for r in on_cut.collect()} == on
     off_cut = {
         tuple(r)
