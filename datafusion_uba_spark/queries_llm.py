@@ -2214,21 +2214,33 @@ def q_embedding_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = j.select(
         "source", F.posexplode("q").alias("pos", "val")
     )
-    per_src = (
+    # ONE corpus pass (r18): component sums AND vector counts fold
+    # into a single (source, pos) hash aggregate — map-side partials
+    # compress to |sources| x dim rows before the only corpus-wide
+    # exchange. The global centroid re-sums the per-source sums
+    # (integer sum is associative and null-skipping on both levels,
+    # so values are identical), and n_vecs is the pos-0 row count
+    # (every vector contributes exactly one pos-0 component). The old
+    # shape evaluated the join+quantize+explode chain THREE times
+    # (per-source sums, global sums, counts). `per` has two consumers
+    # whose column pruning specializes the aggregate schemas (glob
+    # drops `c`), so ReuseExchange cannot dedupe them — pin the tiny
+    # (|sources| x dim)-row frame instead; the corpus chain runs once.
+    per = (
         comp.groupBy("source", "pos")
-        .agg(F.sum("val").alias("s"))
-        .groupBy("source")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "s"))),
-                lambda ps: ps["s"],
-            ).alias("sv")
-        )
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
-    counts = j.groupBy("source").agg(F.count(F.lit(1)).alias("n_vecs"))
+    per_src = per.groupBy("source").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "s"))),
+            lambda ps: ps["s"],
+        ).alias("sv"),
+        F.max(F.when(F.col("pos") == 0, F.col("c"))).alias("n_vecs"),
+    )
     glob = (
-        comp.groupBy("pos")
-        .agg(F.sum("val").alias("s"))
+        per.groupBy("pos")
+        .agg(F.sum("s").alias("s"))
         .agg(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("pos", "s"))),
@@ -2238,8 +2250,7 @@ def q_embedding_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = 64
     return (
-        per_src.join(counts, "source")
-        .crossJoin(F.broadcast(glob))
+        per_src.crossJoin(F.broadcast(glob))
         .selectExpr(
             "source",
             "n_vecs",
