@@ -2158,7 +2158,14 @@ def q_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
         - F.col("__rp_cents") * F.col("l_quantity").cast("long")
     )
-    return (
+    # Pre-aggregate the broadcast-joined fact side by (l_orderkey,
+    # n_name) BEFORE the one big-big shuffle join (guide §2.3:
+    # aggregate before you shuffle): the orders join then carries one
+    # compressed row per (order, supplier-nation) — ~1/|lines-per-
+    # order| of the rows, three narrow columns — instead of every
+    # lineitem. sum is associative over exact integer cents, so the
+    # final per-(nation, year) sums are value-identical (r18).
+    per_order = (
         li.join(F.broadcast(gparts), F.col("l_partkey") == F.col("p_partkey"))
         .join(
             F.broadcast(
@@ -2169,11 +2176,15 @@ def q_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "n_name")
+        .agg(F.sum(profit).alias("__p"))
+    )
+    return (
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
-            profit.alias("__p"),
+            F.col("__p"),
         )
         .groupBy("nation", "o_year")
         .agg(F.sum("__p").alias("sum_profit_cents"))
