@@ -97,6 +97,83 @@ def global_row_number(
     return out
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact 1..N_g row_number WITHIN each group under a total order,
+    with no per-group single-reducer sort — the grouped form of
+    ``global_row_number`` for LOW-CARDINALITY group columns (the
+    ``Window.partitionBy(few_values)`` trap: 5 priority classes means
+    5 reducers each sorting a fifth of the table, however many cores
+    exist).
+
+    Same TeraSort recipe, with the group columns LEADING the range
+    order so every partition holds a contiguous slice of one-or-more
+    (group, order) runs: range-partition on (group + order), rank
+    locally per (partition, group) — fully parallel — and add the
+    prefix-sum offset of that group's counts over the preceding
+    partitions. The count collect is metadata-sized (at most
+    partitions x |groups| rows, never data rows).
+
+    Returns (df + ``out_col`` as 1-based long, counts) where
+    ``counts`` is a small DataFrame of (group_cols..., __n total rows
+    per group) for closed-form derivations (ntile, percent_rank);
+    broadcast-join it back.
+
+    ``order`` must be a total order within each group (unique
+    tiebreak), same contract as ``global_row_number``.
+    """
+    spark = df.sparkSession
+    parts = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    full_order = [F.col(g).asc() for g in group_cols] + list(order)
+    ranged = (
+        df.repartitionByRange(parts, *full_order)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    rows = (
+        ranged.groupBy(_PID, *group_cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    by_group: dict[tuple, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_group.setdefault(tuple(r[g] for g in group_cols), []).append(
+            (int(r[_PID]), int(r["cnt"]))
+        )
+    offs, totals = [], []
+    for key, lst in sorted(by_group.items(), key=lambda kv: repr(kv[0])):
+        acc = 0
+        for pid, c in sorted(lst):
+            offs.append((pid, *key, acc))
+            acc += c
+        totals.append((*key, acc))
+    gfields = ", ".join(
+        f"`{g}` {df.schema[g].dataType.simpleString()}" for g in group_cols
+    )
+    off_df = spark.createDataFrame(
+        offs or [], f"{_PID} int, {gfields}, {_OFF} long"
+    )
+    counts = spark.createDataFrame(totals or [], f"{gfields}, __n long")
+    w = Window.partitionBy(_PID, *group_cols).orderBy(*order)
+    out = (
+        ranged.join(F.broadcast(off_df), [_PID, *group_cols])
+        .withColumn(
+            out_col,
+            (F.row_number().over(w).cast("long") + F.col(_OFF)),
+        )
+        .drop(_PID, _OFF)
+    )
+    return out, counts
+
+
 def global_ntile(
     df: DataFrame,
     order: list[Column],

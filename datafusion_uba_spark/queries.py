@@ -23,6 +23,7 @@ event-name predicate, group by user).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +37,18 @@ from datafusion_uba_spark.sources import load_table
 _R_START = "2024-01-01"
 _R_END = "2024-01-07"
 _R_MU = 6  # max_unit: window length - 1
+
+# order_distribution_ranks hybrid-sort gate (r18): below this row
+# count the five-partition distribution window is cheaper than the
+# two-stage ranked sort's range exchange + metadata-collect barriers
+# (measured 0.7 s vs 2.0 s at sf0.1's 150k orders); above it the
+# per-class single-reducer sorts dominate and the two-stage wins
+# (measured 3.8 s vs 6.8 s at 32x's 4.8M). Values identical on both
+# paths (gate equality test + oracle parity). Set 0 via param or the
+# UBA_DISTRANK_LOCAL_ROWS env to force the two-stage path.
+_DISTRANK_TWO_STAGE_MIN_ROWS = int(
+    os.environ.get("UBA_DISTRANK_LOCAL_ROWS", "1000000")
+)
 
 
 def _windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,7 +711,11 @@ def q_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_order_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_order_distribution_ranks(
+    spark: SparkSession,
+    sf_dir: str,
+    two_stage_min_rows: int | None = None,
+) -> DataFrame:
     """The distribution-window family order_ranks leaves out: rank /
     dense_rank under ties, ntile quartiles, percent_rank and cume_dist
     — one hash-partitioned sort per priority class, total ORDER BY
@@ -706,26 +723,105 @@ def q_order_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-independent. percent_rank/cume_dist are the same closed
     forms ((rank-1)/(n-1), rank_with_ties/n) evaluated as IEEE doubles
     from identical integers in both engines, so they hash-compare
-    exactly despite being floats."""
-    from pyspark.sql import Window
+    exactly despite being floats.
+
+    HYBRID SORT (r18 optimization): above ``two_stage_min_rows``
+    (default _DISTRANK_TWO_STAGE_MIN_ROWS, env UBA_DISTRANK_LOCAL_ROWS)
+    the five-partition window is replaced by the scale-safe grouped
+    two-stage row_number — identical values on both paths (the gate
+    equality test pins it)."""
+    from datafusion_uba_spark.operators.ranking import grouped_row_number
 
     orders = load_table(spark, sf_dir, "orders")
     cents = _cents(F.col("o_totalprice"))
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "__cents", "o_orderkey"
-    )
     base = orders.select(
         "o_orderpriority", "o_orderkey", cents.alias("__cents")
     )
-    return base.select(
+    gate = (
+        two_stage_min_rows
+        if two_stage_min_rows is not None
+        else _DISTRANK_TWO_STAGE_MIN_ROWS
+    )
+    if base.count() < gate:
+        # below the gate the per-class single-task sorts are cheap
+        # (bounded by gate/|classes| rows per reducer) and the plain
+        # window avoids the two-stage's range exchange + metadata
+        # collect barriers — measured 0.7 s vs 2.0 s at sf0.1
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            "__cents", "o_orderkey"
+        )
+        return base.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("__cents").alias("total_cents"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("dense_rnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+    # r18: the single Window.partitionBy(o_orderpriority) sorted each
+    # of the FIVE priority classes on one reducer (measured 6.8 s at
+    # 32x from 5-way parallelism; at 100 TB each reducer sorts a fifth
+    # of orders — the r12 rfm_segments scale-killer class with 5 tasks
+    # instead of 1). The window's ORDER BY (cents, orderkey) is a
+    # TOTAL order (that is this row's documented contract: no
+    # engine-dependent ties), so rank == dense_rank == row_number and
+    # every distribution function is a closed form of the exact
+    # within-priority row_number rn and the class size n:
+    #   rnk = dense_rnk = rn            (no peers under a total order)
+    #   cume_dist  = rn / n             (rows ≤ current = rn)
+    #   pct_rank   = (rn-1)/(n-1)       (IEEE doubles of exact ints)
+    #   quartile   = SQL ntile(4): first n%4 tiles get n DIV 4 + 1
+    #                rows — the same integer derivation global_ntile
+    #                property-tests against F.ntile
+    # rn comes from the scale-safe grouped two-stage row_number
+    # (operators/ranking.py): range-partition on (priority, cents,
+    # orderkey), rank locally per partition, add metadata-sized
+    # prefix-sum offsets — fully parallel, no per-class reducer.
+    # Every value is bit-identical to the window functions it
+    # replaces; the DuckDB oracle is unchanged.
+    rn, counts = grouped_row_number(
+        base,
+        ["o_orderpriority"],
+        [F.col("__cents").asc(), F.col("o_orderkey").asc()],
+        "__rn",
+    )
+    r3 = rn.join(F.broadcast(counts), "o_orderpriority")
+    return r3.select(
         F.col("o_orderpriority").alias("priority"),
         F.col("o_orderkey").alias("orderkey"),
         F.col("__cents").alias("total_cents"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("dense_rnk"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        F.col("__rn").cast("int").alias("rnk"),
+        F.col("__rn").cast("int").alias("dense_rnk"),
+        F.when(
+            F.expr("__n DIV 4") == 0, F.col("__rn")
+        )
+        .otherwise(
+            F.when(
+                F.col("__rn") <= F.expr("(__n % 4) * (__n DIV 4 + 1)"),
+                F.expr("(__rn - 1) DIV (__n DIV 4 + 1) + 1"),
+            ).otherwise(
+                F.expr(
+                    "__n % 4 + (__rn - (__n % 4) * (__n DIV 4 + 1) - 1)"
+                    " DIV (__n DIV 4) + 1"
+                )
+            )
+        )
+        .cast("int")
+        .alias("quartile"),
+        F.when(
+            F.col("__n") > 1,
+            (F.col("__rn") - 1).cast("double")
+            / (F.col("__n") - 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+        (F.col("__rn").cast("double") / F.col("__n").cast("double")).alias(
+            "cume"
+        ),
     )
 
 

@@ -1751,6 +1751,89 @@ def test_global_ntile_matches_window_ntile(spark):
         )
 
 
+def test_grouped_row_number_matches_partitioned_window(spark):
+    """operators.ranking.grouped_row_number must be bit-identical to
+    Spark's own partitioned row_number window under the same total
+    order — across empty input, a single group, few hot groups
+    (the low-cardinality case it exists for: groups span many range
+    partitions), duplicate metric values (broken by id), and partition
+    counts larger than the row count. The counts frame must hold the
+    exact per-group sizes."""
+    import random
+
+    from pyspark.sql import Window
+
+    from datafusion_uba_spark.operators.ranking import grouped_row_number
+
+    rng = random.Random(29)
+    for n_rows, n_groups, parts in [
+        (0, 3, 8),
+        (1, 1, 8),
+        (10, 1, 4),      # one group spanning every partition
+        (97, 3, 16),     # few hot groups, prime N
+        (64, 5, 200),    # parts >> rows (empty range partitions)
+    ]:
+        rows = [
+            (i, f"g{rng.randrange(n_groups)}", rng.randint(-50, 50))
+            for i in range(n_rows)
+        ]
+        df = spark.createDataFrame(
+            rows or [], "id long, grp string, metric long"
+        )
+        got_df, counts = grouped_row_number(
+            df,
+            ["grp"],
+            [F.asc("metric"), F.asc("id")],
+            "rn",
+            num_partitions=parts,
+        )
+        got = {r["id"]: r["rn"] for r in got_df.collect()}
+        want = {
+            r["id"]: r["rn"]
+            for r in df.select(
+                "id",
+                F.row_number()
+                .over(
+                    Window.partitionBy("grp").orderBy(
+                        F.asc("metric"), F.asc("id")
+                    )
+                )
+                .cast("long")
+                .alias("rn"),
+            ).collect()
+        }
+        assert got == want, (n_rows, n_groups, parts)
+        sizes = {r["grp"]: r["__n"] for r in counts.collect()}
+        from collections import Counter
+
+        assert sizes == dict(Counter(g for _, g, _ in rows)), (
+            n_rows, n_groups, parts,
+        )
+
+
+def test_order_distribution_ranks_gate_paths_identical(spark, sf_dir):
+    """The r18 hybrid-sort gate: the two-stage grouped row_number path
+    (forced with two_stage_min_rows=0) must be row-identical — every
+    rank, quartile boundary, and IEEE double — to the plain
+    distribution-window path (forced with a huge gate) on real data."""
+    from datafusion_uba_spark.queries import q_order_distribution_ranks
+
+    kw = {"two_stage_min_rows": 0}
+    two_stage = sorted(
+        map(tuple, q_order_distribution_ranks(spark, sf_dir, **kw).collect())
+    )
+    window = sorted(
+        map(
+            tuple,
+            q_order_distribution_ranks(
+                spark, sf_dir, two_stage_min_rows=1 << 60
+            ).collect(),
+        )
+    )
+    assert two_stage == window
+    assert len(two_stage) > 0
+
+
 def test_erasure_audit_empty_cohort_row_still_present(spark, tmp_path):
     """Crafted golden (r13 verdict item 4): a table whose erasure
     cohort is EMPTY must still emit its audit row with (0, 0) — a
