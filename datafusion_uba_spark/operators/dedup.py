@@ -247,9 +247,18 @@ def dedup_against_prescreened(
     if corpus_fingerprints:
         corpus_fp = corpus.select("fingerprint")
     else:
-        corpus_fp = corpus.select(
-            content_fingerprint(text_col).alias("fingerprint")
-        ).distinct()
+        # pin the skinny distinct-fingerprint frame (32 B/doc): its two
+        # consumers (bitset build + confirm join) otherwise each re-run
+        # the corpus scan + sha256 chain — at scale that is a second
+        # full read of the corpus TEXT to rebuild rows this frame
+        # already holds (r18; guide §2.4)
+        corpus_fp = (
+            corpus.select(
+                content_fingerprint(text_col).alias("fingerprint")
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
     bitset = fingerprint_bitset(corpus_fp, bits_log2)
     fresh = prescreen_fresh(inc_fp, bitset, corpus_fp, [id_col], bits_log2)
     return min_id_per_fingerprint(fresh, id_col)
