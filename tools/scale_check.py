@@ -174,6 +174,9 @@ HEAVY = [
     "dedup_threshold_sweep",
     "packing_contamination",
     "dedup_canonical_pick",
+    "dedup_bitset_prescreen",
+    "embedding_drift_by_source",
+    "order_distribution_ranks",
     # r16 source-transparency rows: the re-encoded twin is rebuilt
     # once per scale dir (mtime-keyed cache; the first timed rep pays
     # it, best-of-3 reads the steady state) — the exponent measures
