@@ -268,7 +268,8 @@ def _isolated_main(names: list[str], sf_dir: str) -> None:
 def _run_isolated_reruns(
     per_query: dict[str, float], sf_dir: str, top_n: int
 ) -> dict | None:
-    """Fork a fresh python+JVM and rerun the top_n slowest rows there;
+    """Fork a fresh python+JVM and rerun the top_n slowest rows there
+    plus the BENCH_ISOLATED_EXTRA rows (see below);
     return {name: {sweep_best, isolated_best, runs, ratio}}."""
     import subprocess
 
@@ -276,6 +277,24 @@ def _run_isolated_reruns(
         n
         for n, _ in sorted(per_query.items(), key=lambda kv: -kv[1])[:top_n]
     ]
+    # BENCH_ISOLATED_EXTRA (r18 verdict item 8): the top-N window can
+    # miss exactly the rows whose sweep numbers are DISPUTED (r18: the
+    # contended run put dedup_containment and training_mix just outside
+    # the top-5 in the round they regressed, so the adjudicating
+    # isolated numbers were never captured). A comma-separated env list
+    # adds named rows to the isolated rerun — additive and
+    # sidecar-only, the headline stays sweep-derived so rounds remain
+    # comparable. Defaults to the r18 perf-weak set so a plain driver
+    # run records the adjudicating numbers without any env setup.
+    extra_env = os.environ.get(
+        "BENCH_ISOLATED_EXTRA",
+        "dedup_containment,dedup_threshold_sweep,training_mix,"
+        "dedup_semantic",
+    )
+    for name in extra_env.split(","):
+        name = name.strip()
+        if name and name in per_query and name not in top:
+            top.append(name)
     if not top:
         return None
     try:

@@ -163,8 +163,24 @@ def grouped_row_number(
     )
     counts = spark.createDataFrame(totals or [], f"{gfields}, __n long")
     w = Window.partitionBy(_PID, *group_cols).orderBy(*order)
+    # NULL-safe group equality (r18 advisor): Window.partitionBy treats
+    # NULL as its own partition, so the offset join must too — a plain
+    # equi-join (null != null) would silently DROP every null-group row
+    # here. eqNullSafe keys are still hash-joinable (EqualNullSafe is an
+    # equi-join key to the planner), so the broadcast shape is
+    # unchanged. The off_df side's key columns are renamed before the
+    # join so the output keeps exactly the input's columns.
+    off_renamed = off_df.withColumnRenamed(_PID, "__off_pid")
+    cond = ranged[_PID] == F.col("__off_pid")
+    for i, g in enumerate(group_cols):
+        off_renamed = off_renamed.withColumnRenamed(g, f"__off_g{i}")
+        cond = cond & ranged[g].eqNullSafe(F.col(f"__off_g{i}"))
     out = (
-        ranged.join(F.broadcast(off_df), [_PID, *group_cols])
+        ranged.join(F.broadcast(off_renamed), cond)
+        .drop(
+            "__off_pid",
+            *[f"__off_g{i}" for i in range(len(group_cols))],
+        )
         .withColumn(
             out_col,
             (F.row_number().over(w).cast("long") + F.col(_OFF)),

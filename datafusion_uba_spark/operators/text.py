@@ -21,6 +21,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _col(c: Column | str) -> Column:
@@ -633,6 +634,7 @@ def boilerplate_stats(
     id_col: str = "doc_id",
     n: int = 8,
     min_df: int = 2,
+    pin_lineage: bool = True,
 ) -> DataFrame:
     """Per-document cross-corpus repetition: what fraction of a doc's
     distinct word ``n``-grams also appear in at least ``min_df`` - 1
@@ -643,12 +645,31 @@ def boilerplate_stats(
     conventional span unit: long enough that natural re-use is rare,
     short enough to survive small edits.
 
-    Plan shape at 100 TB: the same inverted-index discipline as
-    ngram_jaccard_pairs — distinct grams per doc (staged projections),
-    one explode carrying (doc, gram) only, document frequency by one
-    hash aggregate, join back, per-doc re-aggregate. Linear; never
-    all-pairs; the hot-gram skew lands on the df aggregate where AQE
-    splits it.
+    Plan shape at 100 TB (r19 rewrite, guide §2.3/§2.4): the old shape
+    shuffled the exploded (doc, gram-string) list TWICE — once into the
+    document-frequency aggregate and once as the probe side of the
+    join-back — ~40 B of gram string per occurrence per exchange
+    (measured 17.4 s at 32x, the slowest text row). The join-back is
+    unnecessary for ``min_df <= 2``: a gram with df == 1 has exactly
+    ONE owner (min == its only doc), so
+
+        n_shared(doc) = n_grams(doc) - #{grams whose df == 1 and whose
+                                         sole owner is doc}
+
+    and the whole query becomes ONE gram-keyed aggregate
+    (count + min(id), both with map-side partial aggregation — a hot
+    boilerplate gram combines per map partition instead of landing on
+    one reducer) + one |docs|-bounded owner-keyed count + one doc-keyed
+    left join. ``n_grams`` is ``size()`` of the per-doc distinct
+    shingle array (map-side, free). No occurrence-level exchange
+    survives. For ``min_df > 2`` a rare gram has up to min_df - 1
+    owners and the min trick is incomplete, so the original
+    aggregate + join-back runs (no registry caller uses it).
+
+    ``pin_lineage=True`` persists the per-doc shingle-array frame so
+    the normalize→tokenize→shingle chain (the heaviest map work) runs
+    once for its two consumers (the size() projection and the explode);
+    same contract and caveats as dedup._pin_and_hash_inv.
 
     Output: (id, n_grams, n_shared, shared_bp) for docs with >= n
     tokens; shared_bp = floor(n_shared * 10000 / n_grams).
@@ -662,26 +683,65 @@ def boilerplate_stats(
     sh = s1.select(
         "__id", shingles_from_tokens(F.col("__toks"), n).alias("__sh")
     )
+    if min_df > 2:
+        # general path: df-aggregate + join-back (the pre-r19 shape)
+        inv = sh.select("__id", F.explode_outer("__sh").alias("__g")).where(
+            F.col("__g").isNotNull()
+        )
+        gdf = inv.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+        per_doc = (
+            inv.join(gdf, "__g")
+            .groupBy("__id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum((F.col("__df") >= min_df).cast("int")).alias(
+                    "n_shared"
+                ),
+            )
+        )
+        return per_doc.select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.floor(F.col("n_shared") * 10000 / F.col("n_grams"))
+            .cast("long")
+            .alias("shared_bp"),
+        )
+    if pin_lineage:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     # explode_outer + null guard: same optimizer-substitution dodge as
     # dedup.ngram_jaccard_pairs (inner explode infers a size()>0 filter
     # and inlines the whole shingle chain into a pre-shuffle Filter)
     inv = sh.select("__id", F.explode_outer("__sh").alias("__g")).where(
         F.col("__g").isNotNull()
     )
-    gdf = inv.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
-    per_doc = (
-        inv.join(gdf, "__g")
-        .groupBy("__id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("__df") >= min_df).cast("int")).alias("n_shared"),
-        )
+    # one aggregate over the exploded list: document frequency + sole
+    # owner; both partial-aggregate map-side (count/min are
+    # decomposable), so the exchange carries one row per distinct gram
+    # per map partition, never the occurrence list
+    gdf = inv.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__df"), F.min("__id").alias("__owner")
     )
-    return per_doc.select(
+    # min_df <= 1 makes every gram shared (df >= 1 by construction) —
+    # the rare set below is empty and n_shared == n_grams, matching
+    # the general path's  __df >= min_df  always-true branch
+    uniq = (
+        gdf.where(F.col("__df") < min_df)
+        .groupBy("__owner")
+        .agg(F.count(F.lit(1)).alias("__n_unique"))
+    )
+    base = sh.select("__id", F.size("__sh").cast("long").alias("n_grams"))
+    joined = base.join(
+        uniq, base["__id"] == uniq["__owner"], "left"
+    )
+    n_shared = F.col("n_grams") - F.coalesce(
+        F.col("__n_unique"), F.lit(0)
+    )
+    return joined.select(
         F.col("__id").alias(id_col),
         "n_grams",
-        F.col("n_shared").cast("long").alias("n_shared"),
-        F.floor(F.col("n_shared") * 10000 / F.col("n_grams"))
+        n_shared.cast("long").alias("n_shared"),
+        F.floor(n_shared * 10000 / F.col("n_grams"))
         .cast("long")
         .alias("shared_bp"),
     )

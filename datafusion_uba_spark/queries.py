@@ -742,7 +742,18 @@ def q_order_distribution_ranks(
         if two_stage_min_rows is not None
         else _DISTRANK_TWO_STAGE_MIN_ROWS
     )
-    if base.count() < gate:
+    # bounded probe, not a full count (r18 verdict #4): limit(gate)
+    # short-circuits after `gate` rows, so path selection costs a few
+    # input splits at 100 TB instead of a full orders pass; the
+    # predicate is identical (limit(g).count() < g  ⟺  count() < g,
+    # since limit returns min(count, g)). Still eager at construction
+    # — the same contract as the union-find gate's bounded collect.
+    # limit() takes a JVM int, so gates past INT_MAX (test-forced
+    # "always window" values) fall back to the full count.
+    n_below_gate = (
+        base.limit(gate).count() if gate <= 2**31 - 1 else base.count()
+    )
+    if n_below_gate < gate:
         # below the gate the per-class single-task sorts are cheap
         # (bounded by gate/|classes| rows per reducer) and the plain
         # window avoids the two-stage's range exchange + metadata
@@ -794,6 +805,12 @@ def q_order_distribution_ranks(
         F.col("o_orderpriority").alias("priority"),
         F.col("o_orderkey").alias("orderkey"),
         F.col("__cents").alias("total_cents"),
+        # int casts mirror the window path's rank()/dense_rank()
+        # IntegerType for oracle parity; they wrap past 2^31 rows PER
+        # PRIORITY CLASS (r18 advisor). At that size the rank itself is
+        # no longer representable in the declared schema — widening to
+        # long is an output-contract change, not an optimization, so it
+        # stays int with the limitation explicit.
         F.col("__rn").cast("int").alias("rnk"),
         F.col("__rn").cast("int").alias("dense_rnk"),
         F.when(
@@ -2199,10 +2216,15 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__cents").alias("__sum"),
         F.count(F.lit(1)).alias("__n"),
     )
+    # distinct BEFORE the anti-join (r18 verdict #6, guide §2.3): an
+    # anti-join needs each probe key once, but repeat urgent buyers
+    # otherwise ride the exchange once per order. distinct()
+    # partial-aggregates map-side, so the shuffle carries one row per
+    # distinct buyer per map partition; anti-join semantics unchanged.
     urgent = orders.where(
         (F.col("o_orderpriority") == "1-URGENT")
         & (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
-    ).select("o_custkey")
+    ).select("o_custkey").distinct()
     return (
         seg.join(F.broadcast(pos))
         .where(F.col("__cents") * F.col("__n") > F.col("__sum"))

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from datafusion_uba_spark.operators import (
     bpe,
@@ -1601,53 +1602,56 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id — ingestion order) is this doc. The dedup-aware curation
     signal: low-novelty docs add almost nothing the corpus doesn't
     already have, even when no single pair crosses a near-dup
-    threshold. Plan: shingle inverted index -> min-owner aggregate ->
-    one equi-join back on the shingle key -> per-doc aggregate. Every
-    join is keyed on the shingle with ONE owner row per shingle, so
-    fan-out is linear in the posting lists — no pair explosion, no df
-    cap needed (unlike the pairwise dedups, a hot boilerplate shingle
-    costs |postings|, not |postings|^2). Zero-shingle docs report 0
+    threshold.
+
+    Plan (r19 rewrite): every shingle contributes exactly ONE novel
+    count — to its min-owner doc — so n_novel(doc) is derivable from
+    the owner table alone with no join or window back onto the
+    occurrence stream:
+
+        owners  = groupBy(shingle).agg(min(doc_id))   # map-side partial
+        n_novel = owners.groupBy(owner).count()        # |docs|-bounded
+        n_shingles(doc) = size(shingle_array)          # map-side, free
+
+    The r18 window form (min over Window.partitionBy(shingle)) shuffled
+    every OCCURRENCE row — ~40 B of shingle string each, with no
+    map-side combine, and a hot boilerplate shingle landed all its
+    occurrences on one reducer that AQE cannot split (the r18 verdict's
+    skew flag). Here min() partial-aggregates per map partition, so the
+    one shingle-keyed exchange carries one row per distinct shingle per
+    partition and a hot key combines map-side — the same two-level
+    decomposable-aggregate fix the verdict prescribed, obtained
+    structurally rather than by salting. The shingle-array frame is
+    persisted so the normalize/tokenize/shingle chain (the heaviest map
+    work) runs once for its two consumers. Zero-shingle docs report 0
     novel of 0 with novelty_bp = 0 (documented vacuous case)."""
     docs = _docs(spark, sf_dir)
-    sh = docs.select(
+    sh_arr = docs.select(
         "doc_id",
-        F.explode(
-            text_ops.shingles_from_tokens(
-                text_ops.tokens_from_norm(
-                    text_ops.normalize_text("text")
-                )
-            )
-        ).alias("shingle"),
-    )
-    # min(doc_id) over a shingle-partitioned window == the min-owner
-    # aggregate joined back on the shingle key, but in ONE pass: the
-    # old aggregate+self-join shape evaluated the normalize/tokenize/
-    # shingle chain twice and shuffled the exploded frame twice (r18;
-    # guide §2.4 — two operations keyed the same way share one
-    # exchange). Same values by definition of min.
-    from pyspark.sql import Window
-
-    w_sh = Window.partitionBy("shingle")
-    scored = (
-        sh.withColumn("owner", F.min("doc_id").over(w_sh))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                (F.col("doc_id") == F.col("owner")).cast("long")
-            ).alias("n_novel"),
+        text_ops.shingles_from_tokens(
+            text_ops.tokens_from_norm(text_ops.normalize_text("text"))
+        ).alias("__sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    owners = (
+        sh_arr.select(
+            "doc_id", F.explode_outer("__sh").alias("shingle")
         )
+        .where(F.col("shingle").isNotNull())
+        .groupBy("shingle")
+        .agg(F.min("doc_id").alias("owner"))
     )
-    # left join back so zero-shingle docs still report a row
-    base = docs.select("doc_id")
+    novel = owners.groupBy("owner").agg(
+        F.count(F.lit(1)).alias("__n_novel")
+    )
+    base = sh_arr.select(
+        "doc_id", F.size("__sh").cast("long").alias("n_shingles")
+    )
     return (
-        base.join(scored, "doc_id", "left")
+        base.join(novel, base["doc_id"] == novel["owner"], "left")
         .select(
             "doc_id",
-            F.coalesce("n_shingles", F.lit(0).cast("long")).alias(
-                "n_shingles"
-            ),
-            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+            "n_shingles",
+            F.coalesce("__n_novel", F.lit(0).cast("long")).alias("n_novel"),
         )
         .selectExpr(
             "doc_id",
@@ -2236,6 +2240,14 @@ def q_embedding_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("pos", "s"))),
             lambda ps: ps["s"],
         ).alias("sv"),
+        # INVARIANT (r18 advisor): n_vecs-as-pos-0-count equals the
+        # oracle's count(*) over the join only because every embedding
+        # is a dense non-null 64-dim array (the testdata generator's
+        # contract; _QUANT_SQL indexes all 64 positions and would
+        # itself error on shorter arrays). A null/empty embedding would
+        # contribute no pos-0 row and silently undercount here — if the
+        # input contract ever loosens, count vectors in a separate
+        # aggregate over `j` instead.
         F.max(F.when(F.col("pos") == 0, F.col("c"))).alias("n_vecs"),
     )
     glob = (

@@ -1709,6 +1709,122 @@ def test_ngram_novelty_crafted(spark, tmp_path):
     assert out[4] == (0, 0, 0)
 
 
+def test_boilerplate_stats_fast_path_matches_join_shape(spark, sf_dir):
+    """The r19 min-owner fast path (min_df <= 2: one gram aggregate +
+    owner-count, no occurrence join-back) must be row-identical to the
+    original df-aggregate + join-back shape on real corpus data."""
+    from pyspark.sql import functions as F
+
+    from datafusion_uba_spark.operators.text import (
+        boilerplate_stats,
+        normalize_text,
+        shingles_from_tokens,
+        tokens_from_norm,
+    )
+    from datafusion_uba_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n, min_df = 8, 2
+    # the pre-r19 join-back shape, inline (the operator's min_df > 2
+    # branch keeps this code path alive for the general case)
+    s0 = docs.select(
+        F.col("doc_id").alias("__id"), normalize_text("text").alias("__norm")
+    )
+    s1 = s0.select(
+        "__id", tokens_from_norm(F.col("__norm")).alias("__toks")
+    ).where(F.size("__toks") >= n)
+    sh = s1.select(
+        "__id", shingles_from_tokens(F.col("__toks"), n).alias("__sh")
+    )
+    inv = sh.select("__id", F.explode_outer("__sh").alias("__g")).where(
+        F.col("__g").isNotNull()
+    )
+    gdf = inv.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    want = sorted(
+        map(
+            tuple,
+            inv.join(gdf, "__g")
+            .groupBy("__id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum((F.col("__df") >= min_df).cast("int")).alias(
+                    "n_shared"
+                ),
+            )
+            .select(
+                F.col("__id"),
+                "n_grams",
+                F.col("n_shared").cast("long"),
+                F.floor(F.col("n_shared") * 10000 / F.col("n_grams")).cast(
+                    "long"
+                ),
+            )
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, boilerplate_stats(docs).collect()))
+    assert got == want
+
+
+def test_ngram_novelty_matches_window_shape(spark, sf_dir):
+    """The r19 owner-count shape must be row-identical to the window
+    min-owner shape on real corpus data (including zero-shingle docs)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datafusion_uba_spark.operators.text import (
+        normalize_text,
+        shingles_from_tokens,
+        tokens_from_norm,
+    )
+    from datafusion_uba_spark.queries_llm import q_ngram_novelty
+    from datafusion_uba_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            shingles_from_tokens(tokens_from_norm(normalize_text("text")))
+        ).alias("shingle"),
+    )
+    w_sh = Window.partitionBy("shingle")
+    scored = (
+        sh.withColumn("owner", F.min("doc_id").over(w_sh))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("doc_id") == F.col("owner")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            docs.select("doc_id")
+            .join(scored, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_shingles", F.lit(0).cast("long")).alias(
+                    "n_shingles"
+                ),
+                F.coalesce("n_novel", F.lit(0).cast("long")).alias(
+                    "n_novel"
+                ),
+            )
+            .selectExpr(
+                "doc_id",
+                "n_shingles",
+                "n_novel",
+                "(10000 * n_novel) div greatest(n_shingles, 1)",
+            )
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, q_ngram_novelty(spark, sf_dir).collect()))
+    assert got == want
+
+
 def test_ivf_index_upsert_equals_rebuild(spark, emb):
     """FAISS-add semantics: build on half the corpus, upsert the other
     half, probe — results must equal an index built on the FULL corpus

@@ -1811,6 +1811,46 @@ def test_grouped_row_number_matches_partitioned_window(spark):
         )
 
 
+def test_grouped_row_number_null_group(spark):
+    """NULL group keys must rank as their own partition (the window
+    semantics the docstring promises) — the r18 advisor found the
+    offset equi-join silently dropped null-group rows (null != null);
+    the join is now null-safe."""
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    from datafusion_uba_spark.operators.ranking import grouped_row_number
+
+    rows = [
+        (0, None, 5), (1, "a", 3), (2, None, 1), (3, "a", 1),
+        (4, None, 4), (5, "b", 2), (6, None, 1), (7, "b", 9),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, metric long")
+    got_df, counts = grouped_row_number(
+        df, ["grp"], [F.asc("metric"), F.asc("id")], "rn",
+        num_partitions=4,
+    )
+    got = {r["id"]: r["rn"] for r in got_df.collect()}
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(
+                Window.partitionBy("grp").orderBy(
+                    F.asc("metric"), F.asc("id")
+                )
+            )
+            .cast("long")
+            .alias("rn"),
+        ).collect()
+    }
+    assert got == want
+    sizes = {r["grp"]: r["__n"] for r in counts.collect()}
+    assert sizes == dict(Counter(g for _, g, _ in rows))
+
+
 def test_order_distribution_ranks_gate_paths_identical(spark, sf_dir):
     """The r18 hybrid-sort gate: the two-stage grouped row_number path
     (forced with two_stage_min_rows=0) must be row-identical — every
