@@ -117,14 +117,36 @@ _PLAN_OVERRIDES = _unbarriered_overrides()
 
 
 @pytest.fixture(scope="module")
-def plans(spark, sf_dir):
-    return {
-        name: _PLAN_OVERRIDES.get(name, fn)(spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-        for name, fn in _REGISTRY.items()
-    }
+def _all_plans(spark, sf_dir):
+    """(executed, optimized) plan strings for every registry row, built
+    from ONE DataFrame construction per row. Construction is the
+    expensive part — a dozen rows execute real jobs at construction
+    time (gate probes, lazy-checkpoint AQE stages, fixpoints) — so rows
+    build on a small thread pool (guide §2.6: independent driver-side
+    work overlaps; plan-string extraction is pure py4j). This fixture
+    replaced two sequential full-registry constructions (the executed
+    fixture + the optimized-plan loop in the window audit) that
+    together cost ~280 s of the suite's 33-minute wall."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(item):
+        name, fn = item
+        qe = _PLAN_OVERRIDES.get(name, fn)(spark, sf_dir)._jdf.queryExecution()
+        return name, (qe.executedPlan().toString(),
+                      qe.optimizedPlan().toString())
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(pool.map(build, _REGISTRY.items()))
+
+
+@pytest.fixture(scope="module")
+def plans(_all_plans):
+    return {name: ex for name, (ex, _) in _all_plans.items()}
+
+
+@pytest.fixture(scope="module")
+def opt_plans(_all_plans):
+    return {name: opt for name, (_, opt) in _all_plans.items()}
 
 
 def test_no_cartesian_product(plans):
@@ -507,7 +529,7 @@ _GLOBAL_WINDOW_ALLOWED = {
 }
 
 
-def test_unpartitioned_windows_are_allowlisted(spark, sf_dir):
+def test_unpartitioned_windows_are_allowlisted(opt_plans):
     """Every registry row whose OPTIMIZED plan contains a window spec
     with no PARTITION BY must be in the justified allowlist above —
     an unpartitioned window moves its whole input to one reducer, so
@@ -539,11 +561,7 @@ def test_unpartitioned_windows_are_allowlisted(spark, sf_dir):
         return args.strip()
 
     bad = {}
-    for name, fn in _REGISTRY.items():
-        fn = _PLAN_OVERRIDES.get(name, fn)
-        plan = (
-            fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
-        )
+    for name, plan in opt_plans.items():
         for args in spec_args(plan):
             first = top_level_first_arg(args)
             if (
