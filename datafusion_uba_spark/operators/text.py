@@ -21,7 +21,6 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 
 def _col(c: Column | str) -> Column:
@@ -708,7 +707,18 @@ def boilerplate_stats(
             .alias("shared_bp"),
         )
     if pin_lineage:
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        # localCheckpoint, NOT persist: persist() registers the frame
+        # in the CacheManager keyed by its analyzed plan, so a LATER
+        # identical construction silently reuses the cached rows even
+        # after every reference is gc'd — measured [9.9, 1.3, 0.9] s
+        # across three fresh constructions of this query (r19 probe).
+        # That poisons any best-of-N measurement of this row (and
+        # wastes storage memory for the rest of a 198-query sweep).
+        # localCheckpoint blocks are plain RDD blocks the
+        # ContextCleaner drops once the frame's refs go away, so every
+        # fresh construction recomputes — one materialization per
+        # query execution, honest timing, same two-consumer reuse.
+        sh = sh.localCheckpoint(eager=False)
     # explode_outer + null guard: same optimizer-substitution dodge as
     # dedup.ngram_jaccard_pairs (inner explode infers a size()>0 filter
     # and inlines the whole shingle chain into a pre-shuffle Filter)

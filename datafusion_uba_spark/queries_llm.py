@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from datafusion_uba_spark.operators import (
     bpe,
@@ -1626,12 +1625,17 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     work) runs once for its two consumers. Zero-shingle docs report 0
     novel of 0 with novelty_bp = 0 (documented vacuous case)."""
     docs = _docs(spark, sf_dir)
+    # localCheckpoint, NOT persist — persist()'s CacheManager entry
+    # outlives every reference and silently serves later identical
+    # constructions from cache (see operators/text.py boilerplate_stats
+    # for the measured probe); checkpoint blocks are ContextCleaner-
+    # evicted with the frame's refs, so each execution recomputes.
     sh_arr = docs.select(
         "doc_id",
         text_ops.shingles_from_tokens(
             text_ops.tokens_from_norm(text_ops.normalize_text("text"))
         ).alias("__sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     owners = (
         sh_arr.select(
             "doc_id", F.explode_outer("__sh").alias("shingle")
