@@ -44,6 +44,38 @@ K = 10
 LSH_PARAMS = dict(n_pool=32, bits_per_table=12, n_tables=16)
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _wide_shuffles(spark):
+    """This module asserts VALUES (recall, exact top-k sets,
+    wall-clock ratios), never plan shapes, so it does not need the
+    session's shuffle_partitions=4 plan-determinism pin — and that pin
+    CAPS every index-build/probe shuffle at 4-way parallelism (AQE can
+    only coalesce down from the initial count, so 12 of the 16 test
+    cores idle through the heaviest file of the suite). Runtime-set to
+    16 here, restored after. Results are unchanged: ddf/qdf
+    partitioning (which seeds per-partition PQ training samples) comes
+    from createDataFrame/defaultParallelism, not this conf."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.fixture(scope="module")
+def pq_model(fixture):
+    """The canonical trained PQ model (n_cells=64, m=8, k=16, iters=4,
+    train_sample=4096) — training is deterministic (pinned by
+    test_pq_compresses_and_recalls against a fresh retrain), so the
+    read-only consumers share one training instead of re-running it."""
+    from datafusion_uba_spark.operators import pq
+
+    ddf, _, _ = fixture
+    return pq.train_pq(
+        ddf, dim=DIM, n_cells=64, m=8, k=16, iters=4,
+        train_sample=4096, n_rows=N,
+    )
+
+
 @pytest.fixture(scope="module")
 def fixture(spark):
     rng = np.random.default_rng(123)
@@ -162,7 +194,7 @@ def test_auto_dispatches_lsh_above_threshold(fixture):
     assert _recall(auto, truth) >= 0.9
 
 
-def test_auto_dispatches_pq_in_memory_bound_regime(fixture):
+def test_auto_dispatches_pq_in_memory_bound_regime(fixture, pq_model):
     """The third dispatcher arm: at or above pq_threshold the auto
     entry point must return EXACTLY what pq_topk with the same model
     returns — a plan choice, not a third semantics — and the arm must
@@ -173,10 +205,7 @@ def test_auto_dispatches_pq_in_memory_bound_regime(fixture):
     from datafusion_uba_spark.operators import pq
 
     ddf, qdf, truth = fixture
-    model = pq.train_pq(
-        ddf, dim=DIM, n_cells=64, m=8, k=16, iters=4,
-        train_sample=4096, n_rows=N,
-    )
+    model = pq_model
     auto = ann_topk_auto(
         ddf, qdf, k=K, n_rows=N, pq_threshold=N, pq_model=model,
     )
@@ -207,7 +236,7 @@ def test_lsh_beats_brute_force_wall_clock(fixture):
     assert lsh < brute * 1.2, f"lsh {lsh:.2f}s vs brute {brute:.2f}s"
 
 
-def test_pq_compresses_and_recalls(fixture, tmp_path, spark):
+def test_pq_compresses_and_recalls(fixture, pq_model, tmp_path, spark):
     """The PQ memory claim, measured: (a) codes are a cell id + m=8
     small ints per vector (vs 64 floats — ~30x), persistable and
     reusable; (b) residual-PQ ADC + exact re-rank reaches recall@10
@@ -217,10 +246,7 @@ def test_pq_compresses_and_recalls(fixture, tmp_path, spark):
     from datafusion_uba_spark.operators import pq
 
     ddf, qdf, truth = fixture
-    model = pq.train_pq(
-        ddf, dim=DIM, n_cells=64, m=8, k=16, iters=4,
-        train_sample=4096, n_rows=N,
-    )
+    model = pq_model
     books = model["books"]
     assert len(books) == 8 and all(len(b) == 16 for b in books)
     assert len(model["cents"]) == model["n_cells"] == 64
@@ -252,7 +278,7 @@ def test_pq_compresses_and_recalls(fixture, tmp_path, spark):
     assert a == b
 
 
-def test_pq_residual_beats_raw(fixture):
+def test_pq_residual_beats_raw(fixture, pq_model):
     """The module docstring's central design claim, reproduced with
     measured numbers: at the SAME bit budget (m=8, k=16), codebooks
     over raw vectors spend their bits re-encoding cluster identity,
@@ -266,10 +292,7 @@ def test_pq_residual_beats_raw(fixture):
     from datafusion_uba_spark.operators import pq
 
     ddf, qdf, truth = fixture
-    resid = pq.train_pq(
-        ddf, dim=DIM, n_cells=64, m=8, k=16, iters=4,
-        train_sample=4096, n_rows=N,
-    )
+    resid = pq_model
     raw = pq.train_pq(
         ddf, dim=DIM, m=8, k=16, iters=4, train_sample=4096, n_rows=N,
         cents=[[0] * DIM],
